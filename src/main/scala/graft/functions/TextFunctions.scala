@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis scalar functions for the LLM-data-pipeline extension
+  * surface: tokenization, shingling, MinHash, SimHash, language ID,
+  * quality scoring, fingerprinting.
+  *
+  * All functions are pure Catalyst expressions (built-in SQL functions +
+  * higher-order functions) so they stay inside whole-stage codegen and
+  * are exactly reproducible by the DuckDB oracle (same md5-based 32-bit
+  * hash on both engines).
+  */
+object TextFunctions {
+
+  /** Portable 32-bit hash: first 8 hex chars of md5 as a non-negative
+    * long. Identical in DuckDB via CAST('0x'||substr(md5(s),1,8) AS BIGINT).
+    */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Seeded variant for minhash permutations. */
+  def h32(c: Column, seed: Column): Column =
+    h32(concat(c, lit("#"), seed.cast("string")))
+
+  /** Whitespace tokenization (single-space corpus; keep it exact so the
+    * oracle's string_split matches 1:1).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count via regex word-ish matching — a cheap BPE-ish proxy:
+    * runs of word chars or single non-space punctuation.
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** k-word shingles joined by a single space; empty if fewer than k tokens. */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min h32 over the shingle set. O(|shingles| * numHashes) per row,
+    * fully data-parallel, no shuffle.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => h32(s, i))))
+
+  /** LSH band buckets from a minhash signature: hash each band of `rowsPerBand`
+    * signature entries into a bucket id. Result: array<long> of length
+    * numHashes/rowsPerBand; candidate pairs share (band_index, bucket).
+    */
+  def lshBandBuckets(signature: Column, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), size(signature) / rowsPerBand - 1),
+      b => h32(array_join(
+        transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")),
+        ",")))
+
+  /** Bit i of non-negative long h, with a Column shift amount (the Scala
+    * `shiftright` only takes Int shifts): floor(h / 2^i) % 2 — exact for
+    * h < 2^53 since powers of two are exact doubles.
+    */
+  private def bitAt(h: Column, i: Column): Column =
+    (h.cast("double") / pow(lit(2.0), i)).cast(LongType) % 2
+
+  /** 32-bit SimHash over a token multiset: bit i of the result is set iff
+    * sum over tokens of (+1 if bit i of h32(token) else -1) > 0.
+    */
+  def simhash32(toks: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, i) => {
+        val contrib = aggregate(
+          toks,
+          lit(0L),
+          (a, t) => a + when(bitAt(h32(t), i) === 1, 1L).otherwise(-1L))
+        acc + when(contrib > 0, pow(lit(2.0), i).cast(LongType)).otherwise(0L)
+      })
+
+  /** Hamming distance between two 32-bit simhashes. */
+  def hamming32(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Order-sensitive document fingerprint: sum of h32(token)*(position+1)
+    * mod 1e9+7. Exact integer arithmetic => bit-identical across engines
+    * and across summation orders.
+    */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      zip_with(toks, sequence(lit(1), size(toks)), (t, i) => h32(t) * i.cast(LongType)),
+      lit(0L),
+      (acc, v) => acc + v) % 1000000007L
+
+  /** Tiny deterministic stopword lists per language for the n-gram/stopword
+    * language-ID heuristic. Kept minimal & public-knowledge.
+    */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "est", "une", "pas", "pour", "que", "dans")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "los", "y", "es", "una", "no", "por", "que", "en")
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts;
+    * 'und' (undetermined) when no stopword matches at all. Deterministic
+    * tie-break by fixed language order en>de>fr>es.
+    */
+  def langId(toks: Column): Column = {
+    val en = stopwordHits(toks, StopwordsEn)
+    val de = stopwordHits(toks, StopwordsDe)
+    val fr = stopwordHits(toks, StopwordsFr)
+    val es = stopwordHits(toks, StopwordsEs)
+    val m = greatest(en, de, fr, es)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(fr === m, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
+    * ratio — the standard cheap pre-filter for LLM training corpora.
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val nChars = length(text)
+    val nToks = size(toks)
+    val alphaRatio = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
+      greatest(nChars, lit(1)).cast("double")
+    val stopRatio = stopwordHits(toks, StopwordsEn).cast("double") /
+      greatest(nToks, lit(1)).cast("double")
+    val lengthScore = when(nChars >= 100 && nChars <= 10000, 1.0)
+      .when(nChars >= 30, 0.5).otherwise(0.0)
+    round((lengthScore + least(alphaRatio, lit(1.0)) + least(stopRatio * 5, lit(1.0))) / 3, 6)
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.PipelineFunctions._
+
+/** Batch analogs of the reference's per-message pipeline (SURVEY §2.1),
+  * run over the `events` table: `event_type` + derived segments play the
+  * MQTT topic, `props` (JSON string) plays the raw payload.
+  *
+  * Reference semantics studied at bin/mqtt-streamr.js:99-106 (truncate),
+  * :149-155 (parse/drop), :157-159 (transform), :162-185 (routing),
+  * src/Logger.js:17-21 (interval stats).
+  */
+object PipelineQueries {
+
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  /** F1+T2+T3: synthesize a 4-level topic, truncate to 2 levels, expand the
+    * stream-id template, aggregate routed traffic per stream.
+    */
+  def pipeRoute(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val topic = concat(
+      lit("iot/"), col("event_type"),
+      lit("/u"), (col("user_id") % 8).cast("string"),
+      lit("/d"), (col("event_id") % 4).cast("string"))
+    ev.withColumn("topic", topic)
+      .withColumn("stream_id", streamIdTemplate("org/$topic/stream", topicTruncate(col("topic"), 2)))
+      .groupBy("stream_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("stream_id")
+  }
+
+  /** F1+A1: parse payload JSON, count valid/invalid per day × event_type,
+    * sum the extracted field — the tumbling-window success/error stats of
+    * the reference, keyed by processing window.
+    */
+  def pipeParseStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val parsed = safeParseJson(col("props"), propsSchema)
+    ev.withColumn("parsed", parsed)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day", "event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("parsed").isNotNull, 1L).otherwise(0L)).as("n_success"),
+        sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_error"),
+        sum(col("parsed.k").cast("long")).as("sum_k"))
+      .orderBy("day", "event_type")
+  }
+
+  /** T1 (JSONata subset): per-record projection/conditional transform —
+    * `{"k": props.k, "big": props.k > 50, "v2": value * 2}` — the typical
+    * `--transform` rewrite, as pure Catalyst expressions.
+    */
+  def pipeTransform(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val parsed = safeParseJson(col("props"), propsSchema)
+    ev.withColumn("parsed", parsed)
+      .filter(col("parsed").isNotNull)  // F1 drop-on-malformed
+      .select(
+        col("event_id"),
+        col("parsed.k").as("k"),
+        (col("parsed.k") > 50).as("big"),
+        round(col("value") * 2, 2).as("v2"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization over the event stream (30-min inactivity gap)
+    * — the batch analog of stateful stream sessionization; lag + running
+    * sum of new-session flags, all window functions (single shuffle on
+    * user_id).
+    */
+  def pipeSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** A1 as an hourly cube: grouping sets over (hour, event_type) — window
+    * stats with subtotal rows, the relational generalization of the
+    * reference's interval counters.
+    */
+  def pipeStatsCube(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.withColumn("hour", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+      .cube("hour", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        coalesce(col("hour"), lit("ALL")).as("hour"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_route" -> pipeRoute,
+    "pipe_parse_stats" -> pipeParseStats,
+    "pipe_transform" -> pipeTransform,
+    "pipe_sessionize" -> pipeSessionize,
+    "pipe_stats_cube" -> pipeStatsCube)
+
+  val oracles: Map[String, String] = Map(
+    "pipe_route" ->
+      """SELECT stream_id, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT 'org/' || array_to_string(list_slice(string_split(
+        |           'iot/' || event_type || '/u' || (user_id % 8) || '/d' || (event_id % 4),
+        |           '/'), 1, 3), '/') || '/stream' AS stream_id,
+        |         value
+        |  FROM events)
+        |GROUP BY stream_id ORDER BY stream_id""".stripMargin,
+    "pipe_parse_stats" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |       count(*) AS n_total,
+        |       sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_success,
+        |       sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_error,
+        |       sum(CASE WHEN json_valid(props)
+        |                THEN CAST(props->>'$.k' AS BIGINT) END) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipe_transform" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
+        |       CAST(props->>'$.k' AS INT) > 50 AS big,
+        |       round(value * 2, 2) AS v2
+        |FROM events WHERE json_valid(props) ORDER BY event_id""".stripMargin,
+    "pipe_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "pipe_stats_cube" ->
+      """SELECT coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
+        |       coalesce(event_type, 'ALL') AS event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), event_type)
+        |ORDER BY hour, event_type""".stripMargin)
+}

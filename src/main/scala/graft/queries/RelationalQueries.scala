@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Batch relational extension surface (SURVEY §7.2 step 5): joins, aggs,
+  * window functions, sorts/top-k, set ops, rollup — all Spark built-ins so
+  * Catalyst handles pushdown/pruning/join-strategy.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension tables (region/nation/customer at typical star ratios) are
+  *    broadcast explicitly — no shuffle of the fact table for those joins;
+  *  - aggregations are partial (map-side combine) by construction;
+  *  - top-k uses a LIMIT-after-sort which Spark executes as TakeOrdered
+  *    (per-partition top-k + driver merge, no full sort/shuffle).
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style full-scan aggregate over lineitem. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: segment filter, 3-way join, top-10 revenue orders. */
+  def q3Topk(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: fact join with broadcast dimension chain
+    * region→nation, co-membership condition on customer/supplier nation.
+    */
+  def q5RegionJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val dims = broadcast(nation.join(region, nation("n_regionkey") === region("r_regionkey"))
+      .select("n_nationkey", "n_name"))
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
+        supp("s_nationkey") === cust("c_nationkey"))
+      .join(dims, supp("s_nationkey") === dims("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Ranking window: top-3 orders per customer by price. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("price").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-total analytic window per supplier over shipdate. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        col("l_quantity"))
+      .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+      .drop("l_quantity")
+      .orderBy("l_suppkey", "ship_day", "l_orderkey", "l_linenumber")
+  }
+
+  /** Set operations: O-status buyers EXCEPT F-status buyers, INTERSECT
+    * positive-balance customers.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val oBuyers = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+    val fBuyers = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    val posCust = Tables.customer(s, dir).filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("k"))
+    oBuyers.except(fBuyers).intersect(posCust).orderBy("k")
+  }
+
+  /** Anti join: customers with no orders at all. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val ord = Tables.orders(s, dir).select(col("o_custkey"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: customers having at least one high-value order, with their
+    * nation (broadcast dim).
+    */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
+    val bigOrd = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+      .select("o_custkey")
+    val nation = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+    cust.join(bigOrd, cust("c_custkey") === bigOrd("o_custkey"), "left_semi")
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+      .orderBy("c_custkey")
+  }
+
+  /** ROLLUP subtotals: supplier balance by region → nation. */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(s, dir)
+    val nation = broadcast(Tables.nation(s, dir))
+    val region = broadcast(Tables.region(s, dir))
+    supp.join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .rollup("r_name", "n_name")
+      .agg(count(lit(1)).as("n_supp"), round(sum("s_acctbal"), 2).as("sum_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_supp"), col("sum_bal"))
+      .orderBy("region", "nation")
+  }
+
+  /** Distinct aggregation: exact distinct customers per order priority. */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** Correlated-style aggregate filter: parts priced above the average of
+    * their p_type group (windowed avg, then filter).
+    */
+  def qAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_type")
+    Tables.part(s, dir)
+      .withColumn("avg_price", avg("p_retailprice").over(w))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select(col("p_partkey"), col("p_type"),
+        round(col("p_retailprice"), 2).as("price"),
+        round(col("avg_price"), 4).as("type_avg"))
+      .orderBy("p_partkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_topk" -> q3Topk,
+    "q5_region_join" -> q5RegionJoin,
+    "q_window_rank" -> qWindowRank,
+    "q_window_running" -> qWindowRunning,
+    "q_set_ops" -> qSetOps,
+    "q_anti_join" -> qAntiJoin,
+    "q_semi_join" -> qSemiJoin,
+    "q_rollup" -> qRollup,
+    "q_distinct_agg" -> qDistinctAgg,
+    "q_above_avg" -> qAboveAvg)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+        |       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber""".stripMargin,
+    "q_set_ops" ->
+      """SELECT k FROM (
+        |  (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |   EXCEPT
+        |   SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |  INTERSECT
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0)
+        |ORDER BY k""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_supp, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_above_avg" ->
+      """SELECT p_partkey, p_type, round(p_retailprice, 2) AS price,
+        |       round(avg_price, 4) AS type_avg
+        |FROM (SELECT p_partkey, p_type, p_retailprice,
+        |             avg(p_retailprice) OVER (PARTITION BY p_type) AS avg_price
+        |      FROM part)
+        |WHERE p_retailprice > avg_price
+        |ORDER BY p_partkey""".stripMargin)
+}

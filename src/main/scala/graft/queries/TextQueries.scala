@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** LLM-training-data pipeline operators over `documents`: exact dedup,
+  * MinHash+LSH near-dup, SimHash, n-gram Jaccard, language ID, quality
+  * scoring, token counting, fingerprinting.
+  *
+  * Scale design: every per-document computation (hashing, signatures,
+  * band buckets) is an embarrassingly parallel projection — no shuffle.
+  * The only shuffles are (a) the groupBy on content hash for exact dedup
+  * and (b) the band-bucket equi-join for candidate pairs, which is the
+  * standard LSH trick that replaces the O(n²) all-pairs comparison with
+  * a key-partitioned join on (band, bucket) — the 100 TB-safe layout.
+  */
+object TextQueries {
+
+  private val NumHashes = 16
+  private val RowsPerBand = 4
+  private val ShingleK = 3
+
+  /** Exact dedup on content hash: first doc_id in each md5 cluster wins. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("fp"), (col("rn") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash signatures exploded to (doc_id, band, bucket) rows — the LSH
+    * index table. Docs with < ShingleK tokens are excluded (no shingles).
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"),
+        lshBandBuckets(
+          minhashSignature(wordShingles(col("toks"), ShingleK), NumHashes),
+          RowsPerBand).as("buckets"))
+    docs.select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .orderBy("doc_id", "band")
+  }
+
+  /** LSH candidate pairs verified with exact Jaccard (distinct word sets
+    * and distinct 3-shingle sets); pairs kept at word-Jaccard >= 0.5.
+    */
+  def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+    val bands = base
+      .select(col("doc_id"),
+        posexplode(lshBandBuckets(
+          minhashSignature(wordShingles(col("toks"), ShingleK), NumHashes),
+          RowsPerBand)).as(Seq("band", "bucket")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = base.select(
+      col("doc_id"),
+      array_distinct(col("toks")).as("ws"),
+      array_distinct(wordShingles(col("toks"), ShingleK)).as("ss"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("ss").as("ss_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("ss").as("ss_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(array_union(col("ws_a"), col("ws_b"))).cast("double"), 6).as("j_word"),
+        round(size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b"))).cast("double"), 6).as("j_shingle"))
+      .filter(col("j_word") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash fingerprints (32-bit) per document. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Token counts + order-sensitive fingerprint per document. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"),
+        tokenCountRegex(col("text")).as("n_tokens_regex"),
+        fingerprint(tokens(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Stopword-based language-ID heuristic vs the labeled lang. */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        langId(tokens(lower(col("text")))).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Quality-score components per document. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = tokens(t)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(length(regexp_replace(t, "[^A-Za-z ]", "")).cast("double") /
+          greatest(length(t), lit(1)).cast("double"), 6).as("alpha_ratio"),
+        round(size(filter(toks, x => x.isInCollection(StopwordsEn))).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"), 6).as("stop_ratio"),
+        qualityScore(t, toks).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_simhash" -> dedupSimhash,
+    "text_stats" -> textStats,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality)
+
+  // ---- DuckDB oracle SQL ----------------------------------------------
+  // hx(s) = first 8 hex chars of md5 as BIGINT (matches TextFunctions.h32)
+
+  private def hx(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  private val shinglesSql =
+    "[array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]"
+
+  private val sigSql =
+    s"[list_min([${hx("s || '#' || seed")} for s in shingles]) for seed in range(0, $NumHashes)]"
+
+  private val bucketsSql =
+    s"[${hx("array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')")} for b in range(0, ${NumHashes / RowsPerBand})]"
+
+  private val bandsCte =
+    s"""WITH toksrc AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, toks, $shinglesSql AS shingles
+       |  FROM toksrc WHERE len(toks) >= $ShingleK),
+       |sig AS (
+       |  SELECT doc_id, toks, $sigSql AS sig FROM sh),
+       |bk AS (
+       |  SELECT doc_id, toks, $bucketsSql AS buckets FROM sig),
+       |bands AS (
+       |  SELECT doc_id, i - 1 AS band, buckets[i] AS bucket
+       |  FROM bk, range(1, ${NumHashes / RowsPerBand} + 1) r(i))""".stripMargin
+
+  private val enList = StopwordsEn.map(w => s"'$w'").mkString(", ")
+  private val deList = StopwordsDe.map(w => s"'$w'").mkString(", ")
+  private val frList = StopwordsFr.map(w => s"'$w'").mkString(", ")
+  private val esList = StopwordsEs.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, fp, rn = 1 AS keep FROM (
+        |  SELECT doc_id, md5(text) AS fp,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" ->
+      s"""$bandsCte
+         |SELECT doc_id, band, bucket FROM bands ORDER BY doc_id, band""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(toks) AS ws, list_distinct(shingles) AS ss FROM sh)
+         |SELECT id_a, id_b,
+         |       round(len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))::DOUBLE /
+         |             len(list_distinct(list_concat(sa.ws, sb.ws)))::DOUBLE, 6) AS j_word,
+         |       round(len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))::DOUBLE /
+         |             len(list_distinct(list_concat(sa.ss, sb.ss)))::DOUBLE, 6) AS j_shingle
+         |FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+         |          JOIN sets sb ON cand.id_b = sb.doc_id
+         |WHERE round(len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))::DOUBLE /
+         |            len(list_distinct(list_concat(sa.ws, sb.ws)))::DOUBLE, 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 32), i ->
+         |    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+         |           CASE WHEN (${hx("t")} >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id, n_chars,
+         |       len(string_split(text, ' ')) AS n_tokens,
+         |       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_regex,
+         |       CAST(list_sum(list_transform(string_split(text, ' '),
+         |            (t, i) -> ${hx("t")} * i)) % 1000000007 AS BIGINT) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |       WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |       WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, lang,
+         |         len(list_filter(string_split(lower(text), ' '), t -> t IN ($enList))) AS en,
+         |         len(list_filter(string_split(lower(text), ' '), t -> t IN ($deList))) AS de,
+         |         len(list_filter(string_split(lower(text), ' '), t -> t IN ($frList))) AS fr,
+         |         len(list_filter(string_split(lower(text), ' '), t -> t IN ($esList))) AS es
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  round(len(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE /
+         |        greatest(len(text), 1)::DOUBLE, 6) AS alpha_ratio,
+         |  round(len(list_filter(string_split(text, ' '), t -> t IN ($enList)))::DOUBLE /
+         |        greatest(len(string_split(text, ' ')), 1)::DOUBLE, 6) AS stop_ratio,
+         |  round((
+         |    (CASE WHEN len(text) BETWEEN 100 AND 10000 THEN 1.0
+         |          WHEN len(text) >= 30 THEN 0.5 ELSE 0.0 END) +
+         |    least(len(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE /
+         |          greatest(len(text), 1)::DOUBLE, 1.0) +
+         |    least(len(list_filter(string_split(text, ' '), t -> t IN ($enList)))::DOUBLE /
+         |          greatest(len(string_split(text, ' ')), 1)::DOUBLE * 5, 1.0)) / 3, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

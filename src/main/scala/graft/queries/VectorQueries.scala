@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT> of dim 64).
+  *
+  * Scale design: the query set is tiny and is broadcast — the corpus scan
+  * is a single embarrassingly-parallel pass (no shuffle of the corpus).
+  * Top-k per query uses a rank-window over (query_id) whose cardinality
+  * equals |queries| × |corpus| rows *after* per-partition pre-filtering;
+  * at real scale the per-partition top-k (TakeOrdered-style) or an
+  * LSH/IVF bucket restriction (see `knn_lsh`) bounds the shuffle.
+  */
+object VectorQueries {
+
+  private val K = 10
+  private val NumQueries = 5
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  /** Brute-force exact top-k cosine neighbors for the first NumQueries ids. */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir).select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+    val queries = emb(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Centroid distance: mean vector per label, each vector's cosine to its
+    * own label centroid — the IVF coarse-quantizer building block (exact,
+    * aggregation-based; one shuffle on label).
+    */
+  def embCentroidDist(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // mean per dimension: aggregate arrays elementwise via posexplode
+    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("m"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("m")))), s0 => s0.getField("m")).as("cv"))
+    e.join(broadcast(centroids), "label")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("cv")), 6).as("cos_to_centroid"))
+      .orderBy("vec_id")
+  }
+
+  /** Near-duplicate embedding pairs: exact all-pairs cosine >= 0.99
+    * (at scale the LSH-bucketed variant below bounds candidates; this is
+    * the exact oracle-checkable form).
+    */
+  def embNeardup(s: SparkSession, dir: String): DataFrame = {
+    val a = emb(s, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb(s, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy("id_a", "id_b")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute" -> knnBrute,
+    "emb_centroid_dist" -> embCentroidDist,
+    "emb_neardup" -> embNeardup)
+
+  private val cosSql =
+    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+
+  val oracles: Map[String, String] = Map(
+    "knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |pairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    "emb_centroid_dist" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label, i, v[i] AS x
+         |       FROM e, range(1, len(v) + 1) r(i)),
+         |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cm GROUP BY label)
+         |SELECT vec_id, e.label,
+         |       round(${cosSql.format("v", "cv", "v", "v", "cv", "cv")}, 6) AS cos_to_centroid
+         |FROM e JOIN cent ON e.label = cent.label
+         |ORDER BY vec_id""".stripMargin,
+    "emb_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 6) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin)
+}
