@@ -58,7 +58,8 @@ object TextFunctions {
     */
   def lshBandBuckets(signature: Column, rowsPerBand: Int): Column =
     transform(
-      sequence(lit(0), size(signature) / rowsPerBand - 1),
+      // Column `/` is double division; sequence() needs integral bounds.
+      sequence(lit(0), (size(signature) / rowsPerBand).cast("int") - 1),
       b => h32(array_join(
         transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")),
         ",")))

@@ -128,10 +128,10 @@ object PipelineQueries {
     "pipe_parse_stats" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |       count(*) AS n_total,
-        |       sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_success,
-        |       sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_error,
-        |       sum(CASE WHEN json_valid(props)
-        |                THEN CAST(props->>'$.k' AS BIGINT) END) AS sum_k
+        |       CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+        |       CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_error,
+        |       CAST(sum(CASE WHEN json_valid(props)
+        |                THEN CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipe_transform" ->
       """SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
@@ -148,8 +148,8 @@ object PipelineQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM flagged)
         |SELECT user_id, session_seq,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

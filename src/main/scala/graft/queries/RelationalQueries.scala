@@ -85,8 +85,10 @@ object RelationalQueries {
 
   /** Running-total analytic window per supplier over shipdate. */
   def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    // ship_day sorts identically to l_shipdate (yyyy-MM-dd is ordinal),
+    // so the window can order by the projected string column.
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("ship_day", "l_orderkey", "l_linenumber")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -138,13 +140,17 @@ object RelationalQueries {
     val region = broadcast(Tables.region(s, dir))
     supp.join(nation, col("s_nationkey") === col("n_nationkey"))
       .join(region, col("n_regionkey") === col("r_regionkey"))
-      .rollup("r_name", "n_name")
-      .agg(count(lit(1)).as("n_supp"), round(sum("s_acctbal"), 2).as("sum_bal"))
-      .select(
-        coalesce(col("r_name"), lit("ALL")).as("region"),
-        coalesce(col("n_name"), lit("ALL")).as("nation"),
-        col("n_supp"), col("sum_bal"))
-      .orderBy("region", "nation")
+      // rename before rollup: grouping output attrs would otherwise be
+      // ambiguous with the join children's r_name/n_name lineage
+      .select(col("r_name").as("rname"), col("n_name").as("nname"), col("s_acctbal"))
+      .createOrReplaceTempView("rollup_src")
+    // ROLLUP via SQL: the DataFrame rollup() over a join lineage trips the
+    // ambiguous-self-join detector (Expand duplicates grouping attrs); SQL
+    // attribute references carry no dataset-id metadata, same Catalyst plan.
+    s.sql(
+      """SELECT coalesce(rname, 'ALL') AS region, coalesce(nname, 'ALL') AS nation,
+        |       count(*) AS n_supp, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM rollup_src GROUP BY ROLLUP(rname, nname) ORDER BY region, nation""".stripMargin)
   }
 
   /** Distinct aggregation: exact distinct customers per order priority. */

@@ -92,8 +92,8 @@ object VectorQueries {
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
     "emb_centroid_dist" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |ex AS (SELECT vec_id, label, i, v[i] AS x
-         |       FROM e, range(1, len(v) + 1) r(i)),
+         |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
+         |       FROM e CROSS JOIN range(1, 65) r(i)),
          |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
          |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cm GROUP BY label)
          |SELECT vec_id, e.label,
