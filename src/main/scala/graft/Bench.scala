@@ -12,7 +12,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count() forces every output column to be materialized;
+      // Dataset.count() would let Catalyst prune projection-only work and
+      // under-report the cost of compute-heavy columns.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

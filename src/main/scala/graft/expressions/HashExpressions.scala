@@ -1,0 +1,158 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native kernels for the MinHash/SimHash hot path.
+  *
+  * The HOF formulations iterate the hash array inside per-seed / per-bit
+  * lambdas; besides interpreted-lambda overhead, Catalyst Columns are
+  * trees (not DAGs), so the optimizer's CollapseProject can inline the
+  * md5 hashing pass into a lambda that then re-evaluates it once per seed
+  * (16x) or per bit (32x) per row. A single native loop computes the
+  * whole signature in one pass, is bit-exact with the DuckDB oracle
+  * (pure int64 arithmetic), and stays inside whole-stage codegen.
+  *
+  * Null semantics: NULL input or any NULL element yields NULL.
+  */
+
+/** MinHash signature from an array<long> of element hashes: for seed i in
+  * [0, numHashes), min over h of ((i+1)*h + i) mod 1e9+7. Exact in int64:
+  * h < 2^32, i+1 <= numHashes (small). Empty input yields NULL (callers
+  * filter empty shingle sets out first).
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return null
+    val res = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val h = a.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = ((j + 1) * h + j) % 1000000007L
+        if (v < res(j)) res(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val res = ctx.freshName("res")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $res = new long[$numHashes];
+         |  java.util.Arrays.fill($res, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final long $h = $a.getLong($i);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      final long $v = (($j + 1) * $h + $j) % 1000000007L;
+         |      if ($v < $res[$j]) $res[$j] = $v;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash from an array<long> of element hashes: bit i of the
+  * result is set iff sum over elements of (+1 if bit i of h else -1) > 0.
+  * Empty input yields 0 (matches the fold-from-zero HOF semantics).
+  */
+case class SimHashFromHashes(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val h = a.getLong(i)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $counts = new int[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $out = 0L;
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    if ($counts[$b] > 0) $out |= (1L << $b);
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  def minhashNative(hs: Column, numHashes: Int): Column =
+    Bridge.column(MinHashFromHashes(Bridge.expression(hs), numHashes))
+
+  def simhashNative(hs: Column): Column =
+    Bridge.column(SimHashFromHashes(Bridge.expression(hs)))
+}

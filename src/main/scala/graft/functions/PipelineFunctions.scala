@@ -50,13 +50,18 @@ object PipelineFunctions {
   /** F1 — safe JSON parse: returns the parsed struct, NULL when malformed.
     * Callers filter `parsed.isNotNull` to drop (and count) bad records,
     * mirroring the reference's log-and-drop.
+    *
+    * NB: from_json PERMISSIVE alone returns an all-null-fields struct (not
+    * NULL) for malformed input, so validity is detected with
+    * try_parse_json (variant parse, NULL on malformed) — same JSON
+    * acceptance as the reference's JSON.parse, including scalar roots.
     */
   def safeParseJson(payload: Column, schema: StructType): Column =
-    from_json(payload, schema, Map("mode" -> "PERMISSIVE"))
+    when(jsonIsValid(payload), from_json(payload, schema, Map("mode" -> "PERMISSIVE")))
 
-  /** Validity flag without materializing the parse twice: a record is
-    * malformed iff from_json yields NULL on a non-NULL payload.
+  /** True iff the payload is well-formed JSON (any root: object, array,
+    * scalar — JSON.parse semantics, bin/mqtt-streamr.js:151).
     */
-  def jsonIsValid(payload: Column, schema: StructType): Column =
-    payload.isNotNull && from_json(payload, schema).isNotNull
+  def jsonIsValid(payload: Column): Column =
+    payload.isNotNull && try_parse_json(payload).isNotNull
 }

@@ -43,14 +43,39 @@ object TextFunctions {
         sequence(lit(1), size(toks) - (k - 1)),
         i => array_join(slice(toks, i, lit(k)), " ")))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min h32 over the shingle set. O(|shingles| * numHashes) per row,
-    * fully data-parallel, no shuffle.
+  /** h32 of every element of a string array. Materialize this as its own
+    * projection column before fanning out multiple consumers: Catalyst
+    * Columns are trees, not DAGs, so passing `hashArray(...)` inline into
+    * an expression that references it k times would evaluate the md5 pass
+    * k times per row (CollapseProject keeps multiply-referenced non-cheap
+    * aliases in their own Project, so a materialized column is computed
+    * once).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def hashArray(strs: Column): Column = transform(strs, s => h32(s))
+
+  /** MinHash signature from pre-hashed shingles (see hashArray): for each
+    * of `numHashes` permutations, min over shingles of the universal-hash
+    * mix ((seed+1)*h + seed) mod 1e9+7 — exact in int64 since h < 2^32 and
+    * seed+1 <= numHashes. One md5 per shingle total (in hashArray), then
+    * O(|shingles| * numHashes) integer ops; data-parallel, no shuffle.
+    * Native codegen kernel — the HOF form re-evaluates its input once per
+    * seed lambda after CollapseProject inlining (see HashExpressions).
+    */
+  def minhashFromHashes(hs: Column, numHashes: Int): Column =
+    graft.expressions.HashExpressions.minhashNative(hs, numHashes)
+
+  /** HOF reference formulation (tests compare it to the native kernel). */
+  def minhashFromHashesHof(hs: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => h32(s, i))))
+      i => array_min(transform(hs, h => ((i + 1).cast(LongType) * h + i) % 1000000007L)))
+
+  /** Convenience composition for non-hot-path use (tests): hashes inline,
+    * so the md5 pass is duplicated numHashes times — prefer materializing
+    * hashArray for real pipelines.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    minhashFromHashes(hashArray(shingles), numHashes)
 
   /** LSH band buckets from a minhash signature: hash each band of `rowsPerBand`
     * signature entries into a bucket id. Result: array<long> of length
@@ -71,20 +96,28 @@ object TextFunctions {
   private def bitAt(h: Column, i: Column): Column =
     (h.cast("double") / pow(lit(2.0), i)).cast(LongType) % 2
 
-  /** 32-bit SimHash over a token multiset: bit i of the result is set iff
-    * sum over tokens of (+1 if bit i of h32(token) else -1) > 0.
+  /** 32-bit SimHash from pre-hashed tokens (see hashArray): bit i of the
+    * result is set iff sum over tokens of (+1 if bit i of the token hash
+    * else -1) > 0. Native codegen kernel (one pass over the hashes).
     */
-  def simhash32(toks: Column): Column =
+  def simhashFromHashes(hs: Column): Column =
+    graft.expressions.HashExpressions.simhashNative(hs)
+
+  /** HOF reference formulation (tests compare it to the native kernel). */
+  def simhashFromHashesHof(hs: Column): Column =
     aggregate(
       sequence(lit(0), lit(31)),
       lit(0L),
       (acc, i) => {
         val contrib = aggregate(
-          toks,
+          hs,
           lit(0L),
-          (a, t) => a + when(bitAt(h32(t), i) === 1, 1L).otherwise(-1L))
+          (a, h) => a + when(bitAt(h, i) === 1, 1L).otherwise(-1L))
         acc + when(contrib > 0, pow(lit(2.0), i).cast(LongType)).otherwise(0L)
       })
+
+  /** Convenience composition (tests): hashes inline — duplicated 32x. */
+  def simhash32(toks: Column): Column = simhashFromHashes(hashArray(toks))
 
   /** Hamming distance between two 32-bit simhashes. */
   def hamming32(a: Column, b: Column): Column =

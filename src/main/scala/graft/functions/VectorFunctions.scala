@@ -3,15 +3,24 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector math over ARRAY<FLOAT>/ARRAY<DOUBLE> columns using
-  * built-in higher-order functions (codegen'd; no UDF, no shuffle).
-  * Sums run left-to-right in both Spark's `aggregate` and the DuckDB
-  * oracle, so double-precision results agree bit-for-bit at equal dims.
+/** Embedding-vector math over ARRAY<FLOAT>/ARRAY<DOUBLE> columns.
+  *
+  * The hot-path kernels (dot, cosine) are native codegen'd Catalyst
+  * expressions (graft.expressions.VectorExpressions) — a tight primitive
+  * loop instead of the HOF `aggregate(zip_with(...))` tree, which
+  * allocates an intermediate array per row-pair. Both run the same
+  * left-to-right double summation as the DuckDB oracle, so results agree
+  * bit-for-bit. The HOF forms are kept (suffix `Hof`) as a reference
+  * semantics oracle for tests.
   */
 object VectorFunctions {
+  import graft.expressions.VectorExpressions
 
-  /** Elementwise product sum; casts to double first for stable precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise product sum (native codegen loop). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
+
+  /** HOF reference implementation of dot (tests compare it to native). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0),
@@ -19,11 +28,16 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1,1]; NULL when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm(a)
-    val nb = norm(b)
+  /** Cosine similarity in [-1,1]; NULL when either norm is 0 (native,
+    * one pass over both arrays).
+    */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosineNative(a, b)
+
+  /** HOF reference implementation of cosine. */
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
+    val na = sqrt(dotHof(a, a))
+    val nb = sqrt(dotHof(b, b))
     when(na === 0 || nb === 0, lit(null).cast("double")).otherwise(d / (na * nb))
   }
 

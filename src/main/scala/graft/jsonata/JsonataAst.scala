@@ -1,0 +1,40 @@
+package graft.jsonata
+
+/** AST for the supported JSONata subset (public language spec:
+  * docs.jsonata.org; the reference exposes it via --transform,
+  * bin/mqtt-streamr.js:48-51,108,157-159).
+  *
+  * Supported surface (SURVEY §2.2 "mappable subset"):
+  *   paths a.b.c, `$` (context), array index a[0] / a[-1], predicates
+  *   a[price > 10], arithmetic + - * / %, comparisons = != < <= > >=,
+  *   `and` / `or`, string concat `&`, conditional ? :, object/array
+  *   constructors, and the $function library (string/numeric/array/
+  *   aggregation) that maps 1:1 onto Spark SQL functions.
+  *
+  * Not supported (documented degradations, SURVEY §7.4): descendant `**`,
+  * wildcards `*`, dynamic object keys, variable bindings `$x :=`,
+  * user lambdas, regex literals. These raise JsonataParseError at
+  * compile time rather than failing at run time.
+  */
+sealed trait JNode
+
+case class JNumber(v: Double) extends JNode
+case class JString(v: String) extends JNode
+case class JBool(v: Boolean) extends JNode
+case object JNull extends JNode
+case object JContext extends JNode                          // `$`
+case class JPath(steps: List[JStep]) extends JNode          // a.b[0].c[x>1]
+case class JBinary(op: String, l: JNode, r: JNode) extends JNode
+case class JUnaryMinus(e: JNode) extends JNode
+case class JCond(c: JNode, t: JNode, e: JNode) extends JNode
+case class JFunc(name: String, args: List[JNode]) extends JNode // $name(...)
+case class JObject(fields: List[(String, JNode)]) extends JNode
+case class JArray(items: List[JNode]) extends JNode
+
+sealed trait JStep
+case class JField(name: String) extends JStep
+case class JIndex(i: Int) extends JStep                     // numeric-literal bracket
+case class JPredicate(pred: JNode) extends JStep            // boolean bracket
+
+class JsonataParseError(msg: String) extends RuntimeException(msg)
+class JsonataCompileError(msg: String) extends RuntimeException(msg)

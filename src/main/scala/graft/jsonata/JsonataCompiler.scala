@@ -1,0 +1,349 @@
+package graft.jsonata
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compile a JSONata AST into a single Catalyst `Column` expression tree,
+  * statically typed against the payload schema (the from_json StructType).
+  *
+  * The reference compiles the user expression once at startup and
+  * evaluates it per message (bin/mqtt-streamr.js:108,157-159); here the
+  * "compile" step produces a Column and Catalyst/Tungsten codegen does the
+  * per-record evaluation — no interpretation at run time at all.
+  *
+  * Sequence semantics: JSONata paths over arrays map implicitly
+  * (`readings.t` == list of every t). We reproduce that with transform()
+  * when a field step hits array<struct>, flattening one level when the
+  * projected field is itself an array (JSONata sequences don't nest).
+  *
+  * Documented divergences from full JSONata (all raise at compile time,
+  * never silently differ): no `**`/`*` paths, no variable bindings or
+  * user lambdas, object keys must be literals, $round is half-up (Spark)
+  * not half-even, $string uses Spark's number formatting.
+  */
+object JsonataCompiler {
+
+  case class Typed(col: Column, dt: DataType)
+
+  def compile(src: String, input: Column, schema: DataType): Column =
+    compileNode(JsonataParser.parse(src), Typed(input, schema)).col
+
+  /** Convenience: compiled transform over a raw JSON string column. */
+  def transformJson(src: String, payload: Column, schema: StructType): Column =
+    compile(src, from_json(payload, schema), schema)
+
+  // ---- node compilation -------------------------------------------------
+
+  private def compileNode(node: JNode, ctx: Typed): Typed = node match {
+    case JNumber(v) =>
+      if (v == v.floor && v.abs < 1e15) Typed(lit(v.toLong), LongType)
+      else Typed(lit(v), DoubleType)
+    case JString(v) => Typed(lit(v), StringType)
+    case JBool(v) => Typed(lit(v), BooleanType)
+    case JNull => Typed(lit(null).cast(StringType), NullType)
+    case JContext => ctx
+    case JPath(steps) => steps.foldLeft(ctx)(step)
+    case JUnaryMinus(e) =>
+      val t = num(compileNode(e, ctx))
+      Typed(-t.col, t.dt)
+    case JCond(c, t, e) =>
+      val tc = compileNode(t, ctx)
+      val ec = compileNode(e, ctx)
+      val dt = unify(tc.dt, ec.dt)
+      Typed(when(bool(compileNode(c, ctx)), cast(tc, dt)).otherwise(cast(ec, dt)), dt)
+    case JBinary(op, l, r) => binary(op, l, r, ctx)
+    case JObject(fields) =>
+      val compiled = fields.map { case (k, v) => k -> compileNode(v, ctx) }
+      Typed(
+        struct(compiled.map { case (k, t) => t.col.as(k) }: _*),
+        StructType(compiled.map { case (k, t) => StructField(k, t.dt) }))
+    case JArray(items) =>
+      val compiled = items.map(compileNode(_, ctx))
+      val dt = compiled.map(_.dt).reduceOption(unify).getOrElse(StringType)
+      Typed(array(compiled.map(cast(_, dt)): _*), ArrayType(dt))
+    case JFunc("__chain", base :: steps) =>
+      steps.foldLeft(compileNode(base, ctx)) { (acc, s) =>
+        s match {
+          case JNumber(i) => step(acc, JIndex(i.toInt))
+          case JString(f) => step(acc, JField(f))
+          case JFunc("__pred", List(p)) => step(acc, JPredicate(p))
+          case other => throw new JsonataCompileError(s"bad chain step $other")
+        }
+      }
+    case JFunc(name, args) => function(name, args, ctx)
+  }
+
+  // ---- path steps -------------------------------------------------------
+
+  private def step(ctx: Typed, s: JStep): Typed = s match {
+    case JField(name) => ctx.dt match {
+      case st: StructType =>
+        st.find(_.name == name) match {
+          case Some(f) => Typed(ctx.col.getField(name), f.dataType)
+          case None => throw new JsonataCompileError(
+            s"field '$name' not in schema ${st.simpleString}")
+        }
+      case ArrayType(st: StructType, _) =>
+        val f = st.find(_.name == name).getOrElse(throw new JsonataCompileError(
+          s"field '$name' not in schema ${st.simpleString}"))
+        f.dataType match {
+          case ArrayType(inner, _) =>
+            // JSONata sequences flatten one level
+            Typed(flatten(transform(ctx.col, x => x.getField(name))), ArrayType(inner))
+          case dt =>
+            Typed(transform(ctx.col, x => x.getField(name)), ArrayType(dt))
+        }
+      case other => throw new JsonataCompileError(
+        s"cannot navigate field '$name' on ${other.simpleString}")
+    }
+    case JIndex(i) => ctx.dt match {
+      case ArrayType(et, _) =>
+        // JSONata is 0-based; element_at is 1-based with negative-from-end
+        val pos = if (i >= 0) i + 1 else i
+        Typed(element_at(ctx.col, pos), et)
+      case dt =>
+        // singleton sequence: [0] is identity, anything else empty
+        if (i == 0) ctx else Typed(lit(null).cast(dt), dt)
+    }
+    case JPredicate(p) => ctx.dt match {
+      case ArrayType(et, _) =>
+        Typed(filter(ctx.col, x => bool(compileNode(p, Typed(x, et)))), ctx.dt)
+      case dt =>
+        Typed(when(bool(compileNode(p, ctx)), ctx.col), dt)
+    }
+  }
+
+  // ---- operators --------------------------------------------------------
+
+  private def binary(op: String, ln: JNode, rn: JNode, ctx: Typed): Typed = {
+    lazy val l = compileNode(ln, ctx)
+    lazy val r = compileNode(rn, ctx)
+    op match {
+      case "+" | "-" | "*" | "/" | "%" =>
+        val (a, b) = (num(l), num(r))
+        val dt = if (a.dt == LongType && b.dt == LongType && op != "/") LongType else DoubleType
+        val (ac, bc) = (cast(a, dt).cast(dt.sql.toLowerCase), cast(b, dt))
+        val c = op match {
+          case "+" => ac + bc
+          case "-" => ac - bc
+          case "*" => ac * bc
+          case "/" => ac / bc
+          case "%" => ac % bc
+        }
+        Typed(c, dt)
+      case "&" =>
+        Typed(concat(str(l), str(r)), StringType)
+      case "=" => Typed(cmp(l, r, _ === _), BooleanType)
+      case "!=" => Typed(cmp(l, r, _ =!= _), BooleanType)
+      case "<" => Typed(cmp(l, r, _ < _), BooleanType)
+      case "<=" => Typed(cmp(l, r, _ <= _), BooleanType)
+      case ">" => Typed(cmp(l, r, _ > _), BooleanType)
+      case ">=" => Typed(cmp(l, r, _ >= _), BooleanType)
+      case "in" => r.dt match {
+        case ArrayType(_, _) => Typed(array_contains(r.col, l.col), BooleanType)
+        case _ => Typed(l.col === r.col, BooleanType)
+      }
+      case "and" => Typed(bool(l) && bool(r), BooleanType)
+      case "or" => Typed(bool(l) || bool(r), BooleanType)
+      case other => throw new JsonataCompileError(s"unsupported operator '$other'")
+    }
+  }
+
+  private def cmp(l: Typed, r: Typed, f: (Column, Column) => Column): Column =
+    (l.dt, r.dt) match {
+      case (a, b) if isNumeric(a) && isNumeric(b) =>
+        f(l.col.cast(DoubleType), r.col.cast(DoubleType))
+      case _ => f(l.col, r.col)
+    }
+
+  // ---- $function library ------------------------------------------------
+
+  private def function(name: String, args: List[JNode], ctx: Typed): Typed = {
+    def arg(i: Int): Typed = compileNode(args(i), ctx)
+    def argOpt(i: Int): Option[Typed] = args.lift(i).map(compileNode(_, ctx))
+    def arity(n: Int*): Unit =
+      if (!n.contains(args.length)) throw new JsonataCompileError(
+        s"$$$name expects ${n.mkString("/")} args, got ${args.length}")
+
+    name match {
+      // string
+      case "uppercase" => arity(1); Typed(upper(str(arg(0))), StringType)
+      case "lowercase" => arity(1); Typed(lower(str(arg(0))), StringType)
+      case "trim" => arity(1); Typed(trim(str(arg(0))), StringType)
+      case "length" => arity(1); Typed(length(str(arg(0))).cast(LongType), LongType)
+      case "substring" =>
+        arity(2, 3)
+        val s = str(arg(0))
+        val start = num(arg(1)).col.cast(IntegerType)
+        val pos = when(start >= 0, start + 1).otherwise(greatest(length(s) + start + 1, lit(1)))
+        val len = argOpt(2).map(t => num(t).col.cast(IntegerType)).getOrElse(length(s))
+        Typed(s.substr(pos, len), StringType)
+      case "substringBefore" =>
+        arity(2); Typed(substring_index(str(arg(0)), litStr(args(1)), 1), StringType)
+      case "substringAfter" =>
+        arity(2)
+        val s = str(arg(0))
+        val sep = litStr(args(1))
+        val pos = instr(s, sep)
+        Typed(when(pos === 0, s).otherwise(s.substr(pos + sep.length, length(s))), StringType)
+      case "contains" => arity(2); Typed(str(arg(0)).contains(litStr(args(1))), BooleanType)
+      case "split" =>
+        arity(2, 3)
+        val quoted = java.util.regex.Pattern.quote(litStr(args(1)))
+        val parts = split(str(arg(0)), quoted)
+        Typed(argOpt(2).map(l => slice(parts, lit(1), num(l).col.cast(IntegerType))).getOrElse(parts),
+          ArrayType(StringType))
+      case "join" =>
+        arity(1, 2)
+        val sep = args.lift(1).map(litStr).getOrElse("")
+        Typed(array_join(arg(0).col.cast(ArrayType(StringType)), sep), StringType)
+      case "replace" =>
+        arity(3)
+        Typed(regexp_replace(str(arg(0)),
+          java.util.regex.Pattern.quote(litStr(args(1))),
+          java.util.regex.Matcher.quoteReplacement(litStr(args(2)))), StringType)
+      case "pad" =>
+        arity(2, 3)
+        val s = str(arg(0))
+        val w = num(arg(1)).col.cast(IntegerType)
+        val p = args.lift(2).map(litStr).getOrElse(" ")
+        Typed(when(w >= 0, rpad(s, w, lit(p))).otherwise(lpad(s, -w, lit(p))), StringType)
+      case "string" => arity(1); Typed(str(arg(0)), StringType)
+
+      // numeric
+      case "number" => arity(1); Typed(arg(0).col.cast(DoubleType), DoubleType)
+      case "abs" => arity(1); val t = num(arg(0)); Typed(abs(t.col), t.dt)
+      case "floor" => arity(1); Typed(floor(num(arg(0)).col).cast(LongType), LongType)
+      case "ceil" => arity(1); Typed(ceil(num(arg(0)).col).cast(LongType), LongType)
+      case "round" =>
+        arity(1, 2)
+        val p = args.lift(1) match {
+          case Some(JNumber(n)) => n.toInt
+          case None => 0
+          case _ => throw new JsonataCompileError("$round precision must be a literal")
+        }
+        Typed(round(num(arg(0)).col, p), DoubleType)
+      case "power" => arity(2); Typed(pow(num(arg(0)).col, num(arg(1)).col), DoubleType)
+      case "sqrt" => arity(1); Typed(sqrt(num(arg(0)).col), DoubleType)
+
+      // aggregation over sequences
+      case "sum" => arity(1); Typed(aggNum(arg(0), (acc, x) => acc + x), DoubleType)
+      case "max" => arity(1); Typed(array_max(numArr(arg(0))), DoubleType)
+      case "min" => arity(1); Typed(array_min(numArr(arg(0))), DoubleType)
+      case "average" =>
+        arity(1)
+        val a = arg(0)
+        Typed(aggNum(a, (acc, x) => acc + x) / size(a.col), DoubleType)
+      case "count" =>
+        arity(1)
+        val a = try arg(0) catch {
+          case _: JsonataCompileError => return Typed(lit(0L), LongType)
+        }
+        a.dt match {
+          case ArrayType(_, _) => Typed(coalesce(size(a.col).cast(LongType), lit(0L)), LongType)
+          case _ => Typed(when(a.col.isNull, 0L).otherwise(1L), LongType)
+        }
+
+      // arrays
+      case "append" =>
+        arity(2)
+        val (a, b) = (asArr(arg(0)), asArr(arg(1)))
+        val dt = unify(a.dt.asInstanceOf[ArrayType].elementType,
+          b.dt.asInstanceOf[ArrayType].elementType)
+        Typed(concat(a.col.cast(ArrayType(dt)), b.col.cast(ArrayType(dt))), ArrayType(dt))
+      case "sort" => arity(1); val a = asArr(arg(0)); Typed(array_sort(a.col), a.dt)
+      case "reverse" => arity(1); val a = asArr(arg(0)); Typed(reverse(a.col), a.dt)
+      case "distinct" => arity(1); val a = asArr(arg(0)); Typed(array_distinct(a.col), a.dt)
+
+      // boolean / existence
+      case "not" => arity(1); Typed(!bool(arg(0)), BooleanType)
+      case "boolean" => arity(1); Typed(bool(arg(0)), BooleanType)
+      case "exists" =>
+        arity(1)
+        try Typed(arg(0).col.isNotNull, BooleanType)
+        catch { case _: JsonataCompileError => Typed(lit(false), BooleanType) }
+
+      // objects (static schema)
+      case "keys" =>
+        arity(1)
+        arg(0).dt match {
+          case st: StructType => Typed(array(st.fieldNames.map(lit(_)): _*), ArrayType(StringType))
+          case MapType(_, _, _) => Typed(map_keys(arg(0).col), ArrayType(StringType))
+          case other => throw new JsonataCompileError(s"$$keys on ${other.simpleString}")
+        }
+      case "lookup" =>
+        arity(2)
+        val obj = arg(0)
+        obj.dt match {
+          case st: StructType => step(obj, JField(litStr(args(1))))
+          case MapType(_, vt, _) => Typed(element_at(obj.col, litStr(args(1))), vt)
+          case other => throw new JsonataCompileError(s"$$lookup on ${other.simpleString}")
+        }
+
+      case other => throw new JsonataCompileError(s"unsupported function $$$other")
+    }
+  }
+
+  // ---- helpers ----------------------------------------------------------
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def num(t: Typed): Typed = t.dt match {
+    case LongType | IntegerType | ShortType | ByteType => Typed(t.col.cast(LongType), LongType)
+    case _: NumericType => Typed(t.col.cast(DoubleType), DoubleType)
+    case NullType => Typed(t.col.cast(DoubleType), DoubleType)
+    case other => throw new JsonataCompileError(s"expected number, got ${other.simpleString}")
+  }
+
+  private def numArr(t: Typed): Column = t.dt match {
+    case ArrayType(et, _) if isNumeric(et) => t.col.cast(ArrayType(DoubleType))
+    case et if isNumeric(et) => array(t.col.cast(DoubleType)) // singleton sequence
+    case other => throw new JsonataCompileError(s"expected number sequence, got ${other.simpleString}")
+  }
+
+  private def aggNum(t: Typed, f: (Column, Column) => Column): Column =
+    aggregate(numArr(t), lit(0.0), f)
+
+  private def asArr(t: Typed): Typed = t.dt match {
+    case ArrayType(_, _) => t
+    case dt => Typed(array(t.col), ArrayType(dt)) // singleton promotion
+  }
+
+  private def str(t: Typed): Column = t.dt match {
+    case StringType => t.col
+    case _ => t.col.cast(StringType)
+  }
+
+  /** JSONata truthiness: false/0/""/empty-seq/null are falsy. */
+  private def bool(t: Typed): Column = t.dt match {
+    case BooleanType => coalesce(t.col, lit(false))
+    case dt if isNumeric(dt) => coalesce(t.col =!= 0, lit(false))
+    case StringType => coalesce(length(t.col) > 0, lit(false))
+    case ArrayType(_, _) => coalesce(size(t.col) > 0, lit(false))
+    case NullType => lit(false)
+    case _ => t.col.isNotNull
+  }
+
+  private def cast(t: Typed, dt: DataType): Column =
+    if (t.dt == dt) t.col else t.col.cast(dt)
+
+  private def unify(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, y) => y
+    case (x, NullType) => x
+    case (x, y) if isNumeric(x) && isNumeric(y) =>
+      if (x == LongType && y == LongType) LongType else DoubleType
+    case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(unify(x, y))
+    case _ => StringType
+  }
+
+  /** Static string literal argument (separator/pattern positions). */
+  private def litStr(n: JNode): String = n match {
+    case JString(s) => s
+    case other => throw new JsonataCompileError(s"expected string literal, got $other")
+  }
+}

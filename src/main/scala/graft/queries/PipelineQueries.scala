@@ -69,6 +69,23 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** T1 full path: a user-supplied JSONata --transform string compiled to
+    * native Catalyst expressions (graft.jsonata) and applied per record —
+    * the reference's jsonata(expr).evaluate(msg) (bin/mqtt-streamr.js:108,
+    * 157-159) with compile-once / codegen-many semantics.
+    */
+  def pipeJsonata(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val transformed = graft.jsonata.JsonataCompiler.transformJson(
+      """{"id2": k * 2, "big": k > 50, "label": "k=" & $string(k), "half": $round(k / 2, 1)}""",
+      col("props"), propsSchema)
+    ev.filter(jsonIsValid(col("props")))
+      .select(col("event_id"), transformed.as("out"))
+      .select(col("event_id"), col("out.id2").as("id2"), col("out.big").as("big"),
+        col("out.label").as("label"), col("out.half").as("half"))
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization over the event stream (30-min inactivity gap)
     * — the batch analog of stateful stream sessionization; lag + running
     * sum of new-session flags, all window functions (single shuffle on
@@ -112,6 +129,7 @@ object PipelineQueries {
     "pipe_route" -> pipeRoute,
     "pipe_parse_stats" -> pipeParseStats,
     "pipe_transform" -> pipeTransform,
+    "pipe_jsonata" -> pipeJsonata,
     "pipe_sessionize" -> pipeSessionize,
     "pipe_stats_cube" -> pipeStatsCube)
 
@@ -137,6 +155,13 @@ object PipelineQueries {
       """SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
         |       CAST(props->>'$.k' AS INT) > 50 AS big,
         |       round(value * 2, 2) AS v2
+        |FROM events WHERE json_valid(props) ORDER BY event_id""".stripMargin,
+    "pipe_jsonata" ->
+      """SELECT event_id,
+        |       CAST(props->>'$.k' AS BIGINT) * 2 AS id2,
+        |       CAST(props->>'$.k' AS BIGINT) > 50 AS big,
+        |       'k=' || CAST(props->>'$.k' AS BIGINT) AS label,
+        |       round(CAST(props->>'$.k' AS BIGINT) / 2.0, 1) AS half
         |FROM events WHERE json_valid(props) ORDER BY event_id""".stripMargin,
     "pipe_sessionize" ->
       """WITH flagged AS (

@@ -33,33 +33,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Staged MinHash plan shared by the dedup_minhash* queries. Each stage
+    * is its own projection so multiply-referenced intermediates (hashed
+    * shingles: 16 refs; signature: 4 band refs) are computed once per row
+    * — inlining them would replicate the md5 pass per reference (Columns
+    * are trees, not DAGs).
+    */
+  private def minhashStages(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .withColumn("shingles", wordShingles(col("toks"), ShingleK))
+      .withColumn("hs", hashArray(col("shingles")))
+      .withColumn("sig", minhashFromHashes(col("hs"), NumHashes))
+      .withColumn("buckets", lshBandBuckets(col("sig"), RowsPerBand))
+
+  /** Explode the band-bucket array to (doc_id, band, bucket) rows.
+    * Deliberately `explode(constant band range)` + element_at rather than
+    * posexplode(buckets): InferFiltersFromGenerate would add
+    * `size(buckets) > 0` for a posexplode and predicate pushdown would
+    * then re-derive the whole minhash tree a second time at the scan; on
+    * a constant range the inferred filter constant-folds away and
+    * `buckets` stays a materialized column.
+    */
+  private def explodeBands(stages: DataFrame): DataFrame =
+    stages
+      .select(col("doc_id"), col("buckets"),
+        explode(sequence(lit(0), lit(NumHashes / RowsPerBand - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        element_at(col("buckets"), col("band") + 1).as("bucket"))
+
   /** MinHash signatures exploded to (doc_id, band, bucket) rows — the LSH
     * index table. Docs with < ShingleK tokens are excluded (no shingles).
     */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= ShingleK)
-      .select(col("doc_id"),
-        lshBandBuckets(
-          minhashSignature(wordShingles(col("toks"), ShingleK), NumHashes),
-          RowsPerBand).as("buckets"))
-    docs.select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    explodeBands(minhashStages(s, dir))
       .orderBy("doc_id", "band")
-  }
 
   /** LSH candidate pairs verified with exact Jaccard (distinct word sets
     * and distinct 3-shingle sets); pairs kept at word-Jaccard >= 0.5.
     */
   def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= ShingleK)
-    val bands = base
-      .select(col("doc_id"),
-        posexplode(lshBandBuckets(
-          minhashSignature(wordShingles(col("toks"), ShingleK), NumHashes),
-          RowsPerBand)).as(Seq("band", "bucket")))
+    val base = minhashStages(s, dir)
+    val bands = explodeBands(base)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -69,7 +85,7 @@ object TextQueries {
     val sets = base.select(
       col("doc_id"),
       array_distinct(col("toks")).as("ws"),
-      array_distinct(wordShingles(col("toks"), ShingleK)).as("ss"))
+      array_distinct(col("shingles")).as("ss"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("ss").as("ss_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("ss").as("ss_b")), "id_b")
@@ -82,40 +98,44 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash fingerprints (32-bit) per document. */
+  /** SimHash fingerprints (32-bit) per document. Token hashes are
+    * materialized before the 32-bit fan-out (32 references).
+    */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), simhash32(col("toks")).as("simhash"))
+      .select(col("doc_id"), hashArray(tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
   /** Token counts + order-sensitive fingerprint per document. */
   def textStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("n_chars"),
-        size(tokens(col("text"))).as("n_tokens"),
+        size(col("toks")).as("n_tokens"),
         tokenCountRegex(col("text")).as("n_tokens_regex"),
-        fingerprint(tokens(col("text"))).as("fp"))
+        fingerprint(col("toks")).as("fp"))
       .orderBy("doc_id")
 
   /** Stopword-based language-ID heuristic vs the labeled lang. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        langId(tokens(lower(col("text")))).as("lang_pred"))
+      .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("lang"), langId(col("toks")).as("lang_pred"))
       .orderBy("doc_id")
 
   /** Quality-score components per document. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val toks = tokens(t)
     Tables.documents(s, dir)
+      .select(col("doc_id"), t, tokens(t).as("toks"))
       .select(col("doc_id"),
         round(length(regexp_replace(t, "[^A-Za-z ]", "")).cast("double") /
           greatest(length(t), lit(1)).cast("double"), 6).as("alpha_ratio"),
-        round(size(filter(toks, x => x.isInCollection(StopwordsEn))).cast("double") /
-          greatest(size(toks), lit(1)).cast("double"), 6).as("stop_ratio"),
-        qualityScore(t, toks).as("quality"))
+        round(size(filter(col("toks"), x => x.isInCollection(StopwordsEn))).cast("double") /
+          greatest(size(col("toks")), lit(1)).cast("double"), 6).as("stop_ratio"),
+        qualityScore(t, col("toks")).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -137,8 +157,12 @@ object TextQueries {
   private val shinglesSql =
     "[array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]"
 
+  // one md5 per shingle (hs), then universal-hash mixes per seed — must
+  // mirror TextFunctions.minhashSignature exactly
+  private val hsSql = s"[${hx("s")} for s in shingles]"
+
   private val sigSql =
-    s"[list_min([${hx("s || '#' || seed")} for s in shingles]) for seed in range(0, $NumHashes)]"
+    s"[list_min([((seed + 1) * h + seed) % 1000000007 for h in hs]) for seed in range(0, $NumHashes)]"
 
   private val bucketsSql =
     s"[${hx("array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')")} for b in range(0, ${NumHashes / RowsPerBand})]"
@@ -149,8 +173,10 @@ object TextQueries {
        |sh AS (
        |  SELECT doc_id, toks, $shinglesSql AS shingles
        |  FROM toksrc WHERE len(toks) >= $ShingleK),
+       |hsrc AS (
+       |  SELECT doc_id, toks, $hsSql AS hs FROM sh),
        |sig AS (
-       |  SELECT doc_id, toks, $sigSql AS sig FROM sh),
+       |  SELECT doc_id, toks, $sigSql AS sig FROM hsrc),
        |bk AS (
        |  SELECT doc_id, toks, $bucketsSql AS buckets FROM sig),
        |bands AS (
@@ -193,10 +219,12 @@ object TextQueries {
     "dedup_simhash" ->
       s"""SELECT doc_id,
          |  CAST(list_sum(list_transform(range(0, 32), i ->
-         |    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
-         |           CASE WHEN (${hx("t")} >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS simhash
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM (SELECT doc_id, [${hx("t")} for t in string_split(text, ' ')] AS hs
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id, n_chars,
          |       len(string_split(text, ' ')) AS n_tokens,

@@ -55,14 +55,47 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  /** Near-duplicate embedding pairs: exact all-pairs cosine >= 0.99
-    * (at scale the LSH-bucketed variant below bounds candidates; this is
-    * the exact oracle-checkable form).
+  /** Near-duplicate embedding pairs: cosine >= 0.99, EXACT result (same
+    * rows as the all-pairs oracle) but pruned with a deterministic grid.
+    *
+    * Pruning math: round(cos,6) >= 0.99 admits cos >= 0.9899995, i.e. for
+    * unit-normalized vectors ||ua-ub|| <= R = sqrt(2 - 2*0.9899995) ≈
+    * 0.1414249. Per-coordinate, |ua_i - ub_i| <= ||ua-ub|| <= R, so with a
+    * 2-D grid of cell width W >= R over (u0, u1) every qualifying pair
+    * lands in the same or an adjacent cell in both axes — a key-partitioned
+    * equi-join on the cell id (one side probes its 9 neighbor cells)
+    * instead of the O(n²) cross join; extra coordinate bounds (u2, u3) cut
+    * the surviving candidates before the exact cosine check. Scales as a
+    * shuffle join on cell keys; at 100 TB swap the grid for the LSH/IVF
+    * candidate generator (`knn_*` path) when approximate recall suffices.
     */
   def embNeardup(s: SparkSession, dir: String): DataFrame = {
-    val a = emb(s, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = emb(s, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val W = 0.1415 // cell width, > R = 0.1414249 (rounding-adjusted radius)
+    val e = emb(s, dir)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0) // zero vectors have NULL cosine: never qualify
+      .withColumn("u0", element_at(col("v"), 1) / col("nrm"))
+      .withColumn("u1", element_at(col("v"), 2) / col("nrm"))
+      .withColumn("u2", element_at(col("v"), 3) / col("nrm"))
+      .withColumn("u3", element_at(col("v"), 4) / col("nrm"))
+      .withColumn("c0", floor(col("u0") / W).cast("long"))
+      .withColumn("c1", floor(col("u1") / W).cast("long"))
+    val probes = e.select(
+      col("vec_id").as("id_a"), col("v").as("va"),
+      col("u0").as("u0a"), col("u1").as("u1a"), col("u2").as("u2a"), col("u3").as("u3a"),
+      explode(array((for (d0 <- -1 to 1; d1 <- -1 to 1)
+        yield struct((col("c0") + d0).as("p0"), (col("c1") + d1).as("p1"))): _*)).as("p"))
+      .select(col("id_a"), col("va"), col("u0a"), col("u1a"), col("u2a"), col("u3a"),
+        col("p.p0").as("p0"), col("p.p1").as("p1"))
+    val home = e.select(
+      col("vec_id").as("id_b"), col("v").as("vb"),
+      col("u0").as("u0b"), col("u1").as("u1b"), col("u2").as("u2b"), col("u3").as("u3b"),
+      col("c0"), col("c1"))
+    probes.join(home,
+        col("p0") === col("c0") && col("p1") === col("c1") && col("id_a") < col("id_b"))
+      .filter(
+        abs(col("u0a") - col("u0b")) <= W && abs(col("u1a") - col("u1b")) <= W &&
+        abs(col("u2a") - col("u2b")) <= W && abs(col("u3a") - col("u3b")) <= W)
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= 0.99)
       .orderBy("id_a", "id_b")

@@ -1,0 +1,142 @@
+package graft.sources.mqtt
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal MQTT 3.1.1 wire codec (public spec: OASIS mqtt-v3.1.1) — just
+  * the packets the bridge needs: CONNECT/CONNACK, SUBSCRIBE/SUBACK,
+  * PUBLISH (QoS 0), PING, DISCONNECT. The reference delegates this to the
+  * `mqtt` npm package (package.json:17); we carry a ~150-line codec so the
+  * connector has zero external dependencies.
+  */
+object MqttCodec {
+
+  sealed trait Packet
+  case class Connect(clientId: String, keepAliveSecs: Int = 60) extends Packet
+  case class ConnAck(returnCode: Int) extends Packet
+  case class Subscribe(packetId: Int, topics: Seq[String]) extends Packet
+  case class SubAck(packetId: Int, results: Seq[Int]) extends Packet
+  case class Publish(topic: String, payload: Array[Byte]) extends Packet
+  case object PingReq extends Packet
+  case object PingResp extends Packet
+  case object Disconnect extends Packet
+
+  /** MQTT topic-filter match incl. `+` (one level) and `#` (rest). Same
+    * semantics the reference gets from its broker (README.md:23-26).
+    */
+  def topicMatches(filter: String, topic: String): Boolean = {
+    def go(f: List[String], t: List[String]): Boolean = (f, t) match {
+      case (Nil, Nil) => true
+      case ("#" :: _, _) => true
+      case ("+" :: fr, _ :: tr) => go(fr, tr)
+      case (fh :: fr, th :: tr) if fh == th => go(fr, tr)
+      case _ => false
+    }
+    go(filter.split("/", -1).toList, topic.split("/", -1).toList)
+  }
+
+  // ---- encoding ---------------------------------------------------------
+
+  private def mqttString(s: String): Array[Byte] = {
+    val b = s.getBytes(UTF_8)
+    Array[Byte](((b.length >> 8) & 0xff).toByte, (b.length & 0xff).toByte) ++ b
+  }
+
+  private def varint(n0: Int): Array[Byte] = {
+    var n = n0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var continue = true
+    while (continue) {
+      var d = n % 128
+      n /= 128
+      if (n > 0) d |= 0x80 else continue = false
+      out += d.toByte
+    }
+    out.toArray
+  }
+
+  def encode(p: Packet): Array[Byte] = p match {
+    case Connect(clientId, keepAlive) =>
+      val vh = mqttString("MQTT") ++ Array[Byte](4, 0x02) ++ // level 4, clean session
+        Array[Byte](((keepAlive >> 8) & 0xff).toByte, (keepAlive & 0xff).toByte)
+      val body = vh ++ mqttString(clientId)
+      Array[Byte](0x10) ++ varint(body.length) ++ body
+    case ConnAck(rc) =>
+      Array[Byte](0x20, 2, 0, rc.toByte)
+    case Subscribe(pid, topics) =>
+      val body = Array[Byte](((pid >> 8) & 0xff).toByte, (pid & 0xff).toByte) ++
+        topics.flatMap(t => mqttString(t) ++ Array[Byte](0)) // QoS 0
+      Array[Byte](0x82.toByte) ++ varint(body.length) ++ body
+    case SubAck(pid, results) =>
+      val body = Array[Byte](((pid >> 8) & 0xff).toByte, (pid & 0xff).toByte) ++
+        results.map(_.toByte)
+      Array[Byte](0x90.toByte) ++ varint(body.length) ++ body
+    case Publish(topic, payload) =>
+      val body = mqttString(topic) ++ payload // QoS 0: no packet id
+      Array[Byte](0x30) ++ varint(body.length) ++ body
+    case PingReq => Array[Byte](0xc0.toByte, 0)
+    case PingResp => Array[Byte](0xd0.toByte, 0)
+    case Disconnect => Array[Byte](0xe0.toByte, 0)
+  }
+
+  def write(out: OutputStream, p: Packet): Unit = {
+    out.write(encode(p))
+    out.flush()
+  }
+
+  // ---- decoding ---------------------------------------------------------
+
+  private def readVarint(in: DataInputStream): Int = {
+    var mult = 1
+    var value = 0
+    var d = 0
+    do {
+      d = in.readUnsignedByte()
+      value += (d & 0x7f) * mult
+      mult *= 128
+    } while ((d & 0x80) != 0)
+    value
+  }
+
+  private def readMqttString(buf: Array[Byte], off: Int): (String, Int) = {
+    val len = ((buf(off) & 0xff) << 8) | (buf(off + 1) & 0xff)
+    (new String(buf, off + 2, len, UTF_8), off + 2 + len)
+  }
+
+  /** Blocking read of one packet; throws EOFException on clean close. */
+  def read(in0: InputStream): Packet = {
+    val in = new DataInputStream(in0)
+    val h = in.readUnsignedByte()
+    val len = readVarint(in)
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    (h >> 4) match {
+      case 1 => // CONNECT
+        val (_, o1) = readMqttString(body, 0) // protocol name
+        val keepAlive = ((body(o1 + 2) & 0xff) << 8) | (body(o1 + 3) & 0xff)
+        val (cid, _) = readMqttString(body, o1 + 4)
+        Connect(cid, keepAlive)
+      case 2 => ConnAck(body(1) & 0xff)
+      case 3 =>
+        val (topic, o) = readMqttString(body, 0)
+        Publish(topic, body.drop(o)) // QoS 0 assumed (header flags 0)
+      case 8 =>
+        val pid = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+        var o = 2
+        val topics = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (o < body.length) {
+          val (t, o2) = readMqttString(body, o)
+          topics += t
+          o = o2 + 1 // skip requested QoS
+        }
+        Subscribe(pid, topics.toSeq)
+      case 9 =>
+        val pid = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+        SubAck(pid, body.drop(2).map(_.toInt & 0xff).toSeq)
+      case 12 => PingReq
+      case 13 => PingResp
+      case 14 => Disconnect
+      case other => throw new EOFException(s"unsupported MQTT packet type $other")
+    }
+  }
+}

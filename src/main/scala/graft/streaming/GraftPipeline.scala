@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.PipelineFunctions._
+import graft.jsonata.JsonataCompiler
+
+/** Engine configuration mirroring the reference's CLI surface
+  * (bin/mqtt-streamr.js:12-68; option semantics README.md:17-87).
+  * One field per reference option, same defaults.
+  */
+case class GraftConfig(
+    mqttUrl: String = "",
+    topics: Seq[String] = Seq("#"),
+    /** --stream-id: fixed single-stream mode, disables templating (js:40-42,162-163) */
+    fixedStreamId: Option[String] = None,
+    /** --stream-id-template, `$topic` substituted (js:36-39,166) */
+    streamIdTemplate: String = "$topic",
+    /** --truncate-topic levels; <=0 = identity (js:43-47,99-106) */
+    truncateTopicLevels: Int = 0,
+    /** --transform: JSONata expression (js:48-51,108,157-159) */
+    transform: Option[String] = None,
+    /** schema of the JSON payloads (Spark is schema-first; `schema_of_json`
+      * on a sample can infer this for exploration) */
+    payloadSchema: StructType = StructType(Nil),
+    /** --public: grant anonymous read on created streams (js:31-35,173-181) */
+    publicStreams: Boolean = false,
+    /** --dry-run: skip create+publish (js:62-66,164,192) */
+    dryRun: Boolean = false,
+    /** --verbose: log every routed record (js:26-30,187-189) */
+    verbose: Boolean = false,
+    /** --log-interval seconds (js:52-56), default 60 */
+    logIntervalSecs: Int = 60,
+    /** --reconnect-on-data-timeout seconds, 0 disables (js:57-61) */
+    dataTimeoutSecs: Int = 900)
+
+/** The reference's per-message pipeline as one declarative DataFrame plan:
+  * source envelope → JSON parse w/ drop-and-count (F1) → JSONata transform
+  * (T1) → topic truncation (T2) + stream-id templating (T3) → routed
+  * records. Works identically over a batch DataFrame or a streaming one
+  * (readStream) — the plan is the same; Structured Streaming handles
+  * incremental execution.
+  */
+object GraftPipeline {
+
+  /** Envelope schema: the unit of data is (topic, payload bytes→string,
+    * arrival time) — bin/mqtt-streamr.js:144 plus the processing-time
+    * clock (src/Logger.js:6).
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("payload", StringType),
+    StructField("arrival_ts", TimestampType)))
+
+  /** Full pipeline: input must have envelopeSchema columns. Output columns:
+    * topic, arrival_ts, stream_id, valid (payload parsed ok), value
+    * (transformed payload struct; null when invalid or transform yields
+    * null). Invalid records are KEPT with valid=false so the stats layer
+    * can count them (the reference logs+drops at js:149-155 and counts at
+    * Logger.js:13-15); the sink drops them.
+    */
+  def plan(input: DataFrame, cfg: GraftConfig): DataFrame = {
+    val valid = jsonIsValid(col("payload"))
+    val parsed = safeParseJson(col("payload"), cfg.payloadSchema)
+    val value: Column = cfg.transform match {
+      case Some(expr) => JsonataCompiler.compile(expr, parsed, cfg.payloadSchema)
+      case None => parsed
+    }
+    val streamId: Column = cfg.fixedStreamId match {
+      case Some(id) => fixedStreamId(id) // constant-folds the whole derivation
+      case None => streamIdTemplate(
+        cfg.streamIdTemplate,
+        topicTruncate(col("topic"), cfg.truncateTopicLevels))
+    }
+    input.select(
+      col("topic"), col("arrival_ts"),
+      valid.as("valid"),
+      // malformed payloads never reach the transform in the reference
+      // (parse returns at js:154); mask so value is NULL when invalid
+      when(valid, value).as("value"),
+      streamId.as("stream_id"))
+  }
+
+  /** A1 — tumbling processing-time success/error counts (Logger.js:17-21:
+    * print and reset each interval == non-overlapping tumbling windows).
+    * Batch or streaming; on a stream use outputMode("update") so each
+    * window's counts are emitted as they change.
+    */
+  def intervalStats(routed: DataFrame, intervalSecs: Int): DataFrame =
+    routed
+      .groupBy(window(col("arrival_ts"), s"$intervalSecs seconds").as("w"))
+      .agg(
+        sum(when(col("valid"), 1L).otherwise(0L)).as("success"),
+        sum(when(!col("valid"), 1L).otherwise(0L)).as("error"))
+      .select(col("w.start").as("window_start"), col("success"), col("error"))
+}

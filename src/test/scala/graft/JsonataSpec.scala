@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.jsonata.{JsonataCompiler, JsonataParseError, JsonataCompileError, JsonataParser}
+
+/** JSONata-subset compiler vs the published JSONata semantics
+  * (docs.jsonata.org) on the FIXTURES.md §A payload cases.
+  */
+class JsonataSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sensorSchema = StructType(Seq(
+    StructField("on", BooleanType),
+    StructField("watts", DoubleType),
+    StructField("name", StringType)))
+
+  private val nestedSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("readings", ArrayType(StructType(Seq(StructField("t", DoubleType))))),
+    StructField("meta", StructType(Seq(StructField("fw", StringType))))))
+
+  private val sensorJson = """{"on": true, "watts": 7.5, "name": "lamp-1"}"""
+  private val nestedJson =
+    """{"id": 42, "readings": [{"t": 21.5}, {"t": 22.1}], "meta": {"fw": "1.2"}}"""
+
+  private def evalOn(json: String, schema: StructType, expr: String): Any = {
+    val df = Seq(json).toDF("p")
+      .select(JsonataCompiler.transformJson(expr, col("p"), schema).as("r"))
+    df.collect()(0).get(0)
+  }
+
+  test("path navigation and arithmetic: watts * 2") {
+    assert(evalOn(sensorJson, sensorSchema, "watts * 2") == 15.0)
+  }
+
+  test("nested path: meta.fw") {
+    assert(evalOn(nestedJson, nestedSchema, "meta.fw") == "1.2")
+  }
+
+  test("array index: readings[0].t and negative index readings[-1].t") {
+    assert(evalOn(nestedJson, nestedSchema, "readings[0].t") == 21.5)
+    assert(evalOn(nestedJson, nestedSchema, "readings[-1].t") == 22.1)
+  }
+
+  test("object constructor with $count") {
+    val r = evalOn(nestedJson, nestedSchema, """{"temp": readings[0].t, "n": $count(readings)}""")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(r.getDouble(0) == 21.5)
+    assert(r.getLong(1) == 2L)
+  }
+
+  test("$uppercase") {
+    assert(evalOn(sensorJson, sensorSchema, "$uppercase(name)") == "LAMP-1")
+  }
+
+  test("predicate filter: readings[t > 21.8]") {
+    val r = evalOn(nestedJson, nestedSchema, "readings[t > 21.8]")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(r.map(_.getDouble(0)) == Seq(22.1))
+  }
+
+  test("implicit mapping + aggregation: $sum(readings.t)") {
+    assert(evalOn(nestedJson, nestedSchema, "$sum(readings.t)") == 43.6)
+  }
+
+  test("$average, $max, $min over mapped sequence") {
+    assert(evalOn(nestedJson, nestedSchema, "$average(readings.t)") == 21.8)
+    assert(evalOn(nestedJson, nestedSchema, "$max(readings.t)") == 22.1)
+    assert(evalOn(nestedJson, nestedSchema, "$min(readings.t)") == 21.5)
+  }
+
+  test("conditional and truthiness: on ? 'yes' : 'no'") {
+    assert(evalOn(sensorJson, sensorSchema, "on ? 'yes' : 'no'") == "yes")
+  }
+
+  test("string concat & casts numbers like JSONata") {
+    assert(evalOn(sensorJson, sensorSchema, "name & '/' & watts") == "lamp-1/7.5")
+  }
+
+  test("comparison chain with and/or") {
+    assert(evalOn(sensorJson, sensorSchema, "watts > 5 and watts < 10") == true)
+    assert(evalOn(sensorJson, sensorSchema, "watts > 8 or on") == true)
+  }
+
+  test("string functions: substring, substringBefore/After, split, join, replace") {
+    assert(evalOn(sensorJson, sensorSchema, "$substring(name, 0, 4)") == "lamp")
+    assert(evalOn(sensorJson, sensorSchema, "$substring(name, -1)") == "1")
+    assert(evalOn(sensorJson, sensorSchema, "$substringBefore(name, '-')") == "lamp")
+    assert(evalOn(sensorJson, sensorSchema, "$substringAfter(name, '-')") == "1")
+    assert(evalOn(sensorJson, sensorSchema, "$substringAfter(name, 'zz')") == "lamp-1")
+    assert(evalOn(sensorJson, sensorSchema, "$join($split(name, '-'), '_')") == "lamp_1")
+    assert(evalOn(sensorJson, sensorSchema, "$replace(name, 'lamp', 'led')") == "led-1")
+  }
+
+  test("numeric functions: $round, $floor, $ceil, $power, $sqrt, $abs") {
+    assert(evalOn(sensorJson, sensorSchema, "$round(watts / 2, 1)") == 3.8)
+    assert(evalOn(sensorJson, sensorSchema, "$floor(watts)") == 7L)
+    assert(evalOn(sensorJson, sensorSchema, "$ceil(watts)") == 8L)
+    assert(evalOn(sensorJson, sensorSchema, "$power(2, 10)") == 1024.0)
+    assert(evalOn(sensorJson, sensorSchema, "$sqrt(watts * 2 + 1)") == 4.0)
+    assert(evalOn(sensorJson, sensorSchema, "$abs(0 - watts)") == 7.5)
+  }
+
+  test("$exists on known and unknown fields") {
+    assert(evalOn(sensorJson, sensorSchema, "$exists(watts)") == true)
+    assert(evalOn(sensorJson, sensorSchema, "$exists(nosuchfield)") == false)
+  }
+
+  test("array constructor and in operator") {
+    assert(evalOn(sensorJson, sensorSchema, "'lamp-1' in [name, 'other']") == true)
+  }
+
+  test("$keys on static schema struct") {
+    val r = evalOn(nestedJson, nestedSchema, "$keys(meta)")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(r == Seq("fw"))
+  }
+
+  test("unsupported constructs raise at compile time, not run time") {
+    intercept[JsonataParseError](JsonataParser.parse("**.t"))
+    intercept[JsonataParseError](JsonataParser.parse("$x := 1"))
+    intercept[JsonataCompileError](
+      evalOn(sensorJson, sensorSchema, "$unknownfn(name)"))
+  }
+
+  test("malformed payload: whole transform yields null on null input struct") {
+    val schema = sensorSchema
+    val df = Seq("not json {").toDF("p")
+      .select(JsonataCompiler.compile("watts * 2",
+        graft.functions.PipelineFunctions.safeParseJson(col("p"), schema), schema).as("r"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+}

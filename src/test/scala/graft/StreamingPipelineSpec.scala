@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming._
+
+/** End-to-end Structured Streaming run of the reference pipeline over
+  * MemoryStream envelopes (FIXTURES.md §A): parse-or-drop, JSONata
+  * transform, truncation+templating, routed partitioned sink with
+  * memoized ensure-stream, observe-based interval stats, dry-run mode.
+  */
+class StreamingPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("on", BooleanType),
+    StructField("watts", DoubleType)))
+
+  private def envelopes(ts: String, n: Int): Seq[(String, String, Timestamp)] = {
+    val t = Timestamp.valueOf(ts)
+    (0 until n).map { i =>
+      val topic = s"/home/room${i % 2}/lamp"
+      (topic, s"""{"on": true, "watts": ${i + 0.5}}""", t)
+    }
+  }
+
+  test("streaming e2e: route, transform, memoized ensure, stats, second batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val input = mem.toDF.toDF("topic", "payload", "arrival_ts")
+
+    val cfg = GraftConfig(
+      streamIdTemplate = "org/$topic/stream",
+      truncateTopicLevels = 2,
+      transform = Some("""{"w2": watts * 2, "state": on ? 'ON' : 'OFF'}"""),
+      payloadSchema = schema,
+      publicStreams = true)
+
+    val outDir = Files.createTempDirectory("graft_sink").toString
+    val ckDir = Files.createTempDirectory("graft_ck").toString
+    val registryRoot = Files.createTempDirectory("graft_reg").toString
+    val registry = new FsStreamRegistry(registryRoot)
+    val sink = new RoutingSink(registry, outDir, cfg)
+    val stats = new StatsListener((_, _) => ())
+    spark.streams.addListener(stats)
+
+    try {
+      val q = sink.attach(input.transform(df => GraftPipeline.plan(df, cfg))
+          .observe("graft_stats",
+            sum(when(col("valid"), 1L).otherwise(0L)).as("success"),
+            sum(when(!col("valid"), 1L).otherwise(0L)).as("error"))
+          .writeStream)
+        .option("checkpointLocation", ckDir)
+        .start()
+
+      mem.addData(envelopes("2026-01-01 10:00:00", 4) :+
+        (("/junk", "not json {", Timestamp.valueOf("2026-01-01 10:00:30"))): _*)
+      q.processAllAvailable()
+
+      // second batch, same stream ids -> ensure must NOT run again
+      mem.addData(envelopes("2026-01-01 10:01:10", 4): _*)
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.streams.removeListener(stats)
+
+    // routing: 2 distinct stream ids from truncated topics
+    val out = spark.read.parquet(outDir)
+    assert(out.select("stream_id").distinct().count() == 2)
+    assert(out.count() == 8) // 8 valid records; malformed one dropped
+    val ids = out.select("stream_id").distinct().as[String].collect().toSet
+    assert(ids == Set("org//home/room0/stream", "org//home/room1/stream"))
+
+    // transform applied
+    val w2 = out.selectExpr("get_json_object(value_json, '$.w2')").as[String].collect()
+    assert(w2.forall(_ != null))
+    val states = out.selectExpr("get_json_object(value_json, '$.state')").as[String].collect().toSet
+    assert(states == Set("ON"))
+
+    // K1 memo: one ensure per distinct id across batches
+    assert(sink.ensureCalls == 2)
+    // K2 public grant marker
+    assert(new java.io.File(registryRoot).listFiles().forall(d =>
+      new java.io.File(d, "_public").exists()))
+
+    // A1 stats: 8 success, 1 error accumulated; report() resets
+    val (s, e) = stats.report()
+    assert(s == 8 && e == 1)
+    assert(stats.counts == ((0L, 0L)))
+  }
+
+  test("dry-run mode: no writes, no stream creation") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val input = mem.toDF.toDF("topic", "payload", "arrival_ts")
+    val cfg = GraftConfig(payloadSchema = schema, dryRun = true)
+    val outDir = Files.createTempDirectory("graft_dry").toString
+    val ckDir = Files.createTempDirectory("graft_dryck").toString
+    val sink = new RoutingSink(new FsStreamRegistry(outDir + "/reg"), outDir + "/data", cfg)
+
+    val q = sink.attach(input.transform(df => GraftPipeline.plan(df, cfg)).writeStream)
+      .option("checkpointLocation", ckDir)
+      .start()
+    mem.addData(envelopes("2026-01-01 12:00:00", 3): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(sink.ensureCalls == 0)
+    assert(!new java.io.File(outDir + "/data").exists())
+  }
+
+  test("fixed stream id short-circuits templating (single-stream mode)") {
+    val input = Seq(("/a/b/c", """{"on":true,"watts":1.0}""", Timestamp.valueOf("2026-01-01 09:00:00")))
+      .toDF("topic", "payload", "arrival_ts")
+    val cfg = GraftConfig(fixedStreamId = Some("the-stream"), payloadSchema = schema)
+    val routed = GraftPipeline.plan(input, cfg)
+    assert(routed.select("stream_id").as[String].head() == "the-stream")
+  }
+
+  test("interval stats as windowed aggregation (batch analog of A1)") {
+    val rows = Seq(
+      ("/t", """{"on":true,"watts":1.0}""", Timestamp.valueOf("2026-01-01 09:00:10")),
+      ("/t", "bad", Timestamp.valueOf("2026-01-01 09:00:20")),
+      ("/t", """{"on":true,"watts":2.0}""", Timestamp.valueOf("2026-01-01 09:01:10")))
+      .toDF("topic", "payload", "arrival_ts")
+    val cfg = GraftConfig(payloadSchema = schema)
+    val stats = GraftPipeline.intervalStats(GraftPipeline.plan(rows, cfg), 60)
+      .orderBy("window_start")
+      .select("success", "error").as[(Long, Long)].collect().toSeq
+    assert(stats == Seq((1L, 1L), (1L, 0L)))
+  }
+
+  test("idle watchdog fires after timeout, resets on data") {
+    var now = 0L
+    var fires = 0
+    val wd = new IdleWatchdog(1000, () => fires += 1, () => now)
+    // simulate: query starts at t=0; idle checks below threshold don't fire
+    now = 500
+    wd.onQueryIdle(null)
+    assert(fires == 0)
+    now = 1500
+    wd.onQueryIdle(null)
+    assert(fires == 1)
+    // does not re-fire while still idle
+    now = 3000
+    wd.onQueryIdle(null)
+    assert(fires == 1)
+  }
+}

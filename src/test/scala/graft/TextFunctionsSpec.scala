@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("wordShingles: k-grams joined by space; fewer than k tokens -> empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(wordShingles(tokens(col("t")), 3).as("s"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("minhashSignature is deterministic, has numHashes entries, and is") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+      .select(minhashSignature(wordShingles(tokens(col("t")), 3), 16).as("sig"))
+    val sig1 = df.as[Seq[Long]].head()
+    val sig2 = df.as[Seq[Long]].head()
+    assert(sig1.length == 16)
+    assert(sig1 == sig2)
+    assert(sig1.forall(v => v >= 0 && v < 1000000007L))
+  }
+
+  test("identical shingle sets give identical signatures; supersets give <= minima") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "a b c d e f")).toDF("t1", "t2")
+      .select(
+        minhashSignature(wordShingles(tokens(col("t1")), 3), 16).as("s1"),
+        minhashSignature(wordShingles(tokens(col("t2")), 3), 16).as("s2"))
+    val rows = df.as[(Seq[Long], Seq[Long])].collect()
+    assert(rows(0)._1 == rows(0)._2)
+    // t2's shingles are a superset -> each min can only stay or decrease
+    assert(rows(1)._1.zip(rows(1)._2).forall { case (a, b) => b <= a })
+  }
+
+  test("lshBandBuckets: signature of 16 with 4 rows/band -> 4 buckets") {
+    val df = Seq("w x y z a b c").toDF("t")
+      .select(lshBandBuckets(
+        minhashSignature(wordShingles(tokens(col("t")), 3), 16), 4).as("b"))
+    assert(df.as[Seq[Long]].head().length == 4)
+  }
+
+  test("simhash32 is a 32-bit value, deterministic, equal for equal input") {
+    val df = Seq(("hello world foo bar", "hello world foo bar")).toDF("t1", "t2")
+      .select(simhash32(tokens(col("t1"))).as("h1"), simhash32(tokens(col("t2"))).as("h2"))
+    val (h1, h2) = df.as[(Long, Long)].head()
+    assert(h1 == h2)
+    assert(h1 >= 0 && h1 < (1L << 32))
+  }
+
+  test("native minhash kernel == HOF formulation on random inputs") {
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(30)(Seq.fill(rng.nextInt(50) + 1)(rng.alphanumeric.take(8).mkString))
+    val df = rows.map(Tuple1(_)).toDF("toks")
+      .select(hashArray(col("toks")).as("hs"))
+      .select(minhashFromHashes(col("hs"), 16).as("n"), minhashFromHashesHof(col("hs"), 16).as("h"))
+    df.as[(Seq[Long], Seq[Long])].collect().foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("native simhash kernel == HOF formulation on random inputs") {
+    val rng = new scala.util.Random(12)
+    val rows = Seq.fill(30)(Seq.fill(rng.nextInt(50) + 1)(rng.alphanumeric.take(8).mkString))
+    val df = rows.map(Tuple1(_)).toDF("toks")
+      .select(hashArray(col("toks")).as("hs"))
+      .select(simhashFromHashes(col("hs")).as("n"), simhashFromHashesHof(col("hs")).as("h"))
+    df.as[(Long, Long)].collect().foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("hamming32: near-identical token sets have small distance") {
+    val df = Seq((
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "completely different words entirely unrelated to anything else here"
+    )).toDF("a", "b", "c")
+      .select(
+        hamming32(simhash32(tokens(col("a"))), simhash32(tokens(col("b")))).as("near"),
+        hamming32(simhash32(tokens(col("a"))), simhash32(tokens(col("c")))).as("far"))
+    val r = df.collect()(0)
+    assert(r.getInt(0) < r.getInt(1))
+  }
+
+  test("fingerprint is order-sensitive and in [0, 1e9+7)") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+      .select(fingerprint(tokens(col("t1"))).as("f1"), fingerprint(tokens(col("t2"))).as("f2"))
+    val (f1, f2) = df.as[(Long, Long)].head()
+    assert(f1 != f2)
+    assert(f1 >= 0 && f1 < 1000000007L)
+  }
+
+  test("langId picks the language with most stopword hits; und when none") {
+    val df = Seq(
+      "the cat sat on the mat and it is that for",
+      "der hund ist nicht mit der katze auf das sofa",
+      "le chat est dans la maison et les oiseaux pour",
+      "xyzzy plugh qwerty").toDF("t")
+      .select(langId(tokens(lower(col("t")))).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("qualityScore in [0,1]") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away into the woods today with great speed and agility for a while",
+      "x!", "").toDF("t")
+      .select(qualityScore(col("t"), tokens(col("t"))).as("q"))
+    df.as[Double].collect().foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  test("tokenCountRegex counts word runs and single punctuation") {
+    val df = Seq("hello, world! don't").toDF("t").select(tokenCountRegex(col("t")))
+    // hello , world ! don ' t
+    assert(df.as[Int].head() == 7)
+  }
+}

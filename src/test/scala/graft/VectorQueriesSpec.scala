@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import graft.queries.VectorQueries
+
+/** The driver's embeddings tables contain no cosine-0.99 near-dups, so the
+  * grid-pruned embNeardup needs planted positives to prove recall: write a
+  * synthetic embeddings.parquet with known near-duplicate pairs and check
+  * the query returns exactly those pairs (the pruning must not lose any).
+  */
+class VectorQueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("embNeardup finds exactly the planted near-duplicate pairs") {
+    val rng = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def randVec(): Array[Double] = unit(Array.fill(64)(rng.nextGaussian()))
+    // near-dup of v: v + tiny noise -> cosine ~ 0.999
+    def nearDup(v: Array[Double]): Array[Double] =
+      unit(v.zip(Array.fill(64)(rng.nextGaussian() * 0.01)).map { case (x, e) => x + e })
+
+    val base = (0 until 200).map(_ => randVec())
+    // plant dups: vec 1000+i is a near-dup of vec i, for i in {3, 50, 117}
+    val planted = Seq(3L, 50L, 117L)
+    val rows =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat), i % 5) } ++
+        planted.map(i => (1000L + i, nearDup(base(i.toInt)).map(_.toFloat), (i % 5).toInt))
+
+    val dir = Files.createTempDirectory("graft_neardup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = VectorQueries.embNeardup(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == planted.map(i => (i, 1000L + i)).toSet)
+  }
+
+  test("knnBrute returns k sorted neighbors per query with cos in [-1,1]") {
+    val df = VectorQueries.knnBrute(spark, sf())
+    val rows = df.collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.values.forall(_.length == 10))
+    byQuery.values.foreach { g =>
+      val cs = g.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cs == cs.sorted.reverse) // descending by rank
+      cs.foreach(c => assert(c >= -1.0 && c <= 1.0 + 1e-9))
+    }
+  }
+}
