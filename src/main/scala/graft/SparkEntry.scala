@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{MultimodalQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,10 @@ object SparkEntry {
     PipelineQueries.pipeRoute(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
+    PipelineQueries.defs ++ RelationalQueries.defs ++ TextQueries.defs ++
+      VectorQueries.defs ++ MultimodalQueries.defs
 
   def oracleSql: Map[String, String] =
-    PipelineQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
+    PipelineQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles ++ MultimodalQueries.oracles
 }

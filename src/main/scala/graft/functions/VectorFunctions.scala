@@ -48,26 +48,29 @@ object VectorFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Deterministic random-hyperplane LSH signature of `bits` sign bits.
-    * Plane j's i-th coordinate is a pseudo-random value in [-0.5, 0.5)
-    * derived from h32("p<j>_<i>") — reproducible in plain SQL on any
-    * engine, no RNG state. Used as the coarse bucket for ANN search.
+  /** Coordinate (j, i) of the deterministic hyperplane matrix: a
+    * pseudo-random value in [-0.5, 0.5) derived from md5("p<j>_<i>") —
+    * reproducible in plain SQL on any engine, no RNG state.
     */
-  def hyperplaneSignature(v: Column, bits: Int): Column = {
+  def planeCoord(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p${j}_$i".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    h.toDouble / 4294967296.0 - 0.5
+  }
+
+  /** Random-hyperplane LSH signature: bit j = sign(v . plane_j). The
+    * planes are LITERAL arrays baked into the plan (computed once at
+    * plan time, constant-folded — never per row), and each projection is
+    * a native codegen dot product. Hamming distance between signatures
+    * estimates angular distance; bit-bands of the signature are the
+    * bucketed ANN candidate structure (same banding trick as MinHash).
+    */
+  def hyperplaneSignature(v: Column, bits: Int, dim: Int): Column = {
     val vd = v.cast("array<double>")
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, j) => {
-        val proj = aggregate(
-          zip_with(
-            vd,
-            sequence(lit(0), size(vd) - 1),
-            (x, i) => x * (TextFunctions.h32(concat(lit("p"), j.cast("string"), lit("_"), i.cast("string")))
-              .cast("double") / 4294967296.0 - 0.5)),
-          lit(0.0),
-          (a, x) => a + x)
-        acc + when(proj > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
-      })
+    (0 until bits).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeCoord(j, i))): _*)
+      when(dot(vd, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 }

@@ -99,9 +99,11 @@ object JsonataCompiler {
     }
     case JIndex(i) => ctx.dt match {
       case ArrayType(et, _) =>
-        // JSONata is 0-based; element_at is 1-based with negative-from-end
+        // JSONata is 0-based; element_at is 1-based with negative-from-end.
+        // try_element_at: out-of-range gives null (JSONata: undefined),
+        // not an ANSI-mode error.
         val pos = if (i >= 0) i + 1 else i
-        Typed(element_at(ctx.col, pos), et)
+        Typed(try_element_at(ctx.col, lit(pos)), et)
       case dt =>
         // singleton sequence: [0] is identity, anything else empty
         if (i == 0) ctx else Typed(lit(null).cast(dt), dt)

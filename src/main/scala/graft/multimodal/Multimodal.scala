@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * travel as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs per-partition so an expensive native decoder
+  * (libjpeg/ffmpeg/torchvision in a real deployment) initializes once per
+  * task and processes records in batches.
+  *
+  * This container ships no media libraries, so the default [[Decoder]] is
+  * a clearly-marked deterministic STUB (md5-derived features) — the
+  * Spark-side plumbing (schemas, encoders, partitioning, the
+  * mapPartitions batch shape, decode-failure accounting) is real and
+  * tested, and the stub is reproducible in SQL for the DuckDB oracle.
+  */
+object Multimodal {
+
+  /** One media asset: opaque payload + typed metadata (the metadata comes
+    * from ingest, e.g. container headers, not from decoding).
+    */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video" | "text"
+      bytes: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      decode_ok: Boolean,
+      features: Array[Double])
+
+  /** Batch decoder contract. `init()` runs once per partition (load the
+    * native library / model weights); `decode` maps payload bytes to a
+    * fixed-dim feature vector, or None on decode failure.
+    */
+  trait Decoder extends Serializable {
+    def init(): Unit = ()
+    def decode(kind: String, bytes: Array[Byte]): Option[Array[Double]]
+  }
+
+  /** STUB decoder: deterministic md5-derived pseudo-features,
+    * feature(i) = h32(md5(bytes ++ "#f<i>")) / 2^32  in [0, 1).
+    * Reproducible in any engine with md5 — used by the oracle check.
+    * Empty payloads fail to "decode" (exercises the failure path).
+    */
+  class StubDecoder(dim: Int) extends Decoder {
+    @transient private var md: java.security.MessageDigest = _
+    override def init(): Unit = { md = java.security.MessageDigest.getInstance("MD5") }
+    override def decode(kind: String, bytes: Array[Byte]): Option[Array[Double]] = {
+      if (bytes.isEmpty) return None
+      Some(Array.tabulate(dim) { i =>
+        val d = md.digest(bytes ++ s"#f$i".getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+        h.toDouble / 4294967296.0
+      })
+    }
+  }
+
+  /** Per-partition batch feature extraction. Records with failed decodes
+    * are KEPT with decode_ok=false and empty features (drop-and-count is
+    * the pipeline's decision, mirroring the malformed-JSON path F1).
+    */
+  def extractFeatures(ds: Dataset[MediaRecord], decoder: Decoder): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      decoder.init() // once per partition, not per record
+      it.map { r =>
+        decoder.decode(r.kind, r.bytes) match {
+          case Some(f) => MediaFeatures(r.media_id, r.kind, r.bytes.length, decode_ok = true, f)
+          case None => MediaFeatures(r.media_id, r.kind, r.bytes.length, decode_ok = false, Array.empty)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th
+    * `frameSize`-byte block (a real decoder samples keyframes; the block
+    * structure stands in for frames). Pure plumbing: partition-parallel,
+    * no shuffle, bounded output.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], frameSize: Int, stride: Int,
+      maxFrames: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      r.bytes.grouped(frameSize).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .take(maxFrames)
+        .map { case (frame, i) => (r.media_id, i, frame) }
+    }.toDF("media_id", "frame_index", "frame_bytes")
+  }
+
+  /** Adapt the documents table into a media Dataset (text payloads) —
+    * the harness has no binary corpus, so text bytes stand in; the
+    * pipeline is payload-agnostic by construction.
+    */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+        col("text").cast("binary").as("bytes"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
+      .as[MediaRecord]
+  }
+}

@@ -101,10 +101,70 @@ object VectorQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF-style ANN top-k: coarse quantizer = per-label centroids (the
+    * exact aggregation from embCentroidDist), probe the nprobe closest
+    * centroids per query, exact search only within the probed inverted
+    * lists. This is the 100 TB scale path for similarity search: the
+    * corpus is partitioned by list id, a query touches nprobe/nlists of
+    * the data, and the only broadcast is the (tiny) centroid table +
+    * query set. Approximate by design; deterministic, so oracle-checked.
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val NProbe = 2
+    val e = emb(s, dir)
+    // centroids: one shuffle on label, tiny output (nlists x dim)
+    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("m"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("m")))), s0 => s0.getField("m")).as("cv"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // probe assignment: |queries| x nlists rows, rank centroids per query
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("label"))
+    val probed = queries.join(broadcast(centroids), lit(true))
+      .select(col("query_id"), col("qv"), col("label"),
+        cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= NProbe)
+      .select(col("query_id"), col("qv"), col("label"))
+    // exact search within probed lists only (label-partitioned join)
+    val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("label")), "label")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv2")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= K)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Random-hyperplane LSH index rows (vec_id, band, bucket): 16 sign
+    * bits from literal hyperplanes, sliced into 4 bands of 4 bits — the
+    * approximate ANN candidate structure (vectors sharing (band, bucket)
+    * are angular-neighbor candidates; at 100 TB this replaces the exact
+    * grid of emb_neardup when bounded recall is acceptable). Everything
+    * is a per-row projection: no shuffle until the candidate join.
+    */
+  def embLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val Bits = 16
+    val BandBits = 4
+    val e = emb(s, dir)
+      .withColumn("sig", hyperplaneSignature(col("v"), Bits, 64))
+    e.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(Bits / BandBits - 1))).as("band"))
+      // band b's bucket = 4-bit slice: (sig >> 4b) & 15 (SQL shiftright
+      // accepts a column shift amount; the Scala wrapper does not)
+      .select(col("vec_id"), col("band"),
+        expr(s"shiftright(sig, band * $BandBits) % ${1 << BandBits}").as("bucket"))
+      .orderBy("vec_id", "band")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> knnBrute,
+    "knn_ivf" -> knnIvf,
     "emb_centroid_dist" -> embCentroidDist,
-    "emb_neardup" -> embNeardup)
+    "emb_neardup" -> embNeardup,
+    "emb_lsh_buckets" -> embLshBuckets)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -133,11 +193,51 @@ object VectorQueries {
          |       round(${cosSql.format("v", "cv", "v", "v", "cv", "cv")}, 6) AS cos_to_centroid
          |FROM e JOIN cent ON e.label = cent.label
          |ORDER BY vec_id""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
+         |       FROM e CROSS JOIN range(1, 65) r(i)),
+         |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cm GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |probe AS (
+         |  SELECT query_id, qv, label,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql.format("qv", "cv", "qv", "qv", "cv", "cv")} DESC, label) AS prnk
+         |  FROM q CROSS JOIN cent),
+         |sel AS (SELECT query_id, qv, label FROM probe WHERE prnk <= 2),
+         |pairs AS (
+         |  SELECT sel.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "e.v", "qv", "qv", "e.v", "e.v")}, 6) AS cos
+         |  FROM sel JOIN e ON e.label = sel.label AND e.vec_id <> sel.query_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
     "emb_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       round(${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 6) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round(${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 6) >= 0.99
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "emb_lsh_buckets" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (
+         |  SELECT CAST(j AS INT) AS j,
+         |         [CAST('0x' || substr(md5('p' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)
+         |               AS BIGINT) / 4294967296.0 - 0.5
+         |          for i in range(0, 64)] AS pv
+         |  FROM range(0, 16) r(j)),
+         |sig AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN list_dot_product(v, pv) > 0
+         |                       THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS s
+         |  FROM e CROSS JOIN planes GROUP BY vec_id)
+         |SELECT vec_id, CAST(band AS INT) AS band,
+         |       CAST((s >> CAST(band * 4 AS INT)) % 16 AS BIGINT) AS bucket
+         |FROM sig CROSS JOIN range(0, 4) rb(band)
+         |ORDER BY vec_id, band""".stripMargin)
 }

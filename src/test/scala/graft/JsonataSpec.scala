@@ -43,6 +43,11 @@ class JsonataSpec extends SparkTestBase {
     assert(evalOn(nestedJson, nestedSchema, "readings[-1].t") == 22.1)
   }
 
+  test("out-of-range index yields null (JSONata undefined), not an ANSI error") {
+    assert(evalOn(nestedJson, nestedSchema, "readings[9].t") == null)
+    assert(evalOn(nestedJson, nestedSchema, "readings[-9].t") == null)
+  }
+
   test("object constructor with $count") {
     val r = evalOn(nestedJson, nestedSchema, """{"temp": readings[0].t, "n": $count(readings)}""")
       .asInstanceOf[org.apache.spark.sql.Row]

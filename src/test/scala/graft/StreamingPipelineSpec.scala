@@ -132,6 +132,35 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(stats == Seq((1L, 1L), (1L, 0L)))
   }
 
+  test("event-time windows with watermark drop late data (additive vs reference)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val counts = mem.toDF.toDF("k", "ts")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"), col("k"))
+      .count()
+      .select(col("window.start").as("ws"), col("k"), col("count"))
+    val ck = Files.createTempDirectory("wm_ck").toString
+    val q = counts.writeStream.format("memory").queryName("graft_wm")
+      .outputMode("append").option("checkpointLocation", ck).start()
+
+    mem.addData(("a", Timestamp.valueOf("2026-01-01 10:00:10")))
+    q.processAllAvailable()
+    mem.addData(("a", Timestamp.valueOf("2026-01-01 10:05:00"))) // watermark -> 10:04
+    q.processAllAvailable()
+    mem.addData(("a", Timestamp.valueOf("2026-01-01 10:00:30"))) // late: beyond watermark
+    q.processAllAvailable()
+    mem.addData(("a", Timestamp.valueOf("2026-01-01 10:10:00"))) // closes 10:05 window
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("graft_wm")
+      .select("ws", "count").as[(Timestamp, Long)].collect().toMap
+    // 10:00 window emitted with count 1 — the late 10:00:30 row was dropped
+    assert(rows(Timestamp.valueOf("2026-01-01 10:00:00")) == 1L)
+    assert(rows(Timestamp.valueOf("2026-01-01 10:05:00")) == 1L)
+  }
+
   test("idle watchdog fires after timeout, resets on data") {
     var now = 0L
     var fires = 0
