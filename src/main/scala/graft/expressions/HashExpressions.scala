@@ -149,10 +149,70 @@ case class SimHashFromHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** h32 of every element of an array<string>: the first 4 md5 bytes as an
+  * unsigned big-endian long — identical to
+  * `conv(substring(md5(s), 1, 8), 16, 10)` (TextFunctions.h32) and to the
+  * oracle's `CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)`, but one native
+  * loop instead of a per-element expression tree (md5 -> hex string ->
+  * substring -> base-16 parse).
+  */
+case class ArrayH32(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_h32_array"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val res = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val d = md.digest(a.getUTF8String(i).getBytes)
+      res(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val res = ctx.freshName("res")
+      val md = ctx.freshName("md")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $res = new long[$n];
+         |java.security.MessageDigest $md;
+         |try { $md = java.security.MessageDigest.getInstance("MD5"); }
+         |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final byte[] $d = $md.digest($a.getUTF8String($i).getBytes());
+         |  $res[$i] = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
+         |    (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   def minhashNative(hs: Column, numHashes: Int): Column =
     Bridge.column(MinHashFromHashes(Bridge.expression(hs), numHashes))
 
   def simhashNative(hs: Column): Column =
     Bridge.column(SimHashFromHashes(Bridge.expression(hs)))
+
+  def h32ArrayNative(strs: Column): Column =
+    Bridge.column(ArrayH32(Bridge.expression(strs)))
 }

@@ -43,15 +43,19 @@ object TextFunctions {
         sequence(lit(1), size(toks) - (k - 1)),
         i => array_join(slice(toks, i, lit(k)), " ")))
 
-  /** h32 of every element of a string array. Materialize this as its own
-    * projection column before fanning out multiple consumers: Catalyst
-    * Columns are trees, not DAGs, so passing `hashArray(...)` inline into
-    * an expression that references it k times would evaluate the md5 pass
-    * k times per row (CollapseProject keeps multiply-referenced non-cheap
-    * aliases in their own Project, so a materialized column is computed
-    * once).
+  /** h32 of every element of a string array — native md5 loop (see
+    * ArrayH32). Materialize this as its own projection column before
+    * fanning out multiple consumers: Catalyst Columns are trees, not
+    * DAGs, so passing `hashArray(...)` inline into an expression that
+    * references it k times would evaluate the md5 pass k times per row
+    * (CollapseProject keeps multiply-referenced non-cheap aliases in
+    * their own Project, so a materialized column is computed once).
     */
-  def hashArray(strs: Column): Column = transform(strs, s => h32(s))
+  def hashArray(strs: Column): Column =
+    graft.expressions.HashExpressions.h32ArrayNative(strs)
+
+  /** HOF reference formulation of hashArray (tests compare to native). */
+  def hashArrayHof(strs: Column): Column = transform(strs, s => h32(s))
 
   /** MinHash signature from pre-hashed shingles (see hashArray): for each
     * of `numHashes` permutations, min over shingles of the universal-hash
@@ -125,11 +129,11 @@ object TextFunctions {
 
   /** Order-sensitive document fingerprint: sum of h32(token)*(position+1)
     * mod 1e9+7. Exact integer arithmetic => bit-identical across engines
-    * and across summation orders.
+    * and across summation orders. Tokens hashed via the native kernel.
     */
   def fingerprint(toks: Column): Column =
     aggregate(
-      zip_with(toks, sequence(lit(1), size(toks)), (t, i) => h32(t) * i.cast(LongType)),
+      zip_with(hashArray(toks), sequence(lit(1), size(toks)), (h, i) => h * i.cast(LongType)),
       lit(0L),
       (acc, v) => acc + v) % 1000000007L
 

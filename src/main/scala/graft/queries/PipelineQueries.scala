@@ -109,6 +109,40 @@ object PipelineQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** As-of join — an operator Spark lacks natively, composed Spark-first
+    * from a tagged union + running last-non-null window (single shuffle
+    * on the join key, sort within partitions — the scalable layout; a
+    * per-row correlated subquery would not survive 100 TB). For each
+    * `purchase` event: the same user's most recent `click` at or before
+    * it. The DuckDB oracle uses its native ASOF JOIN.
+    */
+  def pipeAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("event_id").as("click_id"), col("value").as("click_value"),
+        lit(null).cast("long").as("purchase_id"), lit(null).cast("double").as("purchase_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("click_id"), lit(null).cast("double").as("click_value"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    // at equal ts the click (tag 0) sorts before the purchase => "<=" as-of
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last("click_id", ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last("click_value", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        col("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(col("purchase_value"), 2).as("purchase_value"),
+        col("asof_click_id").as("click_id"),
+        round(col("asof_click_value"), 2).as("click_value"))
+      .orderBy("purchase_id")
+  }
+
   /** A1 as an hourly cube: grouping sets over (hour, event_type) — window
     * stats with subtotal rows, the relational generalization of the
     * reference's interval counters.
@@ -130,6 +164,7 @@ object PipelineQueries {
     "pipe_parse_stats" -> pipeParseStats,
     "pipe_transform" -> pipeTransform,
     "pipe_jsonata" -> pipeJsonata,
+    "pipe_asof_join" -> pipeAsofJoin,
     "pipe_sessionize" -> pipeSessionize,
     "pipe_stats_cube" -> pipeStatsCube)
 
@@ -163,6 +198,18 @@ object PipelineQueries {
         |       'k=' || CAST(props->>'$.k' AS BIGINT) AS label,
         |       round(CAST(props->>'$.k' AS BIGINT) / 2.0, 1) AS half
         |FROM events WHERE json_valid(props) ORDER BY event_id""".stripMargin,
+    "pipe_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       round(p.value, 2) AS purchase_value,
+        |       c.click_id, round(c.value, 2) AS click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
     "pipe_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

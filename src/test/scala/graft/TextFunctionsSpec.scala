@@ -50,6 +50,13 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(h1 >= 0 && h1 < (1L << 32))
   }
 
+  test("native h32 array kernel == HOF formulation (incl. unicode)") {
+    val rows = Seq(Seq("hello", "wörld", "", "日本語", "a b c", "#f0"))
+    val df = rows.map(Tuple1(_)).toDF("toks")
+      .select(hashArray(col("toks")).as("n"), hashArrayHof(col("toks")).as("h"))
+    df.as[(Seq[Long], Seq[Long])].collect().foreach { case (n, h) => assert(n == h) }
+  }
+
   test("native minhash kernel == HOF formulation on random inputs") {
     val rng = new scala.util.Random(11)
     val rows = Seq.fill(30)(Seq.fill(rng.nextInt(50) + 1)(rng.alphanumeric.take(8).mkString))
