@@ -28,6 +28,8 @@ case class JBinary(op: String, l: JNode, r: JNode) extends JNode
 case class JUnaryMinus(e: JNode) extends JNode
 case class JCond(c: JNode, t: JNode, e: JNode) extends JNode
 case class JFunc(name: String, args: List[JNode]) extends JNode // $name(...)
+case class JLambda(params: List[String], body: JNode) extends JNode // function($x){...}
+case class JVarRef(name: String) extends JNode // $x inside a lambda body
 case class JObject(fields: List[(String, JNode)]) extends JNode
 case class JArray(items: List[JNode]) extends JNode
 

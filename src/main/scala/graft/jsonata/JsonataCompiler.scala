@@ -17,17 +17,24 @@ import org.apache.spark.sql.types._
   * when a field step hits array<struct>, flattening one level when the
   * projected field is itself an array (JSONata sequences don't nest).
   *
+  * User lambdas (`function($x){...}`) are supported as arguments to the
+  * sequence HOFs ($map/$filter/$reduce/$sort/$zip) and compile to Spark
+  * higher-order-function lambdas — still zero run-time interpretation.
+  *
   * Documented divergences from full JSONata (all raise at compile time,
-  * never silently differ): no `**`/`*` paths, no variable bindings or
-  * user lambdas, object keys must be literals, $round is half-up (Spark)
-  * not half-even, $string uses Spark's number formatting.
+  * never silently differ): no `**`/`*` paths, no `$x :=` variable
+  * bindings (lambda parameters ARE supported), object keys must be
+  * literals, $round is half-up (Spark) not half-even, $string uses
+  * Spark's number formatting, $sort comparators cannot signal equality.
   */
 object JsonataCompiler {
 
   case class Typed(col: Column, dt: DataType)
 
+  private type Env = Map[String, Typed]
+
   def compile(src: String, input: Column, schema: DataType): Column =
-    compileNode(JsonataParser.parse(src), Typed(input, schema)).col
+    compileNode(JsonataParser.parse(src), Typed(input, schema), Map.empty).col
 
   /** Convenience: compiled transform over a raw JSON string column. */
   def transformJson(src: String, payload: Column, schema: StructType): Column =
@@ -35,7 +42,7 @@ object JsonataCompiler {
 
   // ---- node compilation -------------------------------------------------
 
-  private def compileNode(node: JNode, ctx: Typed): Typed = node match {
+  private def compileNode(node: JNode, ctx: Typed, env: Env): Typed = node match {
     case JNumber(v) =>
       if (v == v.floor && v.abs < 1e15) Typed(lit(v.toLong), LongType)
       else Typed(lit(v), DoubleType)
@@ -43,40 +50,44 @@ object JsonataCompiler {
     case JBool(v) => Typed(lit(v), BooleanType)
     case JNull => Typed(lit(null).cast(StringType), NullType)
     case JContext => ctx
-    case JPath(steps) => steps.foldLeft(ctx)(step)
+    case JVarRef(name) => env.getOrElse(name, throw new JsonataCompileError(
+      s"unbound variable $$$name (only lambda parameters can be referenced)"))
+    case _: JLambda => throw new JsonataCompileError(
+      "a lambda is only legal as an argument to $map/$filter/$reduce/$sort")
+    case JPath(steps) => steps.foldLeft(ctx)((acc, s) => step(acc, s, env))
     case JUnaryMinus(e) =>
-      val t = num(compileNode(e, ctx))
+      val t = num(compileNode(e, ctx, env))
       Typed(-t.col, t.dt)
     case JCond(c, t, e) =>
-      val tc = compileNode(t, ctx)
-      val ec = compileNode(e, ctx)
+      val tc = compileNode(t, ctx, env)
+      val ec = compileNode(e, ctx, env)
       val dt = unify(tc.dt, ec.dt)
-      Typed(when(bool(compileNode(c, ctx)), cast(tc, dt)).otherwise(cast(ec, dt)), dt)
-    case JBinary(op, l, r) => binary(op, l, r, ctx)
+      Typed(when(bool(compileNode(c, ctx, env)), cast(tc, dt)).otherwise(cast(ec, dt)), dt)
+    case JBinary(op, l, r) => binary(op, l, r, ctx, env)
     case JObject(fields) =>
-      val compiled = fields.map { case (k, v) => k -> compileNode(v, ctx) }
+      val compiled = fields.map { case (k, v) => k -> compileNode(v, ctx, env) }
       Typed(
         struct(compiled.map { case (k, t) => t.col.as(k) }: _*),
         StructType(compiled.map { case (k, t) => StructField(k, t.dt) }))
     case JArray(items) =>
-      val compiled = items.map(compileNode(_, ctx))
+      val compiled = items.map(compileNode(_, ctx, env))
       val dt = compiled.map(_.dt).reduceOption(unify).getOrElse(StringType)
       Typed(array(compiled.map(cast(_, dt)): _*), ArrayType(dt))
     case JFunc("__chain", base :: steps) =>
-      steps.foldLeft(compileNode(base, ctx)) { (acc, s) =>
+      steps.foldLeft(compileNode(base, ctx, env)) { (acc, s) =>
         s match {
-          case JNumber(i) => step(acc, JIndex(i.toInt))
-          case JString(f) => step(acc, JField(f))
-          case JFunc("__pred", List(p)) => step(acc, JPredicate(p))
+          case JNumber(i) => step(acc, JIndex(i.toInt), env)
+          case JString(f) => step(acc, JField(f), env)
+          case JFunc("__pred", List(p)) => step(acc, JPredicate(p), env)
           case other => throw new JsonataCompileError(s"bad chain step $other")
         }
       }
-    case JFunc(name, args) => function(name, args, ctx)
+    case JFunc(name, args) => function(name, args, ctx, env)
   }
 
   // ---- path steps -------------------------------------------------------
 
-  private def step(ctx: Typed, s: JStep): Typed = s match {
+  private def step(ctx: Typed, s: JStep, env: Env): Typed = s match {
     case JField(name) => ctx.dt match {
       case st: StructType =>
         st.find(_.name == name) match {
@@ -110,22 +121,22 @@ object JsonataCompiler {
     }
     case JPredicate(p) => ctx.dt match {
       case ArrayType(et, _) =>
-        Typed(filter(ctx.col, x => bool(compileNode(p, Typed(x, et)))), ctx.dt)
+        Typed(filter(ctx.col, x => bool(compileNode(p, Typed(x, et), env))), ctx.dt)
       case dt =>
-        Typed(when(bool(compileNode(p, ctx)), ctx.col), dt)
+        Typed(when(bool(compileNode(p, ctx, env)), ctx.col), dt)
     }
   }
 
   // ---- operators --------------------------------------------------------
 
-  private def binary(op: String, ln: JNode, rn: JNode, ctx: Typed): Typed = {
-    lazy val l = compileNode(ln, ctx)
-    lazy val r = compileNode(rn, ctx)
+  private def binary(op: String, ln: JNode, rn: JNode, ctx: Typed, env: Env): Typed = {
+    lazy val l = compileNode(ln, ctx, env)
+    lazy val r = compileNode(rn, ctx, env)
     op match {
       case "+" | "-" | "*" | "/" | "%" =>
         val (a, b) = (num(l), num(r))
         val dt = if (a.dt == LongType && b.dt == LongType && op != "/") LongType else DoubleType
-        val (ac, bc) = (cast(a, dt).cast(dt.sql.toLowerCase), cast(b, dt))
+        val (ac, bc) = (cast(a, dt), cast(b, dt))
         val c = op match {
           case "+" => ac + bc
           case "-" => ac - bc
@@ -161,12 +172,29 @@ object JsonataCompiler {
 
   // ---- $function library ------------------------------------------------
 
-  private def function(name: String, args: List[JNode], ctx: Typed): Typed = {
-    def arg(i: Int): Typed = compileNode(args(i), ctx)
-    def argOpt(i: Int): Option[Typed] = args.lift(i).map(compileNode(_, ctx))
+  private def function(name: String, args: List[JNode], ctx: Typed, env: Env): Typed = {
+    def arg(i: Int): Typed = compileNode(args(i), ctx, env)
+    def argOpt(i: Int): Option[Typed] = args.lift(i).map(compileNode(_, ctx, env))
     def arity(n: Int*): Unit =
       if (!n.contains(args.length)) throw new JsonataCompileError(
         s"$$$name expects ${n.mkString("/")} args, got ${args.length}")
+
+    /** A function-valued argument: a lambda literal, or a builtin passed
+      * by name ($map(arr, $uppercase)).
+      */
+    def lambdaOf(n: JNode): JLambda = n match {
+      case l: JLambda => l
+      case JVarRef(fn) => JLambda(List("__x"), JFunc(fn, List(JVarRef("__x"))))
+      case other => throw new JsonataCompileError(s"expected a function argument, got $other")
+    }
+
+    /** Bind lambda params (value [, index]) and compile the body. */
+    def applyLambda(lam: JLambda, bindings: List[Typed]): Typed = {
+      if (lam.params.length > bindings.length)
+        throw new JsonataCompileError(
+          s"lambda takes ${lam.params.length} params; only ${bindings.length} available here")
+      compileNode(lam.body, ctx, env ++ lam.params.zip(bindings).toMap)
+    }
 
     name match {
       // string
@@ -247,6 +275,56 @@ object JsonataCompiler {
           case _ => Typed(when(a.col.isNull, 0L).otherwise(1L), LongType)
         }
 
+      // sequence HOFs with user lambdas
+      case "map" =>
+        arity(2)
+        val a = asArr(arg(0))
+        val et = a.dt.asInstanceOf[ArrayType].elementType
+        val lam = lambdaOf(args(1))
+        var outDt: DataType = NullType
+        val out = transform(a.col, (x, i) => {
+          val t = applyLambda(lam, List(Typed(x, et), Typed(i.cast(LongType), LongType)))
+          outDt = t.dt
+          t.col
+        })
+        Typed(out, ArrayType(outDt))
+      case "filter" | "sift" =>
+        arity(2)
+        val a = asArr(arg(0))
+        val et = a.dt.asInstanceOf[ArrayType].elementType
+        val lam = lambdaOf(args(1))
+        Typed(filter(a.col, (x, i) =>
+          bool(applyLambda(lam, List(Typed(x, et), Typed(i.cast(LongType), LongType))))), a.dt)
+      case "reduce" =>
+        arity(2, 3)
+        val a = asArr(arg(0))
+        val et = a.dt.asInstanceOf[ArrayType].elementType
+        val lam = lambdaOf(args(1))
+        val (seqCol, init) = argOpt(2) match {
+          case Some(i) => (a.col, i)
+          // JSONata: no init -> fold starts from the first element
+          case None => (slice(a.col, lit(2), greatest(size(a.col) - 1, lit(0))),
+            Typed(try_element_at(a.col, lit(1)), et))
+        }
+        val accDt = unify(init.dt, et)
+        var bodyDt: DataType = accDt
+        val out = aggregate(seqCol, cast(init, accDt), (acc, x) => {
+          val t = applyLambda(lam, List(Typed(acc, accDt), Typed(x, et)))
+          bodyDt = t.dt
+          cast(t, accDt)
+        })
+        if (!compatible(bodyDt, accDt))
+          throw new JsonataCompileError(
+            s"$$reduce body yields ${bodyDt.simpleString}, accumulator is ${accDt.simpleString}")
+        Typed(out, accDt)
+      case "zip" =>
+        arity(2)
+        val (a, b) = (asArr(arg(0)), asArr(arg(1)))
+        val dt = unify(a.dt.asInstanceOf[ArrayType].elementType,
+          b.dt.asInstanceOf[ArrayType].elementType)
+        Typed(zip_with(a.col.cast(ArrayType(dt)), b.col.cast(ArrayType(dt)),
+          (x, y) => array(x, y)), ArrayType(ArrayType(dt)))
+
       // arrays
       case "append" =>
         arity(2)
@@ -254,7 +332,19 @@ object JsonataCompiler {
         val dt = unify(a.dt.asInstanceOf[ArrayType].elementType,
           b.dt.asInstanceOf[ArrayType].elementType)
         Typed(concat(a.col.cast(ArrayType(dt)), b.col.cast(ArrayType(dt))), ArrayType(dt))
-      case "sort" => arity(1); val a = asArr(arg(0)); Typed(array_sort(a.col), a.dt)
+      case "sort" =>
+        arity(1, 2)
+        val a = asArr(arg(0))
+        args.lift(1) match {
+          case None => Typed(array_sort(a.col), a.dt)
+          case Some(cmpArg) =>
+            val et = a.dt.asInstanceOf[ArrayType].elementType
+            val lam = lambdaOf(cmpArg)
+            // JSONata comparator: true => left sorts AFTER right
+            Typed(array_sort(a.col, (l, r) =>
+              when(bool(applyLambda(lam, List(Typed(l, et), Typed(r, et)))), 1).otherwise(-1)),
+              a.dt)
+        }
       case "reverse" => arity(1); val a = asArr(arg(0)); Typed(reverse(a.col), a.dt)
       case "distinct" => arity(1); val a = asArr(arg(0)); Typed(array_distinct(a.col), a.dt)
 
@@ -278,7 +368,7 @@ object JsonataCompiler {
         arity(2)
         val obj = arg(0)
         obj.dt match {
-          case st: StructType => step(obj, JField(litStr(args(1))))
+          case _: StructType => step(obj, JField(litStr(args(1))), env)
           case MapType(_, vt, _) => Typed(element_at(obj.col, litStr(args(1))), vt)
           case other => throw new JsonataCompileError(s"$$lookup on ${other.simpleString}")
         }
@@ -293,6 +383,9 @@ object JsonataCompiler {
     case _: NumericType => true
     case _ => false
   }
+
+  private def compatible(a: DataType, b: DataType): Boolean =
+    a == b || (isNumeric(a) && isNumeric(b)) || a == NullType || b == NullType
 
   private def num(t: Typed): Typed = t.dt match {
     case LongType | IntegerType | ShortType | ByteType => Typed(t.col.cast(LongType), LongType)

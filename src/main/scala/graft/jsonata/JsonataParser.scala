@@ -214,6 +214,23 @@ object JsonataParser {
       case TName("true") => JBool(true)
       case TName("false") => JBool(false)
       case TName("null") => JNull
+      case TName("function") if opIs("(") =>
+        // lambda literal: function($x, $y) { body }
+        advance()
+        val params = ListBuffer.empty[String]
+        if (!opIs(")")) {
+          def param(): Unit = advance() match {
+            case TVar(p) if p.nonEmpty => params += p
+            case other => throw new JsonataParseError(s"lambda parameter must be $$name, found $other")
+          }
+          param()
+          while (opIs(",")) { advance(); param() }
+        }
+        expect(")")
+        expect("{")
+        val body = expr()
+        expect("}")
+        JLambda(params.toList, body)
       case TName(n) => JPath(List(JField(n)))
       case TVar("") => JContext
       case TVar(fn) =>
@@ -226,8 +243,10 @@ object JsonataParser {
           }
           expect(")")
           JFunc(fn, args.toList)
-        } else throw new JsonataParseError(
-          s"variable \\$$fn: bindings are not supported (only \\$$fn(...) calls)")
+        } else if (opIs(":=")) {
+          throw new JsonataParseError(
+            s"variable binding \\$$$fn := is not in the supported subset")
+        } else JVarRef(fn) // lambda-bound variable reference
       case TOp("(") =>
         val e = expr()
         expect(")")

@@ -35,7 +35,7 @@ class MqttSourceProvider extends TableProvider with DataSourceRegister {
     graft.streaming.GraftPipeline.envelopeSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new MqttTable(schema, properties.asScala.toMap)
+    new MqttTable(schema, properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
 }
 
 class MqttTable(schema: StructType, options: Map[String, String])
@@ -65,8 +65,11 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
     throw new IllegalArgumentException("mqtt source requires option 'url'"))
   private val topics = options.getOrElse("topics", "#").split(",").map(_.trim).toSeq
   private val timeoutMs =
-    options.get("datatimeoutsecs").orElse(options.get("dataTimeoutSecs"))
-      .map(_.toLong * 1000).getOrElse(900000L)
+    options.get("datatimeoutsecs").map(_.toLong * 1000).getOrElse(900000L)
+  // admission control: cap records admitted per micro-batch so a burst
+  // doesn't produce one giant batch (backlog drains over later triggers)
+  private val maxPerBatch =
+    options.get("maxrecordsperbatch").map(_.toInt).getOrElse(Int.MaxValue)
 
   // driver-side state: total received count = offset; buffer holds
   // [committedBase, received) pending messages
@@ -86,7 +89,7 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
   override def initialOffset(): Offset = MqttOffset(0)
 
   override def latestOffset(): Offset = synchronized {
-    val drained = ensureClient().poll()
+    val drained = ensureClient().poll(maxPerBatch)
     buffer ++= drained
     received += drained.length
     MqttOffset(received)

@@ -122,6 +122,52 @@ class JsonataSpec extends SparkTestBase {
     assert(r == Seq("fw"))
   }
 
+  test("$map with user lambda") {
+    val r = evalOn(nestedJson, nestedSchema, "$map(readings.t, function($x) { $x * 10 })")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(r == Seq(215.0, 221.0))
+  }
+
+  test("$map with builtin passed by name") {
+    val r = evalOn(sensorJson, sensorSchema, "$map($split(name, '-'), $uppercase)")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(r == Seq("LAMP", "1"))
+  }
+
+  test("$filter with user lambda incl. index param") {
+    val r = evalOn(nestedJson, nestedSchema, "$filter(readings.t, function($x) { $x > 21.8 })")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(r == Seq(22.1))
+    val byIndex = evalOn(nestedJson, nestedSchema,
+      "$filter(readings.t, function($x, $i) { $i = 0 })")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(byIndex == Seq(21.5))
+  }
+
+  test("$reduce with and without init") {
+    assert(evalOn(nestedJson, nestedSchema,
+      "$reduce(readings.t, function($acc, $v) { $acc + $v }, 100)") == 143.6)
+    assert(evalOn(nestedJson, nestedSchema,
+      "$reduce(readings.t, function($acc, $v) { $acc + $v })") == 43.6)
+  }
+
+  test("$zip pairs elements") {
+    val r = evalOn(nestedJson, nestedSchema, "$zip(readings.t, [1, 2])")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[Double]]]
+    assert(r == Seq(Seq(21.5, 1.0), Seq(22.1, 2.0)))
+  }
+
+  test("$sort with comparator lambda (descending)") {
+    val r = evalOn(nestedJson, nestedSchema,
+      "$sort(readings.t, function($a, $b) { $a < $b })")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(r == Seq(22.1, 21.5))
+  }
+
+  test("unbound variable raises at compile time") {
+    intercept[JsonataCompileError](evalOn(sensorJson, sensorSchema, "$nosuch + 1"))
+  }
+
   test("unsupported constructs raise at compile time, not run time") {
     intercept[JsonataParseError](JsonataParser.parse("**.t"))
     intercept[JsonataParseError](JsonataParser.parse("$x := 1"))

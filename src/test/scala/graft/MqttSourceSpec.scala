@@ -73,6 +73,34 @@ class MqttSourceSpec extends SparkTestBase {
     } finally broker.close()
   }
 
+  test("maxRecordsPerBatch caps per-trigger admission; backlog drains fully") {
+    val broker = new MqttTestBroker()
+    val ckDir = Files.createTempDirectory("mqtt_cap_ck").toString
+    try {
+      val stream = spark.readStream.format("mqtt")
+        .option("url", broker.url)
+        .option("topics", "#")
+        .option("maxRecordsPerBatch", "2")
+        .load()
+      var batchSizes = List.empty[Long]
+      val q = stream.writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          val n = df.count()
+          if (n > 0) batchSizes = batchSizes :+ n
+        })
+        .option("checkpointLocation", ckDir)
+        .start()
+      var tries = 0
+      while (broker.subscriberCount == 0 && tries < 100) { Thread.sleep(50); tries += 1 }
+      (1 to 5).foreach(i => broker.publish("t", s"""{"i": $i}"""))
+      Thread.sleep(500)
+      q.processAllAvailable()
+      q.stop()
+      assert(batchSizes.sum == 5, s"batchSizes=$batchSizes")
+      assert(batchSizes.forall(_ <= 2), s"batchSizes=$batchSizes")
+    } finally broker.close()
+  }
+
   test("DSv2 mqtt source end-to-end through the full pipeline") {
     val broker = new MqttTestBroker()
     val ckDir = Files.createTempDirectory("mqtt_ck").toString
