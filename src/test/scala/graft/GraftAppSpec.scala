@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+/** The CLI surface end-to-end: GraftApp --once against the in-JVM broker. */
+class GraftAppSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("GraftApp runs the full bridge from CLI args") {
+    val broker = new MqttTestBroker()
+    val outDir = Files.createTempDirectory("app_out").toString + "/data"
+    try {
+      // publish after the source subscribes: do it from a thread with retry
+      val publisher = new Thread(() => {
+        var tries = 0
+        while (broker.subscriberCount == 0 && tries < 200) { Thread.sleep(50); tries += 1 }
+        broker.publish("iot/a/x", """{"v": 1}""")
+        broker.publish("iot/b/y", """{"v": 2}""")
+        broker.publish("iot/a/z", "broken {")
+        Thread.sleep(400) // let them reach the driver buffer before --once drains
+      })
+      publisher.start()
+      GraftApp.main(Array(
+        "--mqtt-url", broker.url,
+        "--topic", "iot/#",
+        "--stream-id-template", "s/$topic",
+        "--truncate-topic", "1",
+        "--payload-schema", "v INT",
+        "--transform", """{"v10": v * 10}""",
+        "--out-dir", outDir,
+        "--once"))
+      publisher.join()
+
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 2)
+      val ids = out.select("stream_id").as[String].collect().toSet
+      assert(ids == Set("s/iot/a", "s/iot/b"))
+      val v10 = out.selectExpr("get_json_object(value_json, '$.v10')").as[String].collect().map(_.toInt).toSet
+      assert(v10 == Set(10, 20))
+    } finally broker.close()
+  }
+
+  test("parseArgs enforces required options and rejects unknown flags") {
+    intercept[IllegalArgumentException](
+      GraftApp.parseArgs(Array("--topic", "a")))
+    intercept[IllegalArgumentException](
+      GraftApp.parseArgs(Array("--mqtt-url", "tcp://x:1", "--topic", "a", "--out-dir", "/tmp/o", "--bogus")))
+    val ok = GraftApp.parseArgs(Array(
+      "--mqtt-url", "tcp://x:1", "--topic", "a/+", "--topic", "b/#",
+      "--out-dir", "/tmp/o", "--public", "--dry-run"))
+    assert(ok.cfg.topics == Seq("a/+", "b/#"))
+    assert(ok.cfg.publicStreams && ok.cfg.dryRun)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-regression tests: the physical plans that make these queries
+  * scale are asserted, not assumed — broadcast joins for dimensions,
+  * filter pushdown into the parquet scans, column pruning, top-k as
+  * TakeOrdered, and single evaluation of the expensive hash kernels.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.optimizedPlan.toString
+
+  test("q1_agg: shipdate filter is pushed into the parquet scan") {
+    val p = physical("q1_agg")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q5_region_join: dimension joins broadcast (no fact-table shuffle for dims)") {
+    assert(physical("q5_region_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q3_topk: LIMIT after ORDER BY runs as TakeOrdered, not a full sort") {
+    assert(physical("q3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("text_langid: documents scan prunes to the needed columns") {
+    val p = physical("text_langid")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang") &&
+      readSchema.contains("text"))
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"))
+  }
+
+  test("dedup_minhash: token-hash kernel evaluated exactly once per row") {
+    val p = optimized("dedup_minhash")
+    assert("graft_h32_array".r.findAllIn(p).length == 1, p.take(2000))
+    assert("graft_minhash".r.findAllIn(p).length == 1)
+  }
+
+  test("dedup_simhash: hash kernels evaluated once; no duplicated md5 pass") {
+    val p = optimized("dedup_simhash")
+    assert("graft_h32_array".r.findAllIn(p).length == 1)
+    assert("graft_simhash".r.findAllIn(p).length == 1)
+  }
+
+  test("emb_neardup: candidate join is key-based, not cartesian/nested-loop") {
+    val p = physical("emb_neardup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("knn_brute: query side broadcasts (corpus never shuffles for the join)") {
+    assert(physical("knn_brute").contains("BroadcastNestedLoopJoin") ||
+      physical("knn_brute").contains("BroadcastHashJoin"))
+  }
+}
