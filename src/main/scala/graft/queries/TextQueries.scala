@@ -98,6 +98,21 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The dedup deliverable: which documents survive near-dup removal.
+    * Canonical keep-first policy: a doc is dropped iff it appears as the
+    * LARGER id of any verified near-dup pair (id_a < id_b ⇒ the earliest
+    * doc of a duplicate cluster always survives; transitive chains
+    * collapse onto their minimum without iterative connected components
+    * because every later member pairs with some earlier one via LSH).
+    */
+  def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val dropped = dedupMinhashPairs(s, dir).select(col("id_b")).distinct()
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(dropped, col("doc_id") === col("id_b"), "left_outer")
+      .select(col("doc_id"), col("id_b").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints (32-bit) per document. Token hashes are
     * materialized before the 32-bit fan-out (32 references).
     */
@@ -143,6 +158,7 @@ object TextQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_keep" -> dedupKeep,
     "dedup_simhash" -> dedupSimhash,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
@@ -183,6 +199,28 @@ object TextQueries {
        |  SELECT doc_id, i - 1 AS band, buckets[i] AS bucket
        |  FROM bk, range(1, ${NumHashes / RowsPerBand} + 1) r(i))""".stripMargin
 
+  /** Shared CTE chain: LSH candidate pairs verified by exact word-Jaccard
+    * (>= 0.5) — reused by dedup_minhash_pairs and dedup_keep.
+    */
+  private lazy val pairsCore =
+    s"""$bandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(toks) AS ws, list_distinct(shingles) AS ss FROM sh),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT id_a, id_b,
+       |           round(len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))::DOUBLE /
+       |                 len(list_distinct(list_concat(sa.ws, sb.ws)))::DOUBLE, 6) AS j_word,
+       |           round(len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))::DOUBLE /
+       |                 len(list_distinct(list_concat(sa.ss, sb.ss)))::DOUBLE, 6) AS j_shingle
+       |    FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+       |              JOIN sets sb ON cand.id_b = sb.doc_id)
+       |  WHERE j_word >= 0.5)""".stripMargin
+
   private val enList = StopwordsEn.map(w => s"'$w'").mkString(", ")
   private val deList = StopwordsDe.map(w => s"'$w'").mkString(", ")
   private val frList = StopwordsFr.map(w => s"'$w'").mkString(", ")
@@ -199,23 +237,14 @@ object TextQueries {
       s"""$bandsCte
          |SELECT doc_id, band, bucket FROM bands ORDER BY doc_id, band""".stripMargin,
     "dedup_minhash_pairs" ->
-      s"""$bandsCte,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |sets AS (
-         |  SELECT doc_id, list_distinct(toks) AS ws, list_distinct(shingles) AS ss FROM sh)
-         |SELECT id_a, id_b,
-         |       round(len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))::DOUBLE /
-         |             len(list_distinct(list_concat(sa.ws, sb.ws)))::DOUBLE, 6) AS j_word,
-         |       round(len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))::DOUBLE /
-         |             len(list_distinct(list_concat(sa.ss, sb.ss)))::DOUBLE, 6) AS j_shingle
-         |FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
-         |          JOIN sets sb ON cand.id_b = sb.doc_id
-         |WHERE round(len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))::DOUBLE /
-         |            len(list_distinct(list_concat(sa.ws, sb.ws)))::DOUBLE, 6) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""$pairsCore
+         |SELECT id_a, id_b, j_word, j_shingle FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "dedup_keep" ->
+      s"""$pairsCore,
+         |dup AS (SELECT DISTINCT id_b FROM pairs)
+         |SELECT d.doc_id, dup.id_b IS NULL AS keep
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id,
          |  CAST(list_sum(list_transform(range(0, 32), i ->

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import graft.functions.PipelineFunctions._
+import graft.functions.TextFunctions._
+import graft.sources.mqtt.MqttCodec
+
+/** Property-based tests (SURVEY §5.2): structural invariants over
+  * ScalaCheck-generated inputs, evaluated in one Spark batch per property
+  * (no scalatestplus bridge needed — deterministic seeded sampling).
+  */
+class PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val seed = org.scalacheck.rng.Seed(42L)
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    var s = seed
+    (0 until n).flatMap { _ =>
+      s = s.next
+      g.apply(Gen.Parameters.default, s)
+    }
+  }
+
+  private val segGen: Gen[String] = Gen.choose(0, 6).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val topicGen: Gen[String] = for {
+    lead <- Gen.oneOf("", "/")
+    n <- Gen.choose(1, 6)
+    segs <- Gen.listOfN(n, segGen)
+  } yield lead + segs.mkString("/")
+
+  test("truncate(t, k) is a prefix of t with at most k+1 segments; k<=0 is identity") {
+    val cases = samples(Gen.zip(topicGen, Gen.choose(-2, 8)), 120)
+    val got = cases.toDF("t", "k")
+      .select(col("t"), col("k"), topicTruncate(col("t"), col("k")).as("out"))
+      .as[(String, Int, String)].collect()
+    assert(got.length == cases.length)
+    got.foreach { case (t, k, out) =>
+      assert(t.startsWith(out), s"t=$t k=$k out=$out")
+      if (k > 0) assert(out.split("/", -1).length <= k + 1, s"t=$t k=$k out=$out")
+      else assert(out == t, s"t=$t k=$k out=$out")
+    }
+  }
+
+  test("streamIdTemplate: output is exactly template with $topic substituted") {
+    val topics = samples(topicGen, 100)
+    topics.toDF("t")
+      .select(col("t"), streamIdTemplate("pre/$topic/post-$topic", col("t")).as("s"))
+      .as[(String, String)].collect()
+      .foreach { case (t, s) => assert(s == s"pre/$t/post-$t") }
+  }
+
+  test("safeParseJson is total: arbitrary strings parse or yield NULL, never throw") {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val payloads = samples(Gen.asciiPrintableStr.map(_.take(60)), 200) ++
+      Seq("{", "}", "null", "3.14", "[1,2]", """{"k":1}""", "\"s\"", "")
+    val rows = payloads.toDF("p")
+      .select(col("p"), safeParseJson(col("p"), schema).as("v"))
+      .collect()
+    assert(rows.length == payloads.length) // every row evaluated without error
+  }
+
+  test("minhash signature entries only decrease when shingles are added") {
+    val tokGen = Gen.listOfN(10, Gen.identifier.map(_.take(5)))
+    val cases = samples(Gen.zip(tokGen, tokGen), 40)
+    val rows = cases.map { case (base, extra) =>
+      (base.mkString(" "), (base ++ extra).mkString(" ")) }
+    rows.toDF("t1", "t2")
+      .select(
+        minhashSignature(wordShingles(tokens(col("t1")), 3), 8).as("s1"),
+        minhashSignature(wordShingles(tokens(col("t2")), 3), 8).as("s2"))
+      .as[(Seq[Long], Seq[Long])].collect()
+      .foreach { case (s1, s2) =>
+        s1.zip(s2).foreach { case (a, b) => assert(b <= a) }
+      }
+  }
+
+  test("MQTT codec round-trips arbitrary publish topics and payloads") {
+    val topicG = Gen.nonEmptyListOf(Gen.asciiPrintableChar).map(_.mkString.take(80))
+    val payloadG = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    samples(Gen.zip(topicG, payloadG), 100).foreach { case (topic, payload) =>
+      val p = MqttCodec.Publish(topic, payload)
+      MqttCodec.read(new java.io.ByteArrayInputStream(MqttCodec.encode(p))) match {
+        case MqttCodec.Publish(t2, b2) =>
+          assert(t2 == topic)
+          assert(java.util.Arrays.equals(b2, payload))
+        case other => fail(s"decoded $other")
+      }
+    }
+  }
+
+  test("topicMatches: every filter matches itself; '#' matches everything") {
+    samples(topicGen, 100).foreach { t =>
+      assert(MqttCodec.topicMatches(t, t))
+      assert(MqttCodec.topicMatches("#", t))
+    }
+  }
+
+  test("fingerprint stays in [0, 1e9+7) for arbitrary token lists") {
+    val tokG = Gen.listOfN(6, Gen.identifier.map(_.take(4)))
+    val cases = samples(tokG, 40).map(_.mkString(" "))
+    cases.toDF("t")
+      .select(fingerprint(tokens(col("t"))).as("f"))
+      .as[Long].collect()
+      .foreach(f => assert(f >= 0 && f < 1000000007L))
+  }
+}
