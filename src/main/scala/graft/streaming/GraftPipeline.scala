@@ -94,4 +94,18 @@ object GraftPipeline {
         sum(when(col("valid"), 1L).otherwise(0L)).as("success"),
         sum(when(!col("valid"), 1L).otherwise(0L)).as("error"))
       .select(col("w.start").as("window_start"), col("success"), col("error"))
+
+  /** Gap-based sessions per stream over event time — the streaming form of
+    * the batch pipe_sessionize query, via the built-in session_window
+    * (state store managed by Spark; watermark bounds state growth).
+    * Works identically on batch DataFrames.
+    */
+  def sessionStats(routed: DataFrame, gapSecs: Int, watermark: String = "10 minutes"): DataFrame =
+    routed
+      .withWatermark("arrival_ts", watermark)
+      .groupBy(session_window(col("arrival_ts"), s"$gapSecs seconds").as("w"), col("stream_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("stream_id"), col("n_events"), col("n_valid"))
 }

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A1 in its stateful-streaming form: per-stream success/error counters
+  * that RESET after each report interval — the reference's
+  * Logger.report() semantics (src/Logger.js:17-21) as
+  * flatMapGroupsWithState custom state with a processing-time timeout:
+  * a group emits (and zeroes) its counts when its interval expires, so
+  * each emission is one non-overlapping interval's worth, per stream.
+  */
+object StatefulCounters {
+
+  case class In(streamId: String, valid: Boolean)
+  case class Counts(success: Long, error: Long)
+  case class Report(streamId: String, success: Long, error: Long)
+
+  def apply(records: Dataset[In], intervalMillis: Long): Dataset[Report] = {
+    implicit val reportEnc = Encoders.product[Report]
+    implicit val stateEnc = Encoders.product[Counts]
+    implicit val keyEnc = Encoders.STRING
+    records
+      .groupByKey(_.streamId)
+      .flatMapGroupsWithState[Counts, Report](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (streamId: String, rows: Iterator[In], state: GroupState[Counts]) =>
+          if (state.hasTimedOut) {
+            // interval over: report and reset (Logger.js:17-21)
+            val c = state.get
+            state.remove()
+            Iterator.single(Report(streamId, c.success, c.error))
+          } else {
+            val prev = state.getOption.getOrElse(Counts(0, 0))
+            var s = prev.success
+            var e = prev.error
+            rows.foreach(r => if (r.valid) s += 1 else e += 1)
+            state.update(Counts(s, e))
+            state.setTimeoutDuration(intervalMillis)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -46,12 +46,18 @@ class MqttSourceSpec extends SparkTestBase {
     try {
       val client = new MqttClient(broker.url, Seq("home/+/temp")).start()
       assert(client.awaitConnected())
+      // CONNACK precedes the broker registering the SUBSCRIBE — wait for it
+      var tries = 0
+      while (broker.subscriberCount == 0 && tries < 100) { Thread.sleep(20); tries += 1 }
       broker.publish("home/kitchen/temp", "21.5")
       broker.publish("home/kitchen/humidity", "60") // filtered out
       broker.publish("home/attic/temp", "15.0")
-      Thread.sleep(300)
-      val msgs = client.poll()
-      assert(msgs.map(_.topic) == Seq("home/kitchen/temp", "home/attic/temp"))
+      val msgs = scala.collection.mutable.ArrayBuffer.empty[graft.sources.mqtt.MqttMessage]
+      tries = 0
+      while (msgs.length < 2 && tries < 100) {
+        msgs ++= client.poll(); Thread.sleep(30); tries += 1
+      }
+      assert(msgs.map(_.topic).toSeq == Seq("home/kitchen/temp", "home/attic/temp"))
       client.close()
     } finally broker.close()
   }

@@ -161,6 +161,49 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(rows(Timestamp.valueOf("2026-01-01 10:05:00")) == 1L)
   }
 
+  test("session windows: gap-based sessions per stream (batch form)") {
+    val rows = Seq(
+      ("/t", """{"on":true,"watts":1.0}""", Timestamp.valueOf("2026-01-01 09:00:00")),
+      ("/t", """{"on":true,"watts":2.0}""", Timestamp.valueOf("2026-01-01 09:00:20")),
+      ("/t", "bad json", Timestamp.valueOf("2026-01-01 09:00:40")),
+      // > 60s gap -> new session
+      ("/t", """{"on":true,"watts":3.0}""", Timestamp.valueOf("2026-01-01 09:05:00")))
+      .toDF("topic", "payload", "arrival_ts")
+    val cfg = GraftConfig(payloadSchema = schema, fixedStreamId = Some("s1"))
+    val sessions = GraftPipeline.sessionStats(GraftPipeline.plan(rows, cfg), gapSecs = 60)
+      .orderBy("session_start")
+      .select("n_events", "n_valid").as[(Long, Long)].collect().toSeq
+    assert(sessions == Seq((3L, 2L), (1L, 1L)))
+  }
+
+  test("stateful per-stream counters report-and-reset via flatMapGroupsWithState") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StatefulCounters
+    import graft.streaming.StatefulCounters.{In, Report}
+    val mem = MemoryStream[In]
+    val reports = StatefulCounters(mem.toDS(), intervalMillis = 500)
+    val ck = Files.createTempDirectory("state_ck").toString
+    val q = reports.writeStream.format("memory").queryName("graft_counts")
+      .outputMode("append").option("checkpointLocation", ck).start()
+
+    mem.addData(In("a", valid = true), In("a", valid = true), In("a", valid = false),
+      In("b", valid = true))
+    // With processing-time timeouts the engine keeps scheduling batches
+    // (the timeout clock advances every trigger), so processAllAvailable
+    // never quiesces — the timed-out groups' reports arrive on an
+    // auto-triggered batch; poll the sink with a deadline instead.
+    var tries = 0
+    while (spark.table("graft_counts").count() < 2 && tries < 200) {
+      Thread.sleep(200); tries += 1
+    }
+    q.stop()
+
+    val out = spark.table("graft_counts").as[Report].collect()
+      .map(r => r.streamId -> ((r.success, r.error))).toMap
+    assert(out("a") == ((2L, 1L)))
+    assert(out("b") == ((1L, 0L)))
+  }
+
   test("idle watchdog fires after timeout, resets on data") {
     var now = 0L
     var fires = 0
