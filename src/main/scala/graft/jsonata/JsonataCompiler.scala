@@ -256,6 +256,15 @@ object JsonataCompiler {
         Typed(round(num(arg(0)).col, p), DoubleType)
       case "power" => arity(2); Typed(pow(num(arg(0)).col, num(arg(1)).col), DoubleType)
       case "sqrt" => arity(1); Typed(sqrt(num(arg(0)).col), DoubleType)
+      case "formatBase" =>
+        arity(1, 2)
+        val radix = args.lift(1) match {
+          case Some(JNumber(n)) => n.toInt
+          case None => 10
+          case _ => throw new JsonataCompileError("$formatBase radix must be a literal")
+        }
+        // JSONata emits lowercase digits; Spark conv uppercases
+        Typed(lower(conv(num(arg(0)).col.cast(LongType), 10, radix)), StringType)
 
       // aggregation over sequences
       case "sum" => arity(1); Typed(aggNum(arg(0), (acc, x) => acc + x), DoubleType)
@@ -372,6 +381,28 @@ object JsonataCompiler {
           case MapType(_, vt, _) => Typed(element_at(obj.col, litStr(args(1))), vt)
           case other => throw new JsonataCompileError(s"$$lookup on ${other.simpleString}")
         }
+      case "merge" =>
+        // $merge([obj1, obj2, ...]) — static struct merge, later keys win
+        arity(1)
+        val objs = args.head match {
+          case JArray(items) => items.map(compileNode(_, ctx, env))
+          case other => throw new JsonataCompileError(
+            s"$$merge expects an array literal of objects, got $other")
+        }
+        val structs = objs.map { t =>
+          t.dt match {
+            case st: StructType => (t, st)
+            case other => throw new JsonataCompileError(s"$$merge element is ${other.simpleString}")
+          }
+        }
+        // later objects override earlier fields of the same name
+        val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Column, DataType)]
+        structs.foreach { case (t, st) =>
+          st.fields.foreach(f => merged(f.name) = (t.col.getField(f.name), f.dataType))
+        }
+        Typed(
+          struct(merged.map { case (n, (c, _)) => c.as(n) }.toSeq: _*),
+          StructType(merged.map { case (n, (_, dt)) => StructField(n, dt) }.toSeq))
 
       case other => throw new JsonataCompileError(s"unsupported function $$$other")
     }

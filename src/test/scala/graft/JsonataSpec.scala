@@ -164,6 +164,18 @@ class JsonataSpec extends SparkTestBase {
     assert(r == Seq(22.1, 21.5))
   }
 
+  test("$formatBase converts radix with lowercase digits") {
+    assert(evalOn(sensorJson, sensorSchema, "$formatBase(255, 16)") == "ff")
+    assert(evalOn(sensorJson, sensorSchema, "$formatBase(5, 2)") == "101")
+  }
+
+  test("$merge combines objects, later keys win") {
+    val r = evalOn(nestedJson, nestedSchema,
+      """$merge([{"a": 1, "b": 2}, {"b": 9, "c": 3}])""")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(r.getLong(0) == 1L && r.getLong(1) == 9L && r.getLong(2) == 3L)
+  }
+
   test("unbound variable raises at compile time") {
     intercept[JsonataCompileError](evalOn(sensorJson, sensorSchema, "$nosuch + 1"))
   }
