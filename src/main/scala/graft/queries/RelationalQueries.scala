@@ -163,6 +163,22 @@ object RelationalQueries {
         round(sum("o_totalprice"), 2).as("sum_price"))
       .orderBy("o_orderpriority")
 
+  /** Exact interpolated percentiles per group — the distribution-profiling
+    * aggregate of a data-quality pipeline. Spark's percentile() and
+    * DuckDB's quantile_cont() both linearly interpolate, so the oracle is
+    * exact. One shuffle on the group key; percentile is a sort-based
+    * aggregate within each group.
+    */
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Correlated-style aggregate filter: parts priced above the average of
     * their p_type group (windowed avg, then filter).
     */
@@ -188,6 +204,7 @@ object RelationalQueries {
     "q_semi_join" -> qSemiJoin,
     "q_rollup" -> qRollup,
     "q_distinct_agg" -> qDistinctAgg,
+    "q_quantiles" -> qQuantiles,
     "q_above_avg" -> qAboveAvg)
 
   val oracles: Map[String, String] = Map(
@@ -264,6 +281,13 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_above_avg" ->
       """SELECT p_partkey, p_type, round(p_retailprice, 2) AS price,
         |       round(avg_price, 4) AS type_avg

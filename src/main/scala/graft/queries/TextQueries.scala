@@ -140,6 +140,20 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), langId(col("toks")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Corpus heavy hitters: top-50 tokens by document frequency — the
+    * vocabulary profile of a training corpus. explode → two-level agg
+    * (distinct doc_id per token, then count) → TakeOrdered top-k; the
+    * token shuffle carries (token, doc_id) pairs, bounded by corpus token
+    * volume, and the final top-k never sorts the full vocabulary.
+    */
+  def textTopTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(50)
+
   /** Quality-score components per document. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -162,7 +176,8 @@ object TextQueries {
     "dedup_simhash" -> dedupSimhash,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
-    "text_quality" -> textQuality)
+    "text_quality" -> textQuality,
+    "text_top_tokens" -> textTopTokens)
 
   // ---- DuckDB oracle SQL ----------------------------------------------
   // hx(s) = first 8 hex chars of md5 as BIGINT (matches TextFunctions.h32)
@@ -261,6 +276,11 @@ object TextQueries {
          |       CAST(list_sum(list_transform(string_split(text, ' '),
          |            (t, i) -> ${hx("t")} * i)) % 1000000007 AS BIGINT) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_top_tokens" ->
+      """SELECT token, count(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang,
          |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
