@@ -95,6 +95,17 @@ object GraftPipeline {
         sum(when(!col("valid"), 1L).otherwise(0L)).as("error"))
       .select(col("w.start").as("window_start"), col("success"), col("error"))
 
+  /** Streaming exact dedup: drop records whose key columns repeat within
+    * the watermark horizon — the streaming form of dedup_exact (state
+    * bounded by the watermark; at 100 TB the state store holds one entry
+    * per distinct key seen inside the horizon, not per record).
+    */
+  def dedupStream(routed: DataFrame, keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    routed
+      .withWatermark("arrival_ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessions per stream over event time — the streaming form of
     * the batch pipe_sessionize query, via the built-in session_window
     * (state store managed by Spark; watermark bounds state growth).

@@ -176,6 +176,30 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(sessions == Seq((3L, 2L), (1L, 1L)))
   }
 
+  test("streaming exact dedup drops repeats within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val input = mem.toDF.toDF("topic", "payload", "arrival_ts")
+    val cfg = GraftConfig(payloadSchema = schema)
+    val deduped = GraftPipeline.dedupStream(
+      GraftPipeline.plan(input, cfg), Seq("topic", "value"), "5 minutes")
+    val ck = Files.createTempDirectory("dedup_ck").toString
+    val q = deduped.writeStream.format("memory").queryName("graft_dedup")
+      .outputMode("append").option("checkpointLocation", ck).start()
+
+    val p = """{"on": true, "watts": 1.0}"""
+    mem.addData(
+      ("t", p, Timestamp.valueOf("2026-01-01 10:00:00")),
+      ("t", p, Timestamp.valueOf("2026-01-01 10:00:30")), // dup within watermark
+      ("t", """{"on": true, "watts": 2.0}""", Timestamp.valueOf("2026-01-01 10:00:40")))
+    q.processAllAvailable()
+    mem.addData(("t", p, Timestamp.valueOf("2026-01-01 10:01:00"))) // still a dup
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.table("graft_dedup").count() == 2) // 1.0-watts once + 2.0-watts
+  }
+
   test("stateful per-stream counters report-and-reset via flatMapGroupsWithState") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.StatefulCounters
