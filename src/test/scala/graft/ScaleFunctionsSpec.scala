@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ScaleFunctions
+
+class ScaleFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 90% of rows share one key — the classic hot-key shape
+  private def skewed = (1 to 2000).map { i =>
+    (if (i % 10 == 0) s"key_${i % 7}" else "hot_key", i.toDouble)
+  }.toDF("k", "v")
+
+  private def dim = Seq("hot_key" -> "H", "key_0" -> "A", "key_1" -> "B",
+    "key_2" -> "C", "key_3" -> "D", "key_4" -> "E", "key_5" -> "F", "key_6" -> "G")
+    .toDF("k", "label")
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val plain = skewed.join(dim, "k").groupBy("label")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
+      .orderBy("label").collect().toSeq
+    val salted = ScaleFunctions.saltedJoin(skewed, dim, "k", salts = 8)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
+      .orderBy("label").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedSum equals direct aggregation") {
+    val direct = skewed.groupBy("k").agg(sum("v").as("sum_v"))
+      .orderBy("k").as[(String, Double)].collect().toSeq
+    val salted = ScaleFunctions.saltedSum(skewed, "k", "v", salts = 8)
+      .orderBy("k").as[(String, Double)].collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("salt spreads the hot key across distinct salt values") {
+    val saltCount = skewed
+      .withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(8)))
+      .filter(col("k") === "hot_key")
+      .select(countDistinct("_salt")).as[Long].head()
+    assert(saltCount > 1) // the hot key no longer lands in one partition
+  }
+}
