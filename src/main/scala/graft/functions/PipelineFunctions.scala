@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Pipeline scalar functions re-expressing the reference's per-message
   * operators as pure Catalyst `Column` expressions (codegen'd, no UDFs).
@@ -47,20 +47,63 @@ object PipelineFunctions {
   /** Fixed stream id (reference `--stream-id` short-circuit). */
   def fixedStreamId(id: String): Column = lit(id)
 
-  /** F1 — safe JSON parse: returns the parsed struct, NULL when malformed.
-    * Callers filter `parsed.isNotNull` to drop (and count) bad records,
-    * mirroring the reference's log-and-drop.
+  /** Name of the corrupt-record sidecar field appended by [[parseJsonLenient]]. */
+  val CorruptField = "_corrupt"
+
+  /** F1 — ONE JSON parse per row. `from_json` in PERMISSIVE mode with a
+    * corrupt-record sidecar column: the result struct carries the schema
+    * fields plus `_corrupt` (NULL when the payload parsed cleanly, the raw
+    * text otherwise; the whole struct is NULL for a NULL payload). Validity
+    * comes from the SAME parse — no second try_parse_json/variant pass.
     *
-    * NB: from_json PERMISSIVE alone returns an all-null-fields struct (not
-    * NULL) for malformed input, so validity is detected with
-    * try_parse_json (variant parse, NULL on malformed) — same JSON
-    * acceptance as the reference's JSON.parse, including scalar roots.
+    * Schema-first caveat (documented divergence): a well-formed non-object
+    * root (`5`, `"x"`, `[1]`) is corrupt under a struct schema, while the
+    * reference's JSON.parse accepts it (bin/mqtt-streamr.js:151). Field
+    * extraction needs an object root either way; routing-only pipelines
+    * (empty schema) should use [[jsonIsValid]] instead.
+    */
+  def parseJsonLenient(payload: Column, schema: StructType): Column =
+    from_json(payload, schema.add(CorruptField, StringType),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptField))
+
+  /** Stage `df` through a single-parse barrier: output = `keep` columns
+    * plus `alias` = the [[parseJsonLenient]] struct.
+    *
+    * The `inline(array(struct(...)))` generator is deliberate: a Generate
+    * node is an optimizer barrier. A plain Project stage survives
+    * CollapseProject (from_json is not "cheap"), but PushDownPredicates
+    * inlines any downstream filter's expression THROUGH a Project
+    * regardless of cost — a `filter(parsed.isNotNull)` re-derives the
+    * whole parse inside the Filter (and again per field at the consumer).
+    * Neither rule crosses a Generate, so every downstream reference —
+    * filters included — sees `alias` as a plain attribute: exactly one
+    * parse per row, verified in PLANS.md.
+    */
+  def withParsedJson(df: DataFrame, payload: Column, schema: StructType,
+      alias: String, keep: Column*): DataFrame =
+    df.select(keep :+ inline(array(struct(parseJsonLenient(payload, schema).as(alias)))): _*)
+
+  /** Validity predicate over a [[parseJsonLenient]] struct. */
+  def parseOk(parsed: Column): Column =
+    parsed.isNotNull && parsed.getField(CorruptField).isNull
+
+  /** Project the corrupt-record sidecar away: the parsed struct with
+    * exactly the user schema's fields (cheap ExtractValues when `parsed`
+    * is already an attribute behind the [[withParsedJson]] barrier).
+    */
+  def parsedPayload(parsed: Column, schema: StructType): Column =
+    struct(schema.map(f => parsed.getField(f.name).as(f.name)): _*)
+
+  /** Legacy convenience — parsed struct, NULL when malformed. NB: costs a
+    * try_parse_json pass PLUS a from_json pass, and inlines per reference
+    * downstream; hot paths must use [[withParsedJson]] instead.
     */
   def safeParseJson(payload: Column, schema: StructType): Column =
     when(jsonIsValid(payload), from_json(payload, schema, Map("mode" -> "PERMISSIVE")))
 
   /** True iff the payload is well-formed JSON (any root: object, array,
-    * scalar — JSON.parse semantics, bin/mqtt-streamr.js:151).
+    * scalar — JSON.parse semantics, bin/mqtt-streamr.js:151). One variant
+    * parse; right for routing-only validity where no fields are read.
     */
   def jsonIsValid(payload: Column): Column =
     payload.isNotNull && try_parse_json(payload).isNotNull

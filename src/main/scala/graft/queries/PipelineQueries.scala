@@ -40,15 +40,16 @@ object PipelineQueries {
     */
   def pipeParseStats(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val parsed = safeParseJson(col("props"), propsSchema)
-    ev.withColumn("parsed", parsed)
+    // single-parse barrier: `p` is an attribute downstream, every field /
+    // validity reference is a cheap ExtractValue (see withParsedJson doc)
+    withParsedJson(ev, col("props"), propsSchema, "p", col("ts"), col("event_type"))
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .groupBy("day", "event_type")
       .agg(
         count(lit(1)).as("n_total"),
-        sum(when(col("parsed").isNotNull, 1L).otherwise(0L)).as("n_success"),
-        sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_error"),
-        sum(col("parsed.k").cast("long")).as("sum_k"))
+        sum(when(parseOk(col("p")), 1L).otherwise(0L)).as("n_success"),
+        sum(when(!parseOk(col("p")), 1L).otherwise(0L)).as("n_error"),
+        sum(when(parseOk(col("p")), col("p.k").cast("long"))).as("sum_k"))
       .orderBy("day", "event_type")
   }
 
@@ -58,13 +59,12 @@ object PipelineQueries {
     */
   def pipeTransform(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val parsed = safeParseJson(col("props"), propsSchema)
-    ev.withColumn("parsed", parsed)
-      .filter(col("parsed").isNotNull)  // F1 drop-on-malformed
+    withParsedJson(ev, col("props"), propsSchema, "p", col("event_id"), col("value"))
+      .filter(parseOk(col("p")))  // F1 drop-on-malformed — same parse, no variant pass
       .select(
         col("event_id"),
-        col("parsed.k").as("k"),
-        (col("parsed.k") > 50).as("big"),
+        col("p.k").as("k"),
+        (col("p.k") > 50).as("big"),
         round(col("value") * 2, 2).as("v2"))
       .orderBy("event_id")
   }
@@ -76,10 +76,13 @@ object PipelineQueries {
     */
   def pipeJsonata(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val transformed = graft.jsonata.JsonataCompiler.transformJson(
+    val staged = withParsedJson(ev, col("props"), propsSchema, "p", col("event_id"))
+    // compile against the already-parsed attribute: the transform tree is
+    // cheap field math over `p`, so per-output-field inlining costs nothing
+    val transformed = graft.jsonata.JsonataCompiler.compile(
       """{"id2": k * 2, "big": k > 50, "label": "k=" & $string(k), "half": $round(k / 2, 1)}""",
-      col("props"), propsSchema)
-    ev.filter(jsonIsValid(col("props")))
+      col("p"), propsSchema)
+    staged.filter(parseOk(col("p")))
       .select(col("event_id"), transformed.as("out"))
       .select(col("event_id"), col("out.id2").as("id2"), col("out.big").as("big"),
         col("out.label").as("label"), col("out.half").as("half"))

@@ -61,25 +61,44 @@ object GraftPipeline {
     * Logger.js:13-15); the sink drops them.
     */
   def plan(input: DataFrame, cfg: GraftConfig): DataFrame = {
-    val valid = jsonIsValid(col("payload"))
-    val parsed = safeParseJson(col("payload"), cfg.payloadSchema)
-    val value: Column = cfg.transform match {
-      case Some(expr) => JsonataCompiler.compile(expr, parsed, cfg.payloadSchema)
-      case None => parsed
-    }
+    require(cfg.transform.isEmpty || cfg.payloadSchema.nonEmpty,
+      "a --transform needs a --payload-schema to resolve field references " +
+        "(this engine is schema-first; the reference infers at run time)")
     val streamId: Column = cfg.fixedStreamId match {
       case Some(id) => fixedStreamId(id) // constant-folds the whole derivation
       case None => streamIdTemplate(
         cfg.streamIdTemplate,
         topicTruncate(col("topic"), cfg.truncateTopicLevels))
     }
-    input.select(
-      col("topic"), col("arrival_ts"),
-      valid.as("valid"),
-      // malformed payloads never reach the transform in the reference
-      // (parse returns at js:154); mask so value is NULL when invalid
-      when(valid, value).as("value"),
-      streamId.as("stream_id"))
+    if (cfg.payloadSchema.isEmpty) {
+      // routing-only: no fields are read, so validity is a single variant
+      // parse (JSON.parse acceptance incl. scalar roots, js:151) and the
+      // record itself is carried as the raw payload string
+      val valid = jsonIsValid(col("payload"))
+      input.select(
+        col("topic"), col("arrival_ts"),
+        valid.as("valid"),
+        when(valid, col("payload")).as("value"),
+        streamId.as("stream_id"))
+    } else {
+      // single-parse barrier: `p` is an attribute here on out — validity,
+      // the transform, and every field reference read the SAME parse
+      // (the reference also parses exactly once, js:149-155)
+      val staged = withParsedJson(input, col("payload"), cfg.payloadSchema, "p",
+        col("topic"), col("arrival_ts"))
+      val valid = parseOk(col("p"))
+      val value: Column = cfg.transform match {
+        case Some(expr) => JsonataCompiler.compile(expr, col("p"), cfg.payloadSchema)
+        case None => parsedPayload(col("p"), cfg.payloadSchema)
+      }
+      staged.select(
+        col("topic"), col("arrival_ts"),
+        valid.as("valid"),
+        // malformed payloads never reach the transform in the reference
+        // (parse returns at js:154); mask so value is NULL when invalid
+        when(valid, value).as("value"),
+        streamId.as("stream_id"))
+    }
   }
 
   /** A1 — tumbling processing-time success/error counts (Logger.js:17-21:

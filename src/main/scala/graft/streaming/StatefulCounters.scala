@@ -31,12 +31,18 @@ object StatefulCounters {
             state.remove()
             Iterator.single(Report(streamId, c.success, c.error))
           } else {
-            val prev = state.getOption.getOrElse(Counts(0, 0))
+            val prevOpt = state.getOption
+            val prev = prevOpt.getOrElse(Counts(0, 0))
             var s = prev.success
             var e = prev.error
             rows.foreach(r => if (r.valid) s += 1 else e += 1)
             state.update(Counts(s, e))
-            state.setTimeoutDuration(intervalMillis)
+            // arm the timeout ONLY when the state is first created: a
+            // re-arm on every data batch would push the deadline out
+            // forever under steady traffic and no Report would ever fire
+            // (the reference's setInterval ticks regardless of traffic,
+            // src/Logger.js:17-21)
+            if (prevOpt.isEmpty) state.setTimeoutDuration(intervalMillis)
             Iterator.empty
           }
       }
