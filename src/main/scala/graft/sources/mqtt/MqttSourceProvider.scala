@@ -68,8 +68,14 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
     options.get("datatimeoutsecs").map(_.toLong * 1000).getOrElse(900000L)
   // admission control: cap records admitted per micro-batch so a burst
   // doesn't produce one giant batch (backlog drains over later triggers)
+  // AND bounds the driver buffer between triggers
   private val maxPerBatch =
     options.get("maxrecordsperbatch").map(_.toInt).getOrElse(Int.MaxValue)
+  // batch parallelism: slice each admitted range into ~this many records
+  // per task so one large drain doesn't serialize the downstream pipeline
+  // into a single task
+  private val targetPerPartition =
+    math.max(1, options.get("targetrecordsperpartition").map(_.toInt).getOrElse(2000))
 
   // driver-side state: total received count = offset; buffer holds
   // [committedBase, received) pending messages
@@ -95,11 +101,32 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
     MqttOffset(received)
   }
 
-  override def deserializeOffset(json: String): Offset = MqttOffset(json.toLong)
+  /** Restart re-base: a deserialized checkpoint offset strictly ahead of
+    * this (fresh) instance's counters means we restarted — the messages
+    * numbered [received, o) belong to the previous incarnation and are
+    * gone at QoS 0. Shift both counters so pending buffered messages
+    * renumber to [o, o + buffer.length): offsets stay monotonic in the
+    * checkpoint log and nothing received after restart is silently
+    * dropped by the slice in planInputPartitions. In-session offsets are
+    * always <= received, so this never fires mid-stream.
+    */
+  private def rebase(o: Long): Unit = synchronized {
+    if (o > received) {
+      committedBase = o
+      received = o + buffer.length
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.toLong
+    rebase(o)
+    MqttOffset(o)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
       val s = start.asInstanceOf[MqttOffset].count
+      rebase(s) // belt-and-braces if deserializeOffset was bypassed
       val e = end.asInstanceOf[MqttOffset].count
       // offsets before the committed base are gone (no replay at QoS 0)
       val from = math.max(s, committedBase)
@@ -107,7 +134,11 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
         .map(m => (m.topic, new String(m.payload, java.nio.charset.StandardCharsets.UTF_8),
           m.arrivalMillis * 1000L))
         .toArray
-      Array(MqttInputPartition(rows))
+      // one task per ~targetPerPartition records: a large drained batch
+      // fans out across executor threads instead of serializing the
+      // whole downstream pipeline into a single task
+      if (rows.length <= targetPerPartition) Array(MqttInputPartition(rows))
+      else rows.grouped(targetPerPartition).map(MqttInputPartition(_)).toArray[InputPartition]
     }
 
   override def createReaderFactory(): PartitionReaderFactory =

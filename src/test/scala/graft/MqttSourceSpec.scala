@@ -107,6 +107,59 @@ class MqttSourceSpec extends SparkTestBase {
     } finally broker.close()
   }
 
+  test("a large drained batch plans multiple input partitions") {
+    val broker = new MqttTestBroker()
+    try {
+      val stream = new graft.sources.mqtt.MqttMicroBatchStream(
+        Map("url" -> broker.url, "topics" -> "#", "targetrecordsperpartition" -> "2"))
+      var tries = 0
+      while (broker.subscriberCount == 0 && tries < 200) {
+        stream.latestOffset() // first call starts + subscribes the client
+        Thread.sleep(20); tries += 1
+      }
+      (1 to 5).foreach(i => broker.publish("t", s"m$i"))
+      var end = stream.latestOffset()
+      tries = 0
+      while (end.asInstanceOf[graft.sources.mqtt.MqttOffset].count < 5 && tries < 100) {
+        Thread.sleep(30); end = stream.latestOffset(); tries += 1
+      }
+      val parts = stream.planInputPartitions(graft.sources.mqtt.MqttOffset(0), end)
+      assert(parts.length == 3, s"expected ceil(5/2)=3 partitions, got ${parts.length}")
+      val sizes = parts.map(_.asInstanceOf[graft.sources.mqtt.MqttInputPartition].rows.length)
+      assert(sizes.toSeq == Seq(2, 2, 1))
+      stream.stop()
+    } finally broker.close()
+  }
+
+  test("restart from a checkpoint re-bases counters; new messages are not dropped") {
+    val broker = new MqttTestBroker()
+    try {
+      // fresh instance (counters at 0) simulates a restarted driver; the
+      // checkpointed start offset is far ahead of anything it has seen
+      val stream = new graft.sources.mqtt.MqttMicroBatchStream(
+        Map("url" -> broker.url, "topics" -> "#"))
+      val start = stream.deserializeOffset("50")
+      assert(start == graft.sources.mqtt.MqttOffset(50))
+      var tries = 0
+      while (broker.subscriberCount == 0 && tries < 200) {
+        stream.latestOffset()
+        Thread.sleep(20); tries += 1
+      }
+      (1 to 3).foreach(i => broker.publish("t", s"post-restart-$i"))
+      var end = stream.latestOffset()
+      tries = 0
+      while (end.asInstanceOf[graft.sources.mqtt.MqttOffset].count < 53 && tries < 100) {
+        Thread.sleep(30); end = stream.latestOffset(); tries += 1
+      }
+      // offsets continue monotonically past the checkpoint (no regression)
+      assert(end == graft.sources.mqtt.MqttOffset(53), s"end=$end")
+      val parts = stream.planInputPartitions(start, end)
+      val rows = parts.flatMap(_.asInstanceOf[graft.sources.mqtt.MqttInputPartition].rows)
+      assert(rows.map(_._2).toSeq == Seq("post-restart-1", "post-restart-2", "post-restart-3"))
+      stream.stop()
+    } finally broker.close()
+  }
+
   test("DSv2 mqtt source end-to-end through the full pipeline") {
     val broker = new MqttTestBroker()
     val ckDir = Files.createTempDirectory("mqtt_ck").toString
