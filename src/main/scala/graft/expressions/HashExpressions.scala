@@ -4,8 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.{Bridge, GraftImplicitCasts}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native kernels for the MinHash/SimHash hot path.
   *
@@ -25,8 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * h < 2^32, i+1 <= numHashes (small). Empty input yields NULL (callers
   * filter empty shingle sets out first).
   */
-case class MinHashFromHashes(child: Expression, numHashes: Int) extends UnaryExpression {
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with GraftImplicitCasts {
   override def prettyName: String = "graft_minhash"
+  // SQL registry path: coerce (array<int>) or reject instead of getLong
+  // misreading whatever ArrayData arrives
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -88,8 +92,10 @@ case class MinHashFromHashes(child: Expression, numHashes: Int) extends UnaryExp
   * result is set iff sum over elements of (+1 if bit i of h else -1) > 0.
   * Empty input yields 0 (matches the fold-from-zero HOF semantics).
   */
-case class SimHashFromHashes(child: Expression) extends UnaryExpression {
+case class SimHashFromHashes(child: Expression)
+    extends UnaryExpression with GraftImplicitCasts {
   override def prettyName: String = "graft_simhash"
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -156,8 +162,10 @@ case class SimHashFromHashes(child: Expression) extends UnaryExpression {
   * loop instead of a per-element expression tree (md5 -> hex string ->
   * substring -> base-16 parse).
   */
-case class ArrayH32(child: Expression) extends UnaryExpression {
+case class ArrayH32(child: Expression)
+    extends UnaryExpression with GraftImplicitCasts {
   override def prettyName: String = "graft_h32_array"
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 

@@ -4,8 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftbridge.{Bridge, GraftImplicitCasts}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the embedding-vector hot path.
   *
@@ -20,9 +20,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Null semantics match the HOF formulation: NULL input array, mismatched
   * lengths, or any NULL element yields NULL.
   */
-abstract class VectorBinaryExpression extends BinaryExpression {
-  // Inputs are always cast to array<double> by the VectorExpressions
-  // builders below, so no ExpectsInputTypes coercion is needed here.
+abstract class VectorBinaryExpression extends BinaryExpression with GraftImplicitCasts {
+  // The Column builders below cast to array<double> eagerly, but the SQL
+  // registry path (graft_dot(...) in raw SQL) hands over whatever the user
+  // wrote — declare input types so Catalyst coerces (array<int> literals)
+  // or rejects (non-arrays) instead of getDouble misreading the ArrayData.
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 }

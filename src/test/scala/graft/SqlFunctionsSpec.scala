@@ -19,6 +19,29 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(r.getInt(4) == 16)
   }
 
+  test("SQL arguments coerce via declared input types (no ArrayData misread)") {
+    GraftFunctions.register(spark)
+    // plain int-literal arrays: before ImplicitCastInputTypes these reached
+    // the kernels as array<int> and getDouble/getLong read garbage
+    val r = spark.sql(
+      """SELECT graft_dot(array(1, 2), array(3, 4)) AS d,
+        |       graft_cosine(array(1, 0), array(1, 0)) AS c,
+        |       size(graft_minhash16(array(7, 8, 9))) AS m,
+        |       graft_simhash(array(1, 2)) AS sh
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getInt(2) == 16)
+    // simhash of int-coerced hashes 1,2: bits 0 and 1 each appear once out
+    // of two elements -> counts 0, never > 0 -> result 0
+    assert(r.getLong(3) == 0L)
+    // non-array argument is a type error at analysis, not silent garbage
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot('abc', array(1.0d))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("SQL results match the Column-API kernels") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
