@@ -1,22 +1,26 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StringType
 
 /** Destination control-plane: get-or-create a named output stream and
   * optionally grant public read. The reference calls
   * client.getOrCreateStream + grantPermission once per distinct stream id,
   * memoized for the process lifetime (bin/mqtt-streamr.js:10,168-184).
-  * Implementations are driver-side only.
+  * Implementations are driver-side only. ensure() MUST be idempotent —
+  * the memo in [[RoutingSink]] is a bounded LRU, so an id can be
+  * re-ensured after eviction.
   */
 trait StreamRegistry extends Serializable {
   def ensure(streamId: String, publicRead: Boolean): Unit
 }
 
 /** Stream registry writing one directory per stream (the parquet-backed
-  * stand-in for the remote streaming service).
+  * stand-in for the remote streaming service). Idempotent: mkdirs and
+  * marker creation are no-ops when already present.
   */
 class FsStreamRegistry(root: String) extends StreamRegistry {
   override def ensure(streamId: String, publicRead: Boolean): Unit = {
@@ -30,30 +34,73 @@ class FsStreamRegistry(root: String) extends StreamRegistry {
   }
 }
 
+/** K3 — the publish step as an engine surface. The reference publishes
+  * each record to a remote streaming service (bin/mqtt-streamr.js:191-198);
+  * deployments plug their transport in here. foreachBatch delivery is
+  * at-least-once, so implementations MUST be idempotent per batchId —
+  * a replayed batch must not duplicate records downstream.
+  */
+trait StreamPublisher extends Serializable {
+  /** Publish one micro-batch of routed records
+    * (columns: topic, arrival_ts, value_json, stream_id).
+    */
+  def publish(routed: DataFrame, batchId: Long): Unit
+}
+
+/** Filesystem publisher: shuffle-free parquet fan-out partitioned by
+  * (stream_id, batch_id). Including batchId in the partitioning and
+  * writing with dynamic partition overwrite makes a replayed micro-batch
+  * overwrite exactly its own partitions — idempotent under foreachBatch's
+  * at-least-once replay, without touching other batches' output.
+  */
+class FsStreamPublisher(outDir: String) extends StreamPublisher {
+  override def publish(routed: DataFrame, batchId: Long): Unit =
+    routed
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .partitionBy("stream_id", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(outDir)
+}
+
 /** K1/K2/K3/K4 — the routing sink. Per micro-batch (or per batch run):
   *   1. drop invalid records (the reference already logged+counted them);
-  *   2. driver-side: distinct stream ids → ensure each exists exactly once
-  *      per process (memoized, surviving source reconnects like the
-  *      reference's module-scope cache, bin/mqtt-streamr.js:10);
-  *   3. write all records partitioned by stream_id (one shuffle-free
-  *      fan-out write; dynamic partition overwrite keeps idempotency).
+  *   2. driver-side: distinct stream ids → ensure each exists via the
+  *      registry, memoized like the reference's module-scope cache
+  *      (bin/mqtt-streamr.js:10) but LRU-BOUNDED: an unbounded id space
+  *      cannot grow driver memory without limit (SCALE.md). Eviction is
+  *      safe because ensure() is idempotent — a re-sighted id just
+  *      re-ensures.
+  *   3. hand all records to the [[StreamPublisher]] (default: partitioned
+  *      parquet fan-out, idempotent per batch).
   *
   * Scale notes: the ensure step moves |distinct new ids| strings to the
   * driver per batch — bounded by the id space, not the record count; the
-  * data path never collects. Unbounded id spaces should bound the memo
-  * with an LRU (SURVEY §7.4#2); creation is idempotent so eviction is
-  * safe.
+  * data path never collects.
   */
 class RoutingSink(
     registry: StreamRegistry,
-    outDir: String,
-    cfg: GraftConfig) extends Serializable {
+    publisher: StreamPublisher,
+    cfg: GraftConfig,
+    memoCap: Int = 10000) extends Serializable {
 
-  // driver-side memo: one ensure per distinct stream id per process
-  private val ensured = new ConcurrentHashMap[String, java.lang.Boolean]()
+  def this(registry: StreamRegistry, outDir: String, cfg: GraftConfig) =
+    this(registry, new FsStreamPublisher(outDir), cfg)
+
+  // driver-side LRU memo (access-ordered): one ensure per distinct stream
+  // id while it stays resident; re-ensure (idempotent) after eviction
+  private val ensured = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > memoCap
+    })
+
+  private val ensureCount = new AtomicLong(0L)
 
   /** Number of ensure() calls actually performed (for tests/metrics). */
-  @volatile var ensureCalls: Long = 0L
+  def ensureCalls: Long = ensureCount.get()
 
   def processBatch(batch: Dataset[Row], batchId: Long): Unit = {
     // Two actions consume this batch (distinct-ids collect, then the
@@ -74,19 +121,20 @@ class RoutingSink(
     if (!cfg.dryRun) {
       val ids = routed.select("stream_id").distinct().collect().map(_.getString(0))
       ids.foreach { id =>
-        ensured.computeIfAbsent(id, _ => {
-          registry.ensure(id, cfg.publicStreams) // K1 + K2, exactly once
-          ensureCalls += 1
-          java.lang.Boolean.TRUE
-        })
+        // get() touches the LRU access order; only a miss pays an ensure
+        if (ensured.get(id) == null) {
+          registry.ensure(id, cfg.publicStreams) // K1 + K2
+          ensureCount.incrementAndGet()
+          ensured.put(id, java.lang.Boolean.TRUE)
+        }
       }
-      routed
-        .withColumn("value_json", to_json(col("value")))
-        .drop("value")
-        .write
-        .partitionBy("stream_id")
-        .mode("append")
-        .parquet(outDir)
+      // routing-only pipelines carry the raw payload string as `value`;
+      // schema'd pipelines carry a struct — serialize those to JSON
+      val valueJson =
+        if (routed.schema("value").dataType == StringType) col("value")
+        else to_json(col("value"))
+      publisher.publish(
+        routed.withColumn("value_json", valueJson).drop("value"), batchId)
     }
   }
 

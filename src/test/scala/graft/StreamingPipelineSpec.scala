@@ -111,6 +111,50 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(!new java.io.File(outDir + "/data").exists())
   }
 
+  test("stream-id memo is LRU-bounded; eviction re-ensures idempotently") {
+    val registryRoot = Files.createTempDirectory("graft_lru_reg").toString
+    val outDir = Files.createTempDirectory("graft_lru_out").toString
+    val cfg = GraftConfig(payloadSchema = schema)
+    val sink = new RoutingSink(new FsStreamRegistry(registryRoot),
+      new FsStreamPublisher(outDir), cfg, memoCap = 2)
+
+    def batchFor(ids: String*) = ids.zipWithIndex.map { case (id, i) =>
+      ("t", Timestamp.valueOf("2026-01-01 10:00:00"), true, s"""{"i":$i}""", id)
+    }.toDF("topic", "arrival_ts", "valid", "value", "stream_id")
+
+    sink.processBatch(batchFor("a", "b"), 0)
+    assert(sink.ensureCalls == 2)
+    sink.processBatch(batchFor("a", "b"), 1) // both resident: no new ensures
+    assert(sink.ensureCalls == 2)
+    sink.processBatch(batchFor("c"), 2) // cap 2: evicts the LRU entry
+    assert(sink.ensureCalls == 3)
+    // the evicted id re-ensures (idempotent: fs registry mkdirs no-ops)
+    sink.processBatch(batchFor("a", "b", "c"), 3)
+    assert(sink.ensureCalls > 3, "an evicted id must re-ensure on re-sight")
+    // every id's registry entry exists exactly once despite re-ensures
+    val dirs = new java.io.File(registryRoot).listFiles().map(_.getName).toSet
+    assert(dirs == Set("a", "b", "c"))
+  }
+
+  test("replayed micro-batch does not duplicate published rows") {
+    val outDir = Files.createTempDirectory("graft_replay_out").toString
+    val regDir = Files.createTempDirectory("graft_replay_reg").toString
+    val cfg = GraftConfig(payloadSchema = schema)
+    val sink = new RoutingSink(new FsStreamRegistry(regDir),
+      new FsStreamPublisher(outDir), cfg)
+    val batch = Seq(
+      ("t", Timestamp.valueOf("2026-01-01 10:00:00"), true, """{"x":1}""", "s1"),
+      ("t", Timestamp.valueOf("2026-01-01 10:00:01"), true, """{"x":2}""", "s2"))
+      .toDF("topic", "arrival_ts", "valid", "value", "stream_id")
+
+    sink.processBatch(batch, 7)
+    sink.processBatch(batch, 7) // foreachBatch at-least-once replay
+    sink.processBatch(batch, 8) // a NEW batch still appends
+    val out = spark.read.parquet(outDir)
+    assert(out.filter(col("batch_id") === 7).count() == 2, "replay must overwrite, not append")
+    assert(out.count() == 4)
+  }
+
   test("fixed stream id short-circuits templating (single-stream mode)") {
     val input = Seq(("/a/b/c", """{"on":true,"watts":1.0}""", Timestamp.valueOf("2026-01-01 09:00:00")))
       .toDF("topic", "payload", "arrival_ts")
