@@ -4,17 +4,19 @@ package graft.jsonata
   * docs.jsonata.org; the reference exposes it via --transform,
   * bin/mqtt-streamr.js:48-51,108,157-159).
   *
-  * Supported surface (SURVEY §2.2 "mappable subset"):
+  * Supported surface (SURVEY §2.2 "mappable subset" + tier 2):
   *   paths a.b.c, `$` (context), array index a[0] / a[-1], predicates
-  *   a[price > 10], arithmetic + - * / %, comparisons = != < <= > >=,
-  *   `and` / `or`, string concat `&`, conditional ? :, object/array
-  *   constructors, and the $function library (string/numeric/array/
-  *   aggregation) that maps 1:1 onto Spark SQL functions.
+  *   a[price > 10], wildcard `*` and descendant `**` steps (compiled by
+  *   static schema enumeration), arithmetic + - * / %, comparisons
+  *   = != < <= > >=, `and` / `or`, string concat `&`, conditional ? :,
+  *   object/array constructors, block expressions `(e1; e2; ...)` with
+  *   `$x := expr` variable bindings (values and functions), user lambdas,
+  *   and the $function library (string/numeric/array/aggregation) that
+  *   maps 1:1 onto Spark SQL functions.
   *
-  * Not supported (documented degradations, SURVEY §7.4): descendant `**`,
-  * wildcards `*`, dynamic object keys, variable bindings `$x :=`,
-  * user lambdas, regex literals. These raise JsonataParseError at
-  * compile time rather than failing at run time.
+  * Not supported (documented degradations, SURVEY §7.4): dynamic object
+  * keys, regex literals. These raise JsonataParseError at compile time
+  * rather than failing at run time.
   */
 sealed trait JNode
 
@@ -32,11 +34,15 @@ case class JLambda(params: List[String], body: JNode) extends JNode // function(
 case class JVarRef(name: String) extends JNode // $x inside a lambda body
 case class JObject(fields: List[(String, JNode)]) extends JNode
 case class JArray(items: List[JNode]) extends JNode
+case class JBind(name: String, value: JNode) extends JNode  // $x := expr
+case class JBlock(exprs: List[JNode]) extends JNode         // (e1; e2; ...)
 
 sealed trait JStep
 case class JField(name: String) extends JStep
 case class JIndex(i: Int) extends JStep                     // numeric-literal bracket
 case class JPredicate(pred: JNode) extends JStep            // boolean bracket
+case object JWildcard extends JStep                         // `*` — all child values
+case object JDescendant extends JStep                       // `**` — all values at any depth
 
 class JsonataParseError(msg: String) extends RuntimeException(msg)
 class JsonataCompileError(msg: String) extends RuntimeException(msg)

@@ -21,17 +21,37 @@ import org.apache.spark.sql.types._
   * sequence HOFs ($map/$filter/$reduce/$sort/$zip) and compile to Spark
   * higher-order-function lambdas — still zero run-time interpretation.
   *
+  * Tier-2 surface (schema-static compilation of the dynamic features):
+  *  - `$x := expr` bindings inside block expressions `(e1; e2; ...)` —
+  *    value bindings compile to shared Column subtrees, function bindings
+  *    (`$f := function($x){...}`) inline at every call site;
+  *  - wildcard `*` — enumerated from the static schema: all child values
+  *    of a struct (or map_values of a map), unified to one element type;
+  *  - descendant `**` followed by a field step — every schema path ending
+  *    in that field, at any depth, enumerated at compile time (arrays and
+  *    maps traversed with transform), concatenated in document order.
+  *
   * Documented divergences from full JSONata (all raise at compile time,
-  * never silently differ): no `**`/`*` paths, no `$x :=` variable
-  * bindings (lambda parameters ARE supported), object keys must be
-  * literals, $round is half-up (Spark) not half-even, $string uses
-  * Spark's number formatting, $sort comparators cannot signal equality.
+  * never silently differ): object keys must be literals, a lone `**`
+  * (no following field) is rejected, mixed-type wildcard sequences unify
+  * to a common type (string in the worst case) instead of staying
+  * heterogeneous, $string uses Spark's number formatting, $sort
+  * comparators cannot signal equality.
   */
 object JsonataCompiler {
 
   case class Typed(col: Column, dt: DataType)
 
-  private type Env = Map[String, Typed]
+  /** A `$name` binding: a value (Column subtree) or a user function. */
+  private sealed trait Binding
+  private case class BVal(t: Typed) extends Binding
+  private case class BFun(lam: JLambda) extends Binding
+
+  private type Env = Map[String, Binding]
+
+  /** Guard against unbounded inlining of `$f :=` function bindings. */
+  private val inlineDepth: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 
   def compile(src: String, input: Column, schema: DataType): Column =
     compileNode(JsonataParser.parse(src), Typed(input, schema), Map.empty).col
@@ -50,11 +70,36 @@ object JsonataCompiler {
     case JBool(v) => Typed(lit(v), BooleanType)
     case JNull => Typed(lit(null).cast(StringType), NullType)
     case JContext => ctx
-    case JVarRef(name) => env.getOrElse(name, throw new JsonataCompileError(
-      s"unbound variable $$$name (only lambda parameters can be referenced)"))
+    case JVarRef(name) => env.get(name) match {
+      case Some(BVal(t)) => t
+      case Some(BFun(_)) => throw new JsonataCompileError(
+        s"$$$name is bound to a function; call it: $$$name(...)")
+      case None => throw new JsonataCompileError(
+        s"unbound variable $$$name (bind with ($$$name := ...; ...) or a lambda parameter)")
+    }
     case _: JLambda => throw new JsonataCompileError(
-      "a lambda is only legal as an argument to $map/$filter/$reduce/$sort")
-    case JPath(steps) => steps.foldLeft(ctx)((acc, s) => step(acc, s, env))
+      "a lambda is only legal as a function argument or a $var := binding")
+    case JBlock(exprs) =>
+      // bindings scope over the remaining exprs; block value = last expr
+      var e = env
+      var last: Option[Typed] = None
+      exprs.foreach {
+        case JBind(n, v) =>
+          val b = bindingOf(v, ctx, e)
+          e += (n -> b)
+          last = b match { case BVal(t) => Some(t); case BFun(_) => None }
+        case other => last = Some(compileNode(other, ctx, e))
+      }
+      last.getOrElse(throw new JsonataCompileError(
+        "a block ending in a function binding has no value"))
+    case JBind(_, v) =>
+      // a bare binding outside a block: its value is the bound value
+      bindingOf(v, ctx, env) match {
+        case BVal(t) => t
+        case BFun(_) => throw new JsonataCompileError(
+          "a function binding needs a block to be called in: ($f := ...; $f(x))")
+      }
+    case JPath(steps) => compileSteps(steps, ctx, env)
     case JUnaryMinus(e) =>
       val t = num(compileNode(e, ctx, env))
       Typed(-t.col, t.dt)
@@ -79,15 +124,44 @@ object JsonataCompiler {
           case JNumber(i) => step(acc, JIndex(i.toInt), env)
           case JString(f) => step(acc, JField(f), env)
           case JFunc("__pred", List(p)) => step(acc, JPredicate(p), env)
+          case JFunc("__wild", Nil) => step(acc, JWildcard, env)
           case other => throw new JsonataCompileError(s"bad chain step $other")
         }
       }
     case JFunc(name, args) => function(name, args, ctx, env)
   }
 
+  /** Compile a binding's right-hand side: lambdas (and references to
+    * already-bound functions) bind as functions, everything else compiles
+    * eagerly to a value.
+    */
+  private def bindingOf(v: JNode, ctx: Typed, env: Env): Binding = v match {
+    case l: JLambda => BFun(l)
+    case JVarRef(n) if env.get(n).exists(_.isInstanceOf[BFun]) => env(n)
+    case other => BVal(compileNode(other, ctx, env))
+  }
+
   // ---- path steps -------------------------------------------------------
 
+  /** Left-fold of path steps. `**` consumes the following field step (the
+    * descendant search target); all other steps go through [[step]].
+    */
+  private def compileSteps(steps: List[JStep], ctx: Typed, env: Env): Typed =
+    steps match {
+      case Nil => ctx
+      case JDescendant :: JField(name) :: rest =>
+        compileSteps(rest, descend(ctx, name), env)
+      case JDescendant :: other =>
+        throw new JsonataCompileError(
+          s"`**` must be followed by a field name (schema-static descendant search); " +
+            s"found ${other.headOption.getOrElse("end of path")}")
+      case s :: rest => compileSteps(rest, step(ctx, s, env), env)
+    }
+
   private def step(ctx: Typed, s: JStep, env: Env): Typed = s match {
+    case JWildcard => wildcard(ctx)
+    case JDescendant => throw new JsonataCompileError(
+      "`**` must be followed by a field name") // unreachable via compileSteps
     case JField(name) => ctx.dt match {
       case st: StructType =>
         st.find(_.name == name) match {
@@ -125,6 +199,85 @@ object JsonataCompiler {
       case dt =>
         Typed(when(bool(compileNode(p, ctx, env)), ctx.col), dt)
     }
+  }
+
+  /** `*` — all child values as a sequence, enumerated from the schema.
+    * Mixed child types unify ([[unify]]); array-valued children flatten
+    * (JSONata sequences don't nest); nulls (absent fields) drop out.
+    */
+  private def wildcard(ctx: Typed): Typed = ctx.dt match {
+    case st: StructType =>
+      if (st.fields.isEmpty)
+        throw new JsonataCompileError("`*` on an empty object schema")
+      combine(st.fields.toSeq.map(f => Typed(ctx.col.getField(f.name), f.dataType)))
+    case MapType(_, vt, _) =>
+      combine(Seq(Typed(map_values(ctx.col), ArrayType(vt))))
+    case ArrayType(st: StructType, _) =>
+      // sequence of objects: wildcard maps over elements, then flattens
+      combine(st.fields.toSeq.map(f =>
+        Typed(transform(ctx.col, x => x.getField(f.name)), ArrayType(f.dataType))))
+    case other => throw new JsonataCompileError(
+      s"`*` needs an object (struct/map) schema, got ${other.simpleString}")
+  }
+
+  /** `**.name` — every value of a field called `name` at ANY depth,
+    * enumerated statically from the schema (depth-first, document order).
+    * Arrays and maps along the way are traversed with transform(), so the
+    * whole search stays a single codegen'd expression — no runtime
+    * schema walk, no UDF.
+    */
+  private def descend(ctx: Typed, name: String): Typed = {
+    val sites = descendSites(ctx.dt, name)
+    if (sites.isEmpty) throw new JsonataCompileError(
+      s"`**.$name`: no field '$name' at any depth in ${ctx.dt.simpleString}")
+    combine(sites.map { case (accessor, dt) => Typed(accessor(ctx.col), dt) })
+  }
+
+  /** All accessors reaching a field named `name`, with their types. */
+  private def descendSites(dt: DataType, name: String): Seq[(Column => Column, DataType)] =
+    dt match {
+      case st: StructType =>
+        st.fields.toSeq.flatMap { f =>
+          val self: Seq[(Column => Column, DataType)] =
+            if (f.name == name) Seq(((c: Column) => c.getField(f.name), f.dataType)) else Nil
+          self ++ descendSites(f.dataType, name).map { case (a, d) =>
+            ((c: Column) => a(c.getField(f.name)), d)
+          }
+        }
+      case ArrayType(et, _) =>
+        descendSites(et, name).map { case (a, d) =>
+          ((c: Column) => transform(c, x => a(x)), ArrayType(d))
+        }
+      case MapType(_, vt, _) =>
+        descendSites(vt, name).map { case (a, d) =>
+          ((c: Column) => transform(map_values(c), x => a(x)), ArrayType(d))
+        }
+      case _ => Nil
+    }
+
+  /** Concatenate heterogeneous values/sequences into one flat sequence of
+    * a unified element type, dropping nulls (JSONata: undefined vanishes
+    * from sequences). NULL sub-sequences (absent subtrees) contribute
+    * nothing rather than nulling the whole concat.
+    */
+  private def combine(items: Seq[Typed]): Typed = {
+    val flat = items.map(fullyFlatten)
+    val et = flat.map(_.dt.asInstanceOf[ArrayType].elementType).reduce(unify)
+    val parts = flat.map(t =>
+      coalesce(t.col.cast(ArrayType(et)), array().cast(ArrayType(et))))
+    val cat = if (parts.length == 1) parts.head else concat(parts: _*)
+    Typed(filter(cat, x => x.isNotNull), ArrayType(et))
+  }
+
+  /** Scalar -> singleton array; nested arrays -> flattened one array.
+    * Null sub-arrays (absent subtrees) are dropped first — Spark's
+    * flatten() yields NULL if any element is NULL.
+    */
+  private def fullyFlatten(t: Typed): Typed = t.dt match {
+    case ArrayType(inner: ArrayType, _) =>
+      fullyFlatten(Typed(flatten(filter(t.col, x => x.isNotNull)), inner))
+    case ArrayType(_, _) => t
+    case dt => Typed(array(t.col), ArrayType(dt))
   }
 
   // ---- operators --------------------------------------------------------
@@ -179,12 +332,17 @@ object JsonataCompiler {
       if (!n.contains(args.length)) throw new JsonataCompileError(
         s"$$$name expects ${n.mkString("/")} args, got ${args.length}")
 
-    /** A function-valued argument: a lambda literal, or a builtin passed
-      * by name ($map(arr, $uppercase)).
+    /** A function-valued argument: a lambda literal, a `$f :=`-bound user
+      * function, or a builtin passed by name ($map(arr, $uppercase)).
       */
     def lambdaOf(n: JNode): JLambda = n match {
       case l: JLambda => l
-      case JVarRef(fn) => JLambda(List("__x"), JFunc(fn, List(JVarRef("__x"))))
+      case JVarRef(fn) => env.get(fn) match {
+        case Some(BFun(l)) => l
+        case Some(BVal(_)) => throw new JsonataCompileError(
+          s"$$$fn is bound to a value, not a function")
+        case None => JLambda(List("__x"), JFunc(fn, List(JVarRef("__x"))))
+      }
       case other => throw new JsonataCompileError(s"expected a function argument, got $other")
     }
 
@@ -193,7 +351,25 @@ object JsonataCompiler {
       if (lam.params.length > bindings.length)
         throw new JsonataCompileError(
           s"lambda takes ${lam.params.length} params; only ${bindings.length} available here")
-      compileNode(lam.body, ctx, env ++ lam.params.zip(bindings).toMap)
+      compileNode(lam.body, ctx,
+        env ++ lam.params.zip(bindings.map(BVal(_): Binding)).toMap)
+    }
+
+    // a `$f := function(...)` binding shadows the builtin library: calls
+    // inline the lambda body at the call site (zero runtime dispatch)
+    env.get(name) match {
+      case Some(BFun(lam)) =>
+        if (lam.params.length != args.length) throw new JsonataCompileError(
+          s"$$$name expects ${lam.params.length} args, got ${args.length}")
+        // inlining has no call stack: recursive bindings can't terminate
+        val depth = inlineDepth.get()
+        if (depth > 64) throw new JsonataCompileError(
+          s"$$$name: recursive (or too deeply nested) function bindings are not " +
+            "supported — compiled expressions have no runtime call stack")
+        inlineDepth.set(depth + 1)
+        try return applyLambda(lam, args.map(compileNode(_, ctx, env)))
+        finally inlineDepth.set(depth)
+      case _ => ()
     }
 
     name match {
@@ -253,7 +429,8 @@ object JsonataCompiler {
           case None => 0
           case _ => throw new JsonataCompileError("$round precision must be a literal")
         }
-        Typed(round(num(arg(0)).col, p), DoubleType)
+        // JSONata rounds half-to-even (banker's), like bround — NOT half-up
+        Typed(bround(num(arg(0)).col, p), DoubleType)
       case "power" => arity(2); Typed(pow(num(arg(0)).col, num(arg(1)).col), DoubleType)
       case "sqrt" => arity(1); Typed(sqrt(num(arg(0)).col), DoubleType)
       case "formatBase" =>

@@ -93,7 +93,13 @@ object JsonataParser {
       if (opIs(v)) pos += 1
       else throw new JsonataParseError(s"expected '$v', found $peek")
 
-    def expr(): JNode = conditional()
+    /** binding (lowest precedence, right-assoc): $x := expr */
+    def expr(): JNode = cur match {
+      case Some(TVar(n)) if n.nonEmpty && pos + 1 < toks.length && toks(pos + 1) == TOp(":=") =>
+        advance(); advance()
+        JBind(n, expr())
+      case _ => conditional()
+    }
 
     private def conditional(): JNode = {
       val c = orExpr()
@@ -179,6 +185,8 @@ object JsonataParser {
           val t = advance() match {
             case TName(n) => JField(n)
             case TStr(n) => JField(n)
+            case TOp("*") => JWildcard
+            case TOp("**") => JDescendant
             case other => throw new JsonataParseError(s"expected field name after '.', found $other")
           }
           asPath(); steps = steps :+ t
@@ -203,6 +211,9 @@ object JsonataParser {
             case JIndex(i) => JNumber(i)
             case JPredicate(p) => JFunc("__pred", List(p))
             case JField(n) => JString(n)
+            case JWildcard => JFunc("__wild", Nil)
+            case JDescendant => throw new JsonataParseError(
+              "`**` after a non-path expression is not supported")
           })
         case b => b
       }
@@ -244,13 +255,22 @@ object JsonataParser {
           expect(")")
           JFunc(fn, args.toList)
         } else if (opIs(":=")) {
+          // expr() handles bindings at expression heads; reaching here means
+          // := appeared mid-expression, e.g. `1 + $x := 2`
           throw new JsonataParseError(
-            s"variable binding \\$$$fn := is not in the supported subset")
-        } else JVarRef(fn) // lambda-bound variable reference
+            s"variable binding $$$fn := must start an expression (wrap in parens)")
+        } else JVarRef(fn) // bound variable reference
       case TOp("(") =>
-        val e = expr()
+        // block: (e1; e2; ...) — bindings scope over later exprs; the
+        // block's value is the last expression's value
+        val exprs = ListBuffer(expr())
+        while (opIs(";")) {
+          advance()
+          if (!opIs(")")) exprs += expr() // tolerate a trailing ';'
+        }
         expect(")")
-        e
+        if (exprs.length == 1 && !exprs.head.isInstanceOf[JBind]) exprs.head
+        else JBlock(exprs.toList)
       case TOp("{") =>
         val fields = ListBuffer.empty[(String, JNode)]
         if (!opIs("}")) {
@@ -276,8 +296,8 @@ object JsonataParser {
         }
         expect("]")
         JArray(items.toList)
-      case TOp("*") | TOp("**") =>
-        throw new JsonataParseError("wildcard/descendant paths are not in the supported subset")
+      case TOp("*") => JPath(List(JWildcard))
+      case TOp("**") => JPath(List(JDescendant))
       case other => throw new JsonataParseError(s"unexpected token $other")
     }
   }

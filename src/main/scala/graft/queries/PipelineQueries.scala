@@ -89,6 +89,36 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** T1 tier-2 surface: variable bindings, descendant `**` search, and
+    * wildcard `*` compiled schema-statically. The payload is a nested JSON
+    * document synthesized per event (as an MQTT device would send), parsed
+    * once, then transformed with
+    * `($t := $sum(**.k); {...})` — binding shared, descendants enumerated
+    * from the schema at compile time, zero runtime interpretation.
+    */
+  def pipeJsonataT2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val nestedSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("sub", StructType(Seq(
+        StructField("k", LongType),
+        StructField("deep", StructType(Seq(StructField("k", LongType)))))))))
+    val payload = concat(
+      lit("""{"k": """), (col("user_id") % 100).cast("string"),
+      lit(""", "sub": {"k": """), (col("event_id") % 10).cast("string"),
+      lit(""", "deep": {"k": 7}}}"""))
+    val staged = withParsedJson(ev.withColumn("payload", payload),
+      col("payload"), nestedSchema, "p", col("event_id"))
+    val out = graft.jsonata.JsonataCompiler.compile(
+      """($t := $sum(**.k); {"total": $t, "twice": $t * 2,
+        |  "deepk": $sum(sub.**.k), "subdeep": $sum(sub.deep.*)})""".stripMargin,
+      col("p"), nestedSchema)
+    staged.select(col("event_id"), out.as("o"))
+      .select(col("event_id"), col("o.total").as("total"), col("o.twice").as("twice"),
+        col("o.deepk").as("deepk"), col("o.subdeep").as("subdeep"))
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization over the event stream (30-min inactivity gap)
     * — the batch analog of stateful stream sessionization; lag + running
     * sum of new-session flags, all window functions (single shuffle on
@@ -167,6 +197,7 @@ object PipelineQueries {
     "pipe_parse_stats" -> pipeParseStats,
     "pipe_transform" -> pipeTransform,
     "pipe_jsonata" -> pipeJsonata,
+    "pipe_jsonata_t2" -> pipeJsonataT2,
     "pipe_asof_join" -> pipeAsofJoin,
     "pipe_sessionize" -> pipeSessionize,
     "pipe_stats_cube" -> pipeStatsCube)
@@ -201,6 +232,13 @@ object PipelineQueries {
         |       'k=' || CAST(props->>'$.k' AS BIGINT) AS label,
         |       round(CAST(props->>'$.k' AS BIGINT) / 2.0, 1) AS half
         |FROM events WHERE json_valid(props) ORDER BY event_id""".stripMargin,
+    "pipe_jsonata_t2" ->
+      """SELECT event_id,
+        |       CAST((user_id % 100) + (event_id % 10) + 7 AS DOUBLE) AS total,
+        |       CAST(((user_id % 100) + (event_id % 10) + 7) * 2 AS DOUBLE) AS twice,
+        |       CAST((event_id % 10) + 7 AS DOUBLE) AS deepk,
+        |       CAST(7 AS DOUBLE) AS subdeep
+        |FROM events ORDER BY event_id""".stripMargin,
     "pipe_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
         |           FROM events WHERE event_type = 'purchase'),

@@ -181,10 +181,104 @@ class JsonataSpec extends SparkTestBase {
   }
 
   test("unsupported constructs raise at compile time, not run time") {
-    intercept[JsonataParseError](JsonataParser.parse("**.t"))
-    intercept[JsonataParseError](JsonataParser.parse("$x := 1"))
+    // dynamic object keys
+    intercept[JsonataParseError](JsonataParser.parse("{$uppercase(name): 1}"))
+    // binding mid-expression (JSONata also rejects this without parens)
+    intercept[JsonataParseError](JsonataParser.parse("1 + $x := 2"))
     intercept[JsonataCompileError](
       evalOn(sensorJson, sensorSchema, "$unknownfn(name)"))
+  }
+
+  // ---- tier 2: wildcards, descendants, variable bindings ----------------
+
+  private val deepSchema = StructType(Seq(
+    StructField("value", LongType),
+    StructField("a", StructType(Seq(
+      StructField("value", LongType),
+      StructField("b", StructType(Seq(StructField("value", LongType))))))),
+    StructField("arr", ArrayType(StructType(Seq(StructField("value", LongType)))))))
+  private val deepJson =
+    """{"value": 1, "a": {"value": 2, "b": {"value": 3}}, "arr": [{"value": 4}, {"value": 5}]}"""
+
+  test("wildcard *: all child values of an object") {
+    // meta.* over nested doc: single string child
+    val r = evalOn(nestedJson, nestedSchema, "meta.*")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(r == Seq("1.2"))
+    // homogeneous numeric children sum like JSONata $sum($.*)
+    val s = StructType(Seq(StructField("pt", StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType))))))
+    assert(evalOn("""{"pt": {"x": 3, "y": 4}}""", s, "$sum(pt.*)") == 7.0)
+  }
+
+  test("wildcard *.field navigates each child (sequence semantics)") {
+    val s = StructType(Seq(
+      StructField("s1", StructType(Seq(StructField("v", DoubleType)))),
+      StructField("s2", StructType(Seq(StructField("v", DoubleType))))))
+    val r = evalOn("""{"s1": {"v": 1.5}, "s2": {"v": 2.5}}""", s, "*.v")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(r == Seq(1.5, 2.5))
+  }
+
+  test("wildcard drops absent (null) children like JSONata drops undefined") {
+    val s = StructType(Seq(StructField("pt", StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType))))))
+    val r = evalOn("""{"pt": {"x": 3}}""", s, "pt.*")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(r == Seq(3L))
+  }
+
+  test("descendant **.field finds every depth incl. through arrays") {
+    val r = evalOn(deepJson, deepSchema, "**.value")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(r == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(evalOn(deepJson, deepSchema, "$sum(**.value)") == 15.0)
+    // scoped descent: a.**.value skips the root and the array
+    val scoped = evalOn(deepJson, deepSchema, "a.**.value")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(scoped == Seq(2L, 3L))
+  }
+
+  test("descendant over absent subtree contributes nothing, not null") {
+    val r = evalOn("""{"value": 1}""", deepSchema, "**.value")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(r == Seq(1L))
+  }
+
+  test("`**` without a following field is a compile error") {
+    intercept[JsonataCompileError](evalOn(deepJson, deepSchema, "**"))
+  }
+
+  test("block with value bindings: ($x := expr; ...) ") {
+    assert(evalOn(sensorJson, sensorSchema, "($x := watts * 2; $x + 1)") == 16.0)
+    // a binding referenced twice compiles (Columns are trees — the
+    // subtree duplicates, but semantics hold)
+    assert(evalOn(sensorJson, sensorSchema, "($x := watts; $x + $x)") == 15.0)
+    // later bindings see earlier ones; block value is the last expr
+    assert(evalOn(sensorJson, sensorSchema,
+      "($a := 2; $b := $a * 3; $b + watts)") == 13.5)
+  }
+
+  test("function bindings: ($f := function($v){...}; $f(x))") {
+    assert(evalOn(sensorJson, sensorSchema,
+      "($f := function($v) { $v * 10 }; $f(watts))") == 75.0)
+    // bound functions work as HOF arguments too
+    val r = evalOn(nestedJson, nestedSchema,
+      "($scale := function($x) { $x * 2 }; $map(readings.t, $scale))")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(r == Seq(43.0, 44.2))
+  }
+
+  test("recursive function binding raises a clear compile error") {
+    intercept[JsonataCompileError](evalOn(sensorJson, sensorSchema,
+      "($f := function($x) { $f($x) }; $f(1))"))
+  }
+
+  test("$round is half-even (banker's), matching JSONata") {
+    assert(evalOn(sensorJson, sensorSchema, "$round(2.5)") == 2.0)
+    assert(evalOn(sensorJson, sensorSchema, "$round(3.5)") == 4.0)
+    assert(evalOn(sensorJson, sensorSchema, "$round(-2.5)") == -2.0)
+    assert(evalOn(sensorJson, sensorSchema, "$round(2.25, 1)") == 2.2)
   }
 
   test("malformed payload: whole transform yields null on null input struct") {
