@@ -25,7 +25,11 @@ object Tables {
     * surfaces the column as a µs TIMESTAMP).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // prefer setting this at session build (Bench/Verify do); only flip it
+    // when the builder didn't (the conf's registered default is false) —
+    // avoids re-mutating session state on every load
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

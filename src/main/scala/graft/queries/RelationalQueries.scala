@@ -85,18 +85,22 @@ object RelationalQueries {
 
   /** Running-total analytic window per supplier over shipdate. */
   def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
-    // ship_day sorts identically to l_shipdate (yyyy-MM-dd is ordinal),
-    // so the window can order by the projected string column.
+    // Sort on the native DATE column (int comparisons) everywhere —
+    // yyyy-MM-dd formats to the same ORDER, but comparing 10-char strings
+    // in both the window sort and the output range-sort costs real time
+    // on the full 60k-row (and at scale, multi-TB) relation. ship_day is
+    // formatted once, after the sorts are planned.
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("ship_day", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
-        col("l_quantity"))
+        col("l_shipdate"), col("l_quantity"))
       .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
-      .drop("l_quantity")
-      .orderBy("l_suppkey", "ship_day", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        col("running_qty"))
   }
 
   /** Set operations: O-status buyers EXCEPT F-status buyers, INTERSECT
