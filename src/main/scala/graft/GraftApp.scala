@@ -14,7 +14,7 @@ import graft.streaming._
   * Usage:
   *   runMain graft.GraftApp --mqtt-url tcp://host:1883 --topic 'a/+/c'
   *     [--topic 'b/#']... [--stream-id ID | --stream-id-template TPL]
-  *     [--truncate-topic N] [--transform JSONATA]
+  *     [--truncate-topic N] [--transform JSONATA] [--private-key KEY]
   *     [--payload-schema 'a INT, b STRING'] [--public] [--dry-run]
   *     [--verbose] [--log-interval SECS] [--reconnect-on-data-timeout SECS]
   *     --out-dir DIR [--registry-dir DIR] [--checkpoint DIR] [--once]
@@ -49,6 +49,7 @@ object GraftApp {
         case "--stream-id-template" => cfg = cfg.copy(streamIdTemplate = next())
         case "--truncate-topic" => cfg = cfg.copy(truncateTopicLevels = next().toInt)
         case "--transform" => cfg = cfg.copy(transform = Some(next()))
+        case "--private-key" => cfg = cfg.copy(privateKey = Some(next()))
         case "--payload-schema" => cfg = cfg.copy(payloadSchema = StructType.fromDDL(next()))
         case "--public" => cfg = cfg.copy(publicStreams = true)
         case "--dry-run" => cfg = cfg.copy(dryRun = true)
@@ -63,8 +64,9 @@ object GraftApp {
       }
       i += 1
     }
-    // required options, as in the reference (js:67); private-key has no
-    // analog here (the registry is pluggable)
+    // required options, as in the reference (js:67); --private-key stays
+    // OPTIONAL (documented divergence: the fs registry needs no auth);
+    // when given, created streams record the derived principal
     require(cfg.mqttUrl.nonEmpty, "--mqtt-url is required")
     require(topics.nonEmpty, "--topic is required (repeatable)")
     require(outDir.nonEmpty, "--out-dir is required")
@@ -99,7 +101,9 @@ object GraftApp {
         sum(when(col("valid"), 1L).otherwise(0L)).as("success"),
         sum(when(!col("valid"), 1L).otherwise(0L)).as("error"))
 
-    val sink = new RoutingSink(new FsStreamRegistry(app.registryDir), app.outDir, cfg)
+    val registry = new FsStreamRegistry(app.registryDir,
+      cfg.privateKey.map(FsStreamRegistry.principalOf))
+    val sink = new RoutingSink(registry, new FsStreamPublisher(app.outDir), cfg)
     val stats = new StatsListener()
     spark.streams.addListener(stats)
 

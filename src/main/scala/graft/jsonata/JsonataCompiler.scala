@@ -533,6 +533,16 @@ object JsonataCompiler {
         }
       case "reverse" => arity(1); val a = asArr(arg(0)); Typed(reverse(a.col), a.dt)
       case "distinct" => arity(1); val a = asArr(arg(0)); Typed(array_distinct(a.col), a.dt)
+      case "shuffle" => arity(1); val a = asArr(arg(0)); Typed(shuffle(a.col), a.dt)
+
+      // regex (pattern is a string literal; JSONata regex literals /../
+      // are not in the tokenizer). Degradation: returns the matched
+      // substrings, not JSONata's {match, index, groups} objects.
+      case "match" =>
+        arity(2, 3)
+        val matches = regexp_extract_all(str(arg(0)), lit(litStr(args(1))), lit(0))
+        Typed(argOpt(2).map(l => slice(matches, lit(1), num(l).col.cast(IntegerType)))
+          .getOrElse(matches), ArrayType(StringType))
 
       // boolean / existence
       case "not" => arity(1); Typed(!bool(arg(0)), BooleanType)
@@ -557,6 +567,49 @@ object JsonataCompiler {
           case _: StructType => step(obj, JField(litStr(args(1))), env)
           case MapType(_, vt, _) => Typed(element_at(obj.col, litStr(args(1))), vt)
           case other => throw new JsonataCompileError(s"$$lookup on ${other.simpleString}")
+        }
+      case "spread" =>
+        // $spread(obj) — JSONata: array of single-key objects. Typed
+        // degradation: array of {key, value} entries (what map_entries
+        // gives a map); struct values unify to one type.
+        arity(1)
+        arg(0).dt match {
+          case st: StructType =>
+            val vt = st.fields.map(_.dataType).reduceOption(unify).getOrElse(StringType)
+            val entries = st.fields.toSeq.map(f => struct(
+              lit(f.name).as("key"),
+              arg(0).col.getField(f.name).cast(vt).as("value")))
+            Typed(array(entries: _*),
+              ArrayType(StructType(Seq(StructField("key", StringType), StructField("value", vt)))))
+          case MapType(kt, vt, _) =>
+            Typed(map_entries(arg(0).col),
+              ArrayType(StructType(Seq(StructField("key", kt), StructField("value", vt)))))
+          case other => throw new JsonataCompileError(s"$$spread on ${other.simpleString}")
+        }
+      case "each" =>
+        // $each(obj, function($v, $k){...}) — array of lambda results over
+        // the object's (value, key) pairs; struct keys enumerate statically
+        arity(2)
+        val lam = lambdaOf(args(1))
+        arg(0).dt match {
+          case st: StructType =>
+            val results = st.fields.toSeq.map { f =>
+              applyLambda(lam, List(
+                Typed(arg(0).col.getField(f.name), f.dataType),
+                Typed(lit(f.name), StringType)))
+            }
+            val dt = results.map(_.dt).reduceOption(unify).getOrElse(StringType)
+            Typed(array(results.map(cast(_, dt)): _*), ArrayType(dt))
+          case MapType(kt, vt, _) =>
+            var outDt: DataType = NullType
+            val out = transform(map_entries(arg(0).col), e => {
+              val t = applyLambda(lam, List(
+                Typed(e.getField("value"), vt), Typed(e.getField("key"), kt)))
+              outDt = t.dt
+              t.col
+            })
+            Typed(out, ArrayType(outDt))
+          case other => throw new JsonataCompileError(s"$$each on ${other.simpleString}")
         }
       case "merge" =>
         // $merge([obj1, obj2, ...]) — static struct merge, later keys win

@@ -30,6 +30,12 @@ case class GraftConfig(
     dryRun: Boolean = false,
     /** --verbose: log every routed record (js:26-30,187-189) */
     verbose: Boolean = false,
+    /** --private-key: the reference's auth credential (js:22-25, required
+      * js:67). The fs registry needs no auth, so it's optional here
+      * (documented divergence); when given, the derived principal is
+      * recorded on each created stream — the ownership analog.
+      */
+    privateKey: Option[String] = None,
     /** --log-interval seconds (js:52-56), default 60 */
     logIntervalSecs: Int = 60,
     /** --reconnect-on-data-timeout seconds, 0 disables (js:57-61) */

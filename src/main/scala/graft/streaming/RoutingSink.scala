@@ -21,16 +21,36 @@ trait StreamRegistry extends Serializable {
 /** Stream registry writing one directory per stream (the parquet-backed
   * stand-in for the remote streaming service). Idempotent: mkdirs and
   * marker creation are no-ops when already present.
+  *
+  * `owner` is the authenticated principal derived from the reference's
+  * --private-key credential (bin/mqtt-streamr.js:22-25,67): created
+  * streams record it — the ownership analog of creating a stream under
+  * an authenticated account.
   */
-class FsStreamRegistry(root: String) extends StreamRegistry {
+class FsStreamRegistry(root: String, owner: Option[String] = None) extends StreamRegistry {
   override def ensure(streamId: String, publicRead: Boolean): Unit = {
     val dir = new java.io.File(root, java.net.URLEncoder.encode(streamId, "UTF-8"))
     dir.mkdirs()
+    owner.foreach { o =>
+      val f = new java.io.File(dir, "_owner")
+      if (!f.exists()) java.nio.file.Files.writeString(f.toPath, o)
+    }
     if (publicRead) {
       // K2 — the "grant anonymous read" analog: a marker the sink layer
       // (or an object-store ACL in a real deployment) can act on
       new java.io.File(dir, "_public").createNewFile()
     }
+  }
+}
+
+object FsStreamRegistry {
+  /** Principal derivation: the public "address" of a private key,
+    * modeled as a hex digest — never the key itself on disk.
+    */
+  def principalOf(privateKey: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(privateKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(16).map(b => f"$b%02x").mkString
   }
 }
 

@@ -47,8 +47,22 @@ class GraftAppSpec extends SparkTestBase {
       GraftApp.parseArgs(Array("--mqtt-url", "tcp://x:1", "--topic", "a", "--out-dir", "/tmp/o", "--bogus")))
     val ok = GraftApp.parseArgs(Array(
       "--mqtt-url", "tcp://x:1", "--topic", "a/+", "--topic", "b/#",
-      "--out-dir", "/tmp/o", "--public", "--dry-run"))
+      "--out-dir", "/tmp/o", "--public", "--dry-run", "--private-key", "k3y"))
     assert(ok.cfg.topics == Seq("a/+", "b/#"))
     assert(ok.cfg.publicStreams && ok.cfg.dryRun)
+    assert(ok.cfg.privateKey.contains("k3y"))
+  }
+
+  test("private key derives a principal recorded on created streams") {
+    import graft.streaming.FsStreamRegistry
+    val root = Files.createTempDirectory("reg_owner").toString
+    val principal = FsStreamRegistry.principalOf("secret-key")
+    assert(principal.length == 32 && principal != "secret-key")
+    assert(FsStreamRegistry.principalOf("secret-key") == principal) // deterministic
+    val reg = new FsStreamRegistry(root, Some(principal))
+    reg.ensure("stream-a", publicRead = false)
+    reg.ensure("stream-a", publicRead = false) // idempotent
+    val ownerFile = new java.io.File(new java.io.File(root, "stream-a"), "_owner")
+    assert(Files.readString(ownerFile.toPath) == principal)
   }
 }

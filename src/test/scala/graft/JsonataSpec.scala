@@ -274,6 +274,38 @@ class JsonataSpec extends SparkTestBase {
       "($f := function($x) { $f($x) }; $f(1))"))
   }
 
+  test("$match returns matched substrings (degraded from match objects)") {
+    val r = evalOn(sensorJson, sensorSchema, "$match(name, '[a-z]+')")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(r == Seq("lamp"))
+    val limited = evalOn(sensorJson, sensorSchema, "$match('a1b2c3', '[a-z]', 2)")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(limited == Seq("a", "b"))
+  }
+
+  test("$shuffle permutes (same elements, same size)") {
+    val r = evalOn(nestedJson, nestedSchema, "$shuffle(readings.t)")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(r.sorted == Seq(21.5, 22.1))
+  }
+
+  test("$spread turns an object into {key, value} entries") {
+    val s = StructType(Seq(StructField("pt", StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType))))))
+    val r = evalOn("""{"pt": {"x": 3, "y": 4}}""", s, "$spread(pt)")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(r.map(e => e.getString(0) -> e.getLong(1)) == Seq("x" -> 3L, "y" -> 4L))
+  }
+
+  test("$each maps a lambda over (value, key) pairs") {
+    val s = StructType(Seq(StructField("pt", StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType))))))
+    val r = evalOn("""{"pt": {"x": 3, "y": 4}}""", s,
+      "$each(pt, function($v, $k) { $k & '=' & $v })")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(r == Seq("x=3", "y=4"))
+  }
+
   test("$round is half-even (banker's), matching JSONata") {
     assert(evalOn(sensorJson, sensorSchema, "$round(2.5)") == 2.0)
     assert(evalOn(sensorJson, sensorSchema, "$round(3.5)") == 4.0)
