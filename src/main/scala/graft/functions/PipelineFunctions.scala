@@ -66,6 +66,16 @@ object PipelineFunctions {
     from_json(payload, schema.add(CorruptField, StringType),
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptField))
 
+  /** Generic optimizer barrier: output = `keep` columns plus each staged
+    * (name, expr) materialized ONCE per row behind a Generate node.
+    * Use when a non-trivial expression is referenced more than once
+    * downstream — Columns are trees, not DAGs, and CollapseProject /
+    * PushDownPredicates re-inline plain projections per reference (see
+    * [[withParsedJson]] for the full mechanics).
+    */
+  def stageBarrier(df: DataFrame, keep: Seq[Column], staged: (String, Column)*): DataFrame =
+    df.select(keep :+ inline(array(struct(staged.map { case (n, c) => c.as(n) }: _*))): _*)
+
   /** Stage `df` through a single-parse barrier: output = `keep` columns
     * plus `alias` = the [[parseJsonLenient]] struct.
     *

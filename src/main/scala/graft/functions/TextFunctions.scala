@@ -145,18 +145,22 @@ object TextFunctions {
   val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "est", "une", "pas", "pour", "que", "dans")
   val StopwordsEs: Seq[String] = Seq("el", "la", "los", "y", "es", "una", "no", "por", "que", "en")
 
-  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
-  /** Language-ID heuristic: argmax of per-language stopword hit counts;
-    * 'und' (undetermined) when no stopword matches at all. Deterministic
-    * tie-break by fixed language order en>de>fr>es.
+  /** Per-language stopword hit counts, for staging each count once per
+    * row (see langIdFromHits). Order matches [[langIdFromHits]] params.
     */
-  def langId(toks: Column): Column = {
-    val en = stopwordHits(toks, StopwordsEn)
-    val de = stopwordHits(toks, StopwordsDe)
-    val fr = stopwordHits(toks, StopwordsFr)
-    val es = stopwordHits(toks, StopwordsEs)
+  def langHits(toks: Column): Seq[(String, Column)] = Seq(
+    "hits_en" -> stopwordHits(toks, StopwordsEn),
+    "hits_de" -> stopwordHits(toks, StopwordsDe),
+    "hits_fr" -> stopwordHits(toks, StopwordsFr),
+    "hits_es" -> stopwordHits(toks, StopwordsEs))
+
+  /** Language-ID decision over already-materialized hit counts — cheap
+    * attribute comparisons, safe to inline anywhere.
+    */
+  def langIdFromHits(en: Column, de: Column, fr: Column, es: Column): Column = {
     val m = greatest(en, de, fr, es)
     when(m === 0, lit("und"))
       .when(en === m, lit("en"))
@@ -165,18 +169,40 @@ object TextFunctions {
       .otherwise(lit("es"))
   }
 
-  /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
-    * ratio — the standard cheap pre-filter for LLM training corpora.
+  /** Language-ID heuristic: argmax of per-language stopword hit counts;
+    * 'und' (undetermined) when no stopword matches at all. Deterministic
+    * tie-break by fixed language order en>de>fr>es.
+    *
+    * NB: this single-Column form duplicates each hit count ~6x in the
+    * expression tree (Columns are trees); hot paths should stage
+    * [[langHits]] behind a barrier and call [[langIdFromHits]] —
+    * TextQueries.textLangid does.
     */
-  def qualityScore(text: Column, toks: Column): Column = {
-    val nChars = length(text)
-    val nToks = size(toks)
-    val alphaRatio = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
-      greatest(nChars, lit(1)).cast("double")
-    val stopRatio = stopwordHits(toks, StopwordsEn).cast("double") /
-      greatest(nToks, lit(1)).cast("double")
+  def langId(toks: Column): Column = {
+    val Seq(en, de, fr, es) = langHits(toks).map(_._2)
+    langIdFromHits(en, de, fr, es)
+  }
+
+  /** Quality score from already-materialized parts — cheap arithmetic,
+    * safe to inline. Parts: char count, alpha-char count, token count,
+    * English-stopword hit count.
+    */
+  def qualityScoreFromParts(nChars: Column, alphaLen: Column,
+      nToks: Column, stopHits: Column): Column = {
+    val alphaRatio = alphaLen.cast("double") / greatest(nChars, lit(1)).cast("double")
+    val stopRatio = stopHits.cast("double") / greatest(nToks, lit(1)).cast("double")
     val lengthScore = when(nChars >= 100 && nChars <= 10000, 1.0)
       .when(nChars >= 30, 0.5).otherwise(0.0)
     round((lengthScore + least(alphaRatio, lit(1.0)) + least(stopRatio * 5, lit(1.0))) / 3, 6)
   }
+
+  /** Quality score in [0,1]: blend of length band, alpha ratio, stopword
+    * ratio — the standard cheap pre-filter for LLM training corpora.
+    * NB: single-Column form re-derives text/toks per reference; hot paths
+    * stage the parts behind a barrier and call [[qualityScoreFromParts]].
+    */
+  def qualityScore(text: Column, toks: Column): Column =
+    qualityScoreFromParts(length(text),
+      length(regexp_replace(text, "[^A-Za-z ]", "")),
+      size(toks), stopwordHits(toks, StopwordsEn))
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.PipelineFunctions.stageBarrier
 
 /** LLM-training-data pipeline operators over `documents`: exact dedup,
   * MinHash+LSH near-dup, SimHash, n-gram Jaccard, language ID, quality
@@ -134,11 +135,20 @@ object TextQueries {
       .orderBy("doc_id")
 
   /** Stopword-based language-ID heuristic vs the labeled lang. */
-  def textLangid(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), col("lang"), langId(col("toks")).as("lang_pred"))
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    // two barriers: tokenize once, then count each language's hits once —
+    // the single-Column langId form would re-split and re-filter per
+    // reference in the argmax tree (~23 evaluations/row)
+    val base = Tables.documents(s, dir)
+    val toks = stageBarrier(base, Seq(col("doc_id"), col("lang")),
+      "toks" -> tokens(lower(col("text"))))
+    val hits = stageBarrier(toks, Seq(col("doc_id"), col("lang")),
+      langHits(col("toks")): _*)
+    hits.select(col("doc_id"), col("lang"),
+        langIdFromHits(col("hits_en"), col("hits_de"), col("hits_fr"), col("hits_es"))
+          .as("lang_pred"))
       .orderBy("doc_id")
+  }
 
   /** Corpus heavy hitters: top-50 tokens by document frequency — the
     * vocabulary profile of a training corpus. explode → two-level agg
@@ -157,14 +167,23 @@ object TextQueries {
   /** Quality-score components per document. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), t, tokens(t).as("toks"))
-      .select(col("doc_id"),
-        round(length(regexp_replace(t, "[^A-Za-z ]", "")).cast("double") /
-          greatest(length(t), lit(1)).cast("double"), 6).as("alpha_ratio"),
-        round(size(filter(col("toks"), x => x.isInCollection(StopwordsEn))).cast("double") /
-          greatest(size(col("toks")), lit(1)).cast("double"), 6).as("stop_ratio"),
-        qualityScore(t, col("toks")).as("quality"))
+    // tokenize + scan the text once each; ratios and the blended score
+    // read the staged counts (the single-Column qualityScore form would
+    // re-split and re-regex per reference)
+    val toks = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id"), t),
+      "toks" -> tokens(t))
+    val parts = stageBarrier(toks, Seq(col("doc_id")),
+      "n_chars" -> length(t),
+      "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")),
+      "n_toks" -> size(col("toks")),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn))
+    parts.select(col("doc_id"),
+        round(col("alpha_len").cast("double") /
+          greatest(col("n_chars"), lit(1)).cast("double"), 6).as("alpha_ratio"),
+        round(col("stop_hits").cast("double") /
+          greatest(col("n_toks"), lit(1)).cast("double"), 6).as("stop_ratio"),
+        qualityScoreFromParts(col("n_chars"), col("alpha_len"),
+          col("n_toks"), col("stop_hits")).as("quality"))
       .orderBy("doc_id")
   }
 

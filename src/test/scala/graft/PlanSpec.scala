@@ -41,6 +41,14 @@ class PlanSpec extends SparkTestBase {
     assert("graft_minhash".r.findAllIn(p).length == 1)
   }
 
+  test("text_langid / text_quality: tokenize once per row (staged barriers)") {
+    val p = optimized("text_langid")
+    assert("split\\(".r.findAllIn(p).length == 1, p.take(2000))
+    val q = optimized("text_quality")
+    assert("split\\(".r.findAllIn(q).length == 1, q.take(2000))
+    assert("regexp_replace".r.findAllIn(q).length == 1)
+  }
+
   test("dedup_simhash: hash kernels evaluated once; no duplicated md5 pass") {
     val p = optimized("dedup_simhash")
     assert("graft_h32_array".r.findAllIn(p).length == 1)
