@@ -67,21 +67,34 @@ trait StreamPublisher extends Serializable {
   def publish(routed: DataFrame, batchId: Long): Unit
 }
 
-/** Filesystem publisher: shuffle-free parquet fan-out partitioned by
+/** Filesystem publisher: parquet fan-out partitioned by
   * (stream_id, batch_id). Including batchId in the partitioning and
   * writing with dynamic partition overwrite makes a replayed micro-batch
   * overwrite exactly its own partitions — idempotent under foreachBatch's
   * at-least-once replay, without touching other batches' output.
+  *
+  * Small-files control (SURVEY §7.4#2): without `coalescePerStream`, a
+  * batch writes up to tasks × |stream ids| files; repartitioning on
+  * stream_id first costs one bounded-by-batch shuffle and writes ONE file
+  * per (stream, batch) — the right trade once id cardinality is real.
+  * `maxRecordsPerFile` re-splits any hot stream's file so a skewed id
+  * can't produce an unboundedly large file.
   */
-class FsStreamPublisher(outDir: String) extends StreamPublisher {
-  override def publish(routed: DataFrame, batchId: Long): Unit =
-    routed
+class FsStreamPublisher(
+    outDir: String,
+    coalescePerStream: Boolean = true,
+    maxRecordsPerFile: Long = 5000000L) extends StreamPublisher {
+  override def publish(routed: DataFrame, batchId: Long): Unit = {
+    val laidOut = if (coalescePerStream) routed.repartition(col("stream_id")) else routed
+    laidOut
       .withColumn("batch_id", lit(batchId))
       .write
       .partitionBy("stream_id", "batch_id")
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(outDir)
+  }
 }
 
 /** K1/K2/K3/K4 — the routing sink. Per micro-batch (or per batch run):

@@ -153,6 +153,10 @@ class StreamingPipelineSpec extends SparkTestBase {
     val out = spark.read.parquet(outDir)
     assert(out.filter(col("batch_id") === 7).count() == 2, "replay must overwrite, not append")
     assert(out.count() == 4)
+    // small-files control: one parquet file per (stream, batch) partition
+    val s1b7 = new java.io.File(outDir, "stream_id=s1/batch_id=7")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(s1b7.length == 1, s"expected 1 file per (stream, batch), got ${s1b7.length}")
   }
 
   test("fixed stream id short-circuits templating (single-stream mode)") {
