@@ -474,13 +474,33 @@ object JsonataCompiler {
           t.col
         })
         Typed(out, ArrayType(outDt))
-      case "filter" | "sift" =>
+      case "filter" =>
         arity(2)
         val a = asArr(arg(0))
         val et = a.dt.asInstanceOf[ArrayType].elementType
         val lam = lambdaOf(args(1))
         Typed(filter(a.col, (x, i) =>
           bool(applyLambda(lam, List(Typed(x, et), Typed(i.cast(LongType), LongType))))), a.dt)
+      case "sift" =>
+        // $sift(obj, function($v [, $k])) — filter an OBJECT's entries.
+        // Output shape is dynamic (keys survive conditionally), so the
+        // typed degradation is a map<string, unified-value-type>.
+        arity(2)
+        val lam = lambdaOf(args(1))
+        arg(0).dt match {
+          case st: StructType =>
+            val vt = st.fields.map(_.dataType).reduceOption(unify).getOrElse(StringType)
+            val asMap = map_from_arrays(
+              array(st.fieldNames.map(lit(_)): _*),
+              array(st.fields.toSeq.map(f => arg(0).col.getField(f.name).cast(vt)): _*))
+            Typed(map_filter(asMap, (k, v) =>
+              bool(applyLambda(lam, List(Typed(v, vt), Typed(k, StringType))))),
+              MapType(StringType, vt))
+          case MapType(kt, vt, _) =>
+            Typed(map_filter(arg(0).col, (k, v) =>
+              bool(applyLambda(lam, List(Typed(v, vt), Typed(k, kt))))), MapType(kt, vt))
+          case other => throw new JsonataCompileError(s"$$sift on ${other.simpleString}")
+        }
       case "reduce" =>
         arity(2, 3)
         val a = asArr(arg(0))
@@ -543,6 +563,46 @@ object JsonataCompiler {
         val matches = regexp_extract_all(str(arg(0)), lit(litStr(args(1))), lit(0))
         Typed(argOpt(2).map(l => slice(matches, lit(1), num(l).col.cast(IntegerType)))
           .getOrElse(matches), ArrayType(StringType))
+
+      // encoding
+      case "base64encode" =>
+        arity(1); Typed(base64(str(arg(0)).cast(BinaryType)), StringType)
+      case "base64decode" =>
+        arity(1); Typed(unbase64(str(arg(0))).cast(StringType), StringType)
+
+      // date/time (ISO-8601 like JSONata; session time zone applies —
+      // UTC in this engine's mains/tests)
+      case "toMillis" =>
+        arity(1)
+        Typed(unix_millis(to_timestamp(str(arg(0)))), LongType)
+      case "fromMillis" =>
+        arity(1)
+        Typed(date_format(timestamp_millis(num(arg(0)).col.cast(LongType)),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"), StringType)
+      case "now" =>
+        // per JSONata: every $now() in one evaluation returns the same
+        // instant — current_timestamp is per-query constant, matching
+        arity(0)
+        Typed(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"), StringType)
+      case "millis" =>
+        arity(0)
+        Typed(unix_millis(current_timestamp()), LongType)
+
+      // reflection — static schema makes $type a compile-time constant
+      // (runtime check only for null)
+      case "type" =>
+        arity(1)
+        val t = arg(0)
+        val name = t.dt match {
+          case _: NumericType => "number"
+          case StringType => "string"
+          case BooleanType => "boolean"
+          case ArrayType(_, _) => "array"
+          case _: StructType | _: MapType => "object"
+          case NullType => "null"
+          case other => other.typeName
+        }
+        Typed(when(t.col.isNull, lit("null")).otherwise(lit(name)), StringType)
 
       // boolean / existence
       case "not" => arity(1); Typed(!bool(arg(0)), BooleanType)

@@ -306,6 +306,39 @@ class JsonataSpec extends SparkTestBase {
     assert(r == Seq("x=3", "y=4"))
   }
 
+  test("$sift filters an object's entries into a map") {
+    val s = StructType(Seq(StructField("pt", StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType))))))
+    val r = evalOn("""{"pt": {"x": 3, "y": 4}}""", s,
+      "$sift(pt, function($v) { $v > 3 })")
+      .asInstanceOf[scala.collection.Map[String, Long]]
+    assert(r == Map("y" -> 4L))
+    val byKey = evalOn("""{"pt": {"x": 3, "y": 4}}""", s,
+      "$sift(pt, function($v, $k) { $k = 'x' })")
+      .asInstanceOf[scala.collection.Map[String, Long]]
+    assert(byKey == Map("x" -> 3L))
+  }
+
+  test("$base64encode / $base64decode round-trip") {
+    assert(evalOn(sensorJson, sensorSchema, "$base64encode('abc')") == "YWJj")
+    assert(evalOn(sensorJson, sensorSchema, "$base64decode($base64encode(name))") == "lamp-1")
+  }
+
+  test("$toMillis / $fromMillis ISO-8601 round-trip (UTC session)") {
+    assert(evalOn(sensorJson, sensorSchema,
+      "$toMillis('2017-11-07T15:07:54.972Z')") == 1510067274972L)
+    assert(evalOn(sensorJson, sensorSchema,
+      "$fromMillis(1510067274972)") == "2017-11-07T15:07:54.972Z")
+  }
+
+  test("$type reports static type, null at runtime for null values") {
+    assert(evalOn(sensorJson, sensorSchema, "$type(watts)") == "number")
+    assert(evalOn(sensorJson, sensorSchema, "$type(name)") == "string")
+    assert(evalOn(sensorJson, sensorSchema, "$type(on)") == "boolean")
+    assert(evalOn(nestedJson, nestedSchema, "$type(readings)") == "array")
+    assert(evalOn(nestedJson, nestedSchema, "$type(meta)") == "object")
+  }
+
   test("$round is half-even (banker's), matching JSONata") {
     assert(evalOn(sensorJson, sensorSchema, "$round(2.5)") == 2.0)
     assert(evalOn(sensorJson, sensorSchema, "$round(3.5)") == 4.0)
