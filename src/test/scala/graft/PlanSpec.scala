@@ -41,6 +41,14 @@ class PlanSpec extends SparkTestBase {
     assert("graft_minhash".r.findAllIn(p).length == 1)
   }
 
+  test("pipe_* queries parse the payload JSON exactly once per row") {
+    Seq("pipe_parse_stats", "pipe_transform", "pipe_jsonata", "pipe_jsonata_t2").foreach { q =>
+      val p = optimized(q)
+      assert("from_json".r.findAllIn(p).length == 1, s"$q: ${p.take(1500)}")
+      assert(!p.contains("parse_json"), s"$q still has a variant parse pass")
+    }
+  }
+
   test("text_langid / text_quality: tokenize once per row (staged barriers)") {
     val p = optimized("text_langid")
     assert("split\\(".r.findAllIn(p).length == 1, p.take(2000))
