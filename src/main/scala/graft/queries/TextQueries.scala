@@ -164,6 +164,27 @@ object TextQueries {
       .orderBy(col("df").desc, col("token"))
       .limit(50)
 
+  /** Repetition signals per document (the Gopher/C4-style repetition
+    * filters for training corpora): unique-token ratio and top-token
+    * dominance. explode → two-level agg, same scalable shape as
+    * textTopTokens — the per-token shuffle is bounded by corpus token
+    * volume and each document's stats reduce locally (partial agg).
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id")),
+      "toks" -> tokens(col("text")))
+    base.select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "n_toks", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_toks") // n_toks is functionally dependent on doc_id
+      .agg(count(lit(1)).as("uniq"), max("c").as("top"))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        round(col("uniq").cast("double") / col("n_toks").cast("double"), 6).as("uniq_ratio"),
+        round(col("top").cast("double") / col("n_toks").cast("double"), 6).as("top_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-score components per document. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -196,6 +217,7 @@ object TextQueries {
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
+    "text_repetition" -> textRepetition,
     "text_top_tokens" -> textTopTokens)
 
   // ---- DuckDB oracle SQL ----------------------------------------------
@@ -315,6 +337,14 @@ object TextQueries {
          |         len(list_filter(string_split(lower(text), ' '), t -> t IN ($esList))) AS es
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_toks,
+        |  round(len(list_distinct(l))::DOUBLE / len(l)::DOUBLE, 6) AS uniq_ratio,
+        |  round(list_max(list_transform(list_distinct(l),
+        |        x -> len(list_filter(l, y -> y = x))))::DOUBLE / len(l)::DOUBLE, 6) AS top_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  round(len(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE /
