@@ -55,6 +55,33 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Int8 scalar quantization per vector — the memory-side lever for ANN
+    * at 100 TB (4x-8x smaller vectors; IVF lists of int8 codes instead of
+    * float). Pure projection, shuffle-free. Buckets use floor() (no
+    * rounding ties); reconstruction at bucket midpoints; reports the
+    * per-vector mean absolute reconstruction error. Constant vectors
+    * (max == min) quantize to bucket 0 with zero error.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // barrier: mn/mx are referenced ~8x in the error tree below; without
+    // staging, CollapseProject re-scans the array per reference
+    val staged = graft.functions.PipelineFunctions.stageBarrier(
+      e, Seq(col("vec_id"), col("v")),
+      "mn" -> array_min(col("v")), "mx" -> array_max(col("v")))
+    val span = col("mx") - col("mn")
+    val err = aggregate(
+      transform(col("v"), x =>
+        when(col("mx") === col("mn"), lit(0.0)).otherwise(
+          abs(x - (col("mn") + (floor((x - col("mn")) * 255.0 / span) + 0.5) * span / 255.0)))),
+      lit(0.0), (acc, d) => acc + d) / size(col("v"))
+    // raw doubles, no round(): the compare gate uses float atol, and
+    // Spark's exact-decimal round vs DuckDB's multiply-based round can
+    // disagree at a .5 boundary even on bit-identical inputs
+    staged.select(col("vec_id"), col("mn"), col("mx"), err.as("mean_abs_err"))
+      .orderBy("vec_id")
+  }
+
   /** Near-duplicate embedding pairs: cosine >= 0.99, EXACT result (same
     * rows as the all-pairs oracle) but pruned with a deterministic grid.
     *
@@ -164,12 +191,25 @@ object VectorQueries {
     "knn_ivf" -> knnIvf,
     "emb_centroid_dist" -> embCentroidDist,
     "emb_neardup" -> embNeardup,
-    "emb_lsh_buckets" -> embLshBuckets)
+    "emb_lsh_buckets" -> embLshBuckets,
+    "emb_quantize" -> embQuantize)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
   val oracles: Map[String, String] = Map(
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  list_min(CAST(embedding AS DOUBLE[])) AS mn,
+        |                  list_max(CAST(embedding AS DOUBLE[])) AS mx
+        |           FROM embeddings)
+        |SELECT vec_id, mn, mx,
+        |  list_sum(list_transform(v, x ->
+        |    CASE WHEN mx = mn THEN 0.0
+        |         ELSE abs(x - (mn + (floor((x - mn) * 255.0 / (mx - mn)) + 0.5)
+        |                            * (mx - mn) / 255.0)) END))
+        |        / len(v) AS mean_abs_err
+        |FROM e ORDER BY vec_id""".stripMargin,
     "knn_brute" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),

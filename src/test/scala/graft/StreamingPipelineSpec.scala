@@ -35,7 +35,8 @@ class StreamingPipelineSpec extends SparkTestBase {
     val cfg = GraftConfig(
       streamIdTemplate = "org/$topic/stream",
       truncateTopicLevels = 2,
-      transform = Some("""{"w2": watts * 2, "state": on ? 'ON' : 'OFF'}"""),
+      // tier-2 binding exercised through the whole streaming pipeline
+      transform = Some("""($w := watts * 2; {"w2": $w, "state": on ? 'ON' : 'OFF'})"""),
       payloadSchema = schema,
       publicStreams = true)
 
