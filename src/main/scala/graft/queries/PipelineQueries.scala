@@ -176,6 +176,33 @@ object PipelineQueries {
       .orderBy("purchase_id")
   }
 
+  /** Interval self-join — event pairs of the same user within a 1-hour
+    * horizon, an operator Spark has no native physical plan for (a plain
+    * inequality join degenerates to a per-key cross product). Spark-first
+    * layout: quantize time into horizon-width buckets; a qualifying pair
+    * (a.ts < b.ts <= a.ts + H) always has b in a's bucket or the next one,
+    * so the earlier side probes 2 bucket keys and the join is a pure
+    * equi-join on (user_id, bucket) — key-partitioned, AQE-skew-splittable,
+    * the same grid trick as emb_neardup. Candidates ∝ events per
+    * (user, 2·H) window, not per user; the residual range predicate runs
+    * post-join on co-partitioned rows.
+    */
+  def pipeIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val HorizonUs = 3600L * 1000000L
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bkt", expr(s"us DIV ${HorizonUs}L"))
+    val probes = e.select(col("event_id").as("id_a"), col("user_id"),
+        col("us").as("us_a"), explode(array(col("bkt"), col("bkt") + 1)).as("pb"))
+    val home = e.select(col("event_id").as("id_b"), col("user_id").as("user_b"),
+      col("us").as("us_b"), col("bkt"))
+    probes.join(home, col("user_id") === col("user_b") && col("pb") === col("bkt"))
+      .filter(col("us_b") > col("us_a") && col("us_b") - col("us_a") <= HorizonUs)
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        (col("us_b") - col("us_a")).as("delta_us"))
+      .orderBy("user_id", "id_a", "id_b")
+  }
+
   /** A1 as an hourly cube: grouping sets over (hour, event_type) — window
     * stats with subtotal rows, the relational generalization of the
     * reference's interval counters.
@@ -199,6 +226,7 @@ object PipelineQueries {
     "pipe_jsonata" -> pipeJsonata,
     "pipe_jsonata_t2" -> pipeJsonataT2,
     "pipe_asof_join" -> pipeAsofJoin,
+    "pipe_interval_join" -> pipeIntervalJoin,
     "pipe_sessionize" -> pipeSessionize,
     "pipe_stats_cube" -> pipeStatsCube)
 
@@ -251,6 +279,14 @@ object PipelineQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY purchase_id""".stripMargin,
+    "pipe_interval_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600 * 1000000
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     "pipe_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -197,6 +197,23 @@ object RelationalQueries {
       .orderBy("p_partkey")
   }
 
+  /** PIVOT: order value by priority × market segment, segments widened to
+    * columns. The pivot values are declared literally, so Spark plans a
+    * single pass (groupBy + conditional aggregates) — no distinct-values
+    * pre-query, no second shuffle; the orders↔customer join stays a plain
+    * equi-join that AQE can broadcast when the dim side is small.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    Tables.orders(s, dir).select("o_custkey", "o_orderpriority", "o_totalprice")
+      .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .pivot("c_mktsegment", segments)
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
@@ -209,7 +226,8 @@ object RelationalQueries {
     "q_rollup" -> qRollup,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
-    "q_above_avg" -> qAboveAvg)
+    "q_above_avg" -> qAboveAvg,
+    "q_pivot" -> qPivot)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -299,5 +317,14 @@ object RelationalQueries {
         |             avg(p_retailprice) OVER (PARTITION BY p_type) AS avg_price
         |      FROM part)
         |WHERE p_retailprice > avg_price
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN o_totalprice END), 2) AS "AUTOMOBILE",
+        |  round(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN o_totalprice END), 2) AS "BUILDING",
+        |  round(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN o_totalprice END), 2) AS "FURNITURE",
+        |  round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN o_totalprice END), 2) AS "HOUSEHOLD",
+        |  round(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN o_totalprice END), 2) AS "MACHINERY"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -185,6 +185,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Within-document duplicate-n-gram fraction — the Gopher-style "fraction
+    * of tokens inside repeated 3-grams" repetition filter. Same scalable
+    * shape as textRepetition: per-document explode → two-level aggregation
+    * with map-side partial agg; the shuffle carries (doc, shingle) counts
+    * bounded by corpus token volume, never an all-pairs structure.
+    */
+  def textDupNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"), explode(wordShingles(col("toks"), ShingleK)).as("sh"))
+      .groupBy("doc_id", "sh")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_ngrams"),
+        round(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
+          sum("c").cast("double"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+
+  /** Per-document average unigram log-likelihood under the corpus unigram
+    * distribution — the cheap CCNet-style "LM quality" proxy (real
+    * pipelines swap in a trained LM; the dataflow is identical). Two
+    * passes: (1) corpus token frequencies — heavy-hitter-bounded, so the
+    * frequency table broadcasts (at open-vocabulary 100 TB scale this
+    * becomes a shuffle join on token, same plan minus the broadcast hint);
+    * (2) per-document mean of ln p(token), a partial-aggregated groupBy.
+    */
+  def textUnigramLp(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(vocab.crossJoin(total)), "tok")
+      .groupBy("doc_id")
+      .agg(avg(log(col("tf").cast("double") / col("n_total").cast("double"))).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-score components per document. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -218,6 +257,8 @@ object TextQueries {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
+    "text_dup_ngrams" -> textDupNgrams,
+    "text_unigram_lp" -> textUnigramLp,
     "text_top_tokens" -> textTopTokens)
 
   // ---- DuckDB oracle SQL ----------------------------------------------
@@ -345,6 +386,22 @@ object TextQueries {
         |  round(list_max(list_transform(list_distinct(l),
         |        x -> len(list_filter(l, y -> y = x))))::DOUBLE / len(l)::DOUBLE, 6) AS top_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_dup_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh
+         |       FROM t WHERE len(toks) >= $ShingleK),
+         |g AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY doc_id, sh)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+         |       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE /
+         |             sum(c)::DOUBLE, 6) AS dup_frac
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_unigram_lp" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+        |t AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT doc_id, avg(ln(tf::DOUBLE / n_total::DOUBLE)) AS avg_logp
+        |FROM tok JOIN v USING (tok) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  round(len(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE /

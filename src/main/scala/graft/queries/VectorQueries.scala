@@ -165,6 +165,29 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** ANN quality accounting: recall@K of the IVF index against the exact
+    * brute-force neighbors, per query. The measurement every production
+    * ANN deployment ships with — recall is THE dial that justifies the
+    * nprobe/nlists cost trade (at 100 TB the brute pass runs on a sampled
+    * query set; the IVF side is the production path). Pure composition:
+    * both sides are the already-declared queries, the overlap is a
+    * left-semi join on (query, neighbor), zeros kept via the query list.
+    */
+  def knnRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val ivf = knnIvf(s, dir)
+      .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+    val overlap = brute
+      .join(ivf, col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    emb(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(overlap, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / K, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Random-hyperplane LSH index rows (vec_id, band, bucket): 16 sign
     * bits from literal hyperplanes, sliced into 4 bands of 4 bits — the
     * approximate ANN candidate structure (vectors sharing (band, bucket)
@@ -189,6 +212,7 @@ object VectorQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> knnBrute,
     "knn_ivf" -> knnIvf,
+    "knn_recall" -> knnRecall,
     "emb_centroid_dist" -> embCentroidDist,
     "emb_neardup" -> embNeardup,
     "emb_lsh_buckets" -> embLshBuckets,
@@ -256,6 +280,49 @@ object VectorQueries {
          |                            ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    "knn_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
+         |       FROM e CROSS JOIN range(1, 65) r(i)),
+         |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cm GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K),
+         |probe AS (
+         |  SELECT query_id, qv, label,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql.format("qv", "cv", "qv", "qv", "cv", "cv")} DESC, label) AS prnk
+         |  FROM q CROSS JOIN cent),
+         |sel AS (SELECT query_id, qv, label FROM probe WHERE prnk <= 2),
+         |ipairs AS (
+         |  SELECT sel.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "e.v", "qv", "qv", "e.v", "e.v")}, 6) AS cos
+         |  FROM sel JOIN e ON e.label = sel.label AND e.vec_id <> sel.query_id),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM ipairs)
+         |  WHERE rnk <= $K),
+         |hit AS (
+         |  SELECT b.query_id, count(*) AS n
+         |  FROM brute b JOIN ivf i
+         |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT qq.query_id, round(coalesce(hit.n, 0)::DOUBLE / $K, 6) AS recall
+         |FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hit USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     "emb_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
