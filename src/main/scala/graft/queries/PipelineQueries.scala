@@ -285,7 +285,7 @@ object PipelineQueries {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         | AND epoch_us(b.ts) > epoch_us(a.ts)
-        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600 * 1000000
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
         |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     "pipe_sessionize" ->
       """WITH flagged AS (

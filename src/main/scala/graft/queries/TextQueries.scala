@@ -208,20 +208,24 @@ object TextQueries {
   /** Per-document average unigram log-likelihood under the corpus unigram
     * distribution — the cheap CCNet-style "LM quality" proxy (real
     * pipelines swap in a trained LM; the dataflow is identical). Two
-    * passes: (1) corpus token frequencies — heavy-hitter-bounded, so the
-    * frequency table broadcasts (at open-vocabulary 100 TB scale this
-    * becomes a shuffle join on token, same plan minus the broadcast hint);
-    * (2) per-document mean of ln p(token), a partial-aggregated groupBy.
+    * passes: (1) corpus token frequencies joined back on token with NO
+    * broadcast hint — the vocabulary is open (grows with the corpus), so
+    * the join strategy is left to AQE: broadcast at small SF, shuffle join
+    * on token at 100 TB; (2) per-document mean of ln p(token), a
+    * partial-aggregated groupBy. The corpus total attaches as a scalar
+    * subquery (evaluated once, inlined as a literal), not a crossJoin.
     */
   def textUnigramLp(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(broadcast(vocab.crossJoin(total)), "tok")
-      .groupBy("doc_id")
-      .agg(avg(log(col("tf").cast("double") / col("n_total").cast("double"))).as("avg_logp"))
-      .orderBy("doc_id")
+      .createOrReplaceTempView("graft_unigram_toks")
+    s.sql(
+      """WITH v AS (SELECT tok, count(1) AS tf FROM graft_unigram_toks GROUP BY tok)
+        |SELECT doc_id,
+        |       avg(ln(CAST(tf AS DOUBLE) /
+        |              (SELECT CAST(count(1) AS DOUBLE) FROM graft_unigram_toks))) AS avg_logp
+        |FROM graft_unigram_toks JOIN v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
   /** Quality-score components per document. */

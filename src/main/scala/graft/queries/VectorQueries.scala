@@ -25,9 +25,11 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
 
   /** Brute-force exact top-k cosine neighbors for the first NumQueries ids. */
-  def knnBrute(s: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(s, dir).select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
-    val queries = emb(s, dir).filter(col("vec_id") < NumQueries)
+  def knnBrute(s: SparkSession, dir: String): DataFrame = knnBruteFrom(emb(s, dir))
+
+  private def knnBruteFrom(e: DataFrame): DataFrame = {
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+    val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
@@ -136,9 +138,10 @@ object VectorQueries {
     * the data, and the only broadcast is the (tiny) centroid table +
     * query set. Approximate by design; deterministic, so oracle-checked.
     */
-  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+  def knnIvf(s: SparkSession, dir: String): DataFrame = knnIvfFrom(emb(s, dir))
+
+  private def knnIvfFrom(e: DataFrame): DataFrame = {
     val NProbe = 2
-    val e = emb(s, dir)
     // centroids: one shuffle on label, tiny output (nlists x dim)
     val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("label", "i").agg(avg("x").as("m"))
@@ -172,15 +175,19 @@ object VectorQueries {
     * query set; the IVF side is the production path). Pure composition:
     * both sides are the already-declared queries, the overlap is a
     * left-semi join on (query, neighbor), zeros kept via the query list.
+    * The corpus projection is persisted once and feeds both lineages —
+    * without it the brute and IVF sides each re-scan the parquet (at
+    * scale this is the difference between one pass and three).
     */
   def knnRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
-    val ivf = knnIvf(s, dir)
+    val e = emb(s, dir).persist()
+    val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
+    val ivf = knnIvfFrom(e)
       .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
     val overlap = brute
       .join(ivf, col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    emb(s, dir).filter(col("vec_id") < NumQueries)
+    e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"))
       .join(overlap, Seq("query_id"), "left_outer")
       .select(col("query_id"),

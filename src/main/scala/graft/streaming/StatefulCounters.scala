@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulCounters {
 
   case class In(streamId: String, valid: Boolean)
-  case class Counts(success: Long, error: Long)
+  case class Counts(success: Long, error: Long, deadlineMs: Long)
   case class Report(streamId: String, success: Long, error: Long)
 
   def apply(records: Dataset[In], intervalMillis: Long): Dataset[Report] = {
@@ -31,18 +31,19 @@ object StatefulCounters {
             state.remove()
             Iterator.single(Report(streamId, c.success, c.error))
           } else {
-            val prevOpt = state.getOption
-            val prev = prevOpt.getOrElse(Counts(0, 0))
+            val now = state.getCurrentProcessingTimeMs()
+            val prev = state.getOption
+              .getOrElse(Counts(0, 0, now + intervalMillis))
             var s = prev.success
             var e = prev.error
             rows.foreach(r => if (r.valid) s += 1 else e += 1)
-            state.update(Counts(s, e))
-            // arm the timeout ONLY when the state is first created: a
-            // re-arm on every data batch would push the deadline out
-            // forever under steady traffic and no Report would ever fire
-            // (the reference's setInterval ticks regardless of traffic,
-            // src/Logger.js:17-21)
-            if (prevOpt.isEmpty) state.setTimeoutDuration(intervalMillis)
+            state.update(Counts(s, e, prev.deadlineMs))
+            // GroupState clears the timeout on every invocation, so it
+            // must be re-armed each batch — but against the ABSOLUTE
+            // deadline persisted in the state value, so steady traffic
+            // cannot push the interval out forever (the reference's
+            // setInterval ticks regardless of traffic, src/Logger.js:17-21)
+            state.setTimeoutDuration(math.max(1L, prev.deadlineMs - now))
             Iterator.empty
           }
       }

@@ -69,6 +69,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("text_unigram_lp: no forced broadcast on the open vocabulary side") {
+    // the vocab relation grows with the corpus — the join strategy must be
+    // AQE's choice, never a hard-coded hint; the scalar total is a subquery
+    val o = optimized("text_unigram_lp")
+    assert(!o.contains("ResolvedHint"), o.take(2000))
+    assert(o.contains("scalar-subquery"), o.take(2000))
+  }
+
   test("knn_brute: query side broadcasts (corpus never shuffles for the join)") {
     assert(physical("knn_brute").contains("BroadcastNestedLoopJoin") ||
       physical("knn_brute").contains("BroadcastHashJoin"))
