@@ -14,9 +14,11 @@ package graft.jsonata
   *   and the $function library (string/numeric/array/aggregation) that
   *   maps 1:1 onto Spark SQL functions.
   *
-  * Not supported (documented degradations, SURVEY §7.4): dynamic object
-  * keys, regex literals. These raise JsonataParseError at compile time
-  * rather than failing at run time.
+  * Not supported (documented degradations, SURVEY §7.4): regex literals
+  * raise JsonataParseError at compile time rather than failing at run
+  * time. Dynamic object keys are supported with a typed degradation: the
+  * constructor compiles to map<string, unified-value-type> instead of a
+  * struct (see JsonataCompiler header).
   */
 sealed trait JNode
 
@@ -32,10 +34,17 @@ case class JCond(c: JNode, t: JNode, e: JNode) extends JNode
 case class JFunc(name: String, args: List[JNode]) extends JNode // $name(...)
 case class JLambda(params: List[String], body: JNode) extends JNode // function($x){...}
 case class JVarRef(name: String) extends JNode // $x inside a lambda body
-case class JObject(fields: List[(String, JNode)]) extends JNode
+case class JObject(fields: List[(JKey, JNode)]) extends JNode
 case class JArray(items: List[JNode]) extends JNode
 case class JBind(name: String, value: JNode) extends JNode  // $x := expr
 case class JBlock(exprs: List[JNode]) extends JNode         // (e1; e2; ...)
+
+/** Object-constructor key: literal (`{a: ...}`, `{"a": ...}`) or a
+  * computed expression (`{$k: ...}`, `{name & "_x": ...}`).
+  */
+sealed trait JKey
+case class JKeyLit(name: String) extends JKey
+case class JKeyExpr(e: JNode) extends JKey
 
 sealed trait JStep
 case class JField(name: String) extends JStep

@@ -29,14 +29,21 @@ import org.apache.spark.sql.types._
   *    of a struct (or map_values of a map), unified to one element type;
   *  - descendant `**` followed by a field step — every schema path ending
   *    in that field, at any depth, enumerated at compile time (arrays and
-  *    maps traversed with transform), concatenated in document order.
+  *    maps traversed with transform), concatenated in document order
+  *    (element-major through arrays: each element's matches before the
+  *    next element's);
+  *  - a lone `**` — every leaf value at any depth, schema-enumerated in
+  *    depth-first document order;
+  *  - computed object keys `{$k: v}` — compiled to
+  *    map<string, unified-value-type> output (map_from_arrays).
   *
-  * Documented divergences from full JSONata (all raise at compile time,
-  * never silently differ): object keys must be literals, a lone `**`
-  * (no following field) is rejected, mixed-type wildcard sequences unify
-  * to a common type (string in the worst case) instead of staying
-  * heterogeneous, $string uses Spark's number formatting, $sort
-  * comparators cannot signal equality.
+  * Documented divergences from full JSONata (degrade in TYPE, never in
+  * silent value changes): mixed-type sequences unify to a common type
+  * (string in the worst case) instead of staying heterogeneous; a
+  * computed-key object constructor yields a map, not an object with
+  * per-key types; a lone `**` emits leaf values only (full JSONata also
+  * emits the intermediate objects/arrays as items); $string uses Spark's
+  * number formatting; $sort comparators cannot signal equality.
   */
 object JsonataCompiler {
 
@@ -109,11 +116,27 @@ object JsonataCompiler {
       val dt = unify(tc.dt, ec.dt)
       Typed(when(bool(compileNode(c, ctx, env)), cast(tc, dt)).otherwise(cast(ec, dt)), dt)
     case JBinary(op, l, r) => binary(op, l, r, ctx, env)
-    case JObject(fields) =>
-      val compiled = fields.map { case (k, v) => k -> compileNode(v, ctx, env) }
+    case JObject(fields) if fields.forall(_._1.isInstanceOf[JKeyLit]) =>
+      val compiled = fields.map { case (k, v) =>
+        k.asInstanceOf[JKeyLit].name -> compileNode(v, ctx, env)
+      }
       Typed(
         struct(compiled.map { case (k, t) => t.col.as(k) }: _*),
         StructType(compiled.map { case (k, t) => StructField(k, t.dt) }))
+    case JObject(fields) =>
+      // computed keys: the output shape is not static, so the typed
+      // degradation is map<string, unified-value-type>. Two keys
+      // evaluating to the same string raise at run time (Spark's default
+      // mapKeyDedupPolicy=EXCEPTION), matching JSONata's D1009 error.
+      val keys = fields.map {
+        case (JKeyLit(n), _) => lit(n)
+        case (JKeyExpr(e), _) => str(compileNode(e, ctx, env))
+      }
+      val vals = fields.map { case (_, v) => compileNode(v, ctx, env) }
+      val vt = vals.map(_.dt).reduceOption(unify).getOrElse(StringType)
+      Typed(
+        map_from_arrays(array(keys: _*), array(vals.map(cast(_, vt)): _*)),
+        MapType(StringType, vt))
     case JArray(items) =>
       val compiled = items.map(compileNode(_, ctx, env))
       val dt = compiled.map(_.dt).reduceOption(unify).getOrElse(StringType)
@@ -143,25 +166,24 @@ object JsonataCompiler {
 
   // ---- path steps -------------------------------------------------------
 
-  /** Left-fold of path steps. `**` consumes the following field step (the
-    * descendant search target); all other steps go through [[step]].
+  /** Left-fold of path steps. `**` followed by a field step is the
+    * descendant search for that field; a `**` with no following field is
+    * the full leaf-value enumeration ([[descendLeaves]]). All other steps
+    * go through [[step]].
     */
   private def compileSteps(steps: List[JStep], ctx: Typed, env: Env): Typed =
     steps match {
       case Nil => ctx
       case JDescendant :: JField(name) :: rest =>
         compileSteps(rest, descend(ctx, name), env)
-      case JDescendant :: other =>
-        throw new JsonataCompileError(
-          s"`**` must be followed by a field name (schema-static descendant search); " +
-            s"found ${other.headOption.getOrElse("end of path")}")
+      case JDescendant :: rest =>
+        compileSteps(rest, descendLeaves(ctx), env)
       case s :: rest => compileSteps(rest, step(ctx, s, env), env)
     }
 
   private def step(ctx: Typed, s: JStep, env: Env): Typed = s match {
     case JWildcard => wildcard(ctx)
-    case JDescendant => throw new JsonataCompileError(
-      "`**` must be followed by a field name") // unreachable via compileSteps
+    case JDescendant => descendLeaves(ctx)
     case JField(name) => ctx.dt match {
       case st: StructType =>
         st.find(_.name == name) match {
@@ -213,9 +235,15 @@ object JsonataCompiler {
     case MapType(_, vt, _) =>
       combine(Seq(Typed(map_values(ctx.col), ArrayType(vt))))
     case ArrayType(st: StructType, _) =>
-      // sequence of objects: wildcard maps over elements, then flattens
-      combine(st.fields.toSeq.map(f =>
-        Typed(transform(ctx.col, x => x.getField(f.name)), ArrayType(f.dataType))))
+      // sequence of objects: element-major document order (each element's
+      // field values in schema order, then the next element's) — NOT all
+      // field1 values then all field2 values
+      if (st.fields.isEmpty)
+        throw new JsonataCompileError("`*` on an empty object schema")
+      val sites = st.fields.toSeq.map(f =>
+        ((c: Column) => c.getField(f.name), f.dataType))
+      val (acc, dt) = elementMajor(sites)
+      Typed(acc(ctx.col), dt)
     case other => throw new JsonataCompileError(
       s"`*` needs an object (struct/map) schema, got ${other.simpleString}")
   }
@@ -245,15 +273,75 @@ object JsonataCompiler {
           }
         }
       case ArrayType(et, _) =>
-        descendSites(et, name).map { case (a, d) =>
-          ((c: Column) => transform(c, x => a(x)), ArrayType(d))
+        descendSites(et, name) match {
+          case Nil => Nil
+          case inner => Seq(elementMajor(inner))
         }
       case MapType(_, vt, _) =>
-        descendSites(vt, name).map { case (a, d) =>
-          ((c: Column) => transform(map_values(c), x => a(x)), ArrayType(d))
+        descendSites(vt, name) match {
+          case Nil => Nil
+          case inner =>
+            val (a, d) = elementMajor(inner)
+            Seq(((c: Column) => a(map_values(c)), d))
         }
       case _ => Nil
     }
+
+  /** Merge the per-element match sites of an array into ONE element-major
+    * site: each array element contributes ALL its matches (in document
+    * order) before the next element's — JSONata's sequence order, not the
+    * site-major order a per-site transform() would produce.
+    */
+  private def elementMajor(inner: Seq[(Column => Column, DataType)])
+      : (Column => Column, DataType) = {
+    val uet = inner.map { case (_, d) => flatElem(d) }.reduce(unify)
+    ((c: Column) => flatten(filter(
+      transform(c, x => combine(inner.map { case (a, d) => Typed(a(x), d) }).col),
+      e => e.isNotNull)),
+      ArrayType(uet))
+  }
+
+  /** A lone `**` — every leaf (atomic) value at any depth, enumerated
+    * statically from the schema in depth-first document order. Typed
+    * degradation (documented): intermediate objects/arrays themselves are
+    * NOT emitted as sequence items (full JSONata includes them); values
+    * unify to one element type.
+    */
+  private def descendLeaves(ctx: Typed): Typed = {
+    val sites = leafSites(ctx.dt)
+    if (sites.isEmpty) throw new JsonataCompileError(
+      s"`**` found no leaf values in ${ctx.dt.simpleString}")
+    combine(sites.map { case (a, d) => Typed(a(ctx.col), d) })
+  }
+
+  /** Accessors for every atomic-typed value reachable at any depth. */
+  private def leafSites(dt: DataType): Seq[(Column => Column, DataType)] = dt match {
+    case st: StructType =>
+      st.fields.toSeq.flatMap { f =>
+        leafSites(f.dataType).map { case (a, d) =>
+          ((c: Column) => a(c.getField(f.name)), d)
+        }
+      }
+    case ArrayType(et, _) =>
+      leafSites(et) match {
+        case Nil => Nil
+        case inner => Seq(elementMajor(inner))
+      }
+    case MapType(_, vt, _) =>
+      leafSites(vt) match {
+        case Nil => Nil
+        case inner =>
+          val (a, d) = elementMajor(inner)
+          Seq(((c: Column) => a(map_values(c)), d))
+      }
+    case atomic => Seq(((c: Column) => c, atomic))
+  }
+
+  /** Element type after full flattening (scalar = itself). */
+  private def flatElem(dt: DataType): DataType = dt match {
+    case ArrayType(inner, _) => flatElem(inner)
+    case d => d
+  }
 
   /** Concatenate heterogeneous values/sequences into one flat sequence of
     * a unified element type, dropping nulls (JSONata: undefined vanishes

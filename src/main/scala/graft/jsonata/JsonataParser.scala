@@ -272,13 +272,18 @@ object JsonataParser {
         if (exprs.length == 1 && !exprs.head.isInstanceOf[JBind]) exprs.head
         else JBlock(exprs.toList)
       case TOp("{") =>
-        val fields = ListBuffer.empty[(String, JNode)]
+        val fields = ListBuffer.empty[(JKey, JNode)]
         if (!opIs("}")) {
           def kv(): Unit = {
-            val k = advance() match {
-              case TStr(s) => s
-              case TName(s) => s
-              case other => throw new JsonataParseError(s"object key must be literal, found $other")
+            // a bare name / string directly followed by ':' is a literal
+            // key (JSONata's common form); anything else is a computed-key
+            // expression, e.g. {$k: v} or {name & "_x": v}
+            val k: JKey = cur match {
+              case Some(TStr(s)) if pos + 1 < toks.length && toks(pos + 1) == TOp(":") =>
+                advance(); JKeyLit(s)
+              case Some(TName(s)) if pos + 1 < toks.length && toks(pos + 1) == TOp(":") =>
+                advance(); JKeyLit(s)
+              case _ => JKeyExpr(expr())
             }
             expect(":")
             fields += (k -> expr())

@@ -181,8 +181,6 @@ class JsonataSpec extends SparkTestBase {
   }
 
   test("unsupported constructs raise at compile time, not run time") {
-    // dynamic object keys
-    intercept[JsonataParseError](JsonataParser.parse("{$uppercase(name): 1}"))
     // binding mid-expression (JSONata also rejects this without parens)
     intercept[JsonataParseError](JsonataParser.parse("1 + $x := 2"))
     intercept[JsonataCompileError](
@@ -245,8 +243,40 @@ class JsonataSpec extends SparkTestBase {
     assert(r == Seq(1L))
   }
 
-  test("`**` without a following field is a compile error") {
-    intercept[JsonataCompileError](evalOn(deepJson, deepSchema, "**"))
+  test("lone `**` enumerates every leaf value depth-first (document order)") {
+    val r = evalOn(deepJson, deepSchema, "**")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(r == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(evalOn(deepJson, deepSchema, "$sum(**)") == 15.0)
+  }
+
+  test("wildcard * over array-of-structs is element-major (JSONata order)") {
+    val s = StructType(Seq(StructField("arr", ArrayType(StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType)))))))
+    val r = evalOn("""{"arr": [{"x": 1, "y": 2}, {"x": 3, "y": 4}]}""", s, "arr.*")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    // each element's values in schema order, then the next element's —
+    // NOT all x values followed by all y values
+    assert(r == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("descendant ** through arrays is element-major (JSONata order)") {
+    val s = StructType(Seq(StructField("arr", ArrayType(StructType(Seq(
+      StructField("value", LongType),
+      StructField("sub", StructType(Seq(StructField("value", LongType))))))))))
+    val json = """{"arr": [{"value": 1, "sub": {"value": 2}}, {"value": 3, "sub": {"value": 4}}]}"""
+    val r = evalOn(json, s, "**.value").asInstanceOf[scala.collection.Seq[Long]]
+    // element 1's matches (own value, then sub.value) before element 2's
+    assert(r == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("computed object keys degrade to map<string, unified> output") {
+    val m = evalOn(sensorJson, sensorSchema, "($k := name; {$k: watts})")
+      .asInstanceOf[scala.collection.Map[String, Double]]
+    assert(m == Map("lamp-1" -> 7.5))
+    val mixed = evalOn(sensorJson, sensorSchema, """{"fixed": 1, $uppercase(name): 2}""")
+      .asInstanceOf[scala.collection.Map[String, Long]]
+    assert(mixed == Map("fixed" -> 1L, "LAMP-1" -> 2L))
   }
 
   test("block with value bindings: ($x := expr; ...) ") {
