@@ -119,6 +119,32 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** T1 tier-3 surface: computed object keys and a lone `**`. The
+    * transform builds `{"k" & $string(k): $sum(**), "fixed": k}` — the
+    * key is computed per record, so the constructor compiles to a
+    * map<string, double> (documented degradation), and the lone `**`
+    * sums every leaf of the payload. The map is exploded to (mkey, mval)
+    * rows so the result stays oracle-comparable as plain columns.
+    */
+  def pipeJsonataT3(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val nestedSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("sub", StructType(Seq(
+        StructField("k", LongType),
+        StructField("deep", StructType(Seq(StructField("k", LongType)))))))))
+    val payload = concat(
+      lit("""{"k": """), (col("user_id") % 100).cast("string"),
+      lit(""", "sub": {"k": """), (col("event_id") % 10).cast("string"),
+      lit(""", "deep": {"k": 7}}}"""))
+    val staged = withParsedJson(ev.withColumn("payload", payload),
+      col("payload"), nestedSchema, "p", col("event_id"))
+    val out = graft.jsonata.JsonataCompiler.compile(
+      """{"k" & $string(k): $sum(**), "fixed": k}""", col("p"), nestedSchema)
+    staged.select(col("event_id"), explode(out).as(Seq("mkey", "mval")))
+      .orderBy("event_id", "mkey")
+  }
+
   /** Gap-based sessionization over the event stream (30-min inactivity gap)
     * — the batch analog of stateful stream sessionization; lag + running
     * sum of new-session flags, all window functions (single shuffle on
@@ -225,6 +251,7 @@ object PipelineQueries {
     "pipe_transform" -> pipeTransform,
     "pipe_jsonata" -> pipeJsonata,
     "pipe_jsonata_t2" -> pipeJsonataT2,
+    "pipe_jsonata_t3" -> pipeJsonataT3,
     "pipe_asof_join" -> pipeAsofJoin,
     "pipe_interval_join" -> pipeIntervalJoin,
     "pipe_sessionize" -> pipeSessionize,
@@ -267,6 +294,14 @@ object PipelineQueries {
         |       CAST((event_id % 10) + 7 AS DOUBLE) AS deepk,
         |       CAST(7 AS DOUBLE) AS subdeep
         |FROM events ORDER BY event_id""".stripMargin,
+    "pipe_jsonata_t3" ->
+      """SELECT event_id, mkey, mval FROM (
+        |  SELECT event_id, 'k' || CAST(user_id % 100 AS VARCHAR) AS mkey,
+        |         CAST((user_id % 100) + (event_id % 10) + 7 AS DOUBLE) AS mval
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'fixed', CAST(user_id % 100 AS DOUBLE) FROM events)
+        |ORDER BY event_id, mkey""".stripMargin,
     "pipe_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
         |           FROM events WHERE event_type = 'purchase'),
