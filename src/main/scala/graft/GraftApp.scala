@@ -15,7 +15,8 @@ import graft.streaming._
   *   runMain graft.GraftApp --mqtt-url tcp://host:1883 --topic 'a/+/c'
   *     [--topic 'b/#']... [--stream-id ID | --stream-id-template TPL]
   *     [--truncate-topic N] [--transform JSONATA] [--private-key KEY]
-  *     [--payload-schema 'a INT, b STRING'] [--public] [--dry-run]
+  *     [--payload-schema 'a INT, b STRING' | --infer-schema
+  *      [--infer-sample N] [--infer-timeout SECS]] [--public] [--dry-run]
   *     [--verbose] [--log-interval SECS] [--reconnect-on-data-timeout SECS]
   *     --out-dir DIR [--registry-dir DIR] [--checkpoint DIR] [--once]
   *
@@ -51,6 +52,9 @@ object GraftApp {
         case "--transform" => cfg = cfg.copy(transform = Some(next()))
         case "--private-key" => cfg = cfg.copy(privateKey = Some(next()))
         case "--payload-schema" => cfg = cfg.copy(payloadSchema = StructType.fromDDL(next()))
+        case "--infer-schema" => cfg = cfg.copy(inferSchema = true)
+        case "--infer-sample" => cfg = cfg.copy(inferSampleSize = next().toInt)
+        case "--infer-timeout" => cfg = cfg.copy(inferTimeoutSecs = next().toInt)
         case "--public" => cfg = cfg.copy(publicStreams = true)
         case "--dry-run" => cfg = cfg.copy(dryRun = true)
         case "--verbose" => cfg = cfg.copy(verbose = true)
@@ -76,6 +80,39 @@ object GraftApp {
     AppArgs(cfg.copy(topics = topics), outDir, registryDir, checkpoint, once)
   }
 
+  /** Sample up to `sampleSize` live payloads (or until `timeoutMillis`)
+    * from the broker and infer the payload schema with Spark's JSON
+    * inference (`spark.read.json` over the sample — the public API behind
+    * schema_of_json, which also unions differing field sets across
+    * records). The sampler is a plain driver-side subscriber; it
+    * disconnects before the streaming source starts.
+    */
+  def inferPayloadSchema(spark: SparkSession, mqttUrl: String, topics: Seq[String],
+      sampleSize: Int, timeoutMillis: Long): StructType = {
+    val client = new graft.sources.mqtt.MqttClient(mqttUrl, topics,
+      clientId = s"graft-infer-${java.util.UUID.randomUUID()}",
+      dataTimeoutMillis = 0).start()
+    val sample = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      require(client.awaitConnected(timeoutMillis),
+        s"--infer-schema: could not connect to $mqttUrl within ${timeoutMillis}ms")
+      val deadline = System.currentTimeMillis() + timeoutMillis
+      while (sample.length < sampleSize && System.currentTimeMillis() < deadline) {
+        client.poll(sampleSize - sample.length)
+          .foreach(m => sample += new String(m.payload, java.nio.charset.StandardCharsets.UTF_8))
+        if (sample.length < sampleSize) Thread.sleep(50)
+      }
+    } finally client.close()
+    require(sample.nonEmpty,
+      s"--infer-schema: no payloads arrived within ${timeoutMillis}ms — " +
+        "publish sample traffic or pass --payload-schema")
+    import spark.implicits._
+    val inferred = spark.read.json(spark.createDataset(sample.toSeq)).schema
+    // malformed sample records surface as a corrupt-record column; the
+    // pipeline has its own drop-and-count path for those
+    StructType(inferred.filterNot(_.name == "_corrupt_record"))
+  }
+
   def main(args: Array[String]): Unit = {
     val app = parseArgs(args)
     val cfg = app.cfg
@@ -90,20 +127,28 @@ object GraftApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val cfgResolved =
+      if (cfg.inferSchema && cfg.payloadSchema.isEmpty) {
+        val inferred = inferPayloadSchema(spark, cfg.mqttUrl, cfg.topics,
+          cfg.inferSampleSize, cfg.inferTimeoutSecs * 1000L)
+        println(s"[graft] inferred payload schema: ${inferred.toDDL}")
+        cfg.copy(payloadSchema = inferred)
+      } else cfg
+
     val stream = spark.readStream.format("mqtt")
       .option("url", cfg.mqttUrl)
       .option("topics", cfg.topics.mkString(","))
       .option("dataTimeoutSecs", cfg.dataTimeoutSecs)
       .load()
 
-    val routed = GraftPipeline.plan(stream, cfg)
+    val routed = GraftPipeline.plan(stream, cfgResolved)
       .observe("graft_stats",
         sum(when(col("valid"), 1L).otherwise(0L)).as("success"),
         sum(when(!col("valid"), 1L).otherwise(0L)).as("error"))
 
     val registry = new FsStreamRegistry(app.registryDir,
       cfg.privateKey.map(FsStreamRegistry.principalOf))
-    val sink = new RoutingSink(registry, new FsStreamPublisher(app.outDir), cfg)
+    val sink = new RoutingSink(registry, new FsStreamPublisher(app.outDir), cfgResolved)
     val stats = new StatsListener()
     spark.streams.addListener(stats)
 

@@ -36,6 +36,18 @@ case class GraftConfig(
       * recorded on each created stream — the ownership analog.
       */
     privateKey: Option[String] = None,
+    /** --infer-schema: sample live payloads at startup and infer
+      * payloadSchema with Spark's JSON inference — closes the
+      * schemaless-reference UX gap (a reference user never writes a
+      * schema; js parses per message at run time). Sampling consumes a
+      * startup window of the QoS-0 stream, like the reference missing
+      * messages published before it connects.
+      */
+    inferSchema: Boolean = false,
+    /** --infer-sample: payload count to sample for inference */
+    inferSampleSize: Int = 64,
+    /** --infer-timeout seconds: max wait for the sample window */
+    inferTimeoutSecs: Int = 10,
     /** --log-interval seconds (js:52-56), default 60 */
     logIntervalSecs: Int = 60,
     /** --reconnect-on-data-timeout seconds, 0 disables (js:57-61) */

@@ -40,6 +40,46 @@ class GraftAppSpec extends SparkTestBase {
     } finally broker.close()
   }
 
+  test("--infer-schema: transform with no hand-written payload schema") {
+    val broker = new MqttTestBroker()
+    val outDir = Files.createTempDirectory("app_infer").toString + "/data"
+    try {
+      val publisher = new Thread(() => {
+        // phase 1: feed the schema sampler until it disconnects
+        var tries = 0
+        while (broker.subscriberCount == 0 && tries < 200) { Thread.sleep(50); tries += 1 }
+        while (broker.subscriberCount > 0) {
+          broker.publish("iot/a/x", """{"v": 1, "w": "sample"}""")
+          Thread.sleep(50)
+        }
+        // phase 2: the streaming source subscribes; publish the real records
+        tries = 0
+        while (broker.subscriberCount == 0 && tries < 200) { Thread.sleep(50); tries += 1 }
+        broker.publish("iot/a/x", """{"v": 5, "w": "hi"}""")
+        broker.publish("iot/b/y", """{"v": 6, "w": "yo"}""")
+        Thread.sleep(400)
+      })
+      publisher.start()
+      GraftApp.main(Array(
+        "--mqtt-url", broker.url,
+        "--topic", "iot/#",
+        "--stream-id-template", "s/$topic",
+        "--truncate-topic", "1",
+        "--infer-schema", "--infer-sample", "3", "--infer-timeout", "15",
+        "--transform", """{"v2": v * 2, "wu": $uppercase(w)}""",
+        "--out-dir", outDir,
+        "--once"))
+      publisher.join()
+
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 2)
+      val got = out.selectExpr(
+        "get_json_object(value_json, '$.v2')", "get_json_object(value_json, '$.wu')")
+        .as[(String, String)].collect().toSet
+      assert(got == Set(("10", "HI"), ("12", "YO")))
+    } finally broker.close()
+  }
+
   test("parseArgs enforces required options and rejects unknown flags") {
     intercept[IllegalArgumentException](
       GraftApp.parseArgs(Array("--topic", "a")))
