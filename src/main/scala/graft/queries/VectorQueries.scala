@@ -168,6 +168,73 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Learned coarse quantizer: k-means centroids via Lloyd iterations as
+    * pure DataFrame aggregations — the production IVF shape (at 100 TB
+    * there is no label column to piggyback on). Deterministic so it stays
+    * oracle-checkable: seeds are the first `nLists` vectors by id, ties in
+    * the argmax assignment break to the lowest list id, and the iteration
+    * count is fixed. Per iteration: centroids broadcast (nLists × dim —
+    * provably tiny), assignment is one row_number window keyed by vec_id
+    * (single shuffle), new centroids are a two-level elementwise-mean agg.
+    * At real scale you'd run the Lloyd loop on a corpus SAMPLE (same plan
+    * over e.sample(...)) and only the final assignment over the full data.
+    */
+  private def kmeansCentroids(e: DataFrame, nLists: Int, iters: Int): DataFrame = {
+    var cent = e.filter(col("vec_id") < nLists)
+      .select(col("vec_id").cast("int").as("list_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      cent = assignLists(e, cent)
+        .select(col("list_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("list_id", "i").agg(avg("x").as("m"))
+        .groupBy("list_id").agg(
+          transform(array_sort(collect_list(struct(col("i"), col("m")))), s0 => s0.getField("m")).as("cv"))
+    }
+    cent
+  }
+
+  /** Nearest-centroid assignment (argmax cosine, lowest list id on tie). */
+  private def assignLists(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("list_id"))
+    e.join(broadcast(cent), lit(true))
+      .select(col("vec_id"), col("v"), col("list_id"),
+        cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("list_id"))
+  }
+
+  /** IVF top-k with LEARNED centroids (kmeansCentroids) instead of the
+    * label coarse quantizer — same probe/search shape as knnIvf: corpus
+    * partitioned by learned list id, a query touches NProbe/nLists of the
+    * data, broadcasts only centroids + the query set.
+    */
+  def knnIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    knnIvfKmeansFrom(emb(s, dir))
+
+  private def knnIvfKmeansFrom(e: DataFrame): DataFrame = {
+    val NProbe = 2
+    val cent = kmeansCentroids(e, nLists = 8, iters = 2)
+    val corpusLists = assignLists(e, cent)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("list_id"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("list_id"))
+    val probed = queries.join(broadcast(cent), lit(true))
+      .select(col("query_id"), col("qv"), col("list_id"),
+        cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= NProbe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+    val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(corpusLists, "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv2")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= K)
+      .orderBy("query_id", "rnk")
+  }
+
   /** ANN quality accounting: recall@K of the IVF index against the exact
     * brute-force neighbors, per query. The measurement every production
     * ANN deployment ships with — recall is THE dial that justifies the
@@ -219,6 +286,7 @@ object VectorQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> knnBrute,
     "knn_ivf" -> knnIvf,
+    "knn_ivf_kmeans" -> knnIvfKmeans,
     "knn_recall" -> knnRecall,
     "emb_centroid_dist" -> embCentroidDist,
     "emb_neardup" -> embNeardup,
