@@ -24,6 +24,9 @@ object VectorQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
 
+  /** Test access to the corpus projection (plan-regression specs). */
+  private[graft] def embProjection(s: SparkSession, dir: String): DataFrame = emb(s, dir)
+
   /** Brute-force exact top-k cosine neighbors for the first NumQueries ids. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = knnBruteFrom(emb(s, dir))
 
@@ -168,40 +171,65 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
-  /** Learned coarse quantizer: k-means centroids via Lloyd iterations as
-    * pure DataFrame aggregations — the production IVF shape (at 100 TB
-    * there is no label column to piggyback on). Deterministic so it stays
-    * oracle-checkable: seeds are the first `nLists` vectors by id, ties in
-    * the argmax assignment break to the lowest list id, and the iteration
-    * count is fixed. Per iteration: centroids broadcast (nLists × dim —
-    * provably tiny), assignment is one row_number window keyed by vec_id
-    * (single shuffle), new centroids are a two-level elementwise-mean agg.
-    * At real scale you'd run the Lloyd loop on a corpus SAMPLE (same plan
-    * over e.sample(...)) and only the final assignment over the full data.
+  /** Learned coarse quantizer: Lloyd k-means with DRIVER-RESIDENT
+    * centroids — the production IVF shape (at 100 TB there is no label
+    * column to piggyback on). A centroid table is nLists × dim doubles,
+    * provably tiny, so it lives on the driver and enters each job as plan
+    * LITERALS: per iteration the assignment is a shuffle-free argmax
+    * projection ([[assignListsProjection]]), new centroids are one
+    * two-level elementwise-mean aggregation, and the nLists-row collect
+    * is control-plane (bounded, like the routing sink's distinct-ids) —
+    * no corpus window and no corpus×centroid join anywhere. Deterministic
+    * so it stays oracle-checkable: seeds are the first nLists vectors by
+    * id, argmax ties break to the lowest list id, fixed iteration count.
+    * At real scale the Lloyd loop runs over a corpus SAMPLE (same plan on
+    * e.sample(...)); only the final — equally shuffle-free — assignment
+    * touches the full data.
     */
-  private def kmeansCentroids(e: DataFrame, nLists: Int, iters: Int): DataFrame = {
-    var cent = e.filter(col("vec_id") < nLists)
-      .select(col("vec_id").cast("int").as("list_id"), col("v").as("cv"))
+  private def kmeansCentroids(e: DataFrame, nLists: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    def collectCent(df: DataFrame): Seq[(Int, Seq[Double])] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    var cent = collectCent(e.filter(col("vec_id") < nLists)
+      .select(col("vec_id").cast("int").as("list_id"), col("v")))
     for (_ <- 1 to iters) {
-      cent = assignLists(e, cent)
+      cent = collectCent(assignListsProjection(e, cent)
         .select(col("list_id"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("list_id", "i").agg(avg("x").as("m"))
         .groupBy("list_id").agg(
-          transform(array_sort(collect_list(struct(col("i"), col("m")))), s0 => s0.getField("m")).as("cv"))
+          transform(array_sort(collect_list(struct(col("i"), col("m")))), s0 => s0.getField("m")).as("cv")))
     }
     cent
   }
 
-  /** Nearest-centroid assignment (argmax cosine, lowest list id on tie). */
-  private def assignLists(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("list_id"))
-    e.join(broadcast(cent), lit(true))
-      .select(col("vec_id"), col("v"), col("list_id"),
-        cosine(col("v"), col("cv")).as("ccos"))
-      .withColumn("rnk", row_number().over(wA))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("v"), col("list_id"))
+  /** Nearest-centroid assignment (argmax cosine; ties — or all-NULL
+    * cosines, e.g. a zero vector — take the lowest list id) as a pure
+    * shuffle-free PROJECTION: the centroids are plan literals, the
+    * per-centroid cosine array is staged once behind a Generate barrier
+    * (array_max + array_position would otherwise each re-derive all
+    * nLists cosine kernels through CollapseProject), and the argmax is
+    * array_position of the max — first hit wins, which is exactly
+    * row_number over (ccos DESC NULLS LAST, list_id ASC) = 1.
+    */
+  private[graft] def assignListsProjection(
+      e: DataFrame, cent: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centArr = array(cent.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+    val listIds = array(cent.map { case (lid, _) => lit(lid) }: _*)
+    val staged = graft.functions.PipelineFunctions.stageBarrier(
+      e, Seq(col("vec_id"), col("v")),
+      "coss" -> transform(centArr, cv => cosine(col("v"), cv)))
+    staged.select(col("vec_id"), col("v"),
+      element_at(listIds,
+        coalesce(array_position(col("coss"), array_max(col("coss"))), lit(1L)).cast("int"))
+        .as("list_id"))
   }
+
+  /** The driver-resident centroids as a (tiny) relation for the probe
+    * join: explode of a literal array — a local plan node, no scan.
+    */
+  private def centRelation(e: DataFrame, cent: Seq[(Int, Seq[Double])]): DataFrame =
+    e.sparkSession.range(1).select(explode(array(cent.map { case (lid, cv) =>
+      struct(lit(lid).as("list_id"), array(cv.map(lit): _*).as("cv")) }: _*)).as("c"))
+      .select(col("c.list_id").as("list_id"), col("c.cv").as("cv"))
 
   /** IVF top-k with LEARNED centroids (kmeansCentroids) instead of the
     * label coarse quantizer — same probe/search shape as knnIvf: corpus
@@ -213,20 +241,29 @@ object VectorQueries {
 
   private def knnIvfKmeansFrom(e: DataFrame): DataFrame = {
     val NProbe = 2
-    val cent = kmeansCentroids(e, nLists = 8, iters = 2)
-    val corpusLists = assignLists(e, cent)
+    // cache the corpus projection only for the duration of the (eager)
+    // Lloyd collects; released before the final lazy plan is returned,
+    // which re-scans the parquet exactly once
+    e.persist()
+    val cent =
+      try kmeansCentroids(e, nLists = 8, iters = 2)
+      finally e.unpersist(false)
+    val corpusLists = assignListsProjection(e, cent)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("list_id"))
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("list_id"))
-    val probed = queries.join(broadcast(cent), lit(true))
+    val probed = queries.join(broadcast(centRelation(e, cent)), lit(true))
       .select(col("query_id"), col("qv"), col("list_id"),
         cosine(col("qv"), col("cv")).as("ccos"))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= NProbe)
       .select(col("query_id"), col("qv"), col("list_id"))
+    // probed is |queries| × NProbe rows — broadcast it so the corpus side
+    // never shuffles for the candidate join; only the probed-list
+    // candidates flow into the top-k rank window
     val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    probed.join(corpusLists, "list_id")
+    broadcast(probed).join(corpusLists, "list_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv2")), 6).as("cos"))
@@ -248,18 +285,25 @@ object VectorQueries {
     */
   def knnRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).persist()
-    val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
-    val ivf = knnIvfFrom(e)
-      .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
-    val overlap = brute
-      .join(ivf, col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"))
-      .join(overlap, Seq("query_id"), "left_outer")
-      .select(col("query_id"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") / K, 6).as("recall"))
-      .orderBy("query_id")
+    try {
+      val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
+      val ivf = knnIvfFrom(e)
+        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+      val overlap = brute
+        .join(ivf, col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val out = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / K, 6).as("recall"))
+        .orderBy("query_id")
+      // the result is provably <= NumQueries rows: materialize it eagerly
+      // (while the shared corpus cache is live) so the persist can be
+      // released deterministically instead of leaking into the session
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally e.unpersist(false)
   }
 
   /** Random-hyperplane LSH index rows (vec_id, band, bucket): 16 sign
@@ -355,6 +399,48 @@ object VectorQueries {
          |                            ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // mirrors knnIvfKmeans exactly: seeds = vec_id < 8, two Lloyd
+    // iterations (assignment = argmax cosine, ties to lowest list id —
+    // expressed as the same row_number window the knn_ivf oracle uses;
+    // recompute = elementwise mean), final assignment over all data,
+    // then the knn_ivf probe/top-k shape against the learned lists
+    "knn_ivf_kmeans" -> {
+      def assignCte(centCte: String): String =
+        s"""SELECT vec_id, v, list_id FROM (
+           |    SELECT e.vec_id, e.v, c.list_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+           |    FROM e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
+      def meanCte(assignCte: String): String =
+        s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
+           |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
+           |    FROM $assignCte CROSS JOIN range(1, 65) r(i)
+           |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (${assignCte("c0")}),
+         |c1 AS (${meanCte("a1")}),
+         |a2 AS (${assignCte("c1")}),
+         |c2 AS (${meanCte("a2")}),
+         |af AS (${assignCte("c2")}),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |probe AS (
+         |  SELECT query_id, qv, list_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql.format("qv", "cv", "qv", "qv", "cv", "cv")} DESC, list_id) AS prnk
+         |  FROM q CROSS JOIN c2),
+         |sel AS (SELECT query_id, qv, list_id FROM probe WHERE prnk <= 2),
+         |pairs AS (
+         |  SELECT sel.query_id, af.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "af.v", "qv", "qv", "af.v", "af.v")}, 6) AS cos
+         |  FROM sel JOIN af ON af.list_id = sel.list_id AND af.vec_id <> sel.query_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
+    },
     "knn_recall" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x

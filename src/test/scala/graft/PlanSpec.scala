@@ -42,7 +42,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("pipe_* queries parse the payload JSON exactly once per row") {
-    Seq("pipe_parse_stats", "pipe_transform", "pipe_jsonata", "pipe_jsonata_t2").foreach { q =>
+    Seq("pipe_parse_stats", "pipe_transform", "pipe_jsonata", "pipe_jsonata_t2",
+        "pipe_jsonata_t3").foreach { q =>
       val p = optimized(q)
       assert("from_json".r.findAllIn(p).length == 1, s"$q: ${p.take(1500)}")
       assert(!p.contains("parse_json"), s"$q still has a variant parse pass")
@@ -80,5 +81,21 @@ class PlanSpec extends SparkTestBase {
   test("knn_brute: query side broadcasts (corpus never shuffles for the join)") {
     assert(physical("knn_brute").contains("BroadcastNestedLoopJoin") ||
       physical("knn_brute").contains("BroadcastHashJoin"))
+  }
+
+  test("knn_ivf_kmeans: centroid assignment is a pure projection (no Exchange)") {
+    val e = queries.VectorQueries.embProjection(spark, sf())
+    val cent = Seq(0 -> Seq.fill(64)(0.1), 1 -> (0 until 64).map(_.toDouble))
+    val p = queries.VectorQueries.assignListsProjection(e, cent)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("knn_ivf_kmeans: no full-corpus shuffle (no exchange keyed on vec_id)") {
+    // the final assignment used to run corpus×centroids through a
+    // row_number window partitioned by vec_id — an 8×-corpus shuffle;
+    // it must stay an argmax projection against the centroid literals
+    val p = physical("knn_ivf_kmeans")
+    assert(!p.contains("hashpartitioning(vec_id"), p.take(3000))
   }
 }
