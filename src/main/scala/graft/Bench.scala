@@ -1,9 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Prints ONE JSON line with per-query times.
+  *
+  * Methodology (bench hygiene, VERDICT r5 #1): each query is timed
+  * `SPARK_GRAFT_BENCH_RUNS` times (default 3) in *interleaved* rounds —
+  * round 1 runs every query once, then round 2, ... — so transient machine
+  * contention spreads across queries instead of polluting one of them.
+  * The reported per-query number is the median across rounds; `value` is
+  * the sum of medians. `subtotal_r5` sums medians over the exact 44-query
+  * set benched in round 5, giving a like-for-like round-over-round signal
+  * even as new queries are added.
+  */
 object Bench {
+  /** The 44 queries present in BENCH_r05.json — the like-for-like comparison set. */
+  private val R5Queries: Set[String] = Set(
+    "dedup_exact", "dedup_keep", "dedup_minhash", "dedup_minhash_pairs", "dedup_simhash",
+    "emb_centroid_dist", "emb_lsh_buckets", "emb_neardup", "emb_quantize",
+    "knn_brute", "knn_ivf", "knn_ivf_kmeans", "knn_recall", "mm_features",
+    "pipe_asof_join", "pipe_interval_join", "pipe_jsonata", "pipe_jsonata_t2", "pipe_jsonata_t3",
+    "pipe_parse_stats", "pipe_route", "pipe_sessionize", "pipe_stats_cube", "pipe_transform",
+    "q1_agg", "q3_topk", "q5_region_join", "q_above_avg", "q_anti_join", "q_distinct_agg",
+    "q_pivot", "q_quantiles", "q_rollup", "q_semi_join", "q_set_ops",
+    "q_window_rank", "q_window_running",
+    "text_dup_ngrams", "text_langid", "text_quality", "text_repetition", "text_stats",
+    "text_top_tokens", "text_unigram_lp")
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) 0.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,19 +46,26 @@ object Bench {
     // session/codegen warmup so the first measured query doesn't absorb
     // JVM + Catalyst initialization
     spark.range(100000).selectExpr("sum(id * 2)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
+    for (round <- 1 to runs; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // toRdd.count() forces every output column to be materialized;
       // Dataset.count() would let Catalyst prune projection-only work and
       // under-report the cost of compute-heavy columns.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED (round $round): $e") }
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val medians = names.map(n => n -> median(samples(n)))
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    val r5Shared = medians.filter { case (k, _) => R5Queries(k) }
+    val subtotal = r5Shared.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"subtotal_r5":$subtotal,"subtotal_r5_n":${r5Shared.size}}""")
     spark.stop()
   }
 }
