@@ -110,7 +110,11 @@ object GraftApp {
     val inferred = spark.read.json(spark.createDataset(sample.toSeq)).schema
     // malformed sample records surface as a corrupt-record column; the
     // pipeline has its own drop-and-count path for those
-    StructType(inferred.filterNot(_.name == "_corrupt_record"))
+    val cleaned = StructType(inferred.filterNot(_.name == "_corrupt_record"))
+    require(cleaned.nonEmpty,
+      s"--infer-schema: none of the ${sample.length} sampled payloads parsed " +
+        "as JSON objects — check the producer or pass --payload-schema")
+    cleaned
   }
 
   def main(args: Array[String]): Unit = {

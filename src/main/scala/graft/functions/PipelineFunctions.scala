@@ -117,4 +117,16 @@ object PipelineFunctions {
     */
   def jsonIsValid(payload: Column): Column =
     payload.isNotNull && try_parse_json(payload).isNotNull
+
+  /** Strict UTF-8 decode of a BINARY payload: NULL when the bytes are not
+    * well-formed UTF-8. The reference hands raw bytes straight to
+    * `JSON.parse` and drop-counts the failure (bin/mqtt-streamr.js:144,
+    * 149-155; Buffer→string replacement chars never parse as JSON) — here
+    * undecodable bytes surface as a NULL payload that the parse stage
+    * already routes into the same drop-and-count path. The binary→string
+    * cast is a byte reinterpretation (non-validating); `try_validate_utf8`
+    * supplies the validation, all codegen'd.
+    */
+  def decodeUtf8Strict(bytes: Column): Column =
+    try_validate_utf8(bytes.cast(StringType))
 }

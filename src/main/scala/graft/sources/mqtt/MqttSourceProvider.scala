@@ -58,7 +58,7 @@ case class MqttOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
-case class MqttInputPartition(rows: Array[(String, String, Long)]) extends InputPartition
+case class MqttInputPartition(rows: Array[(String, Array[Byte], Long)]) extends InputPartition
 
 class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStream {
   private val url = options.getOrElse("url",
@@ -130,9 +130,11 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
       val e = end.asInstanceOf[MqttOffset].count
       // offsets before the committed base are gone (no replay at QoS 0)
       val from = math.max(s, committedBase)
+      // payload ships as raw bytes (reference fidelity: the Buffer reaches
+      // JSON.parse undecoded, bin/mqtt-streamr.js:144); the pipeline
+      // decodes in-plan and drop-counts malformed UTF-8
       val rows = buffer.slice((from - committedBase).toInt, (e - committedBase).toInt)
-        .map(m => (m.topic, new String(m.payload, java.nio.charset.StandardCharsets.UTF_8),
-          m.arrivalMillis * 1000L))
+        .map(m => (m.topic, m.payload, m.arrivalMillis * 1000L))
         .toArray
       // one task per ~targetPerPartition records: a large drained batch
       // fans out across executor threads instead of serializing the
@@ -148,8 +150,7 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
         val (topic, payload, micros) = rows(i)
-        InternalRow(UTF8String.fromString(topic), UTF8String.fromString(payload),
-          micros)
+        InternalRow(UTF8String.fromString(topic), payload, micros)
       }
       override def close(): Unit = ()
     }

@@ -62,13 +62,15 @@ case class GraftConfig(
   */
 object GraftPipeline {
 
-  /** Envelope schema: the unit of data is (topic, payload bytes→string,
+  /** Envelope schema: the unit of data is (topic, raw payload BYTES,
     * arrival time) — bin/mqtt-streamr.js:144 plus the processing-time
-    * clock (src/Logger.js:6).
+    * clock (src/Logger.js:6). Payload stays binary at the source boundary
+    * exactly as the reference's Buffer does; [[plan]] decodes it in-plan
+    * and routes undecodable bytes into the F1 drop-and-count path.
     */
   val envelopeSchema: StructType = StructType(Seq(
     StructField("topic", StringType),
-    StructField("payload", StringType),
+    StructField("payload", BinaryType),
     StructField("arrival_ts", TimestampType)))
 
   /** Full pipeline: input must have envelopeSchema columns. Output columns:
@@ -78,10 +80,22 @@ object GraftPipeline {
     * can count them (the reference logs+drops at js:149-155 and counts at
     * Logger.js:13-15); the sink drops them.
     */
-  def plan(input: DataFrame, cfg: GraftConfig): DataFrame = {
+  def plan(input0: DataFrame, cfg: GraftConfig): DataFrame = {
     require(cfg.transform.isEmpty || cfg.payloadSchema.nonEmpty,
       "a --transform needs a --payload-schema to resolve field references " +
         "(this engine is schema-first; the reference infers at run time)")
+    // Binary envelopes (the MQTT source) are decoded here, in-plan: strict
+    // UTF-8, NULL on malformed bytes, staged behind a Generate barrier so
+    // the decode runs once per row however many consumers reference it.
+    // A NULL payload fails JSON validity below => valid=false => the same
+    // drop-and-count path as unparseable JSON (reference js:149-155).
+    // String envelopes (batch tables, tests) pass through untouched.
+    val input = input0.schema("payload").dataType match {
+      case BinaryType => stageBarrier(input0,
+        Seq(col("topic"), col("arrival_ts")),
+        "payload" -> decodeUtf8Strict(col("payload")))
+      case _ => input0
+    }
     val streamId: Column = cfg.fixedStreamId match {
       case Some(id) => fixedStreamId(id) // constant-folds the whole derivation
       case None => streamIdTemplate(

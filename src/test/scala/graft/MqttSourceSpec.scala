@@ -155,7 +155,8 @@ class MqttSourceSpec extends SparkTestBase {
       assert(end == graft.sources.mqtt.MqttOffset(53), s"end=$end")
       val parts = stream.planInputPartitions(start, end)
       val rows = parts.flatMap(_.asInstanceOf[graft.sources.mqtt.MqttInputPartition].rows)
-      assert(rows.map(_._2).toSeq == Seq("post-restart-1", "post-restart-2", "post-restart-3"))
+      assert(rows.map(r => new String(r._2, "UTF-8")).toSeq ==
+        Seq("post-restart-1", "post-restart-2", "post-restart-3"))
       stream.stop()
     } finally broker.close()
   }
@@ -203,6 +204,46 @@ class MqttSourceSpec extends SparkTestBase {
       assert(out.filter($"valid").count() == 2)
       val ids = out.filter($"valid").select("stream_id").as[String].collect().toSet
       assert(ids == Set("org/iot/roomA/s", "org/iot/roomB/s"))
+    } finally broker.close()
+  }
+
+  test("non-UTF-8 payload bytes land in the drop-and-count path, not mojibake") {
+    val broker = new MqttTestBroker()
+    val ckDir = Files.createTempDirectory("mqtt_bin_ck").toString
+    val outDir = Files.createTempDirectory("mqtt_bin_out").toString
+    try {
+      val stream = spark.readStream.format("mqtt")
+        .option("url", broker.url).option("topics", "#").load()
+      // envelope is BINARY at the source boundary, as the reference's Buffer
+      assert(stream.schema("payload").dataType ==
+        org.apache.spark.sql.types.BinaryType)
+      val cfg = graft.streaming.GraftConfig(
+        payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType))))
+      val routed = graft.streaming.GraftPipeline.plan(stream, cfg)
+      val q = routed.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir).start()
+      var tries = 0
+      while (broker.subscriberCount == 0 && tries < 100) { Thread.sleep(50); tries += 1 }
+      broker.publish("t/ok", """{"v": 1.0}""")
+      // 0xC3 0x28: invalid 2-byte UTF-8 sequence; 0xFF never appears in UTF-8
+      broker.publishBytes("t/bad", Array(0xC3, 0x28, 0xFF, 0x7B).map(_.toByte))
+      broker.publish("t/badjson", "not json")
+      Thread.sleep(500)
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.read.parquet(outDir)
+      // all three kept for counting; only the decodable+parseable one valid
+      assert(out.count() == 3)
+      assert(out.filter($"valid").count() == 1)
+      assert(out.filter($"valid").select($"value.v").as[Double].collect().toSeq == Seq(1.0))
+      // both failure modes (bad bytes, bad JSON) are indistinguishable
+      // errors to the stats layer — the reference's drop-and-count
+      val stats = graft.streaming.GraftPipeline.intervalStats(
+        spark.read.parquet(outDir), 3600)
+      val row = stats.collect().head
+      assert(row.getAs[Long]("success") == 1 && row.getAs[Long]("error") == 2)
     } finally broker.close()
   }
 }

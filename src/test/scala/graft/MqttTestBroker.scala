@@ -57,6 +57,10 @@ class MqttTestBroker(port0: Int = 0) extends AutoCloseable {
   def publish(topic: String, payload: String): Unit =
     fanout(topic, payload.getBytes("UTF-8"))
 
+  /** Raw-bytes publish, e.g. payloads that are not valid UTF-8. */
+  def publishBytes(topic: String, payload: Array[Byte]): Unit =
+    fanout(topic, payload)
+
   private def fanout(topic: String, payload: Array[Byte]): Unit =
     subs.forEach { sub =>
       if (sub.filters.exists(MqttCodec.topicMatches(_, topic)))
