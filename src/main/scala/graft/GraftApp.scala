@@ -31,7 +31,12 @@ object GraftApp {
       outDir: String,
       registryDir: String,
       checkpoint: String,
-      once: Boolean)
+      once: Boolean,
+      /** --publish-mqtt-url: publish routed records back out over MQTT
+        * (topic = stream_id) instead of the parquet fan-out — the
+        * reference's per-record remote publish (js:191-198).
+        */
+      publishMqttUrl: Option[String] = None)
 
   def parseArgs(args: Array[String]): AppArgs = {
     var cfg = GraftConfig()
@@ -40,6 +45,7 @@ object GraftApp {
     var registryDir = ""
     var checkpoint = ""
     var once = false
+    var publishMqttUrl = Option.empty[String]
     var i = 0
     def next(): String = { i += 1; require(i < args.length, s"missing value for ${args(i - 1)}"); args(i) }
     while (i < args.length) {
@@ -61,6 +67,7 @@ object GraftApp {
         case "--log-interval" => cfg = cfg.copy(logIntervalSecs = next().toInt)
         case "--reconnect-on-data-timeout" => cfg = cfg.copy(dataTimeoutSecs = next().toInt)
         case "--out-dir" => outDir = next()
+        case "--publish-mqtt-url" => publishMqttUrl = Some(next())
         case "--registry-dir" => registryDir = next()
         case "--checkpoint" => checkpoint = next()
         case "--once" => once = true
@@ -77,7 +84,8 @@ object GraftApp {
     if (registryDir.isEmpty) registryDir = outDir + "/_streams"
     if (checkpoint.isEmpty) checkpoint =
       java.nio.file.Files.createTempDirectory("graft-ck").toString
-    AppArgs(cfg.copy(topics = topics), outDir, registryDir, checkpoint, once)
+    AppArgs(cfg.copy(topics = topics), outDir, registryDir, checkpoint, once,
+      publishMqttUrl)
   }
 
   /** Sample up to `sampleSize` live payloads (or until `timeoutMillis`)
@@ -152,7 +160,11 @@ object GraftApp {
 
     val registry = new FsStreamRegistry(app.registryDir,
       cfg.privateKey.map(FsStreamRegistry.principalOf))
-    val sink = new RoutingSink(registry, new FsStreamPublisher(app.outDir), cfgResolved)
+    val publisher: StreamPublisher = app.publishMqttUrl match {
+      case Some(u) => new MqttStreamPublisher(u, spark)
+      case None => new FsStreamPublisher(app.outDir)
+    }
+    val sink = new RoutingSink(registry, publisher, cfgResolved)
     val stats = new StatsListener()
     spark.streams.addListener(stats)
 
