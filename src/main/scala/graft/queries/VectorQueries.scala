@@ -182,17 +182,25 @@ object VectorQueries {
     * no corpus window and no corpus×centroid join anywhere. Deterministic
     * so it stays oracle-checkable: seeds are the first nLists vectors by
     * id, argmax ties break to the lowest list id, fixed iteration count.
-    * At real scale the Lloyd loop runs over a corpus SAMPLE (same plan on
-    * e.sample(...)); only the final — equally shuffle-free — assignment
-    * touches the full data.
+    * At real scale the Lloyd loop runs over a corpus SAMPLE
+    * (`sampleFraction` < 1: seeded, deterministic); only the final —
+    * equally shuffle-free — assignment touches the full data.
     */
-  private def kmeansCentroids(e: DataFrame, nLists: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+  private[graft] def kmeansCentroids(e: DataFrame, nLists: Int, iters: Int,
+      sampleFraction: Double = 1.0): Seq[(Int, Seq[Double])] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    // seeds stay the first nLists full-data vectors (a pushed-down range
+    // filter) so the quantizer is identical across sample draws
+    val train =
+      if (sampleFraction >= 1.0) e
+      else e.sample(withReplacement = false, sampleFraction, seed = 42L)
     def collectCent(df: DataFrame): Seq[(Int, Seq[Double])] =
       df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
     var cent = collectCent(e.filter(col("vec_id") < nLists)
       .select(col("vec_id").cast("int").as("list_id"), col("v")))
     for (_ <- 1 to iters) {
-      cent = collectCent(assignListsProjection(e, cent)
+      cent = collectCent(assignListsProjection(train, cent)
         .select(col("list_id"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("list_id", "i").agg(avg("x").as("m"))
         .groupBy("list_id").agg(
@@ -239,14 +247,15 @@ object VectorQueries {
   def knnIvfKmeans(s: SparkSession, dir: String): DataFrame =
     knnIvfKmeansFrom(emb(s, dir))
 
-  private def knnIvfKmeansFrom(e: DataFrame): DataFrame = {
+  private[graft] def knnIvfKmeansFrom(e: DataFrame,
+      sampleFraction: Double = 1.0): DataFrame = {
     val NProbe = 2
     // cache the corpus projection only for the duration of the (eager)
     // Lloyd collects; released before the final lazy plan is returned,
     // which re-scans the parquet exactly once
     e.persist()
     val cent =
-      try kmeansCentroids(e, nLists = 8, iters = 2)
+      try kmeansCentroids(e, nLists = 8, iters = 2, sampleFraction)
       finally e.unpersist(false)
     val corpusLists = assignListsProjection(e, cent)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("list_id"))

@@ -49,4 +49,25 @@ class VectorQueriesSpec extends SparkTestBase {
       cs.foreach(c => assert(c >= -1.0 && c <= 1.0 + 1e-9))
     }
   }
+
+  test("kmeans Lloyd-on-sample: deterministic, full coverage, full-data assignment") {
+    val e = VectorQueries.embProjection(spark, sf())
+    val a = VectorQueries.kmeansCentroids(e, nLists = 8, iters = 2, sampleFraction = 0.5)
+    val b = VectorQueries.kmeansCentroids(e, nLists = 8, iters = 2, sampleFraction = 0.5)
+    assert(a == b) // seeded sample -> same centroids every run
+    assert(a.map(_._1) == (0 until 8)) // every list survived training
+    assert(a.forall(_._2.length == 64))
+    // training on a sample must differ from full-data training but the
+    // seeds (first nLists full-data vectors) are shared
+    val full = VectorQueries.kmeansCentroids(e, nLists = 8, iters = 2)
+    assert(a != full)
+    // the final assignment covers the FULL corpus regardless of fraction
+    val assigned = VectorQueries.assignListsProjection(e, a)
+    assert(assigned.count() == e.count())
+    assert(assigned.filter($"list_id".isNull).count() == 0)
+    // end-to-end: the sampled quantizer still yields k neighbors per query
+    val topk = VectorQueries.knnIvfKmeansFrom(e, sampleFraction = 0.5)
+    val byQuery = topk.collect().groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty && byQuery.values.forall(_.length == 10))
+  }
 }
