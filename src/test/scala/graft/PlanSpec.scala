@@ -91,6 +91,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("PLANS.md is fresh: every registered query has a plan section") {
+    // PLANS.md went stale once (r4) when queries were added without
+    // regenerating it; `sbt "runMain graft.Explain"` rebuilds it
+    val plans = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+    val sections = plans.linesIterator.filter(_.startsWith("## "))
+      .map(_.stripPrefix("## ").trim).toSet
+    val missing = SparkEntry.queries.keySet.diff(sections)
+    assert(missing.isEmpty,
+      s"queries missing from PLANS.md (run: sbt \"runMain graft.Explain\"): $missing")
+  }
+
   test("knn_ivf_kmeans: no full-corpus shuffle (no exchange keyed on vec_id)") {
     // the final assignment used to run corpus×centroids through a
     // row_number window partitioned by vec_id — an 8×-corpus shuffle;
