@@ -43,7 +43,20 @@ import org.apache.spark.sql.types._
   * computed-key object constructor yields a map, not an object with
   * per-key types; a lone `**` emits leaf values only (full JSONata also
   * emits the intermediate objects/arrays as items); $string uses Spark's
-  * number formatting; $sort comparators cannot signal equality.
+  * number formatting; $sort comparators cannot signal equality; a bare
+  * name directly before ':' in an object constructor is a LITERAL key
+  * (`{name: v}` == `{"name": v}`), where jsonata-js evaluates it as a
+  * path — write `{(name): v}` to key by the field's value.
+  *
+  * CONTRACT (decided round 6, was SURVEY §7.4#1's open question): these
+  * divergences are permanent; no interpreted-AST / VariantType fallback
+  * tier will be built. Rationale: every residual gap is type-level on
+  * constructs that are rare in transform pipelines, while an interpreted
+  * runtime would abandon whole-stage codegen for ALL expressions routed
+  * through it — at the 100 TB design point, a per-record interpreter in
+  * the hot path costs more than the fidelity buys. Unsupported constructs
+  * keep failing loudly at compile time; the divergences above are pinned
+  * by JsonataSpec cases.
   */
 object JsonataCompiler {
 

@@ -9,6 +9,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * flatMapGroupsWithState custom state with a processing-time timeout:
   * a group emits (and zeroes) its counts when its interval expires, so
   * each emission is one non-overlapping interval's worth, per stream.
+  *
+  * UPGRADE NOTE: [[Counts]] is the persisted state-store encoding. Adding
+  * `deadlineMs` changed that schema, so a stream restarted from a
+  * `--checkpoint` directory written by a build without the field fails
+  * state deserialization — discard the checkpoint directory when
+  * upgrading across a Counts change (the counters are interval-scoped,
+  * nothing durable is lost). Any future field change carries the same
+  * contract; version the encoding if that ever becomes unacceptable.
   */
 object StatefulCounters {
 

@@ -279,6 +279,26 @@ class JsonataSpec extends SparkTestBase {
     assert(mixed == Map("fixed" -> 1L, "LAMP-1" -> 2L))
   }
 
+  test("divergence contract: bare-name key is literal; parenthesize to compute") {
+    // jsonata-js evaluates an unquoted key as a path expression; this
+    // compiler treats it as a literal (JsonataCompiler header). The two
+    // forms must stay distinguishable, not silently equal:
+    val lit = evalOn(sensorJson, sensorSchema, "{name: watts}")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(lit.schema.fieldNames.toSeq == Seq("name") && lit.getDouble(0) == 7.5)
+    val computed = evalOn(sensorJson, sensorSchema, "{(name): watts}")
+      .asInstanceOf[scala.collection.Map[String, Double]]
+    assert(computed == Map("lamp-1" -> 7.5))
+  }
+
+  test("divergence contract: heterogeneous sequences unify in type, not value") {
+    // full JSONata keeps [7.5, "lamp-1"] heterogeneous; here the sequence
+    // unifies to the common type (string) — values preserved, type widened
+    val r = evalOn(sensorJson, sensorSchema, "[watts, name]")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(r == Seq("7.5", "lamp-1"))
+  }
+
   test("block with value bindings: ($x := expr; ...) ") {
     assert(evalOn(sensorJson, sensorSchema, "($x := watts * 2; $x + 1)") == 16.0)
     // a binding referenced twice compiles (Columns are trees — the
