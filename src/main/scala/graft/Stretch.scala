@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stretch harness: materialize FACTOR× copies of the tables behind
+  * the most expensive queries, run those queries at 1× and FACTOR×, and
+  * print per-row cost growth — evidence that the pinned plans scale
+  * near-linearly (SCALE.md). Copies model growth the way real corpora
+  * grow: new entities (remapped keys, perturbed texts), not FACTOR
+  * verbatim replicas — verbatim duplication would multiply LSH bucket
+  * collisions quadratically and measure a data artifact, not the plan.
+  *
+  * Run: sbt "runMain graft.Stretch [srcDir] [workDir] [factor]"
+  */
+object Stretch {
+  private val Queries = Seq("pipe_jsonata_t3", "q_window_running", "dedup_keep",
+    "pipe_jsonata_t2", "dedup_minhash_pairs")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_stretch")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100000).selectExpr("sum(id * 2)").collect()
+
+    val KeyStride = 100000000L // far above any source key
+    def copies(base: DataFrame, remap: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => remap(base, i)).reduce(_ unionAll _)
+
+    // events: new event ids per copy; payload content per row unchanged
+    copies(Tables.events(spark, srcDir), (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * KeyStride)))
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
+    // lineitem: new suppliers/orders per copy (scale grows entities, so
+    // per-supplier window partitions stay constant-size)
+    copies(Tables.lineitem(spark, srcDir), (df, i) =>
+      df.withColumn("l_suppkey", col("l_suppkey") + lit(i * KeyStride))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyStride)))
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+    // documents: new doc ids AND a per-copy token appended to the text so
+    // minhash signatures differ across copies (same dup RATE as source)
+    copies(Tables.documents(spark, srcDir), (df, i) =>
+      if (i == 0) df else df
+        .withColumn("doc_id", col("doc_id") + lit(i * KeyStride))
+        .withColumn("text", concat(col("text"), lit(s" stretchcopy$i"))))
+      .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    println(s"[stretch] wrote ${factor}x tables to $workDir")
+
+    def medianTime(name: String, dir: String, runs: Int = 3): Double = {
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(runs / 2)
+    }
+
+    val rows = Queries.map { q =>
+      val t1 = medianTime(q, srcDir)
+      val tN = medianTime(q, workDir)
+      val perRowGrowth = tN / t1 / factor
+      println(f"[stretch] $q%-22s 1x=${t1}%6.2fs ${factor}x=${tN}%7.2fs " +
+        f"total-growth=${tN / t1}%5.2fx per-row-growth=${perRowGrowth}%5.2fx")
+      s""""$q":{"t1":$t1,"tN":$tN,"factor":$factor,"per_row_growth":$perRowGrowth}"""
+    }
+    println(rows.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
