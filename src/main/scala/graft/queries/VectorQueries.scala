@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -336,6 +336,86 @@ object VectorQueries {
       .orderBy("vec_id", "band")
   }
 
+  // ---- Product quantization --------------------------------------------
+
+  private val PqM = 8      // subspaces
+  private val PqSubDim = 8 // dims per subspace (PqM * PqSubDim = 64)
+  private val PqK = 16     // codes per subspace
+
+  /** Squared L2 via the dot identity — dot(a,a) - 2·dot(a,b) + dot(b,b) —
+    * NOT Σ(a-b)²: DuckDB's `list_dot_product` runs the identical
+    * element-order accumulation, so oracle doubles match bit-for-bit
+    * before the output rounding (the same trick cosSql relies on).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Per-(vector, subspace) code assignment as a pure projection against
+    * driver-resident centroid literals — the PQ analog of
+    * [[assignListsProjection]]: subvector and distance array each staged
+    * once behind a Generate barrier, argmin = array_position of the min
+    * (first hit == lowest code id on ties). Output: vec_id, sub, sv,
+    * code, dist. cent(sub) must be sorted by code id.
+    */
+  private def assignPqProjection(
+      e: DataFrame, cent: Map[Int, Seq[(Int, Seq[Double])]]): DataFrame = {
+    val centsLit = array((0 until PqM).map(s0 =>
+      array(cent(s0).map { case (_, cv) => array(cv.map(lit): _*) }: _*)): _*)
+    val codesLit = array((0 until PqM).map(s0 =>
+      array(cent(s0).map { case (c, _) => lit(c) }: _*)): _*)
+    val subbed = graft.functions.PipelineFunctions.stageBarrier(
+      e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v")),
+      Seq(col("vec_id"), col("sub")),
+      "sv" -> slice(col("v"), col("sub") * PqSubDim + 1, lit(PqSubDim)))
+    val staged = graft.functions.PipelineFunctions.stageBarrier(
+      subbed, Seq(col("vec_id"), col("sub"), col("sv")),
+      "dists" -> transform(element_at(centsLit, col("sub") + 1), c => l2sq(col("sv"), c)))
+    staged.select(col("vec_id"), col("sub"), col("sv"),
+      element_at(element_at(codesLit, col("sub") + 1),
+        coalesce(array_position(col("dists"), array_min(col("dists"))), lit(1L)).cast("int"))
+        .as("code"),
+      array_min(col("dists")).as("dist"))
+  }
+
+  /** Product quantization: split each 64-dim vector into 8 subvectors,
+    * learn a 16-entry codebook per subspace (seeds = the first 16
+    * vectors' subvectors, one Lloyd step), emit each vector's code and
+    * squared reconstruction error per subspace. THE memory-compression
+    * layer of production ANN (IVF-PQ): 64 doubles → 8 bytes. Same scale
+    * shape as [[knnIvfKmeans]]: codebooks are control-plane literals
+    * (PqM × PqK × PqSubDim doubles), every assignment is a shuffle-free
+    * projection, the only exchange is the bounded codebook-mean
+    * aggregation (≤ PqM·PqK·PqSubDim cells); at real scale the Lloyd
+    * step runs on a sample exactly like kmeansCentroids.
+    */
+  def embPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"))
+    e.persist() // released after the (eager) codebook collects
+    try {
+      val seedRows = e.filter(col("vec_id") < PqK)
+        .select(col("vec_id").cast("int"), col("v")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+      val seeds: Map[Int, Seq[(Int, Seq[Double])]] =
+        (0 until PqM).map(s0 => s0 -> seedRows.map { case (id, v) =>
+          id -> v.slice(s0 * PqSubDim, (s0 + 1) * PqSubDim) }).toMap
+      val c1: Map[Int, Seq[(Int, Seq[Double])]] =
+        assignPqProjection(e, seeds)
+          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+          .groupBy("sub", "code", "i").agg(avg("x").as("m"))
+          .groupBy("sub", "code").agg(
+            transform(array_sort(collect_list(struct(col("i"), col("m")))),
+              t => t.getField("m")).as("cv"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+          .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).sortBy(_._1).toSeq).toMap
+      assignPqProjection(e, c1)
+        .select(col("vec_id"), col("sub"), col("code"),
+          round(col("dist"), 6).as("err"))
+        .orderBy("vec_id", "sub")
+    } finally e.unpersist(false)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> knnBrute,
     "knn_ivf" -> knnIvf,
@@ -344,12 +424,43 @@ object VectorQueries {
     "emb_centroid_dist" -> embCentroidDist,
     "emb_neardup" -> embNeardup,
     "emb_lsh_buckets" -> embLshBuckets,
-    "emb_quantize" -> embQuantize)
+    "emb_quantize" -> embQuantize,
+    "emb_pq" -> embPq)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
   val oracles: Map[String, String] = Map(
+    // mirrors embPq exactly: 8 subspaces × 16 codes, seeds = first 16
+    // vectors' subvectors, one Lloyd step (argmin L2 via the dot
+    // identity — same accumulation order as the Spark kernel — ties to
+    // lowest code, elementwise-mean recompute), final assignment
+    "emb_pq" -> {
+      val d = "list_dot_product(%s, %s)"
+      def l2(a: String, b: String) =
+        s"${d.format(a, a)} - 2*${d.format(a, b)} + ${d.format(b, b)}"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, CAST(s AS INT) AS sub,
+         |               v[CAST(s*$PqSubDim+1 AS INT) : CAST(s*$PqSubDim+$PqSubDim AS INT)] AS sv
+         |        FROM e CROSS JOIN range($PqM) r(s)),
+         |c0 AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < $PqK),
+         |a1 AS (SELECT vec_id, sub, sv, code FROM (
+         |  SELECT s2.vec_id, s2.sub, s2.sv, c.code,
+         |         row_number() OVER (PARTITION BY s2.vec_id, s2.sub
+         |           ORDER BY ${l2("s2.sv", "c.cv")}, c.code) AS rnk
+         |  FROM sub s2 JOIN c0 c ON c.sub = s2.sub) WHERE rnk = 1),
+         |c1 AS (SELECT sub, code, list(m ORDER BY i) AS cv FROM (
+         |  SELECT sub, code, CAST(i AS INT) AS i, avg(sv[i]) AS m
+         |  FROM a1 CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
+         |  GROUP BY sub, code, i) GROUP BY sub, code)
+         |SELECT vec_id, sub, code, err FROM (
+         |  SELECT s2.vec_id, s2.sub, c.code,
+         |         round(${l2("s2.sv", "c.cv")}, 6) AS err,
+         |         row_number() OVER (PARTITION BY s2.vec_id, s2.sub
+         |           ORDER BY ${l2("s2.sv", "c.cv")}, c.code) AS rnk
+         |  FROM sub s2 JOIN c1 c ON c.sub = s2.sub) WHERE rnk = 1
+         |ORDER BY vec_id, sub""".stripMargin
+    },
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |                  list_min(CAST(embedding AS DOUBLE[])) AS mn,

@@ -103,6 +103,13 @@ class PlanSpec extends SparkTestBase {
       s"queries missing from PLANS.md (run: sbt \"runMain graft.Explain\"): $missing")
   }
 
+  test("emb_pq: code assignment is projection-only (no hash exchange)") {
+    // codebooks are plan literals; the only exchange is the output
+    // range-sort — a hashpartitioning would mean a corpus shuffle
+    val p = physical("emb_pq")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
   test("knn_ivf_kmeans: no full-corpus shuffle (no exchange keyed on vec_id)") {
     // the final assignment used to run corpus×centroids through a
     // row_number window partitioned by vec_id — an 8×-corpus shuffle;
