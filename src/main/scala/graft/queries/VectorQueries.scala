@@ -378,6 +378,66 @@ object VectorQueries {
       array_min(col("dists")).as("dist"))
   }
 
+  /** Per-vector PQ code ARRAY (no explode): codes[s] = argmin-L2 code of
+    * subvector s against `cent(s)` — one array expression, so the corpus
+    * side of IVF-PQ stays a pure projection. Position→code mapping uses
+    * the same sorted-by-code order as [[assignPqProjection]].
+    */
+  private def pqCodesArray(v: Column, cent: Map[Int, Seq[(Int, Seq[Double])]]): Column = {
+    val centsLit = array((0 until PqM).map(s0 =>
+      array(cent(s0).map { case (_, cv) => array(cv.map(lit): _*) }: _*)): _*)
+    val codesLit = array((0 until PqM).map(s0 =>
+      array(cent(s0).map { case (c, _) => lit(c) }: _*)): _*)
+    transform(sequence(lit(0), lit(PqM - 1)), s0 => {
+      val sv = slice(v, s0 * PqSubDim + 1, lit(PqSubDim))
+      val dists = transform(element_at(centsLit, s0 + 1), c => l2sq(sv, c))
+      element_at(element_at(codesLit, s0 + 1),
+        coalesce(array_position(dists, array_min(dists)), lit(1L)).cast("int"))
+    })
+  }
+
+  /** ADC (asymmetric distance): Σ_s L2²(q_sub_s, codebook[s][codes[s]]),
+    * folded in ascending-sub order (aggregate = sequential left fold; the
+    * oracle's list_sum over an ORDER BY sub list accumulates identically,
+    * keeping the doubles bit-comparable).
+    */
+  private def adcDist(qv: Column, codes: Column,
+      cent: Map[Int, Seq[(Int, Seq[Double])]]): Column = {
+    // dense code-indexed lookup (16 slots/subspace; a code that lost all
+    // members in the Lloyd step is never assigned, its zero-filled slot
+    // is unreachable)
+    val dense = array((0 until PqM).map { s0 =>
+      val m = cent(s0).toMap
+      array((0 until PqK).map(c =>
+        array(m.getOrElse(c, Seq.fill(PqSubDim)(0.0)).map(lit): _*)): _*)
+    }: _*)
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, s0) =>
+      acc + l2sq(slice(qv, s0 * PqSubDim + 1, lit(PqSubDim)),
+        element_at(element_at(dense, s0 + 1), element_at(codes, s0 + 1) + 1)))
+  }
+
+  /** Shared PQ codebook learning (seeds = first PqK vectors' subvectors,
+    * one Lloyd step) — the eager control-plane half of [[embPq]]/
+    * [[knnIvfPq]]. Caller persists `e`.
+    */
+  private def pqCodebook(e: DataFrame): Map[Int, Seq[(Int, Seq[Double])]] = {
+    val seedRows = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int"), col("v")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val seeds: Map[Int, Seq[(Int, Seq[Double])]] =
+      (0 until PqM).map(s0 => s0 -> seedRows.map { case (id, v) =>
+        id -> v.slice(s0 * PqSubDim, (s0 + 1) * PqSubDim) }).toMap
+    assignPqProjection(e, seeds)
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy("sub", "code", "i").agg(avg("x").as("m"))
+      .groupBy("sub", "code").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          t => t.getField("m")).as("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).sortBy(_._1).toSeq).toMap
+  }
+
   /** Product quantization: split each 64-dim vector into 8 subvectors,
     * learn a 16-entry codebook per subspace (seeds = the first 16
     * vectors' subvectors, one Lloyd step), emit each vector's code and
@@ -392,28 +452,53 @@ object VectorQueries {
   def embPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v"))
     e.persist() // released after the (eager) codebook collects
-    try {
-      val seedRows = e.filter(col("vec_id") < PqK)
-        .select(col("vec_id").cast("int"), col("v")).collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
-      val seeds: Map[Int, Seq[(Int, Seq[Double])]] =
-        (0 until PqM).map(s0 => s0 -> seedRows.map { case (id, v) =>
-          id -> v.slice(s0 * PqSubDim, (s0 + 1) * PqSubDim) }).toMap
-      val c1: Map[Int, Seq[(Int, Seq[Double])]] =
-        assignPqProjection(e, seeds)
-          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
-          .groupBy("sub", "code", "i").agg(avg("x").as("m"))
-          .groupBy("sub", "code").agg(
-            transform(array_sort(collect_list(struct(col("i"), col("m")))),
-              t => t.getField("m")).as("cv"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-          .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).sortBy(_._1).toSeq).toMap
-      assignPqProjection(e, c1)
-        .select(col("vec_id"), col("sub"), col("code"),
-          round(col("dist"), 6).as("err"))
-        .orderBy("vec_id", "sub")
-    } finally e.unpersist(false)
+    val c1 =
+      try pqCodebook(e)
+      finally e.unpersist(false)
+    assignPqProjection(e, c1)
+      .select(col("vec_id"), col("sub"), col("code"),
+        round(col("dist"), 6).as("err"))
+      .orderBy("vec_id", "sub")
+  }
+
+  /** IVF-PQ top-k: the full production ANN search — learned coarse
+    * quantizer (Lloyd lists, [[kmeansCentroids]]) restricts each query to
+    * NProbe lists; candidates are ranked by ADC against PQ codes instead
+    * of raw vectors. The corpus representation the search touches is
+    * (list_id, codes[8]) — at 100 TB that is the difference between
+    * scanning 8-byte codes and 512-byte vectors. Plan shape: corpus side
+    * is a pure projection (lists + codes against plan literals, no
+    * shuffle); probe set broadcast; one rank window on query_id.
+    * Deterministic end to end, so oracle-checked like knn_ivf_kmeans.
+    */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val NProbe = 2
+    val e = emb(s, dir).select(col("vec_id"), col("v"))
+    e.persist() // released after the eager Lloyd + codebook collects
+    val (lists, codebook) =
+      try (kmeansCentroids(e, nLists = 8, iters = 2), pqCodebook(e))
+      finally e.unpersist(false)
+    val corpus = assignListsProjection(e, lists)
+      .select(col("vec_id").as("neighbor_id"), col("list_id"),
+        pqCodesArray(col("v"), codebook).as("codes"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("list_id"))
+    val probed = queries.join(broadcast(centRelation(e, lists)), lit(true))
+      .select(col("query_id"), col("qv"), col("list_id"),
+        cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= NProbe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+    val wK = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+    broadcast(probed).join(corpus, "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDist(col("qv"), col("codes"), codebook).as("adist"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("adist"), 6).as("adist"), col("rnk"))
+      .orderBy("query_id", "rnk")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -425,7 +510,8 @@ object VectorQueries {
     "emb_neardup" -> embNeardup,
     "emb_lsh_buckets" -> embLshBuckets,
     "emb_quantize" -> embQuantize,
-    "emb_pq" -> embPq)
+    "emb_pq" -> embPq,
+    "knn_ivf_pq" -> knnIvfPq)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -460,6 +546,75 @@ object VectorQueries {
          |           ORDER BY ${l2("s2.sv", "c.cv")}, c.code) AS rnk
          |  FROM sub s2 JOIN c1 c ON c.sub = s2.sub) WHERE rnk = 1
          |ORDER BY vec_id, sub""".stripMargin
+    },
+    // composes the knn_ivf_kmeans coarse CTEs with the emb_pq codebook
+    // CTEs; ADC terms are summed via list_sum over an ORDER BY sub list —
+    // the same ascending-sub left fold as the Spark aggregate()
+    "knn_ivf_pq" -> {
+      val d = "list_dot_product(%s, %s)"
+      def l2(a: String, b: String) =
+        s"${d.format(a, a)} - 2*${d.format(a, b)} + ${d.format(b, b)}"
+      def assignCte(centCte: String): String =
+        s"""SELECT vec_id, v, list_id FROM (
+           |    SELECT e.vec_id, e.v, c.list_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+           |    FROM e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
+      def meanCte(assignCte: String): String =
+        s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
+           |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
+           |    FROM $assignCte CROSS JOIN range(1, 65) r(i)
+           |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (${assignCte("c0")}),
+         |c1 AS (${meanCte("a1")}),
+         |a2 AS (${assignCte("c1")}),
+         |c2 AS (${meanCte("a2")}),
+         |af AS (${assignCte("c2")}),
+         |sub AS (SELECT vec_id, CAST(s AS INT) AS sub,
+         |               v[CAST(s*$PqSubDim+1 AS INT) : CAST(s*$PqSubDim+$PqSubDim AS INT)] AS sv
+         |        FROM e CROSS JOIN range($PqM) r(s)),
+         |p0 AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < $PqK),
+         |pa1 AS (SELECT vec_id, sub, sv, code FROM (
+         |  SELECT s2.vec_id, s2.sub, s2.sv, c.code,
+         |         row_number() OVER (PARTITION BY s2.vec_id, s2.sub
+         |           ORDER BY ${l2("s2.sv", "c.cv")}, c.code) AS rnk
+         |  FROM sub s2 JOIN p0 c ON c.sub = s2.sub) WHERE rnk = 1),
+         |p1 AS (SELECT sub, code, list(m ORDER BY i) AS cv FROM (
+         |  SELECT sub, code, CAST(i AS INT) AS i, avg(sv[i]) AS m
+         |  FROM pa1 CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
+         |  GROUP BY sub, code, i) GROUP BY sub, code),
+         |paf AS (SELECT vec_id, sub, code FROM (
+         |  SELECT s2.vec_id, s2.sub, c.code,
+         |         row_number() OVER (PARTITION BY s2.vec_id, s2.sub
+         |           ORDER BY ${l2("s2.sv", "c.cv")}, c.code) AS rnk
+         |  FROM sub s2 JOIN p1 c ON c.sub = s2.sub) WHERE rnk = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |qsub AS (SELECT query_id, CAST(s AS INT) AS sub,
+         |                qv[CAST(s*$PqSubDim+1 AS INT) : CAST(s*$PqSubDim+$PqSubDim AS INT)] AS qsv
+         |         FROM q CROSS JOIN range($PqM) r(s)),
+         |probe AS (
+         |  SELECT query_id, list_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql.format("qv", "cv", "qv", "qv", "cv", "cv")} DESC, list_id) AS prnk
+         |  FROM q CROSS JOIN c2),
+         |sel AS (SELECT query_id, list_id FROM probe WHERE prnk <= 2),
+         |cand AS (SELECT sel.query_id, af.vec_id AS neighbor_id
+         |         FROM sel JOIN af ON af.list_id = sel.list_id AND af.vec_id <> sel.query_id),
+         |terms AS (SELECT cand.query_id, cand.neighbor_id, paf.sub,
+         |                 ${l2("qsub.qsv", "p1.cv")} AS term
+         |          FROM cand
+         |          JOIN paf ON paf.vec_id = cand.neighbor_id
+         |          JOIN p1 ON p1.sub = paf.sub AND p1.code = paf.code
+         |          JOIN qsub ON qsub.query_id = cand.query_id AND qsub.sub = paf.sub),
+         |adc AS (SELECT query_id, neighbor_id, list_sum(list(term ORDER BY sub)) AS adist
+         |        FROM terms GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, round(adist, 6) AS adist, rnk FROM (
+         |  SELECT query_id, neighbor_id, adist,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adist, neighbor_id) AS rnk
+         |  FROM adc) WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
     },
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

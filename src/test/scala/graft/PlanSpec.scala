@@ -110,6 +110,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"), p.take(3000))
   }
 
+  test("knn_ivf_pq: corpus stays projection-shaped (no exchange keyed on vec_id)") {
+    // lists + codes are literal-based projections; probe side broadcasts;
+    // only the query-keyed rank window and output sort may exchange
+    val p = physical("knn_ivf_pq")
+    assert(!p.contains("hashpartitioning(vec_id"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("knn_ivf_kmeans: no full-corpus shuffle (no exchange keyed on vec_id)") {
     // the final assignment used to run corpus×centroids through a
     // row_number window partitioned by vec_id — an 8×-corpus shuffle;
