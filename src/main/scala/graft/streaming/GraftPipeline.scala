@@ -157,6 +157,27 @@ object GraftPipeline {
       .withWatermark("arrival_ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream enrichment join — the streaming form of the batch
+    * pipe_interval_join: each left record joins right records with the
+    * same key whose event time falls in [left_ts - tolerance, left_ts]
+    * (the "most recent calibration/config within the horizon" shape).
+    * Both sides carry watermarks so Spark bounds the join state: each
+    * side buffers only rows inside watermark + tolerance, NOT the full
+    * stream — the state-store analog of the batch range-join pruning.
+    * Inner join; right columns come back prefixed `r_`. Works on batch
+    * DataFrames identically (the condition is the same range predicate).
+    */
+  def enrichStream(left: DataFrame, right: DataFrame, key: String,
+      toleranceSecs: Int, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("arrival_ts", watermark)
+    val r0 = right.withWatermark("arrival_ts", watermark)
+    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_arrival_ts") >= col("arrival_ts") - expr(s"INTERVAL $toleranceSecs SECONDS") &&
+        col("r_arrival_ts") <= col("arrival_ts"))
+  }
+
   /** Gap-based sessions per stream over event time — the streaming form of
     * the batch pipe_sessionize query, via the built-in session_window
     * (state store managed by Spark; watermark bounds state growth).

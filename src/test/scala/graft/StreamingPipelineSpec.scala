@@ -249,6 +249,34 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(spark.table("graft_dedup").count() == 2) // 1.0-watts once + 2.0-watts
   }
 
+  test("stream-stream enrichment join matches only within the tolerance window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = MemoryStream[(String, Double, Timestamp)]
+    val cal = MemoryStream[(String, Double, Timestamp)]
+    val events = ev.toDF.toDF("device", "reading", "arrival_ts")
+    val calib = cal.toDF.toDF("device", "offset", "arrival_ts")
+    val joined = GraftPipeline.enrichStream(events, calib, "device",
+      toleranceSecs = 60, watermark = "0 seconds")
+    val ck = Files.createTempDirectory("enrich_ck").toString
+    val q = joined.writeStream.format("memory").queryName("graft_enrich")
+      .outputMode("append").option("checkpointLocation", ck).start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    cal.addData(("d1", 0.5, t("2026-01-01 10:00:00")),
+      ("d2", 0.9, t("2026-01-01 10:00:00")))
+    ev.addData(
+      ("d1", 20.0, t("2026-01-01 10:00:30")),  // 30s after d1 calib: match
+      ("d1", 21.0, t("2026-01-01 10:02:00")),  // 120s after: outside tolerance
+      ("d3", 22.0, t("2026-01-01 10:00:30")))  // no calibration at all
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("graft_enrich")
+      .select("device", "reading", "r_offset").as[(String, Double, Double)]
+      .collect().toSet
+    assert(rows == Set(("d1", 20.0, 0.5)))
+  }
+
   test("stateful per-stream counters report-and-reset via flatMapGroupsWithState") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.StatefulCounters
