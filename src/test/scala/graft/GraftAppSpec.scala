@@ -40,6 +40,40 @@ class GraftAppSpec extends SparkTestBase {
     } finally broker.close()
   }
 
+  test("--publish-mqtt-url: CLI bridge publishes routed records back over MQTT") {
+    val broker = new MqttTestBroker()
+    val outDir = Files.createTempDirectory("app_pub_out").toString + "/data"
+    try {
+      val sub = new graft.sources.mqtt.MqttClient(broker.url, Seq("s/#")).start()
+      assert(sub.awaitConnected())
+      val publisher = new Thread(() => {
+        // wait for BOTH the source and the round-trip listener
+        var tries = 0
+        while (broker.subscriberCount < 2 && tries < 200) { Thread.sleep(50); tries += 1 }
+        broker.publish("iot/a/x", """{"v": 7}""")
+        Thread.sleep(400)
+      })
+      publisher.start()
+      GraftApp.main(Array(
+        "--mqtt-url", broker.url,
+        "--topic", "iot/#",
+        "--stream-id-template", "s/$topic",
+        "--truncate-topic", "1",
+        "--payload-schema", "v INT",
+        "--out-dir", outDir,
+        "--publish-mqtt-url", broker.url,
+        "--once"))
+      publisher.join()
+
+      val msgs = scala.collection.mutable.ArrayBuffer.empty[graft.sources.mqtt.MqttMessage]
+      var tries = 0
+      while (msgs.isEmpty && tries < 100) { msgs ++= sub.poll(); Thread.sleep(30); tries += 1 }
+      assert(msgs.map(_.topic).toSeq == Seq("s/iot/a"))
+      assert(new String(msgs.head.payload, "UTF-8").contains("\"v\":7"))
+      sub.close()
+    } finally broker.close()
+  }
+
   test("--infer-schema: transform with no hand-written payload schema") {
     val broker = new MqttTestBroker()
     val outDir = Files.createTempDirectory("app_infer").toString + "/data"
