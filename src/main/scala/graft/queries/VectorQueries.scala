@@ -315,6 +315,34 @@ object VectorQueries {
     } finally e.unpersist(false)
   }
 
+  /** Recall@K of the IVF-PQ search against exact brute force — the
+    * quality dial that justifies the 64× code compression (nlists/nprobe/
+    * M/K tuning all read off this number). Same composition shape as
+    * [[knnRecall]]: one shared persisted corpus feeds both lineages, the
+    * overlap is a left-semi join, zeros kept via the query list, and the
+    * ≤ NumQueries result is materialized eagerly so the cache releases
+    * deterministically.
+    */
+  def knnRecallPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v")).persist()
+    try {
+      val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
+      val pq = knnIvfPqFrom(e)
+        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+      val overlap = brute
+        .join(pq, col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val out = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / K, 6).as("recall"))
+        .orderBy("query_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally e.unpersist(false)
+  }
+
   /** Random-hyperplane LSH index rows (vec_id, band, bucket): 16 sign
     * bits from literal hyperplanes, sliced into 4 bands of 4 bits — the
     * approximate ANN candidate structure (vectors sharing (band, bucket)
@@ -472,12 +500,19 @@ object VectorQueries {
     * Deterministic end to end, so oracle-checked like knn_ivf_kmeans.
     */
   def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val NProbe = 2
     val e = emb(s, dir).select(col("vec_id"), col("v"))
     e.persist() // released after the eager Lloyd + codebook collects
-    val (lists, codebook) =
-      try (kmeansCentroids(e, nLists = 8, iters = 2), pqCodebook(e))
-      finally e.unpersist(false)
+    try knnIvfPqFrom(e) finally e.unpersist(false)
+  }
+
+  /** Plan builder over a caller-managed corpus projection (the eager
+    * Lloyd/codebook collects read `e`; persist around this call when the
+    * corpus feeds other lineages too, e.g. [[knnRecallPq]]).
+    */
+  private def knnIvfPqFrom(e: DataFrame): DataFrame = {
+    val NProbe = 2
+    val lists = kmeansCentroids(e, nLists = 8, iters = 2)
+    val codebook = pqCodebook(e)
     val corpus = assignListsProjection(e, lists)
       .select(col("vec_id").as("neighbor_id"), col("list_id"),
         pqCodesArray(col("v"), codebook).as("codes"))
@@ -511,10 +546,79 @@ object VectorQueries {
     "emb_lsh_buckets" -> embLshBuckets,
     "emb_quantize" -> embQuantize,
     "emb_pq" -> embPq,
-    "knn_ivf_pq" -> knnIvfPq)
+    "knn_ivf_pq" -> knnIvfPq,
+    "knn_recall_pq" -> knnRecallPq)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+
+  /** Shared WITH-chain for the IVF-PQ oracles, through the `adc` CTE:
+    * knn_ivf_kmeans's coarse-quantizer CTEs (c0..c2, af) + emb_pq's
+    * codebook CTEs (p0..p1, paf) + probe/candidates/ADC. ADC terms are
+    * summed via list_sum over an ORDER BY sub list — the same
+    * ascending-sub left fold as the Spark aggregate().
+    */
+  private lazy val ivfPqCteSql: String = {
+    val d = "list_dot_product(%s, %s)"
+    def l2(a: String, b: String) =
+      s"${d.format(a, a)} - 2*${d.format(a, b)} + ${d.format(b, b)}"
+    def assignCte(centCte: String): String =
+      s"""SELECT vec_id, v, list_id FROM (
+         |    SELECT e.vec_id, e.v, c.list_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+         |    FROM e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
+    def meanCte(assignCte: String): String =
+      s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
+         |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
+         |    FROM $assignCte CROSS JOIN range(1, 65) r(i)
+         |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM e WHERE vec_id < 8),
+       |a1 AS (${assignCte("c0")}),
+       |c1 AS (${meanCte("a1")}),
+       |a2 AS (${assignCte("c1")}),
+       |c2 AS (${meanCte("a2")}),
+       |af AS (${assignCte("c2")}),
+       |sub AS (SELECT vec_id, CAST(s AS INT) AS sub,
+       |               v[CAST(s*$PqSubDim+1 AS INT) : CAST(s*$PqSubDim+$PqSubDim AS INT)] AS sv
+       |        FROM e CROSS JOIN range($PqM) r(s)),
+       |p0 AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < $PqK),
+       |pa1 AS (SELECT vec_id, sub, sv, code FROM (
+       |  SELECT s2.vec_id, s2.sub, s2.sv, c.code,
+       |         row_number() OVER (PARTITION BY s2.vec_id, s2.sub
+       |           ORDER BY ${l2("s2.sv", "c.cv")}, c.code) AS rnk
+       |  FROM sub s2 JOIN p0 c ON c.sub = s2.sub) WHERE rnk = 1),
+       |p1 AS (SELECT sub, code, list(m ORDER BY i) AS cv FROM (
+       |  SELECT sub, code, CAST(i AS INT) AS i, avg(sv[i]) AS m
+       |  FROM pa1 CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
+       |  GROUP BY sub, code, i) GROUP BY sub, code),
+       |paf AS (SELECT vec_id, sub, code FROM (
+       |  SELECT s2.vec_id, s2.sub, c.code,
+       |         row_number() OVER (PARTITION BY s2.vec_id, s2.sub
+       |           ORDER BY ${l2("s2.sv", "c.cv")}, c.code) AS rnk
+       |  FROM sub s2 JOIN p1 c ON c.sub = s2.sub) WHERE rnk = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |qsub AS (SELECT query_id, CAST(s AS INT) AS sub,
+       |                qv[CAST(s*$PqSubDim+1 AS INT) : CAST(s*$PqSubDim+$PqSubDim AS INT)] AS qsv
+       |         FROM q CROSS JOIN range($PqM) r(s)),
+       |probe AS (
+       |  SELECT query_id, list_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY ${cosSql.format("qv", "cv", "qv", "qv", "cv", "cv")} DESC, list_id) AS prnk
+       |  FROM q CROSS JOIN c2),
+       |sel AS (SELECT query_id, list_id FROM probe WHERE prnk <= 2),
+       |cand AS (SELECT sel.query_id, af.vec_id AS neighbor_id
+       |         FROM sel JOIN af ON af.list_id = sel.list_id AND af.vec_id <> sel.query_id),
+       |terms AS (SELECT cand.query_id, cand.neighbor_id, paf.sub,
+       |                 ${l2("qsub.qsv", "p1.cv")} AS term
+       |          FROM cand
+       |          JOIN paf ON paf.vec_id = cand.neighbor_id
+       |          JOIN p1 ON p1.sub = paf.sub AND p1.code = paf.code
+       |          JOIN qsub ON qsub.query_id = cand.query_id AND qsub.sub = paf.sub),
+       |adc AS (SELECT query_id, neighbor_id, list_sum(list(term ORDER BY sub)) AS adist
+       |        FROM terms GROUP BY query_id, neighbor_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // mirrors embPq exactly: 8 subspaces × 16 codes, seeds = first 16
@@ -548,74 +652,42 @@ object VectorQueries {
          |ORDER BY vec_id, sub""".stripMargin
     },
     // composes the knn_ivf_kmeans coarse CTEs with the emb_pq codebook
-    // CTEs; ADC terms are summed via list_sum over an ORDER BY sub list —
-    // the same ascending-sub left fold as the Spark aggregate()
-    "knn_ivf_pq" -> {
-      val d = "list_dot_product(%s, %s)"
-      def l2(a: String, b: String) =
-        s"${d.format(a, a)} - 2*${d.format(a, b)} + ${d.format(b, b)}"
-      def assignCte(centCte: String): String =
-        s"""SELECT vec_id, v, list_id FROM (
-           |    SELECT e.vec_id, e.v, c.list_id,
-           |           row_number() OVER (PARTITION BY e.vec_id
-           |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
-           |    FROM e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
-      def meanCte(assignCte: String): String =
-        s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
-           |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
-           |    FROM $assignCte CROSS JOIN range(1, 65) r(i)
-           |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM e WHERE vec_id < 8),
-         |a1 AS (${assignCte("c0")}),
-         |c1 AS (${meanCte("a1")}),
-         |a2 AS (${assignCte("c1")}),
-         |c2 AS (${meanCte("a2")}),
-         |af AS (${assignCte("c2")}),
-         |sub AS (SELECT vec_id, CAST(s AS INT) AS sub,
-         |               v[CAST(s*$PqSubDim+1 AS INT) : CAST(s*$PqSubDim+$PqSubDim AS INT)] AS sv
-         |        FROM e CROSS JOIN range($PqM) r(s)),
-         |p0 AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < $PqK),
-         |pa1 AS (SELECT vec_id, sub, sv, code FROM (
-         |  SELECT s2.vec_id, s2.sub, s2.sv, c.code,
-         |         row_number() OVER (PARTITION BY s2.vec_id, s2.sub
-         |           ORDER BY ${l2("s2.sv", "c.cv")}, c.code) AS rnk
-         |  FROM sub s2 JOIN p0 c ON c.sub = s2.sub) WHERE rnk = 1),
-         |p1 AS (SELECT sub, code, list(m ORDER BY i) AS cv FROM (
-         |  SELECT sub, code, CAST(i AS INT) AS i, avg(sv[i]) AS m
-         |  FROM pa1 CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
-         |  GROUP BY sub, code, i) GROUP BY sub, code),
-         |paf AS (SELECT vec_id, sub, code FROM (
-         |  SELECT s2.vec_id, s2.sub, c.code,
-         |         row_number() OVER (PARTITION BY s2.vec_id, s2.sub
-         |           ORDER BY ${l2("s2.sv", "c.cv")}, c.code) AS rnk
-         |  FROM sub s2 JOIN p1 c ON c.sub = s2.sub) WHERE rnk = 1),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
-         |qsub AS (SELECT query_id, CAST(s AS INT) AS sub,
-         |                qv[CAST(s*$PqSubDim+1 AS INT) : CAST(s*$PqSubDim+$PqSubDim AS INT)] AS qsv
-         |         FROM q CROSS JOIN range($PqM) r(s)),
-         |probe AS (
-         |  SELECT query_id, list_id,
-         |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY ${cosSql.format("qv", "cv", "qv", "qv", "cv", "cv")} DESC, list_id) AS prnk
-         |  FROM q CROSS JOIN c2),
-         |sel AS (SELECT query_id, list_id FROM probe WHERE prnk <= 2),
-         |cand AS (SELECT sel.query_id, af.vec_id AS neighbor_id
-         |         FROM sel JOIN af ON af.list_id = sel.list_id AND af.vec_id <> sel.query_id),
-         |terms AS (SELECT cand.query_id, cand.neighbor_id, paf.sub,
-         |                 ${l2("qsub.qsv", "p1.cv")} AS term
-         |          FROM cand
-         |          JOIN paf ON paf.vec_id = cand.neighbor_id
-         |          JOIN p1 ON p1.sub = paf.sub AND p1.code = paf.code
-         |          JOIN qsub ON qsub.query_id = cand.query_id AND qsub.sub = paf.sub),
-         |adc AS (SELECT query_id, neighbor_id, list_sum(list(term ORDER BY sub)) AS adist
-         |        FROM terms GROUP BY query_id, neighbor_id)
+    // CTEs (ivfPqCteSql)
+    "knn_ivf_pq" ->
+      s"""WITH $ivfPqCteSql
          |SELECT query_id, neighbor_id, round(adist, 6) AS adist, rnk FROM (
          |  SELECT query_id, neighbor_id, adist,
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY adist, neighbor_id) AS rnk
-         |  FROM adc) WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
-    },
+         |  FROM adc) WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // the IVF-PQ top-k as a CTE vs the exact brute top-k (knn_recall's
+    // composition shape)
+    "knn_recall_pq" ->
+      s"""WITH $ivfPqCteSql,
+         |pqk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adist, neighbor_id) AS rnk
+         |  FROM adc) WHERE rnk <= $K),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K),
+         |hits AS (SELECT b.query_id, count(*) AS n_hit
+         |         FROM brute b JOIN pqk p
+         |           ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+         |         GROUP BY b.query_id)
+         |SELECT q.query_id, round(coalesce(n_hit, 0) / $K.0, 6) AS recall
+         |FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < $NumQueries) q
+         |LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |                  list_min(CAST(embedding AS DOUBLE[])) AS mn,
