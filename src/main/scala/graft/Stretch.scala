@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Stretch {
   private val Queries = Seq("pipe_jsonata_t3", "q_window_running", "dedup_keep",
-    "pipe_jsonata_t2", "dedup_minhash_pairs")
+    "pipe_jsonata_t2", "dedup_minhash_pairs", "emb_pq", "knn_ivf_pq")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -52,6 +52,11 @@ object Stretch {
         .withColumn("doc_id", col("doc_id") + lit(i * KeyStride))
         .withColumn("text", concat(col("text"), lit(s" stretchcopy$i"))))
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    // embeddings: new vec ids per copy (queries/seeds keep coming from
+    // copy 0, so the ANN corpus grows 10x under the same index shape)
+    copies(Tables.embeddings(spark, srcDir), (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * KeyStride)))
+      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
     println(s"[stretch] wrote ${factor}x tables to $workDir")
 
     def medianTime(name: String, dir: String, runs: Int = 3): Double = {
