@@ -40,7 +40,7 @@ object PipelineFunctions {
     else {
       // split on the placeholder and interleave; avoids regex escaping of '$'
       val parts = template.split(java.util.regex.Pattern.quote("$topic"), -1)
-      val cols = parts.map(lit(_): Column)
+      val cols = parts.toIndexedSeq.map(lit(_): Column)
       concat(cols.head +: cols.tail.flatMap(p => Seq(topic, p)): _*)
     }
 

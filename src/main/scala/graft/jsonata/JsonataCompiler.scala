@@ -592,7 +592,7 @@ object JsonataCompiler {
           case st: StructType =>
             val vt = st.fields.map(_.dataType).reduceOption(unify).getOrElse(StringType)
             val asMap = map_from_arrays(
-              array(st.fieldNames.map(lit(_)): _*),
+              array(st.fieldNames.toIndexedSeq.map(lit(_)): _*),
               array(st.fields.toSeq.map(f => arg(0).col.getField(f.name).cast(vt)): _*))
             Typed(map_filter(asMap, (k, v) =>
               bool(applyLambda(lam, List(Typed(v, vt), Typed(k, StringType))))),
@@ -717,7 +717,7 @@ object JsonataCompiler {
       case "keys" =>
         arity(1)
         arg(0).dt match {
-          case st: StructType => Typed(array(st.fieldNames.map(lit(_)): _*), ArrayType(StringType))
+          case st: StructType => Typed(array(st.fieldNames.toIndexedSeq.map(lit(_)): _*), ArrayType(StringType))
           case MapType(_, _, _) => Typed(map_keys(arg(0).col), ArrayType(StringType))
           case other => throw new JsonataCompileError(s"$$keys on ${other.simpleString}")
         }

@@ -19,7 +19,7 @@ import graft.expressions._
 object FunctionRegistration {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", "graft_dot(a, b) - dot product of two array<double>",

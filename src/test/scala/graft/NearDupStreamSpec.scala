@@ -17,7 +17,7 @@ class NearDupStreamSpec extends SparkTestBase {
   test("near-dup within horizon flagged; new text passes; buckets expire") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
-    val docs = mem.toDF.toDF("doc_id", "text", "arrival_ts")
+    val docs = mem.toDF().toDF("doc_id", "text", "arrival_ts")
 
     val evidence = NearDupStream(docs, horizonMs = 10 * 60 * 1000L,
       watermark = "0 seconds")

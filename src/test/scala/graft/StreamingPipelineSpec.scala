@@ -30,7 +30,7 @@ class StreamingPipelineSpec extends SparkTestBase {
   test("streaming e2e: route, transform, memoized ensure, stats, second batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(String, String, Timestamp)]
-    val input = mem.toDF.toDF("topic", "payload", "arrival_ts")
+    val input = mem.toDF().toDF("topic", "payload", "arrival_ts")
 
     val cfg = GraftConfig(
       streamIdTemplate = "org/$topic/stream",
@@ -95,7 +95,7 @@ class StreamingPipelineSpec extends SparkTestBase {
   test("dry-run mode: no writes, no stream creation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(String, String, Timestamp)]
-    val input = mem.toDF.toDF("topic", "payload", "arrival_ts")
+    val input = mem.toDF().toDF("topic", "payload", "arrival_ts")
     val cfg = GraftConfig(payloadSchema = schema, dryRun = true)
     val outDir = Files.createTempDirectory("graft_dry").toString
     val ckDir = Files.createTempDirectory("graft_dryck").toString
@@ -184,7 +184,7 @@ class StreamingPipelineSpec extends SparkTestBase {
   test("event-time windows with watermark drop late data (additive vs reference)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
-    val counts = mem.toDF.toDF("k", "ts")
+    val counts = mem.toDF().toDF("k", "ts")
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), "1 minute"), col("k"))
       .count()
@@ -228,7 +228,7 @@ class StreamingPipelineSpec extends SparkTestBase {
   test("streaming exact dedup drops repeats within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(String, String, Timestamp)]
-    val input = mem.toDF.toDF("topic", "payload", "arrival_ts")
+    val input = mem.toDF().toDF("topic", "payload", "arrival_ts")
     val cfg = GraftConfig(payloadSchema = schema)
     val deduped = GraftPipeline.dedupStream(
       GraftPipeline.plan(input, cfg), Seq("topic", "value"), "5 minutes")
@@ -253,8 +253,8 @@ class StreamingPipelineSpec extends SparkTestBase {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ev = MemoryStream[(String, Double, Timestamp)]
     val cal = MemoryStream[(String, Double, Timestamp)]
-    val events = ev.toDF.toDF("device", "reading", "arrival_ts")
-    val calib = cal.toDF.toDF("device", "offset", "arrival_ts")
+    val events = ev.toDF().toDF("device", "reading", "arrival_ts")
+    val calib = cal.toDF().toDF("device", "offset", "arrival_ts")
     val joined = GraftPipeline.enrichStream(events, calib, "device",
       toleranceSecs = 60, watermark = "0 seconds")
     val ck = Files.createTempDirectory("enrich_ck").toString
