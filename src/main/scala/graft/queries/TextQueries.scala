@@ -251,7 +251,46 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The curation deliverable an LLM-data user actually runs: per-document
+    * keep/drop with machine-readable reasons — near-dup (verified LSH
+    * pairs, keep-first), low quality (blended score < threshold), language
+    * mismatch (predicted ≠ labeled). ONE documents scan computes quality
+    * and language features together (staged tokenizations shared); the
+    * only other lineage is the LSH pair set, joined back on doc_id. At
+    * 100 TB this is a scan + the banded dedup join — no new shuffle shape
+    * beyond dedup_keep's.
+    */
+  def textCurate(s: SparkSession, dir: String): DataFrame = {
+    val QualityMin = 0.5
+    val t = col("text")
+    val staged = stageBarrier(Tables.documents(s, dir),
+      Seq(col("doc_id"), col("lang"), t),
+      "toks" -> tokens(t),
+      "ltoks" -> tokens(lower(t)))
+    val parts = stageBarrier(staged, Seq(col("doc_id"), col("lang")),
+      Seq("n_chars" -> length(t),
+        "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")),
+        "n_toks" -> size(col("toks")),
+        "stop_hits" -> stopwordHits(col("toks"), StopwordsEn)) ++
+        langHits(col("ltoks")): _*)
+    val feat = parts.select(col("doc_id"), col("lang"),
+      qualityScoreFromParts(col("n_chars"), col("alpha_len"),
+        col("n_toks"), col("stop_hits")).as("quality"),
+      langIdFromHits(col("hits_en"), col("hits_de"), col("hits_fr"), col("hits_es"))
+        .as("lang_pred"))
+    val dropped = dedupMinhashPairs(s, dir).select(col("id_b")).distinct()
+    feat.join(dropped, col("doc_id") === col("id_b"), "left_outer")
+      .select(col("doc_id"),
+        col("id_b").isNotNull.as("is_neardup"),
+        (col("quality") < QualityMin).as("low_quality"),
+        (col("lang_pred") =!= col("lang")).as("lang_mismatch"),
+        (col("id_b").isNull && col("quality") >= QualityMin &&
+          col("lang_pred") === col("lang")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_curate" -> textCurate,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -323,6 +362,16 @@ object TextQueries {
        |  WHERE j_word >= 0.5)""".stripMargin
 
   private val enList = StopwordsEn.map(w => s"'$w'").mkString(", ")
+  // blended quality score — must stay verbatim-identical to the
+  // text_quality oracle's `quality` column (both mirror qualityScoreFromParts)
+  private lazy val qualitySql =
+    s"""round((
+       |    (CASE WHEN len(text) BETWEEN 100 AND 10000 THEN 1.0
+       |          WHEN len(text) >= 30 THEN 0.5 ELSE 0.0 END) +
+       |    least(len(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE /
+       |          greatest(len(text), 1)::DOUBLE, 1.0) +
+       |    least(len(list_filter(string_split(text, ' '), t -> t IN ($enList)))::DOUBLE /
+       |          greatest(len(string_split(text, ' ')), 1)::DOUBLE * 5, 1.0)) / 3, 6)""".stripMargin
   private val deList = StopwordsDe.map(w => s"'$w'").mkString(", ")
   private val frList = StopwordsFr.map(w => s"'$w'").mkString(", ")
   private val esList = StopwordsEs.map(w => s"'$w'").mkString(", ")
@@ -412,12 +461,31 @@ object TextQueries {
          |        greatest(len(text), 1)::DOUBLE, 6) AS alpha_ratio,
          |  round(len(list_filter(string_split(text, ' '), t -> t IN ($enList)))::DOUBLE /
          |        greatest(len(string_split(text, ' ')), 1)::DOUBLE, 6) AS stop_ratio,
-         |  round((
-         |    (CASE WHEN len(text) BETWEEN 100 AND 10000 THEN 1.0
-         |          WHEN len(text) >= 30 THEN 0.5 ELSE 0.0 END) +
-         |    least(len(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE /
-         |          greatest(len(text), 1)::DOUBLE, 1.0) +
-         |    least(len(list_filter(string_split(text, ' '), t -> t IN ($enList)))::DOUBLE /
-         |          greatest(len(string_split(text, ' ')), 1)::DOUBLE * 5, 1.0)) / 3, 6) AS quality
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |  $qualitySql AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_curate" ->
+      s"""$pairsCore,
+         |dup AS (SELECT DISTINCT id_b FROM pairs),
+         |feat AS (
+         |  SELECT doc_id, lang,
+         |         $qualitySql AS quality,
+         |         CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |              WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |              WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |              ELSE 'es' END AS lang_pred
+         |  FROM (
+         |    SELECT doc_id, lang, text,
+         |           len(list_filter(string_split(lower(text), ' '), t -> t IN ($enList))) AS en,
+         |           len(list_filter(string_split(lower(text), ' '), t -> t IN ($deList))) AS de,
+         |           len(list_filter(string_split(lower(text), ' '), t -> t IN ($frList))) AS fr,
+         |           len(list_filter(string_split(lower(text), ' '), t -> t IN ($esList))) AS es
+         |    FROM documents))
+         |SELECT f.doc_id,
+         |       dup.id_b IS NOT NULL AS is_neardup,
+         |       f.quality < 0.5 AS low_quality,
+         |       f.lang_pred <> f.lang AS lang_mismatch,
+         |       (dup.id_b IS NULL AND f.quality >= 0.5 AND f.lang_pred = f.lang) AS keep
+         |FROM feat f LEFT JOIN dup ON f.doc_id = dup.id_b
+         |ORDER BY f.doc_id""".stripMargin)
 }
