@@ -25,6 +25,56 @@ object ScaleFunctions {
     saltedFact.join(saltedBuild, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Connected components by iterated min-label propagation with pointer
+    * jumping — the transitive-closure primitive behind principled dedup
+    * (a duplicate CLUSTER keeps exactly one representative, however long
+    * the chain a->b->c that links it).
+    *
+    * Scale shape: each iteration is two key-partitioned shuffles over
+    * |V|+|E| rows (neighbor-min groupBy, then a self-join that rewrites
+    * every label to its label's label). Neighbor-min alone needs
+    * O(diameter) rounds; the pointer-jump halves chain depth each round,
+    * giving O(log d) total. The driver loop is control-plane: one count
+    * per iteration for convergence, and `localCheckpoint` truncates the
+    * lineage so iteration N's plan does not replay iterations 1..N-1
+    * (a real cluster job would use a reliable checkpoint dir instead —
+    * localCheckpoint trades executor-loss recovery for speed).
+    *
+    * `edges` is directed (src, dst) and symmetrized internally; every
+    * node labels itself first, so isolated nodes keep their own id.
+    * Labels are the component's minimum node id — deterministic.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // smallest label among each node's neighbors (aggregated BEFORE the
+      // join back, so the labels side joins against |V| rows, not |E|)
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: lbl <- lbl(lbl); lbl(x) <= x always, so the inner
+      // join on stepped's own id set is total
+      val jumped = stepped.as("a")
+        .join(stepped.select(col("id").as("p"), col("lbl").as("plbl")).as("b"),
+          col("a.lbl") === col("p"))
+        .select(col("a.id").as("id"), col("plbl").as("lbl"))
+        .localCheckpoint()
+      changed = jumped.as("n")
+        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = jumped
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Two-phase aggregation for a skewed group key: partial aggregate on
     * (key, salt), then final aggregate on key. Spark's hash aggregate
     * already does map-side partials; the explicit form matters when the

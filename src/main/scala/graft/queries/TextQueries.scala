@@ -289,8 +289,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Principled near-dup removal: CONNECTED COMPONENTS over the verified
+    * LSH pair graph, keeping each component's minimum doc_id. dedup_keep's
+    * keep-first rule is the cheap approximation (drop any doc that is the
+    * larger id of some pair); this is the transitive-closure ground truth
+    * it approximates — a chain a~b, b~c with no a~c pair still collapses
+    * to one survivor here. Components come from
+    * ScaleFunctions.connectedComponents (min-label + pointer jumping,
+    * O(log d) iterations, lineage-truncated); the pair graph is the same
+    * banded LSH join as dedup_minhash_pairs, so nothing here is all-pairs.
+    */
+  def dedupCC(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashPairs(s, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    graft.functions.ScaleFunctions.connectedComponents(nodes, pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("component"),
+        (col("id") === col("lbl")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_curate" -> textCurate,
+    "dedup_cc" -> dedupCC,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -395,6 +416,17 @@ object TextQueries {
          |SELECT d.doc_id, dup.id_b IS NULL AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_cc" ->
+      s"""${pairsCore.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component,
+         |       a = min(b) AS keep
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id,
          |  CAST(list_sum(list_transform(range(0, 32), i ->

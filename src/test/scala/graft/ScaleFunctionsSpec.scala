@@ -34,6 +34,26 @@ class ScaleFunctionsSpec extends SparkTestBase {
     assert(salted == direct)
   }
 
+  test("connectedComponents collapses a chain the pairwise rule cannot") {
+    // path 0-1-2-...-9: only adjacent pairs are edges, yet all ten nodes
+    // are one component — the transitive case dedup_keep approximates
+    val nodes = (0L to 10L).toDF("id") // 10 is isolated
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ScaleFunctions.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 9L).forall(got(_) == 0L))
+    assert(got(10L) == 10L)
+  }
+
+  test("connectedComponents labels multiple components with their minima") {
+    val nodes = Seq(1L, 2L, 3L, 7L, 8L, 9L, 5L).toDF("id")
+    // two triangles joined internally + isolated 5; edge direction mixed
+    val edges = Seq((2L, 1L), (2L, 3L), (9L, 7L), (8L, 9L)).toDF("src", "dst")
+    val got = ScaleFunctions.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 5L -> 5L))
+  }
+
   test("salt spreads the hot key across distinct salt values") {
     val saltCount = skewed
       .withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(8)))
