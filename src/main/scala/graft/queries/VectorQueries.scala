@@ -281,6 +281,39 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** SemDeDup-style semantic dedup: cluster with the learned Lloyd coarse
+    * quantizer, then within each cluster drop every vector that pairs with
+    * a lower vec_id at cosine >= CosMin (keep-first, like dedup_keep).
+    *
+    * Scale shape: this IS SemDeDup's cost model — pair generation is a
+    * key-partitioned self-join on list_id (never a global cross join), so
+    * the work is sum over clusters of (cluster size)²; production sizes
+    * nLists so clusters stay ~1e3-1e4 vectors. Cluster assignment is the
+    * shuffle-free argmax projection against driver-resident centroid
+    * literals shared with knn_ivf_kmeans. CosMin is tuned to the synthetic
+    * corpus (near-uniform random embeddings, max pairwise cos ~0.51 — a
+    * production 0.99 threshold would fire on nothing); the semantics are
+    * threshold-independent.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val CosMin = 0.4
+    val e = emb(s, dir)
+    e.persist()
+    val cent =
+      try kmeansCentroids(e, nLists = 8, iters = 2)
+      finally e.unpersist(false)
+    val lists = assignListsProjection(e, cent)
+    val a = lists.select(col("list_id"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = lists.select(col("list_id"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, "list_id")
+      .filter(col("id_a") < col("id_b") &&
+        round(cosine(col("va"), col("vb")), 6) >= CosMin)
+      .select(col("id_b")).distinct()
+    lists.join(dropped, col("vec_id") === col("id_b"), "left_outer")
+      .select(col("vec_id"), col("list_id"), col("id_b").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** ANN quality accounting: recall@K of the IVF index against the exact
     * brute-force neighbors, per query. The measurement every production
     * ANN deployment ships with — recall is THE dial that justifies the
@@ -547,7 +580,8 @@ object VectorQueries {
     "emb_quantize" -> embQuantize,
     "emb_pq" -> embPq,
     "knn_ivf_pq" -> knnIvfPq,
-    "knn_recall_pq" -> knnRecallPq)
+    "knn_recall_pq" -> knnRecallPq,
+    "dedup_semantic" -> dedupSemantic)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -787,6 +821,35 @@ object VectorQueries {
          |                            ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
+    },
+    // mirrors dedupSemantic: the knn_ivf_kmeans coarse CTE chain, then a
+    // within-list self-join on rounded cosine with keep-first drops
+    "dedup_semantic" -> {
+      def assignCte(centCte: String): String =
+        s"""SELECT vec_id, v, list_id FROM (
+           |    SELECT e.vec_id, e.v, c.list_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+           |    FROM e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
+      def meanCte(assignCte: String): String =
+        s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
+           |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
+           |    FROM $assignCte CROSS JOIN range(1, 65) r(i)
+           |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (${assignCte("c0")}),
+         |c1 AS (${meanCte("a1")}),
+         |a2 AS (${assignCte("c1")}),
+         |c2 AS (${meanCte("a2")}),
+         |af AS (${assignCte("c2")}),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id AS id_b
+         |  FROM af a JOIN af b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 6) >= 0.4)
+         |SELECT af.vec_id, af.list_id, dup.id_b IS NULL AS keep
+         |FROM af LEFT JOIN dup ON af.vec_id = dup.id_b
+         |ORDER BY af.vec_id""".stripMargin
     },
     "knn_recall" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
