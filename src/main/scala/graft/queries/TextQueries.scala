@@ -309,9 +309,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic language-rebalancing downsample: every language is
+    * thinned to the size of the smallest one, selection gated by a
+    * per-document hash — the corpus-mixing op (rebalance languages /
+    * domains / quality buckets) run before LLM training.
+    *
+    * Scale shape: pass 1 is a tiny groupBy histogram (|langs| rows);
+    * pass 2 is a pure projection over the scan with the histogram
+    * broadcast — no sort, no global sample(), and the hash gate makes
+    * the sample REPRODUCIBLE (same doc always in/out, append-only
+    * corpora keep their earlier selections) and exact in expectation.
+    * The in/out test is integer-only (u * n_lang < min_n * 10^6), so
+    * there is no float-boundary nondeterminism to break the oracle.
+    */
+  def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min("n_lang").as("min_n"))
+    docs
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minN))
+      .select(col("doc_id"), col("lang"),
+        (pmod(h32(col("doc_id").cast("string")), lit(1000000L)) * col("n_lang") <
+          col("min_n") * lit(1000000L)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_curate" -> textCurate,
     "dedup_cc" -> dedupCC,
+    "sample_balanced" -> sampleBalanced,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -415,6 +442,14 @@ object TextQueries {
          |dup AS (SELECT DISTINCT id_b FROM pairs)
          |SELECT d.doc_id, dup.id_b IS NULL AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
+         |ORDER BY d.doc_id""".stripMargin,
+    "sample_balanced" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_lang) AS min_n FROM c)
+         |SELECT d.doc_id, d.lang,
+         |       (${hx("CAST(d.doc_id AS VARCHAR)")} % 1000000) * n_lang
+         |         < min_n * 1000000 AS keep
+         |FROM documents d JOIN c USING (lang) CROSS JOIN m
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_cc" ->
       s"""${pairsCore.replaceFirst("^WITH ", "WITH RECURSIVE ")},
