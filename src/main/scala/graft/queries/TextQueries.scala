@@ -309,6 +309,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val ChunkLen = 50   // tokens per chunk
+  private val ChunkStride = 40 // overlap = ChunkLen - ChunkStride
+
+  /** Sliding-window chunking: each document becomes ceil-stride windows of
+    * ChunkLen tokens advancing by ChunkStride (10-token overlap) — the
+    * long-document -> training-sequence step of an LLM data pipeline.
+    * A pure per-row explode-projection: no shuffle except the harness
+    * output sort; chunk count is integer arithmetic, the window slice is
+    * a single `slice` on the staged token array. Short docs yield exactly
+    * one (possibly sub-ChunkLen) chunk.
+    */
+  def textChunks(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id")),
+      "toks" -> tokens(col("text")))
+    val n = size(col("toks"))
+    // nc = 1 + ceil((n - ChunkLen) / ChunkStride) for n > ChunkLen, else 1
+    // — integer-exact via (x + stride - 1) div stride
+    val nc = when(n <= ChunkLen, lit(1)).otherwise(
+      lit(1) + floor((n - ChunkLen + ChunkStride - 1) / lit(ChunkStride)).cast("int"))
+    staged
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nc - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), col("chunk_id") * ChunkStride + 1, lit(ChunkLen)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Deterministic language-rebalancing downsample: every language is
     * thinned to the size of the smallest one, selection gated by a
     * per-document hash — the corpus-mixing op (rebalance languages /
@@ -339,6 +369,7 @@ object TextQueries {
     "text_curate" -> textCurate,
     "dedup_cc" -> dedupCC,
     "sample_balanced" -> sampleBalanced,
+    "text_chunks" -> textChunks,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -443,6 +474,21 @@ object TextQueries {
          |SELECT d.doc_id, dup.id_b IS NULL AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
          |ORDER BY d.doc_id""".stripMargin,
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |             CASE WHEN len(toks) <= $ChunkLen THEN 1
+         |                  ELSE 1 + (len(toks) - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride
+         |             END AS nc
+         |      FROM t),
+         |ix AS (SELECT doc_id, toks, CAST(unnest(range(nc)) AS INT) AS chunk_id FROM n),
+         |ch AS (SELECT doc_id, chunk_id,
+         |              list_slice(toks, chunk_id * $ChunkStride + 1,
+         |                         chunk_id * $ChunkStride + $ChunkLen) AS ctoks
+         |       FROM ix)
+         |SELECT doc_id, chunk_id, CAST(len(ctoks) AS INT) AS n_tokens,
+         |       array_to_string(ctoks, ' ') AS chunk
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "sample_balanced" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
          |m AS (SELECT min(n_lang) AS min_n FROM c)
