@@ -302,10 +302,19 @@ object TextQueries {
   def dedupCC(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashPairs(s, dir)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val nodes = Tables.documents(s, dir).select(col("doc_id").as("id"))
-    graft.functions.ScaleFunctions.connectedComponents(nodes, pairs)
-      .select(col("id").as("doc_id"), col("lbl").as("component"),
-        (col("id") === col("lbl")).as("keep"))
+    // iterate ONLY over pair-incident nodes: at scale the overwhelming
+    // majority of docs are in no pair, and the CC loop must never carry
+    // them — non-incident docs are their own singleton component, added
+    // back by the final left join
+    val incident = pairs.select(col("src").as("id"))
+      .union(pairs.select(col("dst").as("id"))).distinct()
+    val comp = graft.functions.ScaleFunctions.connectedComponents(incident, pairs)
+      .withColumnRenamed("id", "cid")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(comp, col("doc_id") === col("cid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("component"),
+        (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -339,6 +348,32 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  private val PackBudget = 512 // tokens per packed training sequence
+
+  /** Sequence packing: assign documents to fixed-budget training
+    * sequences by running token count — the assembly step that turns a
+    * curated corpus into equal-length training rows (docs straddling a
+    * boundary are split by the downstream tokenizer; the assignment is
+    * what must be deterministic). pack_id = floor(tokens-before / B)
+    * within a (lang) shard, so packs are contiguous in doc order and
+    * reproducible.
+    *
+    * Scale shape: ONE window (running sum) partitioned by the packing
+    * shard. Lang is the shard here; at 100 TB the shard key is
+    * (lang, shard_id) with shards sized to executors — any grouping is a
+    * valid packing, so the partition key is free to scale out and no
+    * global sort or single-partition window exists.
+    */
+  def textPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_toks"))
+      .withColumn("cum", sum(col("n_toks").cast("long")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        floor((col("cum") - col("n_toks")) / lit(PackBudget)).cast("long").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic language-rebalancing downsample: every language is
     * thinned to the size of the smallest one, selection gated by a
     * per-document hash — the corpus-mixing op (rebalance languages /
@@ -370,6 +405,7 @@ object TextQueries {
     "dedup_cc" -> dedupCC,
     "sample_balanced" -> sampleBalanced,
     "text_chunks" -> textChunks,
+    "text_pack" -> textPack,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -489,6 +525,14 @@ object TextQueries {
          |SELECT doc_id, chunk_id, CAST(len(ctoks) AS INT) AS n_tokens,
          |       array_to_string(ctoks, ' ') AS chunk
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents),
+         |c AS (SELECT doc_id, lang, n,
+         |             sum(n) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+         |      FROM t)
+         |SELECT doc_id, lang, CAST(n AS INT) AS n_toks,
+         |       CAST((cum - n) // $PackBudget AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "sample_balanced" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
          |m AS (SELECT min(n_lang) AS min_n FROM c)
