@@ -228,6 +228,36 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Per-document most-salient token by TF-IDF — the corpus-weighted
+    * keyword profile (topic tagging / domain mixing signal). Same scale
+    * shape as textUnigramLp: one explode, two partial-aggregated groupBys
+    * (tf per doc-token, df per token), a token-keyed join left to AQE
+    * (broadcast at small SF, shuffle join on the open vocabulary at
+    * 100 TB), corpus size attached as a scalar subquery, and a per-doc
+    * rank window with a deterministic token tie-break.
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .createOrReplaceTempView("graft_tfidf_toks")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .createOrReplaceTempView("graft_tfidf_docs")
+    s.sql(
+      s"""WITH tf AS (SELECT doc_id, tok, count(1) AS tf
+         |            FROM graft_tfidf_toks GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df
+         |       FROM graft_tfidf_toks GROUP BY tok)
+         |SELECT doc_id, tok AS top_token, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id, tf.tok,
+         |         tf.tf * ln((SELECT CAST(count(1) AS DOUBLE)
+         |                     FROM graft_tfidf_docs) / df.df) AS score,
+         |         row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+         |           tf.tf * ln((SELECT CAST(count(1) AS DOUBLE)
+         |                       FROM graft_tfidf_docs) / df.df) DESC, tf.tok) AS rnk
+         |  FROM tf JOIN df USING (tok))
+         |WHERE rnk = 1 ORDER BY doc_id""".stripMargin)
+  }
+
   /** Quality-score components per document. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -406,6 +436,7 @@ object TextQueries {
     "sample_balanced" -> sampleBalanced,
     "text_chunks" -> textChunks,
     "text_pack" -> textPack,
+    "text_tfidf" -> textTfidf,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -525,6 +556,18 @@ object TextQueries {
          |SELECT doc_id, chunk_id, CAST(len(ctoks) AS INT) AS n_tokens,
          |       array_to_string(ctoks, ' ') AS chunk
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT doc_id, tok AS top_token, round(score, 6) AS score FROM (
+        |  SELECT tf.doc_id, tf.tok,
+        |         tf.tf * ln((SELECT n FROM n) / df.df) AS score,
+        |         row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+        |           tf.tf * ln((SELECT n FROM n) / df.df) DESC, tf.tok) AS rnk
+        |  FROM tf JOIN df USING (tok))
+        |WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
     "text_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents),
          |c AS (SELECT doc_id, lang, n,
