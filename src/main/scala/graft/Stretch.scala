@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Stretch {
   private val Queries = Seq("pipe_jsonata_t3", "q_window_running", "dedup_keep",
-    "pipe_jsonata_t2", "dedup_minhash_pairs", "emb_pq", "knn_ivf_pq")
+    "pipe_jsonata_t2", "dedup_minhash_pairs", "emb_pq", "knn_ivf_pq",
+    "dedup_cc", "text_curate", "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -126,4 +126,32 @@ class PlanSpec extends SparkTestBase {
     val p = physical("knn_ivf_kmeans")
     assert(!p.contains("hashpartitioning(vec_id"), p.take(3000))
   }
+
+  test("sample_balanced: histogram broadcasts onto the corpus scan") {
+    // pass 2 must be scan + broadcast of the |langs|-row histogram (the
+    // histogram's own partial-agg exchange carries |langs|×tasks rows);
+    // the corpus itself must never sort-merge join or re-sort on lang
+    val p = physical("sample_balanced")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("text_chunks: pure explode-projection (only the output sort exchanges)") {
+    val p = physical("text_chunks")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("text_pack: exactly one window shuffle, keyed on the packing shard") {
+    val p = physical("text_pack")
+    assert("hashpartitioning\\(lang".r.findAllIn(p).length >= 1, p.take(3000))
+    // no second aggregation/join exchange beyond the window + output sort
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("dedup_semantic: pair generation is an equi-join on list_id, not cartesian") {
+    val p = physical("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
