@@ -47,7 +47,8 @@ object Bench {
     // JVM + Catalyst initialization
     spark.range(100000).selectExpr("sum(id * 2)").collect()
 
-    val names = SparkEntry.queries.keys.toSeq
+    // optional args restrict the run to named queries (targeted timing)
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq
     val samples = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
     for (round <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)

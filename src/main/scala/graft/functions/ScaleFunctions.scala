@@ -45,10 +45,29 @@ object ScaleFunctions {
     * Labels are the component's minimum node id — deterministic.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    val sym = symmetrize(edges)
+    ccLoop(sym, nodes.select(col("id"), col("id").as("lbl")), maxIters)
+  }
+
+  /** Components restricted to edge-incident nodes — the dedup case, where
+    * nodes not in any pair are singletons the loop must never carry. The
+    * incident node set is derived from the PERSISTED symmetric edge set
+    * (distinct src covers both endpoints), so an expensive edge lineage —
+    * e.g. the LSH candidate chain — is materialized exactly once.
+    */
+  def connectedComponentsIncident(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym = symmetrize(edges)
+    val nodes = sym.select(col("src").as("id")).distinct()
+    ccLoop(sym, nodes.select(col("id"), col("id").as("lbl")), maxIters)
+  }
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+
+  private def ccLoop(sym: DataFrame, labels0: DataFrame, maxIters: Int): DataFrame = {
+    var labels = labels0.localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {

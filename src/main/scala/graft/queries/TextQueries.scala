@@ -335,10 +335,9 @@ object TextQueries {
     // iterate ONLY over pair-incident nodes: at scale the overwhelming
     // majority of docs are in no pair, and the CC loop must never carry
     // them — non-incident docs are their own singleton component, added
-    // back by the final left join
-    val incident = pairs.select(col("src").as("id"))
-      .union(pairs.select(col("dst").as("id"))).distinct()
-    val comp = graft.functions.ScaleFunctions.connectedComponents(incident, pairs)
+    // back by the final left join; the incident set comes from the
+    // persisted edge cache, so the LSH chain materializes exactly once
+    val comp = graft.functions.ScaleFunctions.connectedComponentsIncident(pairs)
       .withColumnRenamed("id", "cid")
     Tables.documents(s, dir).select(col("doc_id"))
       .join(comp, col("doc_id") === col("cid"), "left_outer")
