@@ -98,6 +98,60 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents agrees with brute-force union-find on random graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(2, 18) // node universe 0..n-1
+      m <- Gen.choose(0, 24)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n.toLong, es.filter { case (a, b) => a != b })
+    samples(edgeGen, 12).foreach { case (n, es) =>
+      // reference: naive union-find with min-root labels
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expect = (0L until n).map(i => i -> find(i.toInt).toLong).toMap
+      val nodes = (0L until n).toDF("id")
+      val edges =
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else es.toDF("src", "dst")
+      val got = graft.functions.ScaleFunctions.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"n=$n edges=$es")
+    }
+  }
+
+  test("text_chunks invariants: full coverage, stride starts, budgeted length") {
+    // chunk arithmetic must cover every token exactly (last chunk may be
+    // short), with starts on the stride grid — checked on random lengths
+    val lens = samples(Gen.choose(1, 300), 60)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"t$j").mkString(" ")) }
+    val out = docs.toDF("doc_id", "text").as("d")
+    val staged = out.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val n = size(col("toks"))
+    val nc = when(n <= 50, lit(1)).otherwise(
+      lit(1) + floor((n - 50 + 39) / lit(40)).cast("int"))
+    val chunks = staged
+      .select(col("doc_id"), col("toks"), explode(sequence(lit(0), nc - 1)).as("cid"))
+      .select(col("doc_id"), col("cid"),
+        slice(col("toks"), col("cid") * 40 + 1, lit(50)).as("ctoks"))
+      .as[(Long, Int, Seq[String])].collect()
+    val byDoc = chunks.groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val cs = byDoc(id).sortBy(_._2)
+      assert(cs.forall(_._3.nonEmpty)) // no empty chunk is ever emitted
+      assert(cs.forall(_._3.length <= 50)) // budget respected
+      // coverage: concatenating each chunk's NEW tokens (past the overlap)
+      // reconstructs the document exactly
+      val rebuilt = cs.head._3 ++ cs.tail.flatMap(_._3.drop(10))
+      assert(rebuilt == toks, s"doc $id: ${toks.length} tokens")
+    }
+  }
+
   test("fingerprint stays in [0, 1e9+7) for arbitrary token lists") {
     val tokG = Gen.listOfN(6, Gen.identifier.map(_.take(4)))
     val cases = samples(tokG, 40).map(_.mkString(" "))
