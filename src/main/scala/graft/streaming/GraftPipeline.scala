@@ -178,6 +178,42 @@ object GraftPipeline {
         col("r_arrival_ts") <= col("arrival_ts"))
   }
 
+  /** Deterministic sampling gate — the streaming form of the batch
+    * sample_balanced selection: keep a record iff its key's portable
+    * 32-bit hash falls under `rate`. Stateless pure projection (no
+    * watermark, no store); the hash gate means a replayed micro-batch
+    * makes identical decisions, so at-least-once delivery cannot skew
+    * the sample. Integer-only test, like the batch query.
+    */
+  def sampleGate(routed: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0, 1], got $rate")
+    routed.filter(
+      pmod(graft.functions.TextFunctions.h32(col(keyCol).cast("string")), lit(1000000L))
+        < lit((rate * 1000000L).toLong))
+  }
+
+  /** Quality gate — the streaming form of text_curate's quality arm: drop
+    * records whose payload text scores under `minScore`, with the same
+    * blended score the batch queries use (length/alpha/stopword). A
+    * stateless projection+filter; pair with `observe`/StatsListener for
+    * drop accounting like the malformed-JSON F1 path.
+    */
+  def qualityGate(routed: DataFrame, textCol: String, minScore: Double): DataFrame = {
+    import graft.functions.TextFunctions._
+    val t = col(textCol)
+    val staged = graft.functions.PipelineFunctions.stageBarrier(
+      routed, routed.columns.map(col).toSeq,
+      "q_toks" -> tokens(t))
+    staged
+      .withColumn("quality", qualityScoreFromParts(
+        length(t),
+        length(regexp_replace(t, "[^A-Za-z ]", "")),
+        size(col("q_toks")),
+        stopwordHits(col("q_toks"), StopwordsEn)))
+      .filter(col("quality") >= minScore)
+      .drop("q_toks")
+  }
+
   /** Gap-based sessions per stream over event time — the streaming form of
     * the batch pipe_sessionize query, via the built-in session_window
     * (state store managed by Spark; watermark bounds state growth).

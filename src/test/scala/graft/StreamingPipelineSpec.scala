@@ -249,6 +249,39 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(spark.table("graft_dedup").count() == 2) // 1.0-watts once + 2.0-watts
   }
 
+  test("sampleGate: deterministic, replay-stable, batch-identical selection") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val input = mem.toDF().toDF("key", "arrival_ts")
+    val gated = GraftPipeline.sampleGate(input, "key", 0.5)
+    val q = gated.writeStream.format("memory").queryName("graft_gate")
+      .outputMode("append").start()
+    val rows = (0 until 200).map(i => (s"k$i", Timestamp.valueOf("2026-01-01 10:00:00")))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // replay the same keys — the gate must make identical decisions
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_gate").select("key").collect().map(_.getString(0))
+    assert(streamed.length % 2 == 0) // every kept key kept twice
+    val batch = GraftPipeline.sampleGate(
+      rows.toDF("key", "arrival_ts"), "key", 0.5)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(streamed.toSet == batch) // stream and batch agree exactly
+    assert(batch.size > 50 && batch.size < 150) // ~rate, not degenerate
+  }
+
+  test("qualityGate drops low-quality payload text, keeps schema") {
+    val docs = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog and it is a fine day for that " * 3),
+      ("bad", "@@@@ #### $$$$ %%%% 1234 !!!!"))
+      .toDF("k", "body")
+    val kept = GraftPipeline.qualityGate(docs, "body", 0.5)
+    assert(kept.select("k").collect().map(_.getString(0)).toSeq == Seq("good"))
+    assert(kept.columns.toSeq == Seq("k", "body", "quality"))
+  }
+
   test("stream-stream enrichment join matches only within the tolerance window") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ev = MemoryStream[(String, Double, Timestamp)]
