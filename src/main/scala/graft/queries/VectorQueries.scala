@@ -281,6 +281,25 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Per-dimension z-score standardization (whitening-lite) — the
+    * preprocessing pass run before PQ/LSH indexing so no dimension
+    * dominates the distance. Two passes by construction: a 64-group
+    * partial-aggregated stats pass (mean, population stddev per
+    * dimension), then a projection with the 64-row stats table
+    * broadcast onto the exploded corpus. Zero-variance dimensions pass
+    * through centered (divide by 1). Output is (vec_id, i, z) rows —
+    * scalar-only, so the driver's hash compare applies elementwise.
+    */
+  def embWhiten(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir).select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val stats = ex.groupBy("i").agg(avg("x").as("m"), stddev_pop("x").as("sd"))
+    ex.join(broadcast(stats), "i")
+      .select(col("vec_id"), col("i"),
+        round((col("x") - col("m")) /
+          when(col("sd") === 0, lit(1.0)).otherwise(col("sd")), 6).as("z"))
+      .orderBy("vec_id", "i")
+  }
+
   /** SemDeDup-style semantic dedup: cluster with the learned Lloyd coarse
     * quantizer, then within each cluster drop every vector that pairs with
     * a lower vec_id at cosine >= CosMin (keep-first, like dedup_keep).
@@ -581,7 +600,8 @@ object VectorQueries {
     "emb_pq" -> embPq,
     "knn_ivf_pq" -> knnIvfPq,
     "knn_recall_pq" -> knnRecallPq,
-    "dedup_semantic" -> dedupSemantic)
+    "dedup_semantic" -> dedupSemantic,
+    "emb_whiten" -> embWhiten)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -822,6 +842,15 @@ object VectorQueries {
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
     },
+    "emb_whiten" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding AS DOUBLE[])[i] AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |st AS (SELECT i, avg(x) AS m, stddev_pop(x) AS sd FROM ex GROUP BY i)
+        |SELECT vec_id, ex.i,
+        |       round((x - m) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END), 6) AS z
+        |FROM ex JOIN st ON ex.i = st.i
+        |ORDER BY vec_id, ex.i""".stripMargin,
     // mirrors dedupSemantic: the knn_ivf_kmeans coarse CTE chain, then a
     // within-list self-join on rounded cosine with keep-first drops
     "dedup_semantic" -> {
