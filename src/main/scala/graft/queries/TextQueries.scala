@@ -429,10 +429,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The corpus mixing report: per ingestion source, how many documents
+    * and tokens it contributes, its token share of the whole corpus, its
+    * mean quality, and its near-dup rate — the table a data-mixing
+    * decision (upweight/downweight a source) is made from.
+    *
+    * Scale shape: one documents scan with the quality parts and token
+    * count staged together, the LSH drop-set joined back on doc_id (the
+    * dedup_keep lineage), then ONE groupBy on source (partial-aggregated;
+    * |sources| rows). The corpus token total attaches as a scalar
+    * subquery over the aggregated rows, not a second corpus pass.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val staged = stageBarrier(Tables.documents(s, dir),
+      Seq(col("doc_id"), col("source")),
+      "n_chars" -> length(t),
+      "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")),
+      "toks" -> tokens(t))
+    val feat = stageBarrier(staged,
+      Seq(col("doc_id"), col("source"), col("n_chars"), col("alpha_len")),
+      "n_toks" -> size(col("toks")),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn))
+    val dropped = dedupMinhashPairs(s, dir).select(col("id_b")).distinct()
+    val perDoc = feat.join(dropped, col("doc_id") === col("id_b"), "left_outer")
+      .select(col("source"), col("n_toks").cast("long").as("n_toks"),
+        qualityScoreFromParts(col("n_chars"), col("alpha_len"),
+          col("n_toks"), col("stop_hits")).as("quality"),
+        col("id_b").isNotNull.as("is_dup"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        round(avg("quality"), 6).as("avg_quality"),
+        round(avg(when(col("is_dup"), 1.0).otherwise(0.0)), 6).as("dup_rate"))
+      .withColumn("tok_share",
+        round(col("n_tokens") / sum("n_tokens").over(Window.partitionBy()), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("tok_share"), col("avg_quality"), col("dup_rate"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_curate" -> textCurate,
     "dedup_cc" -> dedupCC,
     "sample_balanced" -> sampleBalanced,
+    "corpus_mix" -> corpusMix,
     "text_chunks" -> textChunks,
     "text_pack" -> textPack,
     "text_tfidf" -> textTfidf,
@@ -540,6 +581,24 @@ object TextQueries {
          |SELECT d.doc_id, dup.id_b IS NULL AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
          |ORDER BY d.doc_id""".stripMargin,
+    "corpus_mix" ->
+      s"""$pairsCore,
+         |dup AS (SELECT DISTINCT id_b FROM pairs),
+         |perdoc AS (
+         |  SELECT source, len(string_split(text, ' ')) AS n_toks,
+         |         $qualitySql AS quality,
+         |         dup.id_b IS NOT NULL AS is_dup
+         |  FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b),
+         |agg AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |         round(avg(quality), 6) AS avg_quality,
+         |         round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6) AS dup_rate
+         |  FROM perdoc GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |       round(n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM agg), 6)
+         |         AS tok_share,
+         |       avg_quality, dup_rate
+         |FROM agg ORDER BY source""".stripMargin,
     "text_chunks" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |n AS (SELECT doc_id, toks,
