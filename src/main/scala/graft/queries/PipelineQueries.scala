@@ -168,6 +168,43 @@ object PipelineQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Funnel conversion: per user, the strictly-ordered view -> click ->
+    * purchase progression (first view, first click AFTER that view, first
+    * purchase AFTER that click) and the stage reached — the sequential-
+    * pattern shape product analytics runs, distinct from sessions and
+    * cubes. Every stage is a user-keyed partial aggregation plus an
+    * equi-join on user_id, so all four passes co-partition on the same
+    * key at scale; no window spans more than one user.
+    */
+  def pipeFunnel(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_funnel_events")
+    s.sql(
+      """WITH u AS (SELECT DISTINCT user_id FROM graft_funnel_events),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM graft_funnel_events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM graft_funnel_events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |        AND e.ts <= v.first_view + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM graft_funnel_events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |        AND e.ts <= c.first_click + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |       unix_micros(v.first_view) AS view_us,
+        |       unix_micros(c.first_click) AS click_us,
+        |       unix_micros(p.first_purchase) AS purchase_us,
+        |       CASE WHEN p.first_purchase IS NOT NULL THEN 3
+        |            WHEN c.first_click IS NOT NULL THEN 2
+        |            WHEN v.first_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin)
+  }
+
   /** As-of join — an operator Spark lacks natively, composed Spark-first
     * from a tagged union + running last-non-null window (single shuffle
     * on the join key, sort within partitions — the scalable layout; a
@@ -255,6 +292,7 @@ object PipelineQueries {
     "pipe_asof_join" -> pipeAsofJoin,
     "pipe_interval_join" -> pipeIntervalJoin,
     "pipe_sessionize" -> pipeSessionize,
+    "pipe_funnel" -> pipeFunnel,
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
@@ -302,6 +340,31 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT event_id, 'fixed', CAST(user_id % 100 AS DOUBLE) FROM events)
         |ORDER BY event_id, mkey""".stripMargin,
+    "pipe_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |        AND e.ts <= v.first_view + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |        AND e.ts <= c.first_click + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |       epoch_us(v.first_view) AS view_us,
+        |       epoch_us(c.first_click) AS click_us,
+        |       epoch_us(p.first_purchase) AS purchase_us,
+        |       CASE WHEN p.first_purchase IS NOT NULL THEN 3
+        |            WHEN c.first_click IS NOT NULL THEN 2
+        |            WHEN v.first_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "pipe_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
         |           FROM events WHERE event_type = 'purchase'),
