@@ -205,6 +205,34 @@ object PipelineQueries {
         |ORDER BY u.user_id""".stripMargin)
   }
 
+  /** Cohort retention: users grouped by first-seen day, and for each
+    * subsequent day the count and fraction of the cohort still active —
+    * the retention-matrix shape. Two user-keyed passes (first-seen agg,
+    * then distinct user-day activity joined back on user_id) and one
+    * (cohort, week) groupBy; the cohort-size divisor rides the rows as a
+    * window over the |cohorts|-row aggregate, never a second scan.
+    */
+  def pipeRetention(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_ret_events")
+    s.sql(
+      """WITH first_seen AS (
+        |  SELECT user_id, min(dayofyear(ts)) AS cohort_d FROM graft_ret_events
+        |  GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, dayofyear(ts) AS active_d FROM graft_ret_events),
+        |cohort_size AS (
+        |  SELECT cohort_d, count(1) AS n_cohort FROM first_seen GROUP BY cohort_d),
+        |cell AS (
+        |  SELECT f.cohort_d, a.active_d - f.cohort_d AS day_offset,
+        |         count(1) AS n_active
+        |  FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        |  GROUP BY f.cohort_d, a.active_d - f.cohort_d)
+        |SELECT c.cohort_d, c.day_offset, s.n_cohort, c.n_active,
+        |       round(c.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+        |FROM cell c JOIN cohort_size s ON c.cohort_d = s.cohort_d
+        |ORDER BY c.cohort_d, c.day_offset""".stripMargin)
+  }
+
   /** As-of join — an operator Spark lacks natively, composed Spark-first
     * from a tagged union + running last-non-null window (single shuffle
     * on the join key, sort within partitions — the scalable layout; a
@@ -293,6 +321,7 @@ object PipelineQueries {
     "pipe_interval_join" -> pipeIntervalJoin,
     "pipe_sessionize" -> pipeSessionize,
     "pipe_funnel" -> pipeFunnel,
+    "pipe_retention" -> pipeRetention,
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
@@ -340,6 +369,23 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT event_id, 'fixed', CAST(user_id % 100 AS DOUBLE) FROM events)
         |ORDER BY event_id, mkey""".stripMargin,
+    "pipe_retention" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, min(CAST(dayofyear(ts) AS INT)) AS cohort_d FROM events
+        |  GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(dayofyear(ts) AS INT) AS active_d FROM events),
+        |cohort_size AS (
+        |  SELECT cohort_d, count(1) AS n_cohort FROM first_seen GROUP BY cohort_d),
+        |cell AS (
+        |  SELECT f.cohort_d, a.active_d - f.cohort_d AS day_offset,
+        |         count(1) AS n_active
+        |  FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        |  GROUP BY f.cohort_d, a.active_d - f.cohort_d)
+        |SELECT c.cohort_d, c.day_offset, s.n_cohort, c.n_active,
+        |       round(c.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+        |FROM cell c JOIN cohort_size s ON c.cohort_d = s.cohort_d
+        |ORDER BY c.cohort_d, c.day_offset""".stripMargin,
     "pipe_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v AS (SELECT user_id, min(ts) AS first_view FROM events
