@@ -152,6 +152,33 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("pack assignment matches a sequential fold; packs are contiguous") {
+    // the windowed floor(cum_before/B) must equal what a single-threaded
+    // scan over each shard in doc order would assign
+    val B = 512L
+    val docGen = Gen.zip(Gen.oneOf("en", "de"), Gen.choose(1, 400))
+    val docs = samples(docGen, 80).zipWithIndex
+      .map { case ((lang, n), i) => (i.toLong, lang, n.toLong) }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("doc_id")
+    val got = docs.toDF("doc_id", "lang", "n_toks")
+      .withColumn("cum", sum("n_toks").over(w))
+      .select(col("doc_id"), col("lang"),
+        floor((col("cum") - col("n_toks")) / lit(B)).cast("long").as("pack_id"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, n) =>
+        assert(got(id) == (lang, cum / B), s"doc $id lang $lang cum $cum")
+        cum += n
+      }
+    }
+    // contiguity: within a shard, each pack covers a contiguous doc range
+    docs.groupBy(_._2).foreach { case (_, ds) =>
+      val packs = ds.sortBy(_._1).map(d => got(d._1)._2)
+      assert(packs.sameElements(packs.sorted))
+    }
+  }
+
   test("fingerprint stays in [0, 1e9+7) for arbitrary token lists") {
     val tokG = Gen.listOfN(6, Gen.identifier.map(_.take(4)))
     val cases = samples(tokG, 40).map(_.mkString(" "))
