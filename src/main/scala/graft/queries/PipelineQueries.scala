@@ -205,6 +205,27 @@ object PipelineQueries {
         |ORDER BY u.user_id""".stripMargin)
   }
 
+  /** Sensor-series resampling: each user's event stream downsampled to
+    * 6-hour buckets — count, mean, min/max, and LAST value in the bucket
+    * (max_by on event time; the value a dashboard or feature store keeps).
+    * One partial-aggregated groupBy on (user, bucket); the bucket key is
+    * a pure projection of ts, so at 100 TB this is scan + one shuffle,
+    * and buckets-per-key is bounded by the time range, not traffic.
+    */
+  def pipeResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.withColumn("bucket", date_format(
+        timestamp_seconds(floor(unix_micros(col("ts")) / (6L * 3600 * 1000000)) * (6L * 3600)),
+        "yyyy-MM-dd HH:mm:ss"))
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n"),
+        round(avg("value"), 6).as("avg_value"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 2).as("last_value"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** Cohort retention: users grouped by first-seen day, and for each
     * subsequent day the count and fraction of the cohort still active —
     * the retention-matrix shape. Two user-keyed passes (first-seen agg,
@@ -322,6 +343,7 @@ object PipelineQueries {
     "pipe_sessionize" -> pipeSessionize,
     "pipe_funnel" -> pipeFunnel,
     "pipe_retention" -> pipeRetention,
+    "pipe_resample" -> pipeResample,
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
@@ -369,6 +391,26 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT event_id, 'fixed', CAST(user_id % 100 AS DOUBLE) FROM events)
         |ORDER BY event_id, mkey""".stripMargin,
+    "pipe_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, value, ts,
+        |         strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
+        |                  '%Y-%m-%d %H:%M:%S') AS bucket
+        |  FROM events),
+        |last AS (
+        |  SELECT user_id, bucket, value AS lv FROM (
+        |    SELECT user_id, bucket, value,
+        |           row_number() OVER (PARTITION BY user_id, bucket
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM b) WHERE rn = 1),
+        |agg AS (
+        |  SELECT user_id, bucket, count(*) AS n, round(avg(value), 6) AS avg_value,
+        |         round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |  FROM b GROUP BY user_id, bucket)
+        |SELECT agg.user_id, agg.bucket, n, avg_value, min_value, max_value,
+        |       round(lv, 2) AS last_value
+        |FROM agg JOIN last ON agg.user_id = last.user_id AND agg.bucket = last.bucket
+        |ORDER BY agg.user_id, agg.bucket""".stripMargin,
     "pipe_retention" ->
       """WITH first_seen AS (
         |  SELECT user_id, min(CAST(dayofyear(ts) AS INT)) AS cohort_d FROM events

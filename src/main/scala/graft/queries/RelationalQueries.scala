@@ -157,6 +157,27 @@ object RelationalQueries {
         |FROM rollup_src GROUP BY ROLLUP(rname, nname) ORDER BY region, nation""".stripMargin)
   }
 
+  /** Arbitrary GROUPING SETS (not expressible as one rollup/cube): totals
+    * by (priority, status), by priority alone, by ship-month alone, and
+    * the grand total — one scan, one Expand, one aggregation; grouping_id
+    * disambiguates the set each output row belongs to.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("gsets_src")
+    s.sql(
+      """SELECT coalesce(prio, 'ALL') AS prio, coalesce(status, 'ALL') AS status,
+        |       coalesce(month, 'ALL') AS month,
+        |       CAST(grouping_id(prio, status, month) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM gsets_src
+        |GROUP BY GROUPING SETS ((prio, status), (prio), (month), ())
+        |ORDER BY gid, prio, status, month""".stripMargin)
+  }
+
   /** Distinct aggregation: exact distinct customers per order priority. */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -224,6 +245,7 @@ object RelationalQueries {
     "q_anti_join" -> qAntiJoin,
     "q_semi_join" -> qSemiJoin,
     "q_rollup" -> qRollup,
+    "q_grouping_sets" -> qGroupingSets,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
     "q_above_avg" -> qAboveAvg,
@@ -299,6 +321,18 @@ object RelationalQueries {
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+    "q_grouping_sets" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |         strftime(o_orderdate, '%Y-%m') AS month, o_totalprice
+        |  FROM orders)
+        |SELECT coalesce(prio, 'ALL') AS prio, coalesce(status, 'ALL') AS status,
+        |       coalesce(month, 'ALL') AS month,
+        |       CAST(grouping(prio, status, month) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM src
+        |GROUP BY GROUPING SETS ((prio, status), (prio), (month), ())
+        |ORDER BY gid, prio, status, month""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
