@@ -429,6 +429,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val BenchDocs = 20       // doc_id < BenchDocs stand in for the eval set
+  private val ContamRatio = 0.05   // flag at >= 5% shingle overlap
+
+  /** Benchmark decontamination — the screen every LLM pipeline runs
+    * before training: flag training documents whose 3-gram shingles
+    * overlap the evaluation set. Distinct shingles per doc are exploded
+    * once; the benchmark side collapses to a distinct shingle set and
+    * the overlap is a shingle-keyed equi-join + per-doc count. The
+    * benchmark relation is eval-set-sized (bounded, small) but carries
+    * no broadcast hint — AQE broadcasts it when it fits, exactly like
+    * the open-vocabulary joins. Output: per train doc, its shingle
+    * count, hits, overlap ratio, and the flag.
+    */
+  def textContaminate(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"),
+        explode(array_distinct(wordShingles(col("toks"), ShingleK))).as("sh"))
+    val bench = shingled.filter(col("doc_id") < BenchDocs).select("sh").distinct()
+    val train = shingled.filter(col("doc_id") >= BenchDocs)
+    val nsh = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(bench, "sh").groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    nsh.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 6).as("overlap_ratio"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double") >= ContamRatio).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** The corpus mixing report: per ingestion source, how many documents
     * and tokens it contributes, its token share of the whole corpus, its
     * mean quality, and its near-dup rate — the table a data-mixing
@@ -474,6 +507,7 @@ object TextQueries {
     "dedup_cc" -> dedupCC,
     "sample_balanced" -> sampleBalanced,
     "corpus_mix" -> corpusMix,
+    "text_contaminate" -> textContaminate,
     "text_chunks" -> textChunks,
     "text_pack" -> textPack,
     "text_tfidf" -> textTfidf,
@@ -581,6 +615,20 @@ object TextQueries {
          |SELECT d.doc_id, dup.id_b IS NULL AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
          |ORDER BY d.doc_id""".stripMargin,
+    "text_contaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |shs AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |        FROM t WHERE len(toks) >= $ShingleK),
+         |bench AS (SELECT DISTINCT sh FROM shs WHERE doc_id < $BenchDocs),
+         |train AS (SELECT * FROM shs WHERE doc_id >= $BenchDocs),
+         |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+         |hits AS (SELECT doc_id, count(*) AS n_hits
+         |         FROM train JOIN bench USING (sh) GROUP BY doc_id)
+         |SELECT nsh.doc_id, n_shingles, coalesce(n_hits, 0) AS n_hits,
+         |       round(coalesce(n_hits, 0)::DOUBLE / n_shingles::DOUBLE, 6) AS overlap_ratio,
+         |       coalesce(n_hits, 0)::DOUBLE / n_shingles::DOUBLE >= $ContamRatio AS flagged
+         |FROM nsh LEFT JOIN hits ON nsh.doc_id = hits.doc_id
+         |ORDER BY nsh.doc_id""".stripMargin,
     "corpus_mix" ->
       s"""$pairsCore,
          |dup AS (SELECT DISTINCT id_b FROM pairs),
