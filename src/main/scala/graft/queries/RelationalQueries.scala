@@ -157,6 +157,28 @@ object RelationalQueries {
         |FROM rollup_src GROUP BY ROLLUP(rname, nname) ORDER BY region, nation""".stripMargin)
   }
 
+  /** RANGE-frame window: per supplier, the quantity shipped in the
+    * TRAILING 30 DAYS of each shipment — a value-based frame (all rows
+    * whose sort key falls in [current-30d, current]), not a row count;
+    * the moving-window shape rows-frames cannot express when event
+    * density varies. Ordered on the integer epoch-day so the frame
+    * bounds are int comparisons; single shuffle on the partition key.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("ship_day_i"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"))
+      .withColumn("ship_day_i", expr("unix_date(CAST(l_shipdate AS DATE))"))
+      .withColumn("trail30_qty", round(sum("l_quantity").over(w), 2))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        col("trail30_qty"))
+  }
+
   /** Arbitrary GROUPING SETS (not expressible as one rollup/cube): totals
     * by (priority, status), by priority alone, by ship-month alone, and
     * the grand total — one scan, one Expand, one aggregation; grouping_id
@@ -246,6 +268,7 @@ object RelationalQueries {
     "q_semi_join" -> qSemiJoin,
     "q_rollup" -> qRollup,
     "q_grouping_sets" -> qGroupingSets,
+    "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
     "q_above_avg" -> qAboveAvg,
@@ -321,6 +344,15 @@ object RelationalQueries {
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+    "q_window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+        |       round(sum(l_quantity) OVER (
+        |         PARTITION BY l_suppkey ORDER BY l_shipdate
+        |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+        |         AS trail30_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q_grouping_sets" ->
       """WITH src AS (
         |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
