@@ -429,6 +429,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val RecallSample = 500   // fixed-size sample for the recall accounting
+
+  /** LSH banding recall — the dedup path's quality dial, mirroring
+    * knn_recall on the ANN side. Ground truth is ALL pairs with exact
+    * 3-shingle Jaccard >= 0.5 among a FIXED-SIZE sample (the similarity
+    * the MinHash signatures actually estimate — word-set similarity is a
+    * different, much denser measure on a shared-vocabulary corpus); the
+    * all-pairs scan is legitimate exactly because the sample is a
+    * constant (RecallSample² pairs at any corpus size — at 100 TB the
+    * accounting samples, the production path stays banded). Measured set
+    * = band-collision candidates within the sample that are true pairs,
+    * so recall isolates banding misses (a near-dup pair whose signatures
+    * collide in no band) and prices the bands × rows-per-band trade.
+    */
+  def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = minhashStages(s, dir).filter(col("doc_id") < RecallSample)
+    val bands = explodeBands(base)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = base.select(col("doc_id"), array_distinct(col("shingles")).as("ss"))
+    val exact = sets.select(col("doc_id").as("id_a"), col("ss").as("ss_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("ss").as("ss_b")),
+        col("id_a") < col("id_b"))
+      .filter(
+        round(size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b"))).cast("double"), 6) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_caught")))
+      .select(col("n_true"), col("n_caught"),
+        round(col("n_caught").cast("double") / col("n_true").cast("double"), 6).as("recall"))
+  }
+
   private val BenchDocs = 20       // doc_id < BenchDocs stand in for the eval set
   private val ContamRatio = 0.05   // flag at >= 5% shingle overlap
 
@@ -508,6 +546,7 @@ object TextQueries {
     "sample_balanced" -> sampleBalanced,
     "corpus_mix" -> corpusMix,
     "text_contaminate" -> textContaminate,
+    "dedup_recall" -> dedupRecall,
     "text_chunks" -> textChunks,
     "text_pack" -> textPack,
     "text_tfidf" -> textTfidf,
@@ -615,6 +654,27 @@ object TextQueries {
          |SELECT d.doc_id, dup.id_b IS NULL AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_recall" ->
+      s"""$bandsCte,
+         |cand2 AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id < $RecallSample AND b.doc_id < $RecallSample),
+         |sets2 AS (
+         |  SELECT doc_id, list_distinct(shingles) AS ss FROM sh
+         |  WHERE doc_id < $RecallSample),
+         |ex AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sets2 a JOIN sets2 b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_filter(a.ss, x -> list_contains(b.ss, x)))::DOUBLE /
+         |              len(list_distinct(list_concat(a.ss, b.ss)))::DOUBLE, 6) >= 0.5),
+         |hit AS (SELECT ex.* FROM ex SEMI JOIN cand2
+         |        ON ex.id_a = cand2.id_a AND ex.id_b = cand2.id_b)
+         |SELECT (SELECT count(*) FROM ex) AS n_true,
+         |       (SELECT count(*) FROM hit) AS n_caught,
+         |       round((SELECT count(*) FROM hit)::DOUBLE /
+         |             (SELECT count(*) FROM ex)::DOUBLE, 6) AS recall""".stripMargin,
     "text_contaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |shs AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
