@@ -429,6 +429,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val CmsDepth = 4     // hash rows
+  private val CmsWidth = 1024  // counters per row
+
+  /** Count-Min Sketch over the corpus token stream — the sketch that
+    * answers "how often does token X occur" in O(depth × width) space
+    * regardless of vocabulary size. Deterministic by construction (fixed
+    * seeded hashes, counters are plain sums), so unlike HLL it is exactly
+    * oracle-checkable. The sketch build is one groupBy on (row, bucket)
+    * — 4×1024 counters whatever the corpus — with map-side partial
+    * aggregation; estimates for the top-50 true tokens come from a
+    * broadcast-friendly join against the tiny counter table, min across
+    * rows. Output pairs each exact count with its CMS estimate, pinning
+    * the one-sided error contract: estimates can only ever OVERcount
+    * (n_est >= n_true always; equality whenever no token collides in
+    * every row — min-across-depth is what makes that the common case).
+    */
+  def textCms(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val hashed = toks
+      .select(col("tok"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("tok"), col("r"), pmod(h32(col("tok"), col("r")), lit(CmsWidth)).as("b"))
+    val counters = hashed.groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("tok")).limit(50)
+    top
+      .select(col("tok"), col("n_true"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("tok"), col("n_true"), col("r"),
+        pmod(h32(col("tok"), col("r")), lit(CmsWidth)).as("b"))
+      .join(counters, Seq("r", "b"))
+      .groupBy("tok", "n_true")
+      .agg(min("c").as("n_est"))
+      .orderBy(col("n_true").desc, col("tok"))
+  }
+
   private val RecallSample = 500   // fixed-size sample for the recall accounting
 
   /** LSH banding recall — the dedup path's quality dial, mirroring
@@ -557,6 +593,7 @@ object TextQueries {
     "corpus_mix" -> corpusMix,
     "text_contaminate" -> textContaminate,
     "dedup_recall" -> dedupRecall,
+    "text_cms" -> textCms,
     "text_chunks" -> textChunks,
     "text_pack" -> textPack,
     "text_tfidf" -> textTfidf,
@@ -664,6 +701,23 @@ object TextQueries {
          |SELECT d.doc_id, dup.id_b IS NULL AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
          |ORDER BY d.doc_id""".stripMargin,
+    "text_cms" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hashed AS (
+         |  SELECT tok, CAST(r AS INT) AS r,
+         |         ${hx("tok || '#' || CAST(r AS VARCHAR)")} % $CmsWidth AS b
+         |  FROM tok CROSS JOIN range($CmsDepth) t(r)),
+         |counters AS (SELECT r, b, count(*) AS c FROM hashed GROUP BY r, b),
+         |top AS (SELECT tok, count(*) AS n_true FROM tok GROUP BY tok
+         |        ORDER BY n_true DESC, tok LIMIT 50),
+         |probe AS (
+         |  SELECT top.tok, top.n_true, CAST(r AS INT) AS r,
+         |         ${hx("top.tok || '#' || CAST(r AS VARCHAR)")} % $CmsWidth AS b
+         |  FROM top CROSS JOIN range($CmsDepth) t(r))
+         |SELECT probe.tok, n_true, min(c) AS n_est
+         |FROM probe JOIN counters ON probe.r = counters.r AND probe.b = counters.b
+         |GROUP BY probe.tok, n_true
+         |ORDER BY n_true DESC, probe.tok""".stripMargin,
     "dedup_recall" ->
       s"""$bandsCte,
          |cand2 AS (
