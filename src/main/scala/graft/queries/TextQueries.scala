@@ -465,6 +465,59 @@ object TextQueries {
       .orderBy(col("n_true").desc, col("tok"))
   }
 
+  private val HllP = 8             // 2^8 = 256 registers
+
+  /** HyperLogLog distinct-count sketch per language — the cardinality
+    * estimator every 100 TB profile uses where count(DISTINCT) would
+    * shuffle the full key set. Deterministic end to end: the register
+    * index is the top p bits of the seeded 32-bit hash, rho is derived
+    * from `length(bin(suffix))` (exact integer semantics — no float
+    * log2 boundary risk), registers are a (lang, idx) max-aggregation
+    * (256 registers per lang at any scale), and the standard estimate
+    * (alpha*m²/Σ2^-M with linear-counting small-range correction) is
+    * plain double arithmetic reproducible in DuckDB, so even the
+    * ESTIMATE is oracle-gated, not just the registers. Output pairs the
+    * estimate with the exact distinct count per language.
+    */
+  def textHll(s: SparkSession, dir: String): DataFrame = {
+    val m = 1 << HllP               // 256
+    val suffixBits = 32 - HllP      // 24
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .createOrReplaceTempView("graft_hll_toks")
+    s.sql(
+      s"""WITH h AS (
+         |  SELECT lang, tok,
+         |         CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS hv
+         |  FROM graft_hll_toks),
+         |rr AS (
+         |  SELECT lang, CAST(hv DIV ${1L << suffixBits} AS INT) AS idx,
+         |         CASE WHEN hv % ${1L << suffixBits} = 0 THEN ${suffixBits + 1}
+         |              ELSE $suffixBits + 1 - length(bin(hv % ${1L << suffixBits}))
+         |         END AS rho
+         |  FROM h),
+         |regs AS (SELECT lang, idx, max(rho) AS mr FROM rr GROUP BY lang, idx),
+         |st AS (
+         |  SELECT lang, count(1) AS n_regs, sum(power(2.0, -mr)) AS s
+         |  FROM regs GROUP BY lang),
+         |est AS (
+         |  SELECT lang,
+         |         (0.7213 / (1 + 1.079 / $m)) * $m * $m /
+         |           (s + ($m - n_regs) * 1.0) AS e_raw,
+         |         $m - n_regs AS zeros
+         |  FROM st),
+         |fin AS (
+         |  SELECT lang,
+         |         CASE WHEN e_raw <= 2.5 * $m AND zeros > 0
+         |              THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+         |              ELSE e_raw END AS e
+         |  FROM est),
+         |ex AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM graft_hll_toks GROUP BY lang)
+         |SELECT ex.lang, n_exact, CAST(round(e) AS BIGINT) AS n_est
+         |FROM ex JOIN fin ON ex.lang = fin.lang
+         |ORDER BY ex.lang""".stripMargin)
+  }
+
   private val RecallSample = 500   // fixed-size sample for the recall accounting
 
   /** LSH banding recall — the dedup path's quality dial, mirroring
@@ -594,6 +647,7 @@ object TextQueries {
     "text_contaminate" -> textContaminate,
     "dedup_recall" -> dedupRecall,
     "text_cms" -> textCms,
+    "text_hll" -> textHll,
     "text_chunks" -> textChunks,
     "text_pack" -> textPack,
     "text_tfidf" -> textTfidf,
@@ -701,6 +755,38 @@ object TextQueries {
          |SELECT d.doc_id, dup.id_b IS NULL AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
          |ORDER BY d.doc_id""".stripMargin,
+    "text_hll" -> {
+      val m = 1 << HllP
+      val sb = 32 - HllP
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT lang, tok, ${hx("tok")} AS hv FROM tok),
+         |rr AS (
+         |  SELECT lang, CAST(hv // ${1L << sb} AS INT) AS idx,
+         |         CASE WHEN hv % ${1L << sb} = 0 THEN ${sb + 1}
+         |              ELSE $sb + 1 - length(bin(hv % ${1L << sb}))
+         |         END AS rho
+         |  FROM h),
+         |regs AS (SELECT lang, idx, max(rho) AS mr FROM rr GROUP BY lang, idx),
+         |st AS (
+         |  SELECT lang, count(1) AS n_regs, sum(power(2.0, -mr)) AS s
+         |  FROM regs GROUP BY lang),
+         |est AS (
+         |  SELECT lang,
+         |         (0.7213 / (1 + 1.079 / $m)) * $m * $m /
+         |           (s + ($m - n_regs) * 1.0) AS e_raw,
+         |         $m - n_regs AS zeros
+         |  FROM st),
+         |fin AS (
+         |  SELECT lang,
+         |         CASE WHEN e_raw <= 2.5 * $m AND zeros > 0
+         |              THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+         |              ELSE e_raw END AS e
+         |  FROM est),
+         |ex AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM tok GROUP BY lang)
+         |SELECT ex.lang, n_exact, CAST(round(e) AS BIGINT) AS n_est
+         |FROM ex JOIN fin ON ex.lang = fin.lang
+         |ORDER BY ex.lang""".stripMargin
+    },
     "text_cms" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |hashed AS (
