@@ -179,6 +179,31 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("count-min estimates never undercount, even with forced collisions") {
+    // width 8 << vocabulary so every row collides heavily; the min across
+    // depth-4 rows must still bound every true count from ABOVE
+    val W = 8; val D = 4
+    val toks = samples(Gen.oneOf((1 to 40).map(i => s"tok$i")), 400)
+    val df = toks.toDF("tok")
+    val hashed = df
+      .select(col("tok"), explode(sequence(lit(0), lit(D - 1))).as("r"))
+      .select(col("tok"), col("r"), pmod(h32(col("tok"), col("r")), lit(W)).as("b"))
+    val counters = hashed.groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val got = df.groupBy("tok").agg(count(lit(1)).as("n_true"))
+      .select(col("tok"), col("n_true"), explode(sequence(lit(0), lit(D - 1))).as("r"))
+      .select(col("tok"), col("n_true"), col("r"),
+        pmod(h32(col("tok"), col("r")), lit(W)).as("b"))
+      .join(counters, Seq("r", "b"))
+      .groupBy("tok", "n_true").agg(min("c").as("n_est"))
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (tok, nTrue, nEst) =>
+      assert(nEst >= nTrue, s"$tok undercounted: est $nEst < true $nTrue")
+    }
+    // with width 8 and ~40 distinct tokens, collisions must actually occur
+    assert(got.exists { case (_, nTrue, nEst) => nEst > nTrue })
+  }
+
   test("fingerprint stays in [0, 1e9+7) for arbitrary token lists") {
     val tokG = Gen.listOfN(6, Gen.identifier.map(_.take(4)))
     val cases = samples(tokG, 40).map(_.mkString(" "))
