@@ -214,6 +214,24 @@ object GraftPipeline {
       .drop("q_toks")
   }
 
+  /** Streaming Count-Min build — the batch text_cms as a continuously
+    * maintained aggregation: tokens hash into (row, bucket) counters,
+    * update-mode emits changed counters per micro-batch. The state store
+    * holds EXACTLY depth × width counters forever — constant state with
+    * no watermark required, the property that makes sketches the right
+    * streaming profile structure (an exact distinct/top-k would grow
+    * state with the key space). Estimation stays the batch-side min
+    * across rows against the latest counter snapshot.
+    */
+  def cmsStream(input: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    input
+      .select(explode(split(col(tokenCol), " ")).as("tok"))
+      .select(col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        pmod(graft.functions.TextFunctions.h32(col("tok"), col("r")), lit(width)).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+
   /** Gap-based sessions per stream over event time — the streaming form of
     * the batch pipe_sessionize query, via the built-in session_window
     * (state store managed by Spark; watermark bounds state growth).

@@ -282,6 +282,34 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(kept.columns.toSeq == Seq("k", "body", "quality"))
   }
 
+  test("cmsStream: constant-state counters accumulate; estimates never undercount") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = GraftPipeline.cmsStream(mem.toDF().toDF("body"), "body", depth = 4, width = 16)
+      .writeStream.format("memory").queryName("graft_cms")
+      .outputMode("update").start()
+    mem.addData("alpha beta alpha", "gamma alpha")
+    q.processAllAvailable()
+    mem.addData("alpha beta")
+    q.processAllAvailable()
+    q.stop()
+    // latest counter per (r, b) across update-mode emissions
+    val counters = spark.table("graft_cms")
+      .groupBy("r", "b").agg(org.apache.spark.sql.functions.max("c").as("c"))
+      .select(col("r").cast("int"), col("b").cast("int"), col("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(counters.size <= 4 * 16) // state bounded by depth x width
+    def estimate(tok: String): Long = (0 until 4).map { r =>
+      val b = spark.range(1).select(
+        pmod(graft.functions.TextFunctions.h32(lit(tok), lit(r)), lit(16)).cast("int"))
+        .head().getInt(0)
+      counters.getOrElse((r, b), 0L)
+    }.min
+    assert(estimate("alpha") >= 4) // 4 true occurrences across both batches
+    assert(estimate("beta") >= 2)
+    assert(estimate("gamma") >= 1)
+  }
+
   test("stream-stream enrichment join matches only within the tolerance window") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ev = MemoryStream[(String, Double, Timestamp)]
