@@ -154,4 +154,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("text_contaminate: overlap is a shingle-keyed equi-join, never cartesian") {
+    val p = physical("text_contaminate")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("text_cms / text_hll: sketch builds are aggregations, no corpus join") {
+    // the sketch tables are tiny aggregates; the only joins are the
+    // estimate probes against them — never a join on the token stream
+    Seq("text_cms", "text_hll").foreach { q =>
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("pipe_funnel: all stages join on user_id, no nested-loop fallback") {
+    val p = physical("pipe_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
