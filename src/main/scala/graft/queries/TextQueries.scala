@@ -639,9 +639,22 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Dup-cluster size histogram — the dedup diagnostic read before
+    * shipping a keep/drop decision: how many clusters of each size exist
+    * (size 1 = unique docs). Composes the CC labels with two tiny
+    * aggregations (per-component count, then per-size count); nothing
+    * here adds shuffle shape beyond dedup_cc's.
+    */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
+    dedupCC(s, dir)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_curate" -> textCurate,
     "dedup_cc" -> dedupCC,
+    "dedup_cluster_stats" -> dedupClusterStats,
     "sample_balanced" -> sampleBalanced,
     "corpus_mix" -> corpusMix,
     "text_contaminate" -> textContaminate,
@@ -911,6 +924,18 @@ object TextQueries {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component,
          |       a = min(b) AS keep
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""${pairsCore.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+         |sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id,
          |  CAST(list_sum(list_transform(range(0, 32), i ->
