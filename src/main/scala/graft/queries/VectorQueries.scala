@@ -300,6 +300,58 @@ object VectorQueries {
       .orderBy("vec_id", "i")
   }
 
+  /** Covariance matrix of the embedding corpus — the one-pass outer-
+    * product aggregation underlying PCA, whitening, and OPQ rotation
+    * learning. Per row the 64×64 outer product explodes to (i, j, x·y)
+    * cells; map-side partial aggregation reduces each partition to 4096
+    * cells BEFORE the shuffle, so the exchange carries dim² × partitions
+    * rows whatever the corpus size — linear algebra as a bounded
+    * aggregation, the only Spark-shaped way to do it at 100 TB (the
+    * collected matrix is control-plane input to [[powerIteration]]).
+    */
+  def embCov(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    // per-row outer product staged behind a Generate barrier (posexplode
+    // of the raw expression would trip InferFiltersFromGenerate and
+    // re-derive it at the scan), then a 4096-group partial-agg groupBy —
+    // NO self-join: a vec_id-keyed join would shuffle the exploded corpus
+    val staged = graft.functions.PipelineFunctions.stageBarrier(
+      emb(s, dir), Seq(),
+      "op" -> flatten(transform(col("v"), xi => transform(col("v"), xj => xi * xj))))
+    val cells = staged.select(posexplode(col("op")).as(Seq("pos", "xy")))
+      .select(floor(col("pos") / dim).cast("int").as("i"),
+        pmod(col("pos"), lit(dim)).cast("int").as("j"), col("xy"))
+    val ex = emb(s, dir).select(posexplode(col("v")).as(Seq("i", "x")))
+    val means = ex.groupBy("i").agg(avg("x").as("m"))
+    val n = emb(s, dir).agg(count(lit(1)).cast("double").as("n"))
+    cells.groupBy("i", "j").agg(sum("xy").as("sxy"))
+      .join(broadcast(means), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        round(col("sxy") / col("n") - col("m") * col("mj"), 6).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** Driver-side power iteration on a collected (control-plane) covariance
+    * matrix: the tiny-side half of PCA — the data-sized half is embCov.
+    * Deterministic: fixed all-ones start (a basis vector could be an
+    * eigenvector ORTHOGONAL to the dominant axis and never converge; the
+    * ones vector overlaps every axis), fixed iteration count, sign
+    * normalized so the first nonzero component is positive.
+    */
+  private[graft] def powerIteration(cov: Array[Array[Double]], iters: Int = 50): Array[Double] = {
+    val d = cov.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = if (nrm == 0) w else w.map(_ / nrm)
+    }
+    val lead = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+    if (lead < 0) v.map(-_) else v
+  }
+
   /** SemDeDup-style semantic dedup: cluster with the learned Lloyd coarse
     * quantizer, then within each cluster drop every vector that pairs with
     * a lower vec_id at cosine >= CosMin (keep-first, like dedup_keep).
@@ -601,7 +653,8 @@ object VectorQueries {
     "knn_ivf_pq" -> knnIvfPq,
     "knn_recall_pq" -> knnRecallPq,
     "dedup_semantic" -> dedupSemantic,
-    "emb_whiten" -> embWhiten)
+    "emb_whiten" -> embWhiten,
+    "emb_cov" -> embCov)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -842,6 +895,21 @@ object VectorQueries {
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
     },
+    "emb_cov" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mean AS (
+        |  SELECT CAST(i AS INT) AS i, avg(v[CAST(i + 1 AS INT)]) AS m
+        |  FROM e CROSS JOIN range(64) r(i) GROUP BY i),
+        |cell AS (
+        |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |         sum(v[CAST(i + 1 AS INT)] * v[CAST(j + 1 AS INT)]) AS sxy
+        |  FROM e CROSS JOIN range(64) r(i) CROSS JOIN range(64) r2(j)
+        |  GROUP BY i, j),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)
+        |SELECT cell.i, cell.j,
+        |       round(sxy / (SELECT n FROM n) - a.m * b.m, 6) AS cov
+        |FROM cell JOIN mean a ON cell.i = a.i JOIN mean b ON cell.j = b.i
+        |ORDER BY cell.i, cell.j""".stripMargin,
     "emb_whiten" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding AS DOUBLE[])[i] AS x

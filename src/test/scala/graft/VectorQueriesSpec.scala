@@ -70,4 +70,21 @@ class VectorQueriesSpec extends SparkTestBase {
     val byQuery = topk.collect().groupBy(_.getLong(0))
     assert(byQuery.nonEmpty && byQuery.values.forall(_.length == 10))
   }
+
+  test("powerIteration recovers the dominant direction of an anisotropic cov") {
+    // constructed covariance: diagonal with one dominant axis (7) plus a
+    // correlated pair (2, 3) — the top eigenvector must align with axis 7
+    val d = 16
+    val cov = Array.tabulate(d, d)((i, j) =>
+      if (i == j && i == 7) 5.0
+      else if (i == j) 0.5
+      else if ((i, j) == (2, 3) || (i, j) == (3, 2)) 0.2
+      else 0.0)
+    val pc = queries.VectorQueries.powerIteration(cov)
+    assert(math.abs(pc(7)) > 0.99, pc.mkString(","))
+    assert(math.sqrt(pc.map(x => x * x).sum) > 0.999) // unit norm
+    // sign convention: first nonzero component positive -> deterministic
+    val again = queries.VectorQueries.powerIteration(cov)
+    assert(pc.sameElements(again))
+  }
 }
