@@ -50,23 +50,35 @@ object Bench {
     // optional args restrict the run to named queries (targeted timing)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq
     val samples = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
+    val failed = collection.mutable.LinkedHashSet[String]()
     for (round <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // toRdd.count() forces every output column to be materialized;
       // Dataset.count() would let Catalyst prune projection-only work and
       // under-report the cost of compute-heavy columns.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED (round $round): $e") }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      // A failed run records NO sample (a failure typically returns fast;
+      // folding its short elapsed into the median would let a regression
+      // masquerade as a speedup) — it lands in the `failed` field instead.
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED (round $round): $e")
+      }
     }
 
-    val medians = names.map(n => n -> median(samples(n)))
+    // a query with zero successful runs is excluded from every total and
+    // reported only in `failed`
+    val medians = names.filter(samples(_).nonEmpty).map(n => n -> median(samples(n)))
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val r5Shared = medians.filter { case (k, _) => R5Queries(k) }
     val subtotal = r5Shared.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"subtotal_r5":$subtotal,"subtotal_r5_n":${r5Shared.size}}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"subtotal_r5":$subtotal,"subtotal_r5_n":${r5Shared.size},"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -200,12 +200,19 @@ object VectorQueries {
     var cent = collectCent(e.filter(col("vec_id") < nLists)
       .select(col("vec_id").cast("int").as("list_id"), col("v")))
     for (_ <- 1 to iters) {
-      cent = collectCent(assignListsProjection(train, cent)
+      val updated = collectCent(assignListsProjection(train, cent)
         .select(col("list_id"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("list_id", "i").agg(avg("x").as("m"))
         .groupBy("list_id").agg(
           transform(array_sort(collect_list(struct(col("i"), col("m")))), s0 => s0.getField("m")).as("cv")))
+        .toMap
+      // a list whose (sampled) members all reassigned elsewhere carries
+      // its previous centroid forward — the quantizer must stay exactly
+      // nLists wide, since downstream NProbe probing and the oracle both
+      // assume it (with sampleFraction < 1 a small draw can empty a list)
+      cent = cent.map { case (lid, cv) => lid -> updated.getOrElse(lid, cv) }
     }
+    assert(cent.size == nLists, s"quantizer shrank: ${cent.size} of $nLists lists")
     cent
   }
 
@@ -300,36 +307,48 @@ object VectorQueries {
       .orderBy("vec_id", "i")
   }
 
-  /** Covariance matrix of the embedding corpus — the one-pass outer-
-    * product aggregation underlying PCA, whitening, and OPQ rotation
-    * learning. Per row the 64×64 outer product explodes to (i, j, x·y)
-    * cells; map-side partial aggregation reduces each partition to 4096
-    * cells BEFORE the shuffle, so the exchange carries dim² × partitions
-    * rows whatever the corpus size — linear algebra as a bounded
-    * aggregation, the only Spark-shaped way to do it at 100 TB (the
-    * collected matrix is control-plane input to [[powerIteration]]).
+  /** Covariance matrix of the embedding corpus — the two-pass (centered)
+    * outer-product aggregation underlying PCA, whitening, and OPQ rotation
+    * learning. Per row the centered 64×64 outer product explodes to
+    * (i, j, (x−mᵢ)(y−mⱼ)) cells; map-side partial aggregation reduces each
+    * partition to 4096 cells BEFORE the shuffle, so the exchange carries
+    * dim² × partitions rows whatever the corpus size — linear algebra as a
+    * bounded aggregation, the only Spark-shaped way to do it at 100 TB
+    * (the collected matrix is control-plane input to [[powerIteration]]).
+    *
+    * Why two-pass and not E[xy]−E[x]E[y]: the one-pass form subtracts two
+    * nearly-equal numbers (these near-zero covariances are ~1e-4 of the
+    * raw moments), so Spark's partition-order float summation vs a
+    * sequential oracle diverges past the round(·,6) grain. Centered terms
+    * are already O(cov)-sized; the order dependence stays far below the
+    * grain. The means pass is a bounded control-plane collect (dim rows),
+    * the same pattern as the kmeans centroid literals.
     */
   def embCov(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
-    // per-row outer product staged behind a Generate barrier (posexplode
-    // of the raw expression would trip InferFiltersFromGenerate and
-    // re-derive it at the scan), then a 4096-group partial-agg groupBy —
-    // NO self-join: a vec_id-keyed join would shuffle the exploded corpus
+    val e = emb(s, dir)
+    // pass 1: per-dimension means + row count, collected (dim rows) and
+    // re-embedded as plan literals
+    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg("x").as("m"), count(lit(1)).as("c"))
+      .orderBy("i").collect()
+    val n = stats.head.getLong(2).toDouble
+    val mLit = array(stats.map(r => lit(r.getDouble(1))): _*)
+    // pass 2: center per row, then the outer product staged behind a
+    // Generate barrier (posexplode of the raw expression would trip
+    // InferFiltersFromGenerate and re-derive it at the scan), then a
+    // 4096-group partial-agg groupBy — NO self-join: a vec_id-keyed join
+    // would shuffle the exploded corpus
+    val centered = graft.functions.PipelineFunctions.stageBarrier(
+      e, Seq(), "cv" -> zip_with(col("v"), mLit, (x, m) => x - m))
     val staged = graft.functions.PipelineFunctions.stageBarrier(
-      emb(s, dir), Seq(),
-      "op" -> flatten(transform(col("v"), xi => transform(col("v"), xj => xi * xj))))
-    val cells = staged.select(posexplode(col("op")).as(Seq("pos", "xy")))
+      centered, Seq(),
+      "op" -> flatten(transform(col("cv"), xi => transform(col("cv"), xj => xi * xj))))
+    staged.select(posexplode(col("op")).as(Seq("pos", "xy")))
       .select(floor(col("pos") / dim).cast("int").as("i"),
         pmod(col("pos"), lit(dim)).cast("int").as("j"), col("xy"))
-    val ex = emb(s, dir).select(posexplode(col("v")).as(Seq("i", "x")))
-    val means = ex.groupBy("i").agg(avg("x").as("m"))
-    val n = emb(s, dir).agg(count(lit(1)).cast("double").as("n"))
-    cells.groupBy("i", "j").agg(sum("xy").as("sxy"))
-      .join(broadcast(means), "i")
-      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
-      .crossJoin(broadcast(n))
-      .select(col("i"), col("j"),
-        round(col("sxy") / col("n") - col("m") * col("mj"), 6).as("cov"))
+      .groupBy("i", "j").agg(sum("xy").as("sxy"))
+      .select(col("i"), col("j"), round(col("sxy") / n, 6).as("cov"))
       .orderBy("i", "j")
   }
 
@@ -895,21 +914,21 @@ object VectorQueries {
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
     },
+    // centered two-pass like the Spark side: the one-pass E[xy]-E[x]E[y]
+    // form cancels catastrophically (near-zero covariances) and its
+    // partition-order float sum diverges from DuckDB's past round(.,6)
     "emb_cov" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |mean AS (
         |  SELECT CAST(i AS INT) AS i, avg(v[CAST(i + 1 AS INT)]) AS m
         |  FROM e CROSS JOIN range(64) r(i) GROUP BY i),
-        |cell AS (
-        |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-        |         sum(v[CAST(i + 1 AS INT)] * v[CAST(j + 1 AS INT)]) AS sxy
-        |  FROM e CROSS JOIN range(64) r(i) CROSS JOIN range(64) r2(j)
-        |  GROUP BY i, j),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)
-        |SELECT cell.i, cell.j,
-        |       round(sxy / (SELECT n FROM n) - a.m * b.m, 6) AS cov
-        |FROM cell JOIN mean a ON cell.i = a.i JOIN mean b ON cell.j = b.i
-        |ORDER BY cell.i, cell.j""".stripMargin,
+        |SELECT a.i AS i, b.i AS j,
+        |       round(sum((v[a.i + 1] - a.m) * (v[b.i + 1] - b.m))
+        |             / (SELECT n FROM n), 6) AS cov
+        |FROM e CROSS JOIN mean a CROSS JOIN mean b
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin,
     "emb_whiten" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding AS DOUBLE[])[i] AS x

@@ -15,13 +15,21 @@ import MqttCodec._
   */
 class MqttPublishConnection(
     url: String,
-    clientId: String = s"graft-pub-${java.util.UUID.randomUUID()}")
+    clientId: String = s"graft-pub-${java.util.UUID.randomUUID()}",
+    timeoutMs: Int = 10000)
     extends AutoCloseable {
 
   private val uri = new URI(url)
   require(uri.getScheme == "tcp", s"only tcp:// URLs supported, got $url")
 
-  private val socket = new Socket(uri.getHost, uri.getPort)
+  // Bounded connect AND read: a broker that accepts TCP but never sends
+  // CONNACK (or stalls mid-stream) must surface as SocketTimeoutException
+  // — which the publisher's NonFatal handler converts to a counted error —
+  // rather than wedge the micro-batch; connect-refused alone isn't enough
+  // to keep a dead broker from stalling a 1000-executor job.
+  private val socket = new Socket()
+  socket.connect(new java.net.InetSocketAddress(uri.getHost, uri.getPort), timeoutMs)
+  socket.setSoTimeout(timeoutMs)
   private val out = socket.getOutputStream
   write(out, Connect(clientId))
   read(socket.getInputStream) match {
