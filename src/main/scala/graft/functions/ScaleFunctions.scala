@@ -117,4 +117,40 @@ object ScaleFunctions {
       .agg(sum(value).as("_partial"))
       .groupBy(col(key))
       .agg(sum("_partial").as(s"sum_$value"))
+
+  /** Fixed-iteration damped PageRank over a directed edge set (src, dst)
+    * — the other canonical iterative graph pass next to
+    * [[connectedComponents]], with the same cost model: per iteration,
+    * ranks (|V| rows, aggregated before joining back) meet the persisted
+    * edge set in one src-keyed equi-join, contributions partial-aggregate
+    * on dst — on a cluster that pre-partitions edges by src the
+    * per-iteration shuffle carries rank rows, never the edges. Rank
+    * lineage is localCheckpoint-truncated each step like the CC loop, so
+    * the returned plan does not grow with `iters`. Output covers nodes
+    * with at least one incoming edge; the standard uses (and the
+    * graph_pagerank query) symmetrize first, making in/out node sets
+    * equal. No dangling-mass redistribution — symmetric graphs have none.
+    * Deterministic given the edge set: every term is a fixed expression;
+    * float summation order contributes only ~1e-15 relative error.
+    */
+  def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    try {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val withDeg = e.join(deg, "src")
+      // |V| is a control-plane scalar (like the CC loop's change counts)
+      val n = e.select("src").distinct().count().toDouble
+      var ranks = e.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(1.0 / n)).localCheckpoint()
+      for (_ <- 1 to iters) {
+        ranks = withDeg.join(ranks, col("src") === col("node"))
+          .select(col("dst"), (col("pr") / col("outdeg")).as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("in_pr"))
+          .select(col("dst").as("node"),
+            (lit((1 - damping) / n) + lit(damping) * col("in_pr")).as("pr"))
+          .localCheckpoint()
+      }
+      ranks
+    } finally e.unpersist(false)
+  }
 }

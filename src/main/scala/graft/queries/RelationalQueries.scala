@@ -257,6 +257,85 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  // (name, is-numeric) for every lineitem column — drives profile_cols
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    "l_orderkey" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+    "l_linenumber" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
+    "l_discount" -> true, "l_tax" -> true,
+    "l_returnflag" -> false, "l_linestatus" -> false, "l_shipdate" -> false)
+
+  /** Single-pass column profiling of lineitem — the ANALYZE pass every
+    * 100 TB ingest runs before planning: per column, non-null count,
+    * exact distinct count, numeric min/max. ONE scan computes every
+    * metric (one aggregate node; the per-column rows are an explode of a
+    * struct array over the single aggregate row, not one query per
+    * column). The exact multi-distinct plans as Spark's standard Expand
+    * (×ncols) — at 100 TB production swaps `count_distinct` for
+    * `approx_count_distinct` (one pass, no Expand; the HLL machinery is
+    * demonstrated exactly in text_hll); exact is kept here so the oracle
+    * can gate it.
+    */
+  def profileCols(s: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { case (c, num) =>
+      Seq(count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"nd_$c")) ++
+        (if (num) Seq(min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c")) else Seq())
+    }
+    val a = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = ProfileCols.map { case (c, num) =>
+      struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nonnull"),
+        col(s"nd_$c").as("n_distinct"),
+        (if (num) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (num) col(s"mx_$c") else lit(null).cast("double")).as("max_num"))
+    }
+    a.select(explode(array(rows: _*)).as("r")).select("r.*").orderBy("col_name")
+  }
+
+  /** Two-level salted aggregation on a 3-value (maximally skewed) group
+    * key, oracle-gated to equal the plain GROUP BY: partial sums on
+    * (key, salt) spread each hot key over `Salts` reducers, the final
+    * combine touches keys × Salts rows. This is the skew pattern
+    * ScaleFunctions.saltedSum documents, as a checked query — safe here
+    * because the combined aggregates (integer-valued quantity sums,
+    * counts) are exact in double, so the result is salt- and
+    * order-independent. The salt is a deterministic hash of the row key,
+    * not a random, so replays agree.
+    */
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val Salts = 32
+    Tables.lineitem(s, dir)
+      .withColumn("_salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(sum("l_quantity").as("s_qty"), count(lit(1)).as("s_cnt"))
+      .groupBy("l_returnflag")
+      .agg(round(sum("s_qty"), 2).as("sum_qty"),
+        sum("s_cnt").as("n_rows"),
+        round(sum("s_qty") / sum("s_cnt"), 6).as("avg_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val PrDamping = 0.85
+  private val PrIters = 3
+
+  /** Damped PageRank over the symmetrized part↔supplier bipartite graph
+    * from lineitem — node importance on a co-occurrence graph, the
+    * iterative-join shape (see ScaleFunctions.pageRank for the cost
+    * model). Deterministic: fixed seed ranks, fixed iteration count,
+    * rounded only at the output; the oracle unrolls the same three
+    * iterations as CTEs.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val und = Tables.lineitem(s, dir).select(
+        concat(lit("p"), col("l_partkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    graft.functions.ScaleFunctions.pageRank(edges, PrDamping, PrIters)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy("node")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
@@ -272,7 +351,10 @@ object RelationalQueries {
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
     "q_above_avg" -> qAboveAvg,
-    "q_pivot" -> qPivot)
+    "q_pivot" -> qPivot,
+    "profile_cols" -> profileCols,
+    "q_skew_agg" -> qSkewAgg,
+    "graph_pagerank" -> graphPagerank)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -392,5 +474,44 @@ object RelationalQueries {
         |  round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN o_totalprice END), 2) AS "HOUSEHOLD",
         |  round(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN o_totalprice END), 2) AS "MACHINERY"
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // one SELECT per column, generated from the same ProfileCols list the
+    // Spark side uses — the metric definitions can't drift apart
+    "profile_cols" -> ProfileCols.map { case (c, num) =>
+      val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       $mn AS min_num, $mx AS max_num FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // the salted two-level aggregate must equal the plain GROUP BY
+    "q_skew_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n_rows,
+        |       round(sum(l_quantity) / count(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // ScaleFunctions.pageRank's three Lloyd-style iterations unrolled as
+    // CTEs; float-sum order differs between engines but stays ~1e-15
+    // relative, far inside the gate's 1e-9 atol
+    "graph_pagerank" -> {
+      def step(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT e.dst AS node,
+           |         (1 - $PrDamping) / (SELECT n FROM n) +
+           |         $PrDamping * sum($prev.pr / deg.outdeg) AS pr
+           |  FROM e JOIN $prev ON e.src = $prev.node
+           |         JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst)""".stripMargin
+      val iterCtes = (1 to PrIters).map(i => step(s"pr${i - 1}", s"pr$i")).mkString(",\n")
+      s"""WITH und AS (
+         |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+         |                  's' || CAST(l_suppkey AS VARCHAR) AS b FROM lineitem),
+         |e AS (SELECT a AS src, b AS dst FROM und
+         |      UNION ALL SELECT b AS src, a AS dst FROM und),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |n AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM e),
+         |pr0 AS (SELECT DISTINCT src AS node, 1.0 / (SELECT n FROM n) AS pr FROM e),
+         |$iterCtes
+         |SELECT node, round(pr, 6) AS pr FROM pr$PrIters ORDER BY node""".stripMargin
+    })
 }

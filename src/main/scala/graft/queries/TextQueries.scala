@@ -599,6 +599,78 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val BloomBits = 1024   // filter size m (positions 0..m-1)
+  private val BloomHashes = 4    // k seeded h32 hashes per shingle
+
+  /** Bloom-filter decontamination — the join→broadcast-filter rewrite of
+    * [[textContaminate]] for when the eval set outgrows a comfortable
+    * equi-join: the eval side aggregates to a ≤BloomBits-element distinct
+    * position set (k seeded h32 hashes mod m per shingle) whatever its row
+    * count, and the probe is a pure projection against that broadcast —
+    * the training corpus never joins, never shuffles on an open shingle
+    * vocabulary. One-sided error is structural: a bloom hit may be a false
+    * positive (over-flagging is safe for decontamination), a miss never
+    * is. Deterministic seeded hashes keep the filter — false positives
+    * included — bit-identical in the oracle. Output mirrors
+    * textContaminate: per train doc, shingle count, bloom hits, flag.
+    */
+  def textBloom(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"),
+        explode(array_distinct(wordShingles(col("toks"), ShingleK))).as("sh"))
+    def positions = array((0 until BloomHashes).map(i =>
+      pmod(h32(col("sh"), lit(i)), lit(BloomBits.toLong))): _*)
+    val bloom = shingled.filter(col("doc_id") < BenchDocs)
+      .select(explode(positions).as("p"))
+      .agg(array_sort(collect_set(col("p"))).as("bloom"))
+    shingled.filter(col("doc_id") >= BenchDocs)
+      .crossJoin(broadcast(bloom))
+      .select(col("doc_id"),
+        forall(positions, p => array_contains(col("bloom"), p)).as("hit"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+        (col("n_bloom_hits").cast("double") /
+          col("n_shingles").cast("double") >= ContamRatio).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  private val PmiMinCount = 10L  // drop bigrams rarer than this
+
+  /** Bigram collocations by pointwise mutual information — the corpus-
+    * statistics pass behind tokenizer-merge candidates and phrase mining:
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over adjacent-pair and unigram
+    * frequencies. Two partial-aggregated counts (bigrams via the k=2
+    * shingle window, unigrams via one explode); the unigram relation and
+    * both totals are vocabulary-sized / single-row, so every join here is
+    * a broadcast onto the bigram aggregate — nothing corpus-sized
+    * shuffles twice, and the shape is UNCHANGED at 100 TB because the
+    * join sides scale with vocabulary, not rows.
+    */
+  def textPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(wordShingles(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+    val totU = uni.agg(sum("n_tok").cast("double").as("n_uni"))
+    val totB = bi.agg(sum("n_pair").cast("double").as("n_bi"))
+    bi.filter(col("n_pair") >= PmiMinCount)
+      .withColumn("tok_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("tok_b", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("tok").as("tok_a"), col("n_tok").as("n_a"))), "tok_a")
+      .join(broadcast(uni.select(col("tok").as("tok_b"), col("n_tok").as("n_b"))), "tok_b")
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .select(col("bigram"), col("n_pair"), col("n_a"), col("n_b"),
+        round(log((col("n_pair") / col("n_bi")) /
+          ((col("n_a") / col("n_uni")) * (col("n_b") / col("n_uni")))), 6).as("pmi"))
+      .orderBy("bigram")
+  }
+
   /** The corpus mixing report: per ingestion source, how many documents
     * and tokens it contributes, its token share of the whole corpus, its
     * mean quality, and its near-dup rate — the table a data-mixing
@@ -658,6 +730,8 @@ object TextQueries {
     "sample_balanced" -> sampleBalanced,
     "corpus_mix" -> corpusMix,
     "text_contaminate" -> textContaminate,
+    "text_bloom" -> textBloom,
+    "text_pmi" -> textPmi,
     "dedup_recall" -> dedupRecall,
     "text_cms" -> textCms,
     "text_hll" -> textHll,
@@ -852,6 +926,47 @@ object TextQueries {
          |       coalesce(n_hits, 0)::DOUBLE / n_shingles::DOUBLE >= $ContamRatio AS flagged
          |FROM nsh LEFT JOIN hits ON nsh.doc_id = hits.doc_id
          |ORDER BY nsh.doc_id""".stripMargin,
+    // mirrors textBloom: k seeded h32 positions mod m per shingle, the
+    // eval side collapsed to one distinct-position list, probe via
+    // list_has_all — false positives reproduce bit-identically
+    "text_bloom" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |shs AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |        FROM t WHERE len(toks) >= $ShingleK),
+         |pos AS (SELECT doc_id,
+         |               [${hx("sh || '#' || CAST(i AS VARCHAR)")} % $BloomBits
+         |                for i in range(0, $BloomHashes)] AS ps
+         |        FROM shs),
+         |bloom AS (SELECT list_distinct(flatten(list(ps))) AS bloom
+         |          FROM pos WHERE doc_id < $BenchDocs),
+         |probe AS (SELECT doc_id, list_has_all(bloom, ps) AS hit
+         |          FROM pos CROSS JOIN bloom WHERE doc_id >= $BenchDocs)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |       sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
+         |         >= $ContamRatio AS flagged
+         |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors textPmi: bigrams via the k=2 shingle window, broadcast-
+    // shaped unigram/total joins, same division order in the ln argument
+    "text_pmi" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |uni AS (SELECT unnest(toks) AS tok FROM t),
+         |u AS (SELECT tok, count(*) AS n_tok FROM uni GROUP BY tok),
+         |nu AS (SELECT CAST(count(*) AS DOUBLE) AS n_uni FROM uni),
+         |big AS (SELECT unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+         |                      for i in range(1, len(toks))]) AS bigram
+         |        FROM t WHERE len(toks) >= 2),
+         |b AS (SELECT bigram, count(*) AS n_pair FROM big GROUP BY bigram),
+         |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_bi FROM big)
+         |SELECT bigram, n_pair, ua.n_tok AS n_a, ub.n_tok AS n_b,
+         |       round(ln((n_pair / n_bi) /
+         |                ((ua.n_tok / n_uni) * (ub.n_tok / n_uni))), 6) AS pmi
+         |FROM b
+         |JOIN u ua ON string_split(bigram, ' ')[1] = ua.tok
+         |JOIN u ub ON string_split(bigram, ' ')[2] = ub.tok
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE n_pair >= $PmiMinCount
+         |ORDER BY bigram""".stripMargin,
     "corpus_mix" ->
       s"""$pairsCore,
          |dup AS (SELECT DISTINCT id_b FROM pairs),

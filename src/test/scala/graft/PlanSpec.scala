@@ -176,4 +176,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("text_bloom: probe is a broadcast of the bit set, never a shingle join") {
+    // the whole point vs text_contaminate: the training side must not
+    // shuffle or sort-merge join on the open shingle vocabulary
+    val p = physical("text_bloom")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("hashpartitioning(sh"), p.take(3000))
+  }
+
+  test("text_pmi: unigram and total joins broadcast onto the bigram aggregate") {
+    val p = physical("text_pmi")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("profile_cols: every metric from ONE scan (single aggregate, Expand)") {
+    val p = physical("profile_cols")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(3000))
+    assert(p.contains("Expand"), p.take(3000))
+  }
+
+  test("q_skew_agg: two-level aggregate — salted exchange before the key exchange") {
+    val p = physical("q_skew_agg")
+    assert(p.contains("hashpartitioning(l_returnflag"), p.take(3000))
+    assert(p.contains("_salt"), p.take(3000))
+    assert("hashpartitioning\\(".r.findAllIn(p).length >= 2, p.take(3000))
+  }
 }

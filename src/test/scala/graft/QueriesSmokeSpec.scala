@@ -27,4 +27,20 @@ class QueriesSmokeSpec extends SparkTestBase {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries missing oracleSql: $noOracle")
   }
+
+  test("text_bloom never misses a contamination hit text_contaminate found") {
+    // the Bloom screen's one-sided error contract: false positives are
+    // allowed, false negatives are not — per doc, bloom hits dominate
+    // the exact equi-join's hits
+    val exact = SparkEntry.queries("text_contaminate")(spark, sf())
+      .select("doc_id", "n_hits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = SparkEntry.queries("text_bloom")(spark, sf())
+      .select("doc_id", "n_bloom_hits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == bloom.keySet)
+    exact.foreach { case (doc, hits) =>
+      assert(bloom(doc) >= hits, s"doc $doc: bloom ${bloom(doc)} < exact $hits")
+    }
+  }
 }

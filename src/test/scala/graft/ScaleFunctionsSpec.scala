@@ -54,6 +54,27 @@ class ScaleFunctionsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 5L -> 5L))
   }
 
+  test("pageRank matches a driver-side reference on a small symmetric graph") {
+    // triangle 1-2-3 plus a pendant 4-1: uneven degrees so ranks differ
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = ScaleFunctions.pageRank(edges, damping = 0.85, iters = 3)
+      .as[(Long, Double)].collect().toMap
+
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val n = adj.size.toDouble
+    var pr = adj.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for ((u, vs) <- adj; v <- vs) contrib(v) += pr(u) / vs.size
+      pr = adj.keys.map(v => v -> ((1 - 0.85) / n + 0.85 * contrib(v))).toMap
+    }
+    assert(got.keySet == pr.keySet)
+    pr.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"node $k") }
+    // no dangling nodes on a symmetric graph => rank mass is conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("salt spreads the hot key across distinct salt values") {
     val saltCount = skewed
       .withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(8)))
