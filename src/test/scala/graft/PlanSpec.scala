@@ -183,6 +183,10 @@ class PlanSpec extends SparkTestBase {
     val p = physical("text_bloom")
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("hashpartitioning(sh"), p.take(3000))
+    // one md5 per shingle per side (k positions are universal-hash mixes
+    // of a single staged h32 — CollapseProject must not inline it 4×)
+    val o = optimized("text_bloom")
+    assert("md5".r.findAllIn(o).length == 2, o.take(3000))
   }
 
   test("text_pmi: unigram and total joins broadcast onto the bigram aggregate") {
