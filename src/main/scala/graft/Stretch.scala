@@ -22,6 +22,8 @@ object Stretch {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse("/tmp/graft_stretch")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th+ args: measure these queries instead of the default set
+    val queries = if (args.length > 3) args.drop(3).toSeq else Queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,7 +71,7 @@ object Stretch {
       ts(runs / 2)
     }
 
-    val rows = Queries.map { q =>
+    val rows = queries.map { q =>
       val t1 = medianTime(q, srcDir)
       val tN = medianTime(q, workDir)
       val perRowGrowth = tN / t1 / factor
