@@ -232,6 +232,32 @@ object GraftPipeline {
         pmod(graft.functions.TextFunctions.h32(col("tok"), col("r")), lit(width)).as("b"))
       .groupBy("r", "b").agg(count(lit(1)).as("c"))
 
+  /** Streaming HyperLogLog build — the batch text_hll as a continuously
+    * maintained aggregation: per (key, register-index), the max leading-
+    * zero rank. State is EXACTLY |keys| × 2^p register rows forever —
+    * like [[cmsStream]], constant state per key with no watermark, where
+    * an exact streaming distinct would grow state with the value space.
+    * Registers use the same h32 / idx / rho construction as the batch
+    * text_hll oracle, so a snapshot of this state plugs straight into
+    * the same alpha / linear-counting estimate. Update mode emits only
+    * registers whose max advanced in the micro-batch.
+    */
+  def hllStream(input: DataFrame, keyCol: String, tokenCol: String,
+      p: Int = 8): DataFrame = {
+    val suffixBits = 32 - p
+    val div = 1L << suffixBits
+    input
+      .select(col(keyCol).as("k"), explode(split(col(tokenCol), " ")).as("tok"))
+      .select(col("k"),
+        graft.functions.TextFunctions.h32(col("tok")).as("hv"))
+      .select(col("k"),
+        (col("hv") / div).cast("int").as("idx"),
+        when(pmod(col("hv"), lit(div)) === 0, lit(suffixBits + 1))
+          .otherwise(lit(suffixBits + 1) - length(bin(pmod(col("hv"), lit(div)))))
+          .as("rho"))
+      .groupBy("k", "idx").agg(max("rho").as("mr"))
+  }
+
   /** Gap-based sessions per stream over event time — the streaming form of
     * the batch pipe_sessionize query, via the built-in session_window
     * (state store managed by Spark; watermark bounds state growth).

@@ -18,7 +18,8 @@ import graft.sources.mqtt.MqttPublishConnection
   * of failing the batch (a dead broker must not wedge a 1000-executor job;
   * the interval stats surface the loss).
   */
-class MqttStreamPublisher(url: String, @transient spark: SparkSession)
+class MqttStreamPublisher(url: String, @transient spark: SparkSession,
+    timeoutMs: Int = 10000)
     extends StreamPublisher {
 
   private val successAcc = spark.sparkContext.longAccumulator("mqtt_publish_success")
@@ -31,6 +32,7 @@ class MqttStreamPublisher(url: String, @transient spark: SparkSession)
     // capture only what the task needs: the publisher itself holds a
     // SparkSession and must not ship to executors
     val u = url
+    val tmo = timeoutMs
     val sAcc = successAcc
     val eAcc = errorAcc
     routed.select(col("stream_id"), col("value_json"))
@@ -38,7 +40,7 @@ class MqttStreamPublisher(url: String, @transient spark: SparkSession)
         if (it.hasNext) {
           var conn: MqttPublishConnection = null
           try {
-            conn = new MqttPublishConnection(u)
+            conn = new MqttPublishConnection(u, timeoutMs = tmo)
             it.foreach { r =>
               try {
                 conn.publish(r.getString(0),

@@ -46,6 +46,24 @@ class MqttPublisherSpec extends SparkTestBase {
     } finally broker.close()
   }
 
+  test("silent broker (TCP accepts, never CONNACKs): timeout -> counted errors") {
+    // the hang case connect-refused handling can't cover: the socket
+    // opens but no CONNACK ever arrives; SO_TIMEOUT must surface it as
+    // an exception the per-partition handler converts to counted errors
+    val silent = new java.net.ServerSocket(0)
+    try {
+      val registryDir = Files.createTempDirectory("mqtt_pub_reg3").toString
+      val pub = new MqttStreamPublisher(
+        s"tcp://127.0.0.1:${silent.getLocalPort}", spark, timeoutMs = 500)
+      val sink = new RoutingSink(new FsStreamRegistry(registryDir), pub, GraftConfig())
+      val t0 = System.nanoTime()
+      sink.processBatch(routedBatch(4), batchId = 0L) // must not hang or throw
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(pub.errorCount == 4 && pub.successCount == 0)
+      assert(elapsedSec < 30, s"batch took ${elapsedSec}s — timeout not applied")
+    } finally silent.close()
+  }
+
   test("dead broker: records count as errors, the batch does not fail") {
     // bind-then-close leaves a port with no listener
     val dead = new java.net.ServerSocket(0)

@@ -310,6 +310,31 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(estimate("gamma") >= 1)
   }
 
+  test("hllStream: registers equal the batch construction; state is bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = GraftPipeline.hllStream(mem.toDF().toDF("lang", "body"), "lang", "body", p = 4)
+      .writeStream.format("memory").queryName("graft_hll")
+      .outputMode("update").start()
+    mem.addData(("en", "alpha beta alpha gamma"), ("de", "der die das"))
+    q.processAllAvailable()
+    mem.addData(("en", "delta beta"), ("de", "der und"))
+    q.processAllAvailable()
+    q.stop()
+    // latest register value per (k, idx) across update-mode emissions
+    val got = spark.table("graft_hll")
+      .groupBy("k", "idx").agg(org.apache.spark.sql.functions.max("mr").as("mr"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got.size <= 2 * 16, s"state exceeded keys x 2^p: ${got.size}")
+    // batch reference: identical construction over the full token set
+    val batch = GraftPipeline.hllStream(
+      Seq(("en", "alpha beta alpha gamma"), ("de", "der die das"),
+        ("en", "delta beta"), ("de", "der und")).toDF("lang", "body"),
+      "lang", "body", p = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got == batch)
+  }
+
   test("stream-stream enrichment join matches only within the tolerance window") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ev = MemoryStream[(String, Double, Timestamp)]
