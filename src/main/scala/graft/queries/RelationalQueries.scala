@@ -314,6 +314,28 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    * quantity is under 20% of their part's average — the "small-order
+    * revenue" probe. Declared as SQL with a correlated subquery so
+    * Catalyst's decorrelation rewrites it to the per-part aggregate +
+    * equi-join on partkey (both sides co-partitioned by the same key —
+    * one shuffle each, AQE free to broadcast the aggregate side); the
+    * point is that the correlated FORM costs nothing vs hand-writing the
+    * join, so users keep the readable query at 100 TB.
+    */
+  def qCorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q17_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice), 2) AS small_order_revenue,
+        |       count(*) AS n_small
+        |FROM graft_q17_lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM graft_q17_lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   private val PrDamping = 0.85
   private val PrIters = 3
 
@@ -354,7 +376,8 @@ object RelationalQueries {
     "q_pivot" -> qPivot,
     "profile_cols" -> profileCols,
     "q_skew_agg" -> qSkewAgg,
-    "graph_pagerank" -> graphPagerank)
+    "graph_pagerank" -> graphPagerank,
+    "q_corr_subquery" -> qCorrSubquery)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -490,6 +513,18 @@ object RelationalQueries {
         |       count(*) AS n_rows,
         |       round(sum(l_quantity) / count(*), 6) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // identical correlated form — DuckDB decorrelates the same way; the
+    // 0.2*avg threshold is bit-identical in both engines because the
+    // quantity sums are integer-valued (exact in double at any order)
+    "q_corr_subquery" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice), 2) AS small_order_revenue,
+        |       count(*) AS n_small
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // ScaleFunctions.pageRank's three Lloyd-style iterations unrolled as
     // CTEs; float-sum order differs between engines but stays ~1e-15
     // relative, far inside the gate's 1e-9 atol

@@ -324,7 +324,18 @@ object VectorQueries {
     * grain. The means pass is a bounded control-plane collect (dim rows),
     * the same pattern as the kmeans centroid literals.
     */
-  def embCov(s: SparkSession, dir: String): DataFrame = {
+  def embCov(s: SparkSession, dir: String): DataFrame =
+    covCells(s, dir)
+      .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+      .orderBy("i", "j")
+
+  /** Unrounded centered covariance cells (i, j, cov) — shared by
+    * [[embCov]] (which rounds for its oracle row) and [[embPca1]] (whose
+    * driver-side eigensolve wants the continuous values: quantizing first
+    * would inject 5e-7 jumps where the cross-engine disagreement is only
+    * ~1e-15).
+    */
+  private def covCells(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val e = emb(s, dir)
     // pass 1: per-dimension means + row count, collected (dim rows) and
@@ -348,8 +359,40 @@ object VectorQueries {
       .select(floor(col("pos") / dim).cast("int").as("i"),
         pmod(col("pos"), lit(dim)).cast("int").as("j"), col("xy"))
       .groupBy("i", "j").agg(sum("xy").as("sxy"))
-      .select(col("i"), col("j"), round(col("sxy") / n, 6).as("cov"))
-      .orderBy("i", "j")
+      .select(col("i"), col("j"), (col("sxy") / n).as("cov"))
+  }
+
+  private val PcaIters = 20
+
+  /** First-principal-component projection — PCA end to end, in its three
+    * scale-true pieces: (1) the data-plane covariance pass ([[covCells]]:
+    * one scan, dim²-bounded shuffle), (2) a control-plane eigensolve on
+    * the collected 64×64 matrix ([[powerIteration]], driver-side, fixed
+    * 20 iterations), (3) a shuffle-free projection of every vector onto
+    * the centered leading axis — the eigenvector and means re-enter the
+    * plan as literals, so the scoring pass is embarrassingly parallel
+    * whatever the corpus size. The oracle replays the same 20 power
+    * iterations as generated CTEs over the same unrounded covariance;
+    * the sequential-fold projection keeps cross-engine drift ~1e-13,
+    * far inside the gate's 1e-9 atol (pc1 is emitted unrounded — see
+    * text_unigram_lp precedent).
+    */
+  def embPca1(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = emb(s, dir)
+    val covArr = Array.ofDim[Double](dim, dim)
+    covCells(s, dir).collect().foreach(r =>
+      covArr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val pc = powerIteration(covArr, PcaIters)
+    val means = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg("x").as("m")).orderBy("i").collect().map(_.getDouble(1))
+    val mLit = array(means.map(lit(_)): _*)
+    val pcLit = array(pc.map(lit(_)): _*)
+    val centered = zip_with(col("v"), mLit, (x, m) => x - m)
+    val prods = zip_with(centered, pcLit, (x, w) => x * w)
+    e.select(col("vec_id"),
+      aggregate(prods, lit(0.0), (acc, p) => acc + p).as("pc1"))
+      .orderBy("vec_id")
   }
 
   /** Driver-side power iteration on a collected (control-plane) covariance
@@ -673,7 +716,8 @@ object VectorQueries {
     "knn_recall_pq" -> knnRecallPq,
     "dedup_semantic" -> dedupSemantic,
     "emb_whiten" -> embWhiten,
-    "emb_cov" -> embCov)
+    "emb_cov" -> embCov,
+    "emb_pca1" -> embPca1)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -913,6 +957,40 @@ object VectorQueries {
          |                            ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
+    },
+    // the Spark side's driver powerIteration replayed as generated CTEs:
+    // same unrounded centered covariance, same 0.125 start, same 20
+    // normalize-per-step iterations, same first-nonzero sign rule; the
+    // projection is emitted unrounded so the ~1e-13 cross-engine drift
+    // stays continuous (inside atol) instead of quantization-jumping
+    "emb_pca1" -> {
+      // MATERIALIZED is load-bearing: each v_k is referenced twice by
+      // v_{k+1} (value + norm), so inlining expands the chain 2^k times —
+      // at k=20 DuckDB re-opens the parquet a million times
+      def iterCte(k: Int): String =
+        s"""w$k AS MATERIALIZED (SELECT c.i AS i, sum(c.cov * p.x) AS w
+           |        FROM cov c JOIN v${k - 1} p ON c.j = p.i GROUP BY c.i),
+           |v$k AS MATERIALIZED (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w$k) AS x FROM w$k)""".stripMargin
+      val iters = (1 to PcaIters).map(iterCte).mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |mean AS MATERIALIZED (
+         |  SELECT CAST(i AS INT) AS i, avg(v[CAST(i + 1 AS INT)]) AS m
+         |  FROM e CROSS JOIN range(64) r(i) GROUP BY i),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+         |cov AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j,
+         |         sum((v[a.i + 1] - a.m) * (v[b.i + 1] - b.m))
+         |           / (SELECT n FROM n) AS cov
+         |  FROM e CROSS JOIN mean a CROSS JOIN mean b
+         |  GROUP BY a.i, b.i),
+         |v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS x FROM mean),
+         |$iters,
+         |lv AS (SELECT x FROM v$PcaIters WHERE abs(x) > 1e-12 ORDER BY i LIMIT 1),
+         |pc AS (SELECT i, CASE WHEN (SELECT x FROM lv) < 0 THEN -x ELSE x END AS x
+         |       FROM v$PcaIters)
+         |SELECT e.vec_id, sum((e.v[mean.i + 1] - mean.m) * pc.x) AS pc1
+         |FROM e CROSS JOIN mean JOIN pc ON mean.i = pc.i
+         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
     },
     // centered two-pass like the Spark side: the one-pass E[xy]-E[x]E[y]
     // form cancels catastrophically (near-zero covariances) and its

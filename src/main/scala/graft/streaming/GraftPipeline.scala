@@ -232,6 +232,18 @@ object GraftPipeline {
         pmod(graft.functions.TextFunctions.h32(col("tok"), col("r")), lit(width)).as("b"))
       .groupBy("r", "b").agg(count(lit(1)).as("c"))
 
+  /** Content-keyed streaming exact dedup — the batch dedup_exact as a
+    * stream, layered on [[dedupStream]]: the dedup key is the md5
+    * FINGERPRINT of the payload text, not the text itself, so a state row
+    * costs 32 bytes + timestamp whatever the document size — at
+    * 100 TB/day the state store holds the horizon's distinct-hash set,
+    * never its text (the exact counterpart of NearDupStream's near-dup
+    * bucket state).
+    */
+  def dedupStreamByContent(routed: DataFrame, textCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    dedupStream(routed.withColumn("fp", md5(col(textCol))), Seq("fp"), watermark)
+
   /** Streaming HyperLogLog build — the batch text_hll as a continuously
     * maintained aggregation: per (key, register-index), the max leading-
     * zero rank. State is EXACTLY |keys| × 2^p register rows forever —

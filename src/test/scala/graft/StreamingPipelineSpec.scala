@@ -310,6 +310,27 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(estimate("gamma") >= 1)
   }
 
+  test("dedupStreamByContent: payload-identical records collapse within the horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val q = GraftPipeline.dedupStreamByContent(
+      mem.toDF().toDF("body", "arrival_ts"), "body", watermark = "1 hour")
+      .writeStream.format("memory").queryName("graft_dedup_stream")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    mem.addData(
+      ("the quick brown fox", new Timestamp(t0)),
+      ("the quick brown fox", new Timestamp(t0 + 1000)), // dup, same batch
+      ("a different document", new Timestamp(t0 + 2000)))
+    q.processAllAvailable()
+    mem.addData(("the quick brown fox", new Timestamp(t0 + 3000))) // dup, later batch
+    q.processAllAvailable()
+    q.stop()
+    val bodies = spark.table("graft_dedup_stream")
+      .select("body").collect().map(_.getString(0)).toSeq
+    assert(bodies.sorted == Seq("a different document", "the quick brown fox"))
+  }
+
   test("hllStream: registers equal the batch construction; state is bounded") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(String, String)]
