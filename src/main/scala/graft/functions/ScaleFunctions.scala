@@ -136,21 +136,28 @@ object ScaleFunctions {
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     try {
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val withDeg = e.join(deg, "src")
-      // |V| is a control-plane scalar (like the CC loop's change counts)
-      val n = e.select("src").distinct().count().toDouble
-      var ranks = e.select(col("src").as("node")).distinct()
-        .withColumn("pr", lit(1.0 / n)).localCheckpoint()
-      for (_ <- 1 to iters) {
-        ranks = withDeg.join(ranks, col("src") === col("node"))
-          .select(col("dst"), (col("pr") / col("outdeg")).as("contrib"))
-          .groupBy("dst").agg(sum("contrib").as("in_pr"))
-          .select(col("dst").as("node"),
-            (lit((1 - damping) / n) + lit(damping) * col("in_pr")).as("pr"))
-          .localCheckpoint()
-      }
-      ranks
+      // degree-annotated edges persist ONCE — the loop must not re-derive
+      // the deg aggregation + join from raw edges every iteration (it is
+      // the whole per-iteration input, and it never changes)
+      val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .persist()
+      try {
+        val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+        // |V| is a control-plane scalar (like the CC loop's change
+        // counts); counting the checkpointed nodes avoids a second
+        // distinct pass
+        val n = nodes.count().toDouble
+        var ranks = nodes.withColumn("pr", lit(1.0 / n))
+        for (_ <- 1 to iters) {
+          ranks = withDeg.join(ranks, col("src") === col("node"))
+            .select(col("dst"), (col("pr") / col("outdeg")).as("contrib"))
+            .groupBy("dst").agg(sum("contrib").as("in_pr"))
+            .select(col("dst").as("node"),
+              (lit((1 - damping) / n) + lit(damping) * col("in_pr")).as("pr"))
+            .localCheckpoint()
+        }
+        ranks
+      } finally withDeg.unpersist(false)
     } finally e.unpersist(false)
   }
 }

@@ -331,8 +331,29 @@ object PipelineQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** Z-score anomaly screen over the event stream — the monitoring pass a
+    * routing bridge grows next: per event type, flag readings ≥ 3σ from
+    * the type mean. Two-pass broadcast shape (the emb_whiten pattern):
+    * the |types|-row stats aggregate broadcasts back onto the scan, so
+    * the event stream itself never shuffles — per-row z is a projection.
+    * z is emitted unrounded (cross-engine drift ~1e-13 under the gate's
+    * atol); the ≥ 3σ cut keeps the output anomaly-sized.
+    */
+  def pipeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("m"), stddev_pop("value").as("sd"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("m")) /
+          when(col("sd") === 0, lit(1.0)).otherwise(col("sd"))).as("z"))
+      .filter(abs(col("z")) >= 3.0)
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_route" -> pipeRoute,
+    "pipe_anomaly" -> pipeAnomaly,
     "pipe_parse_stats" -> pipeParseStats,
     "pipe_transform" -> pipeTransform,
     "pipe_jsonata" -> pipeJsonata,
@@ -347,6 +368,17 @@ object PipelineQueries {
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
+    // unrounded z under atol; the >= 3 cut compares values whose
+    // cross-engine drift is ~1e-13, so the row set is stable
+    "pipe_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type,
+        |       (value - m) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs((value - m) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END)) >= 3
+        |ORDER BY event_id""".stripMargin,
     "pipe_route" ->
       """SELECT stream_id, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM (

@@ -336,6 +336,22 @@ object RelationalQueries {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Statistical aggregates (corr / covar_pop / stddev_pop) per group —
+    * the data-profiling arm beyond profile_cols' counts: one partial-
+    * aggregated pass; the engines' centered co-moment (Welford-merge)
+    * implementations keep cross-engine drift ~1e-12, so values are
+    * emitted UNROUNDED and compared under the gate's 1e-9 atol (rounding
+    * would re-introduce boundary jumps — the emb_cov lesson).
+    */
+  def qCorrAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("covar_qp"),
+        stddev_pop(col("l_extendedprice")).as("sd_price"))
+      .orderBy("l_returnflag")
+
   private val PrDamping = 0.85
   private val PrIters = 3
 
@@ -377,7 +393,8 @@ object RelationalQueries {
     "profile_cols" -> profileCols,
     "q_skew_agg" -> qSkewAgg,
     "graph_pagerank" -> graphPagerank,
-    "q_corr_subquery" -> qCorrSubquery)
+    "q_corr_subquery" -> qCorrSubquery,
+    "q_corr_agg" -> qCorrAgg)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -512,6 +529,13 @@ object RelationalQueries {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |       count(*) AS n_rows,
         |       round(sum(l_quantity) / count(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // unrounded stats under atol: both engines use centered co-moments
+    "q_corr_agg" ->
+      """SELECT l_returnflag,
+        |       corr(l_quantity, l_extendedprice) AS corr_qp,
+        |       covar_pop(l_quantity, l_extendedprice) AS covar_qp,
+        |       stddev_pop(l_extendedprice) AS sd_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // identical correlated form — DuckDB decorrelates the same way; the
     // 0.2*avg threshold is bit-identical in both engines because the

@@ -201,6 +201,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Expand"), p.take(3000))
   }
 
+  test("pipe_anomaly: type stats broadcast onto the scan; stream never shuffles") {
+    val p = physical("pipe_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q_skew_agg: two-level aggregate — salted exchange before the key exchange") {
     val p = physical("q_skew_agg")
     assert(p.contains("hashpartitioning(l_returnflag"), p.take(3000))
