@@ -658,6 +658,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental (daily-ingest) dedup — the production form of
+    * dedup_minhash_pairs: only the NEW batch (docs with doc_id % 5 == 0,
+    * a deterministic scale-invariant 20% stand-in) is checked against the
+    * EXISTING corpus' LSH index. The candidate join is asymmetric —
+    * new×old on (band, bucket) — so per ingest the work is proportional
+    * to the batch's collisions against the index, never index×index; the
+    * index side is exactly the (band, bucket)-keyed relation a production
+    * deployment keeps materialized between ingests. Within-batch
+    * (new×new) dups are deliberately out of scope here — that is the
+    * batch path (dedup_keep) run on the ingest alone. Output: every new
+    * doc with its verified-duplicate count, first duplicate id, and flag.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = minhashStages(s, dir)
+    val bands = explodeBands(base)
+    val cand = bands.filter(col("doc_id") % 5 === 0).as("a")
+      .join(bands.filter(col("doc_id") % 5 =!= 0).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    val sets = base.select(col("doc_id"), array_distinct(col("toks")).as("ws"))
+    val verified = cand
+      .join(sets.select(col("doc_id").as("new_id"), col("ws").as("ws_a")), "new_id")
+      .join(sets.select(col("doc_id").as("old_id"), col("ws").as("ws_b")), "old_id")
+      .filter(round(size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+        size(array_union(col("ws_a"), col("ws_b"))).cast("double"), 6) >= 0.5)
+      .groupBy("new_id").agg(count(lit(1)).as("n_dups"), min("old_id").as("first_dup"))
+    base.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("new_id"))
+      .join(verified, Seq("new_id"), "left_outer")
+      .select(col("new_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("first_dup"), col("n_dups").isNotNull.as("dup"))
+      .orderBy("new_id")
+  }
+
   private val PmiMinCount = 10L  // drop bigrams rarer than this
 
   /** Bigram collocations by pointwise mutual information — the corpus-
@@ -752,6 +786,7 @@ object TextQueries {
     "text_contaminate" -> textContaminate,
     "text_bloom" -> textBloom,
     "text_pmi" -> textPmi,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_recall" -> dedupRecall,
     "text_cms" -> textCms,
     "text_hll" -> textHll,
@@ -969,6 +1004,28 @@ object TextQueries {
          |       sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
          |         >= $ContamRatio AS flagged
          |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors dedupIncremental: asymmetric new×old band join over the
+    // shared bandsCte, word-Jaccard verify from the pairsCore formulas
+    "dedup_incremental" ->
+      s"""$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         |sets AS (SELECT doc_id, list_distinct(toks) AS ws FROM sh),
+         |ver AS (
+         |  SELECT new_id, count(*) AS n_dups, min(old_id) AS first_dup
+         |  FROM cand JOIN sets sa ON cand.new_id = sa.doc_id
+         |            JOIN sets sb ON cand.old_id = sb.doc_id
+         |  WHERE round(len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))::DOUBLE /
+         |              len(list_distinct(list_concat(sa.ws, sb.ws)))::DOUBLE, 6) >= 0.5
+         |  GROUP BY new_id)
+         |SELECT sh.doc_id AS new_id, coalesce(n_dups, 0) AS n_dups, first_dup,
+         |       n_dups IS NOT NULL AS dup
+         |FROM sh LEFT JOIN ver ON sh.doc_id = ver.new_id
+         |WHERE sh.doc_id % 5 = 0
+         |ORDER BY new_id""".stripMargin,
     // mirrors textPmi: bigrams via the k=2 shingle window, broadcast-
     // shaped unigram/total joins, same division order in the ln argument
     "text_pmi" ->
