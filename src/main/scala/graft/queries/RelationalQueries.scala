@@ -336,6 +336,19 @@ object RelationalQueries {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Equi-width histogram of order totals — the profiling companion to
+    * profile_cols/q_quantiles: one scan, the bucket id is a projection
+    * (width_bucket over a fixed [0, 600k) range), one partial-aggregated
+    * groupBy whose key space is the bucket count — constant-size shuffle
+    * whatever the row count, the same bounded-aggregation property as the
+    * sketches.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(30L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
   /** Statistical aggregates (corr / covar_pop / stddev_pop) per group —
     * the data-profiling arm beyond profile_cols' counts: one partial-
     * aggregated pass; the engines' centered co-moment (Welford-merge)
@@ -394,7 +407,8 @@ object RelationalQueries {
     "q_skew_agg" -> qSkewAgg,
     "graph_pagerank" -> graphPagerank,
     "q_corr_subquery" -> qCorrSubquery,
-    "q_corr_agg" -> qCorrAgg)
+    "q_corr_agg" -> qCorrAgg,
+    "q_histogram" -> qHistogram)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -530,6 +544,14 @@ object RelationalQueries {
         |       count(*) AS n_rows,
         |       round(sum(l_quantity) / count(*), 6) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // DuckDB has no width_bucket; the explicit formula mirrors Spark's
+    // WidthBucket for in-range values — bucket = floor(v / width) + 1
+    // with width = (600000 - 0) / 30 = 20000 (exact in double, so the
+    // boundary arithmetic is bit-identical)
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000.0) + 1 AS BIGINT) AS bucket,
+        |       count(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     // unrounded stats under atol: both engines use centered co-moments
     "q_corr_agg" ->
       """SELECT l_returnflag,

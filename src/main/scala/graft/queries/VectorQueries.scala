@@ -395,6 +395,30 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension distribution-drift screen between two corpus halves
+    * (vec_id parity as the deterministic old/new stand-in) — the check a
+    * production embedding pipeline runs on every ingest before trusting
+    * a frozen index/quantizer: |Δmean| over the pooled std per dimension.
+    * One exploded pass, a 2×dim-group aggregate, and a dim-row self-join
+    * AQE broadcasts — nothing corpus-sized shuffles twice. Stats are
+    * emitted unrounded under the gate's atol (Welford agreement ~1e-15).
+    */
+  def embDrift(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir)
+      .select((col("vec_id") % 2 === 0).as("is_old"), posexplode(col("v")).as(Seq("i", "x")))
+    val st = ex.groupBy("is_old", "i").agg(avg("x").as("m"), stddev_pop("x").as("sd"))
+    val o = st.filter(col("is_old"))
+      .select(col("i"), col("m").as("m_old"), col("sd").as("sd_old"))
+    val n = st.filter(!col("is_old"))
+      .select(col("i").as("i2"), col("m").as("m_new"), col("sd").as("sd_new"))
+    o.join(n, col("i") === col("i2"))
+      .select(col("i"), col("m_old"), col("m_new"),
+        (abs(col("m_new") - col("m_old")) /
+          sqrt((col("sd_old") * col("sd_old") + col("sd_new") * col("sd_new")) / 2))
+          .as("drift"))
+      .orderBy("i")
+  }
+
   /** Driver-side power iteration on a collected (control-plane) covariance
     * matrix: the tiny-side half of PCA — the data-sized half is embCov.
     * Deterministic: fixed all-ones start (a basis vector could be an
@@ -717,7 +741,8 @@ object VectorQueries {
     "dedup_semantic" -> dedupSemantic,
     "emb_whiten" -> embWhiten,
     "emb_cov" -> embCov,
-    "emb_pca1" -> embPca1)
+    "emb_pca1" -> embPca1,
+    "emb_drift" -> embDrift)
 
   private val cosSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -958,6 +983,19 @@ object VectorQueries {
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
     },
+    // mirrors embDrift: parity halves, per-dimension Welford stats,
+    // unrounded under atol
+    "emb_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id % 2 = 0 AS is_old, CAST(i AS INT) AS i,
+        |              v[CAST(i + 1 AS INT)] AS x
+        |       FROM e CROSS JOIN range(64) r(i)),
+        |st AS (SELECT is_old, i, avg(x) AS m, stddev_pop(x) AS sd
+        |       FROM ex GROUP BY is_old, i)
+        |SELECT o.i, o.m AS m_old, n.m AS m_new,
+        |       abs(n.m - o.m) / sqrt((o.sd * o.sd + n.sd * n.sd) / 2) AS drift
+        |FROM st o JOIN st n ON o.i = n.i AND o.is_old AND NOT n.is_old
+        |ORDER BY o.i""".stripMargin,
     // the Spark side's driver powerIteration replayed as generated CTEs:
     // same unrounded centered covariance, same 0.125 start, same 20
     // normalize-per-step iterations, same first-nonzero sign rule; the

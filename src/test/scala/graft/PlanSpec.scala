@@ -201,6 +201,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Expand"), p.take(3000))
   }
 
+  test("emb_pca1: scoring pass is scan -> project (eigenvector as literals)") {
+    // the covariance + eigensolve are control-plane (collected before the
+    // plan is returned); the returned plan must be a pure projection with
+    // only the output sort exchanging
+    val p = physical("emb_pca1")
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(3000))
+  }
+
   test("pipe_anomaly: type stats broadcast onto the scan; stream never shuffles") {
     val p = physical("pipe_anomaly")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
