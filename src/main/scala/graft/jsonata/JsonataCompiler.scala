@@ -495,6 +495,13 @@ object JsonataCompiler {
         val pos = instr(s, sep)
         Typed(when(pos === 0, s).otherwise(s.substr(pos + sep.length, length(s))), StringType)
       case "contains" => arity(2); Typed(str(arg(0)).contains(litStr(args(1))), BooleanType)
+      // $encodeUrlComponent/$decodeUrlComponent map to Spark's
+      // url_encode/url_decode (application/x-www-form-urlencoded; the
+      // space→'+' difference from JS encodeURIComponent is documented)
+      case "encodeUrlComponent" =>
+        arity(1); Typed(url_encode(str(arg(0))), StringType)
+      case "decodeUrlComponent" =>
+        arity(1); Typed(url_decode(str(arg(0))), StringType)
       case "split" =>
         arity(2, 3)
         val quoted = java.util.regex.Pattern.quote(litStr(args(1)))
@@ -582,6 +589,36 @@ object JsonataCompiler {
         val lam = lambdaOf(args(1))
         Typed(filter(a.col, (x, i) =>
           bool(applyLambda(lam, List(Typed(x, et), Typed(i.cast(LongType), LongType))))), a.dt)
+      case "single" =>
+        // $single(arr, fn) — the lone matching element; a runtime error
+        // (raise_error, like jsonata-js throwing) unless exactly one
+        // element satisfies fn
+        arity(2)
+        val a = asArr(arg(0))
+        val et = a.dt.asInstanceOf[ArrayType].elementType
+        val lam = lambdaOf(args(1))
+        val matched = filter(a.col, (x, i) =>
+          bool(applyLambda(lam, List(Typed(x, et), Typed(i.cast(LongType), LongType)))))
+        Typed(
+          when(size(matched) === 1, element_at(matched, 1))
+            .otherwise(raise_error(
+              concat(lit("$single: expected exactly 1 match, got "),
+                size(matched).cast(StringType))).cast(et)),
+          et)
+      case "error" =>
+        // $error(msg) — unconditional runtime error; never returns, so
+        // the static type is a free choice (string)
+        arity(0, 1)
+        val msg = argOpt(0).map(t => str(t)).getOrElse(lit("$error"))
+        Typed(raise_error(msg).cast(StringType), StringType)
+      case "assert" =>
+        // $assert(cond, msg) — raise unless cond; returns true (JSONata
+        // returns undefined, which has no typed representation here)
+        arity(2)
+        Typed(
+          when(bool(arg(0)), lit(true))
+            .otherwise(raise_error(str(arg(1))).cast(BooleanType)),
+          BooleanType)
       case "sift" =>
         // $sift(obj, function($v [, $k])) — filter an OBJECT's entries.
         // Output shape is dynamic (keys survive conditionally), so the

@@ -396,6 +396,25 @@ class JsonataSpec extends SparkTestBase {
     assert(evalOn(sensorJson, sensorSchema, "$round(2.25, 1)") == 2.2)
   }
 
+  test("$encodeUrlComponent / $decodeUrlComponent (form-encoding: space is '+')") {
+    assert(evalOn(sensorJson, sensorSchema, "$encodeUrlComponent('a b&c')") == "a+b%26c")
+    assert(evalOn(sensorJson, sensorSchema, "$decodeUrlComponent('a+b%26c')") == "a b&c")
+  }
+
+  test("$single returns the lone match and errors on 0 or many") {
+    assert(evalOn(nestedJson, nestedSchema,
+      "$single(readings.t, function($x){ $x > 22 })") == 22.1)
+    intercept[Exception](evalOn(nestedJson, nestedSchema,
+      "$single(readings.t, function($x){ $x > 0 })"))
+  }
+
+  test("$assert passes through truth and raises otherwise; $error always raises") {
+    assert(evalOn(sensorJson, sensorSchema, "$assert(on, 'must be on')") == true)
+    intercept[Exception](evalOn(sensorJson, sensorSchema,
+      "$assert(watts > 100, 'watts too low')"))
+    intercept[Exception](evalOn(sensorJson, sensorSchema, "$error('boom')"))
+  }
+
   test("malformed payload: whole transform yields null on null input struct") {
     val schema = sensorSchema
     val df = Seq("not json {").toDF("p")
