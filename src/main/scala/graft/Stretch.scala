@@ -48,6 +48,11 @@ object Stretch {
       df.withColumn("l_suppkey", col("l_suppkey") + lit(i * KeyStride))
         .withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyStride)))
       .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+    // orders: new order/customer keys per copy
+    copies(Tables.orders(spark, srcDir), (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * KeyStride)))
+      .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
     // documents: new doc ids AND a per-copy token appended to the text so
     // minhash signatures differ across copies (same dup RATE as source)
     copies(Tables.documents(spark, srcDir), (df, i) =>
