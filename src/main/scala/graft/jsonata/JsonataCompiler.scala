@@ -57,6 +57,15 @@ import org.apache.spark.sql.types._
   * the hot path costs more than the fidelity buys. Unsupported constructs
   * keep failing loudly at compile time; the divergences above are pinned
   * by JsonataSpec cases.
+  *
+  * Builtin coverage (2.0 function library): complete except, by the same
+  * contract, $eval (would require run-time interpretation),
+  * $formatNumber's per-picture options argument, and $formatInteger /
+  * $parseInteger word pictures ('w'/'W'/'Ww' — locale word tables; digit
+  * and roman pictures are supported). Each throws at compile time.
+  * ($random/$shuffle delegate to Spark's rand()/shuffle(): valid samples,
+  * but like all nondeterministic expressions they may differ across task
+  * retries — don't key routing decisions on them.)
   */
 object JsonataCompiler {
 
@@ -550,6 +559,78 @@ object JsonataCompiler {
         }
         // JSONata emits lowercase digits; Spark conv uppercases
         Typed(lower(conv(num(arg(0)).col.cast(LongType), 10, radix)), StringType)
+      // $encodeUrl/$decodeUrl: JS encodeURI/decodeURI semantics on top of
+      // url_encode/url_decode. URLEncoder escapes the URI-reserved set and
+      // the JS "mark" chars that encodeURI keeps literal (and maps
+      // ' '→'+'), so encode = url_encode, remap '+'→%20, then restore each
+      // kept char from its escape. decode = protect the reserved escapes
+      // (decodeURI leaves them encoded; canonical uppercase %XX assumed)
+      // and literal '+', url_decode, restore.
+      case "encodeUrl" =>
+        arity(1)
+        val kept = Seq(
+          "%3B" -> ";", "%2C" -> ",", "%2F" -> "/", "%3F" -> "?",
+          "%3A" -> ":", "%40" -> "@", "%26" -> "&", "%3D" -> "=",
+          "%2B" -> "+", "%24" -> "$", "%23" -> "#", "%21" -> "!",
+          "%7E" -> "~", "%27" -> "'", "%28" -> "(", "%29" -> ")")
+        val enc = kept.foldLeft(
+          regexp_replace(url_encode(str(arg(0))), "\\+", "%20")) {
+          case (c, (esc, ch)) =>
+            regexp_replace(c, esc, java.util.regex.Matcher.quoteReplacement(ch))
+        }
+        Typed(enc, StringType)
+      case "decodeUrl" =>
+        arity(1)
+        val keptHex = Seq("23", "24", "26", "2B", "2C", "2F", "3A", "3B", "3D", "3F", "40")
+        val guarded = regexp_replace(
+          keptHex.foldLeft(str(arg(0))) { (c, h) =>
+            regexp_replace(c, "%" + h, "" + h)
+          }, "\\+", "")
+        val decoded = url_decode(guarded)
+        val restored = keptHex.foldLeft(regexp_replace(decoded, "", "+")) {
+          (c, h) => regexp_replace(c, "" + h, "%" + h)
+        }
+        Typed(restored, StringType)
+      // $formatNumber: the XPath picture subset shared with Java's
+      // DecimalFormat ('#,##0.00', '0.###E0', '%', '‰') via Spark's
+      // format_number(expr, fmt). The 3rd (per-picture options) argument
+      // is not supported — throw at compile time, never silently ignore.
+      case "formatNumber" =>
+        arity(2, 3)
+        if (args.length > 2)
+          throw new JsonataCompileError(
+            "$formatNumber: the options argument is not supported (DecimalFormat picture subset)")
+        Typed(call_function("format_number", num(arg(0)).col, lit(litStr(args(1)))), StringType)
+      case "formatInteger" =>
+        arity(2)
+        val n = num(arg(0)).col.cast(LongType)
+        litStr(args(1)) match {
+          case "i" | "I" =>
+            val roman = romanColumn(n)
+            Typed(if (litStr(args(1)) == "i") lower(roman) else roman, StringType)
+          case pic if pic.forall(c => c == '0' || c == '#' || c == ',') =>
+            Typed(call_function("format_number", n, lit(pic)), StringType)
+          case other =>
+            throw new JsonataCompileError(
+              s"$$formatInteger picture '$other' not supported (digit pictures and i/I roman)")
+        }
+      case "parseInteger" =>
+        arity(2)
+        litStr(args(1)) match {
+          case "i" | "I" =>
+            val vals = transform(split(upper(str(arg(0))), ""),
+              c => element_at(romanValues, c))
+            val nCh = size(vals)
+            // subtractive rule: a numeral smaller than its successor counts negative
+            Typed(aggregate(sequence(lit(1), nCh), lit(0L), (acc, i) =>
+              acc + when(i < nCh && element_at(vals, i) < element_at(vals, i + 1),
+                -element_at(vals, i)).otherwise(element_at(vals, i))), LongType)
+          case pic if pic.forall(c => c == '0' || c == '#' || c == ',') =>
+            Typed(regexp_replace(str(arg(0)), "[^0-9-]", "").cast(LongType), LongType)
+          case other =>
+            throw new JsonataCompileError(
+              s"$$parseInteger picture '$other' not supported (digit pictures and i/I roman)")
+        }
 
       // aggregation over sequences
       case "sum" => arity(1); Typed(aggNum(arg(0), (acc, x) => acc + x), DoubleType)
@@ -692,6 +773,7 @@ object JsonataCompiler {
       case "reverse" => arity(1); val a = asArr(arg(0)); Typed(reverse(a.col), a.dt)
       case "distinct" => arity(1); val a = asArr(arg(0)); Typed(array_distinct(a.col), a.dt)
       case "shuffle" => arity(1); val a = asArr(arg(0)); Typed(shuffle(a.col), a.dt)
+      case "random" => arity(0); Typed(rand(), DoubleType)
 
       // regex (pattern is a string literal; JSONata regex literals /../
       // are not in the tokenizer). Degradation: returns the matched
@@ -852,6 +934,28 @@ object JsonataCompiler {
     case NullType => Typed(t.col.cast(DoubleType), DoubleType)
     case other => throw new JsonataCompileError(s"expected number, got ${other.simpleString}")
   }
+
+  /** Roman numeral of a positive long (1..3999) as a place-value lookup:
+    * one array per decimal place, concatenated — closed-form, codegen'd.
+    */
+  private def romanColumn(n: Column): Column = {
+    def tab(one: String, five: String, ten: String): Column = array(
+      lit(""), lit(one), lit(one * 2), lit(one * 3), lit(one + five),
+      lit(five), lit(five + one), lit(five + one * 2), lit(five + one * 3),
+      lit(one + ten))
+    val th = array(lit(""), lit("M"), lit("MM"), lit("MMM"))
+    concat(
+      element_at(th, (n / 1000L).cast(IntegerType) + 1),
+      element_at(tab("C", "D", "M"), ((n % 1000L) / 100L).cast(IntegerType) + 1),
+      element_at(tab("X", "L", "C"), ((n % 100L) / 10L).cast(IntegerType) + 1),
+      element_at(tab("I", "V", "X"), (n % 10L).cast(IntegerType) + 1))
+  }
+
+  /** Map from roman numeral char to its value (for $parseInteger). */
+  private val romanValues: Column = map(
+    lit("I"), lit(1L), lit("V"), lit(5L), lit("X"), lit(10L),
+    lit("L"), lit(50L), lit("C"), lit(100L), lit("D"), lit(500L),
+    lit("M"), lit(1000L))
 
   private def numArr(t: Typed): Column = t.dt match {
     case ArrayType(et, _) if isNumeric(et) => t.col.cast(ArrayType(DoubleType))

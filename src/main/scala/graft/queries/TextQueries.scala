@@ -123,6 +123,106 @@ object TextQueries {
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
+  private val SimhashBlocks = 4   // 4 blocks x 8 bits of the 32-bit fingerprint
+  private val SimhashMaxHamming = SimhashBlocks - 1  // pigeonhole guarantee
+
+  /** SimHash near-dup pairs via Hamming-distance block bucketing (Manku,
+    * Jain & Sarma, WWW'07 "Detecting Near-Duplicates for Web Crawling").
+    * The 32-bit fingerprint splits into 4 disjoint 8-bit blocks; any two
+    * fingerprints within Hamming distance 3 differ in at most 3 bits, so
+    * by pigeonhole at least one block is IDENTICAL — an equi-join on
+    * (block_index, block_value) generates every qualifying pair exactly
+    * (no recall loss), replacing the O(n²) all-pairs Hamming scan with a
+    * key-partitioned join, the same scale shape as the MinHash LSH join.
+    * Candidates are then verified with the exact popcount(xor) distance.
+    *
+    * 100 TB note: bucket occupancy is n/2^8 per (block, value) key with a
+    * 32-bit fingerprint; at web scale you widen to a 64-bit simhash and
+    * 16-bit blocks (2^16 buckets) exactly as Manku et al. do — the plan
+    * shape (projection → explode-4 → equi-join → verify) is unchanged.
+    */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sims = Tables.documents(s, dir)
+      .select(col("doc_id"), hashArray(tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
+    // constant-range explode (see explodeBands for why not posexplode)
+    val blocks = sims
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimhashBlocks - 1))).as("block"))
+      .select(col("doc_id"), col("block"),
+        expr("shiftright(simhash, block * 8) & 255").as("bval"))
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sims.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sims.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming32(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val WinnowW = 4   // winnowing window over consecutive shingle hashes
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every 3-word shingle, slide a
+    * window of 4 consecutive hashes, and select the minimum of each
+    * window (leftmost on ties), recording (position, hash). Adjacent
+    * windows mostly re-select the same minimum, so the distinct selected
+    * set is a sparse ~1/W-density fingerprint that is position-robust:
+    * any shared run of w+k-1 tokens between two documents is guaranteed
+    * to contribute at least one identical fingerprint — the guarantee
+    * threshold that rolling-hash sampling (every-pth-hash) lacks.
+    *
+    * Scale shape: pure per-document projection (O(n·W) long compares per
+    * doc after one md5 pass per shingle), then a distinct. Fingerprints
+    * join against an index table on `fp` for containment search — same
+    * bucketed-equi-join regime as the LSH band join.
+    */
+  def textWinnow(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // need >= W shingles, i.e. >= W + ShingleK - 1 tokens (filter on
+      // toks, not hs, so pushdown never re-derives the md5 pass)
+      .filter(size(col("toks")) >= WinnowW + ShingleK - 1)
+      .withColumn("shingles", wordShingles(col("toks"), ShingleK))
+      .withColumn("hs", hashArray(col("shingles")))
+    val staged = stageBarrier(base, Seq(col("doc_id")),
+      "sel" -> array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - (WinnowW - 1)),
+        i => {
+          val sl = slice(col("hs"), i, lit(WinnowW))
+          struct(
+            (i.cast("long") + array_position(sl, array_min(sl)) - 1L).as("pos"),
+            array_min(sl).as("fp"))
+        })))
+    staged
+      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Deterministic stratified train/val/test assignment: md5 the doc_id
+    * into a uniform [0, 1e6) bucket → 80/10/10. A pure projection — no
+    * RNG state, no shuffle, no sort — so the same document lands in the
+    * same split on any cluster size, any retry, any incremental re-run:
+    * the property that makes a split reproducible (and leak-free when
+    * train and eval are materialized in different jobs) at 100 TB.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (h32(concat(lit("split#"), col("doc_id").cast("string"))) % 1000000L).as("u"))
+      .select(col("doc_id"), col("lang"),
+        when(col("u") < 800000L, "train")
+          .when(col("u") < 900000L, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   /** Token counts + order-sensitive fingerprint per document. */
   def textStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -798,6 +898,9 @@ object TextQueries {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_keep" -> dedupKeep,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
+    "text_winnow" -> textWinnow,
+    "split_assign" -> splitAssign,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
@@ -1138,6 +1241,49 @@ object TextQueries {
          |           CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM (SELECT doc_id, [${hx("t")} for t in string_split(text, ' ')] AS hs
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, [${hx("t")} for t in string_split(text, ' ')] AS hs
+         |           FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 32), i ->
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM t),
+         |bl AS (SELECT doc_id, simhash, unnest(range(0, $SimhashBlocks)) AS block FROM sh),
+         |blv AS (SELECT doc_id, block,
+         |        (simhash >> CAST(block * 8 AS INT)) & 255 AS bval FROM bl),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM blv a JOIN blv b
+         |         ON a.block = b.block AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+         |FROM cand c
+         |JOIN sh sa ON sa.doc_id = c.id_a
+         |JOIN sh sb ON sb.doc_id = c.id_b
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $SimhashMaxHamming
+         |ORDER BY id_a, id_b""".stripMargin,
+    "text_winnow" ->
+      s"""WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, toks FROM toksrc WHERE len(toks) >= ${WinnowW + ShingleK - 1}),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM f),
+         |h AS (SELECT doc_id, $hsSql AS hs FROM sh),
+         |sel AS (SELECT doc_id, unnest([
+         |    {'pos': i + list_position(list_slice(hs, i, i + ${WinnowW - 1}),
+         |                              list_min(list_slice(hs, i, i + ${WinnowW - 1}))) - 1,
+         |     'fp': list_min(list_slice(hs, i, i + ${WinnowW - 1}))}
+         |    for i in range(1, len(hs) - ${WinnowW - 2})]) AS s FROM h)
+         |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, CAST(s.fp AS BIGINT) AS fp
+         |FROM sel ORDER BY doc_id, pos""".stripMargin,
+    "split_assign" ->
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN u < 800000 THEN 'train'
+         |            WHEN u < 900000 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |             ${hx("'split#' || CAST(doc_id AS VARCHAR)")} % 1000000 AS u
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "text_stats" ->

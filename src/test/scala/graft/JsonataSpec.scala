@@ -401,6 +401,33 @@ class JsonataSpec extends SparkTestBase {
     assert(evalOn(sensorJson, sensorSchema, "$decodeUrlComponent('a+b%26c')") == "a b&c")
   }
 
+  test("$encodeUrl / $decodeUrl (encodeURI semantics: reserved chars kept)") {
+    assert(evalOn(sensorJson, sensorSchema,
+      "$encodeUrl('https://e.com/a b?x=1&y=é')") ==
+      "https://e.com/a%20b?x=1&y=%C3%A9")
+    assert(evalOn(sensorJson, sensorSchema,
+      "$decodeUrl('https://e.com/a%20b%3Fc?x=%C3%A9&y=1+1')") ==
+      "https://e.com/a b%3Fc?x=é&y=1+1")
+  }
+
+  test("$formatNumber renders DecimalFormat pictures") {
+    assert(evalOn(sensorJson, sensorSchema, "$formatNumber(1234.5678, '#,##0.00')") == "1,234.57")
+    assert(evalOn(sensorJson, sensorSchema, "$formatNumber(0.14, '0%')") == "14%")
+    intercept[Exception](evalOn(sensorJson, sensorSchema,
+      "$formatNumber(1, '0', {'decimal-separator': ','})"))
+  }
+
+  test("$formatInteger / $parseInteger: digit and roman pictures") {
+    assert(evalOn(sensorJson, sensorSchema, "$formatInteger(42, '0000')") == "0042")
+    assert(evalOn(sensorJson, sensorSchema, "$formatInteger(1234, '#,##0')") == "1,234")
+    assert(evalOn(sensorJson, sensorSchema, "$formatInteger(1984, 'I')") == "MCMLXXXIV")
+    assert(evalOn(sensorJson, sensorSchema, "$formatInteger(49, 'i')") == "xlix")
+    assert(evalOn(sensorJson, sensorSchema, "$parseInteger('1,234', '#,##0')") == 1234L)
+    assert(evalOn(sensorJson, sensorSchema, "$parseInteger('MCMLXXXIV', 'I')") == 1984L)
+    assert(evalOn(sensorJson, sensorSchema, "$parseInteger('xlix', 'i')") == 49L)
+    intercept[Exception](evalOn(sensorJson, sensorSchema, "$formatInteger(5, 'w')"))
+  }
+
   test("$single returns the lone match and errors on 0 or many") {
     assert(evalOn(nestedJson, nestedSchema,
       "$single(readings.t, function($x){ $x > 22 })") == 22.1)
