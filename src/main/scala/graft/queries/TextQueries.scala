@@ -328,6 +328,41 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Bigram language-model quality score — the bigram upgrade of
+    * [[textUnigramLp]] (CCNet-style fluency proxy): per-document mean
+    * log P(w_i | w_{i-1}) under the corpus bigram LM with add-0.5
+    * smoothing over the unigram vocabulary. Scale shape: one explode to
+    * bigram rows, then every aggregate is vocabulary-sized, not
+    * corpus-sized — c2 partial-aggregates bigram counts, c1 derives
+    * context counts FROM c2 (an aggregate over the counts table, no
+    * second corpus pass), |V| is a scalar subquery, and the score join
+    * keys on the realized-bigram vocabulary (AQE broadcasts it at small
+    * SF, shuffle-joins the open vocabulary at 100 TB — same regime as
+    * text_tfidf, no forced broadcast).
+    */
+  def textBigramLp(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("bg"))
+      .createOrReplaceTempView("graft_bigram_bg")
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .createOrReplaceTempView("graft_bigram_toks")
+    s.sql(
+      """WITH c2 AS (SELECT bg, count(1) AS n2 FROM graft_bigram_bg GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(n2) AS BIGINT) AS n1
+        |       FROM c2 GROUP BY split_part(bg, ' ', 1)),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM graft_bigram_toks)
+        |SELECT doc_id,
+        |       avg(ln((n2 + 0.5) / (n1 + 0.5 * vs))) AS avg_logp
+        |FROM graft_bigram_bg b
+        |JOIN c2 USING (bg)
+        |JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
+        |CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   /** Per-document most-salient token by TF-IDF — the corpus-weighted
     * keyword profile (topic tagging / domain mixing signal). Same scale
     * shape as textUnigramLp: one explode, two partial-aggregated groupBys
@@ -907,6 +942,7 @@ object TextQueries {
     "text_repetition" -> textRepetition,
     "text_dup_ngrams" -> textDupNgrams,
     "text_unigram_lp" -> textUnigramLp,
+    "text_bigram_lp" -> textBigramLp,
     "text_top_tokens" -> textTopTokens)
 
   // ---- DuckDB oracle SQL ----------------------------------------------
@@ -1336,6 +1372,24 @@ object TextQueries {
         |t AS (SELECT count(*) AS n_total FROM tok)
         |SELECT doc_id, avg(ln(tf::DOUBLE / n_total::DOUBLE)) AS avg_logp
         |FROM tok JOIN v USING (tok) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_lp" ->
+      """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+        |                 for i in range(1, len(toks))]) AS bg
+        |       FROM toksrc WHERE len(toks) >= 2),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c2 AS (SELECT bg, count(*) AS n2 FROM bg GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(n2) AS BIGINT) AS n1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM tok)
+        |SELECT doc_id,
+        |       avg(ln((n2 + 0.5) / (n1 + 0.5 * vs))) AS avg_logp
+        |FROM bg b
+        |JOIN c2 USING (bg)
+        |JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
+        |CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,

@@ -554,6 +554,50 @@ object VectorQueries {
       .orderBy("vec_id", "band")
   }
 
+  /** ANN search THROUGH the hyperplane-LSH index (completes the family:
+    * brute / IVF / IVF-kmeans / IVF-PQ / LSH): candidates are corpus
+    * vectors sharing at least one 4-bit band bucket with the query's
+    * 16-bit signature, reranked with exact cosine to top-K. The query
+    * side (|Q| rows, 4 band rows each) broadcasts into both the
+    * candidate join and the rerank, so the corpus is projected twice and
+    * never shuffled; the only data-proportional shuffle is the candidate
+    * distinct, whose size tracks bucket collisions (~n/2^BandBits per
+    * band per query — widen Bits/BandBits for selectivity at scale, the
+    * standard multi-table LSH tuning), never n·|Q|.
+    */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val Bits = 16
+    val BandBits = 4
+    val e = emb(s, dir)
+      .withColumn("sig", hyperplaneSignature(col("v"), Bits, 64))
+    def bands(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), col("sig"),
+          explode(sequence(lit(0), lit(Bits / BandBits - 1))).as("band"))
+        .select(col(idCol), col("band"),
+          expr(s"shiftright(sig, band * $BandBits) % ${1 << BandBits}").as("bucket"))
+    val corpusBands = bands(e.select(col("vec_id"), col("sig")), "vec_id")
+    val queryBands = bands(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("sig")), "query_id")
+    val cand = corpusBands.join(broadcast(queryBands),
+        corpusBands("band") === queryBands("band") &&
+          corpusBands("bucket") === queryBands("bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= K)
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- Product quantization --------------------------------------------
 
   private val PqM = 8      // subspaces
@@ -734,6 +778,7 @@ object VectorQueries {
     "emb_centroid_dist" -> embCentroidDist,
     "emb_neardup" -> embNeardup,
     "emb_lsh_buckets" -> embLshBuckets,
+    "knn_lsh" -> knnLsh,
     "emb_quantize" -> embQuantize,
     "emb_pq" -> embPq,
     "knn_ivf_pq" -> knnIvfPq,
@@ -1149,5 +1194,38 @@ object VectorQueries {
          |SELECT vec_id, CAST(band AS INT) AS band,
          |       CAST((s >> CAST(band * 4 AS INT)) % 16 AS BIGINT) AS bucket
          |FROM sig CROSS JOIN range(0, 4) rb(band)
-         |ORDER BY vec_id, band""".stripMargin)
+         |ORDER BY vec_id, band""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (
+         |  SELECT CAST(j AS INT) AS j,
+         |         [CAST('0x' || substr(md5('p' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)
+         |               AS BIGINT) / 4294967296.0 - 0.5
+         |          for i in range(0, 64)] AS pv
+         |  FROM range(0, 16) r(j)),
+         |sig AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN list_dot_product(v, pv) > 0
+         |                       THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS s
+         |  FROM e CROSS JOIN planes GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, band, (s >> CAST(band * 4 AS INT)) % 16 AS bucket
+         |  FROM sig CROSS JOIN range(0, 4) rb(band)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bands b JOIN bands q
+         |    ON b.band = q.band AND b.bucket = q.bucket
+         |  WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(${cosSql.format("eq.v", "ec.v", "eq.v", "eq.v", "ec.v", "ec.v")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN e eq ON eq.vec_id = c.query_id
+         |  JOIN e ec ON ec.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin)
 }
