@@ -92,8 +92,9 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
   * result is set iff sum over elements of (+1 if bit i of h else -1) > 0.
   * Empty input yields 0 (matches the fold-from-zero HOF semantics).
   */
-case class SimHashFromHashes(child: Expression)
+case class SimHashFromHashes(child: Expression, bits: Int = 32)
     extends UnaryExpression with GraftImplicitCasts {
+  require(bits >= 1 && bits <= 63, s"simhash bits must be in [1, 63], got $bits")
   override def prettyName: String = "graft_simhash"
   override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
@@ -102,13 +103,13 @@ case class SimHashFromHashes(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return null
       val h = a.getLong(i)
       var b = 0
-      while (b < 32) {
+      while (b < bits) {
         if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
@@ -116,7 +117,7 @@ case class SimHashFromHashes(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 32) {
+    while (b < bits) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -133,17 +134,17 @@ case class SimHashFromHashes(child: Expression)
       val out = ctx.freshName("out")
       s"""
          |final int $n = $a.numElements();
-         |final int[] $counts = new int[32];
+         |final int[] $counts = new int[$bits];
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final long $h = $a.getLong($i);
-         |  for (int $b = 0; $b < 32; $b++) {
+         |  for (int $b = 0; $b < $bits; $b++) {
          |    if ((($h >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
          |  }
          |}
          |if (!${ev.isNull}) {
          |  long $out = 0L;
-         |  for (int $b = 0; $b < 32; $b++) {
+         |  for (int $b = 0; $b < $bits; $b++) {
          |    if ($counts[$b] > 0) $out |= (1L << $b);
          |  }
          |  ${ev.value} = $out;
@@ -162,12 +163,26 @@ case class SimHashFromHashes(child: Expression)
   * loop instead of a per-element expression tree (md5 -> hex string ->
   * substring -> base-16 parse).
   */
-case class ArrayH32(child: Expression)
+/** First `bits` bits of each element's md5 as a non-negative long —
+  * computed as the big-endian 64-bit read of digest bytes 0..7 shifted
+  * right unsigned by (64 - bits). For bits divisible by 4 this equals
+  * the oracle's `CAST('0x' || substr(md5(s), 1, bits/4) AS BIGINT)`
+  * (bits = 32 → the historic h32; bits = 60 → the wide-fingerprint
+  * variant that stays < 2^60, safely positive in a signed BIGINT on
+  * both engines).
+  */
+case class ArrayH32(child: Expression, bits: Int = 32)
     extends UnaryExpression with GraftImplicitCasts {
+  require(bits >= 4 && bits <= 60, s"hash bits must be in [4, 60], got $bits")
   override def prettyName: String = "graft_h32_array"
   override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+
+  private def be64(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -178,8 +193,7 @@ case class ArrayH32(child: Expression)
     while (i < n) {
       if (a.isNullAt(i)) return null
       val d = md.digest(a.getUTF8String(i).getBytes)
-      res(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      res(i) = be64(d) >>> (64 - bits)
       i += 1
     }
     new GenericArrayData(res)
@@ -201,8 +215,10 @@ case class ArrayH32(child: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final byte[] $d = $md.digest($a.getUTF8String($i).getBytes());
-         |  $res[$i] = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16) |
-         |    (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |  $res[$i] = (((($d[0] & 0xffL) << 56) | (($d[1] & 0xffL) << 48) |
+         |    (($d[2] & 0xffL) << 40) | (($d[3] & 0xffL) << 32) |
+         |    (($d[4] & 0xffL) << 24) | (($d[5] & 0xffL) << 16) |
+         |    (($d[6] & 0xffL) << 8) | ($d[7] & 0xffL)) >>> ${64 - bits});
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
@@ -218,9 +234,9 @@ object HashExpressions {
   def minhashNative(hs: Column, numHashes: Int): Column =
     Bridge.column(MinHashFromHashes(Bridge.expression(hs), numHashes))
 
-  def simhashNative(hs: Column): Column =
-    Bridge.column(SimHashFromHashes(Bridge.expression(hs)))
+  def simhashNative(hs: Column, bits: Int = 32): Column =
+    Bridge.column(SimHashFromHashes(Bridge.expression(hs), bits))
 
-  def h32ArrayNative(strs: Column): Column =
-    Bridge.column(ArrayH32(Bridge.expression(strs)))
+  def h32ArrayNative(strs: Column, bits: Int = 32): Column =
+    Bridge.column(ArrayH32(Bridge.expression(strs), bits))
 }

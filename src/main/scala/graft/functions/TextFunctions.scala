@@ -54,6 +54,13 @@ object TextFunctions {
   def hashArray(strs: Column): Column =
     graft.expressions.HashExpressions.h32ArrayNative(strs)
 
+  /** Wide variant: first `bits` md5 bits per element (bits <= 60 keeps
+    * the value positive in a signed 64-bit on both engines; for bits
+    * divisible by 4 the oracle mirror is substr(md5, 1, bits/4)).
+    */
+  def hashArrayBits(strs: Column, bits: Int): Column =
+    graft.expressions.HashExpressions.h32ArrayNative(strs, bits)
+
   /** HOF reference formulation of hashArray (tests compare to native). */
   def hashArrayHof(strs: Column): Column = transform(strs, s => h32(s))
 
@@ -106,6 +113,12 @@ object TextFunctions {
     */
   def simhashFromHashes(hs: Column): Column =
     graft.expressions.HashExpressions.simhashNative(hs)
+
+  /** Wide variant: `bits`-bit SimHash from `bits`-bit token hashes (see
+    * [[hashArrayBits]]) — the Manku web-scale fingerprint width.
+    */
+  def simhashFromHashesBits(hs: Column, bits: Int): Column =
+    graft.expressions.HashExpressions.simhashNative(hs, bits)
 
   /** HOF reference formulation (tests compare it to the native kernel). */
   def simhashFromHashesHof(hs: Column): Column =

@@ -226,6 +226,34 @@ object PipelineQueries {
       .orderBy("user_id", "bucket")
   }
 
+  /** Regular-grid gap filling with forward fill — the sensor-series
+    * normalization step between raw MQTT events and model features
+    * (models want one row per (user, hour), observed or not). Per-user
+    * hourly grid from that user's own [min, max] observed hour (the grid
+    * Generate is per-user-bounded, never a global calendar cross join),
+    * left join of observations onto the grid on (user_id, h), then
+    * last-non-null forward fill per user. Scale shape: one
+    * partial-aggregated shuffle to (user, hour) cells, a tiny per-user
+    * bounds aggregate over those cells, and user-keyed join + window —
+    * everything after the first agg is sized by user-hours, not events.
+    */
+  def pipeGapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("h"), col("value"))
+      .groupBy("user_id", "h").agg(round(avg("value"), 6).as("v"))
+    val grid = obs.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "h"), "left_outer")
+      .select(col("user_id"),
+        date_format(timestamp_seconds(col("h") * 3600), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("v").isNull.as("is_gap"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_ff"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** Cohort retention: users grouped by first-seen day, and for each
     * subsequent day the count and fraction of the cohort still active —
     * the retention-matrix shape. Two user-keyed passes (first-seen agg,
@@ -365,6 +393,7 @@ object PipelineQueries {
     "pipe_funnel" -> pipeFunnel,
     "pipe_retention" -> pipeRetention,
     "pipe_resample" -> pipeResample,
+    "pipe_gap_fill" -> pipeGapFill,
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
@@ -423,6 +452,21 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT event_id, 'fixed', CAST(user_id % 100 AS DOUBLE) FROM events)
         |ORDER BY event_id, mkey""".stripMargin,
+    "pipe_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h, round(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds),
+        |j AS (SELECT g.user_id, g.h, o.v
+        |      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h)
+        |SELECT user_id,
+        |       strftime(make_timestamp(h * 3600000000), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |       v IS NULL AS is_gap,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
     "pipe_resample" ->
       """WITH b AS (
         |  SELECT user_id, event_id, value, ts,

@@ -387,6 +387,29 @@ object RelationalQueries {
       .orderBy("node")
   }
 
+  /** TPC-H Q4 analog: order counts per priority for a one-quarter order
+    * window, keeping only orders with at least one late-shipping line
+    * (shipped >60 days after the order date). The EXISTS compiles to a
+    * left-semi join (equi on orderkey + the non-equi lateness predicate
+    * evaluated inside the join), so lineitem rows are never widened into
+    * the aggregate and the count sees each order once — the
+    * semi-join-feeding-aggregation shape. The date filter prunes orders
+    * at the scan (PushedFilters); the agg output is |priorities| rows.
+    */
+  def qOrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
@@ -402,6 +425,7 @@ object RelationalQueries {
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
     "q_above_avg" -> qAboveAvg,
+    "q_order_priority" -> qOrderPriority,
     "q_pivot" -> qPivot,
     "profile_cols" -> profileCols,
     "q_skew_agg" -> qSkewAgg,
@@ -512,6 +536,14 @@ object RelationalQueries {
         |       round(quantile_cont(value, 0.99), 6) AS p99,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_above_avg" ->
       """SELECT p_partkey, p_type, round(p_retailprice, 2) AS price,
         |       round(avg_price, 4) AS type_avg

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.PipelineFunctions._
@@ -231,6 +231,24 @@ object GraftPipeline {
       .select(col("r"),
         pmod(graft.functions.TextFunctions.h32(col("tok"), col("r")), lit(width)).as("b"))
       .groupBy("r", "b").agg(count(lit(1)).as("c"))
+
+  /** Streaming heavy hitters — sharded SpaceSaving (see [[TopKStream]]):
+    * tokens route to `shards` summaries of at most `k` counters each, so
+    * state is shards × k rows whatever the vocabulary. Read the latest
+    * snapshot per (shard, token) and union for the global top-k.
+    */
+  def topkStream(input: DataFrame, tokenCol: String,
+      k: Int = 32, shards: Int = 16): Dataset[TopKStream.Hit] = {
+    import input.sparkSession.implicits._
+    val toks = input
+      .select(explode(split(col(tokenCol), " ")).as("token"))
+      .select(
+        pmod(graft.functions.TextFunctions.h32(col("token")), lit(shards))
+          .cast("int").as("shard"),
+        col("token"))
+      .as[TopKStream.Tok]
+    TopKStream(toks, k)
+  }
 
   /** Content-keyed streaming exact dedup — the batch dedup_exact as a
     * stream, layered on [[dedupStream]]: the dedup key is the md5

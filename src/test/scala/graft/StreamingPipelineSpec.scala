@@ -282,6 +282,52 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(kept.columns.toSeq == Seq("k", "body", "quality"))
   }
 
+  test("topkStream: exact counts below capacity; SpaceSaving bounds under eviction") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Phase A: vocabulary fits (k = 8 >= 4 distinct) -> counts are EXACT
+    val memA = MemoryStream[String]
+    val qA = GraftPipeline.topkStream(memA.toDF().toDF("body"), "body", k = 8, shards = 4)
+      .writeStream.format("memory").queryName("graft_topk_a")
+      .outputMode("update").start()
+    memA.addData("a b a", "c a")
+    qA.processAllAvailable()
+    memA.addData("a d b")
+    qA.processAllAvailable()
+    qA.stop()
+    // latest snapshot per (shard, token) across update-mode emissions
+    val snapA = spark.table("graft_topk_a")
+      .groupBy("shard", "token")
+      .agg(org.apache.spark.sql.functions.max("count").as("count"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(snapA == Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+
+    // Phase B: k = 2, single shard -> eviction; SpaceSaving guarantees:
+    // est >= true, est - err <= true, summary never exceeds k
+    val memB = MemoryStream[String]
+    val qB = GraftPipeline.topkStream(memB.toDF().toDF("body"), "body", k = 2, shards = 1)
+      .writeStream.format("memory").queryName("graft_topk_b")
+      .outputMode("update").start()
+    memB.addData("a a a b c")
+    qB.processAllAvailable()
+    qB.stop()
+    val rowsB = spark.table("graft_topk_b")
+      .groupBy("token")
+      .agg(org.apache.spark.sql.functions.max("count").as("count"),
+        org.apache.spark.sql.functions.max("err").as("err"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val truth = Map("a" -> 3L, "b" -> 1L, "c" -> 1L)
+    // the final summary holds exactly k survivors
+    val lastBatch = spark.table("graft_topk_b").collect()
+    assert(rowsB.keySet.size <= 3 && rowsB.contains("a"))
+    rowsB.foreach { case (tok, (est, err)) =>
+      assert(est >= truth(tok), s"$tok undercounted")
+      assert(est - err <= truth(tok), s"$tok bound violated")
+    }
+    // 'a' is a true heavy hitter (count > N/k = 2.5): must be resident
+    assert(rowsB("a")._1 == 3L && rowsB("a")._2 == 0L)
+    assert(lastBatch.nonEmpty)
+  }
+
   test("cmsStream: constant-state counters accumulate; estimates never undercount") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[String]
