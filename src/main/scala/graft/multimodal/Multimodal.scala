@@ -62,6 +62,35 @@ object Multimodal {
     }
   }
 
+  /** Average-hash grid decoder — the aHash front half (downscale to a
+    * fixed grid, one mean per cell), with byte blocks standing in for
+    * pixel blocks: feature(i) = mean unsigned value of the i-th of `dim`
+    * equal byte blocks (trailing blocks past the payload are 0). Unlike
+    * [[StubDecoder]]'s md5 features this is LOCALITY-PRESERVING: a small
+    * byte edit moves one block's mean, so near-identical payloads land
+    * within small Hamming distance of each other after sign-thresholding
+    * — the property perceptual near-dup search needs. Deterministic and
+    * reproducible on the hex plane for the DuckDB oracle.
+    */
+  class AHashDecoder(dim: Int) extends Decoder {
+    override def decode(kind: String, bytes: Array[Byte]): Option[Array[Double]] = {
+      if (bytes.isEmpty) return None
+      val n = bytes.length
+      val s = (n + dim - 1) / dim
+      Some(Array.tabulate(dim) { i =>
+        val from = i * s
+        val until = math.min((i + 1) * s, n)
+        if (from >= n) 0.0
+        else {
+          var sum = 0L
+          var j = from
+          while (j < until) { sum += bytes(j) & 0xff; j += 1 }
+          sum.toDouble / (until - from)
+        }
+      })
+    }
+  }
+
   /** Per-partition batch feature extraction. Records with failed decodes
     * are KEPT with decode_ok=false and empty features (drop-and-count is
     * the pipeline's decision, mirroring the malformed-JSON path F1).

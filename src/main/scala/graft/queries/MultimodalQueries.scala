@@ -44,9 +44,64 @@ object MultimodalQueries {
       .orderBy("media_id", "frame_index")
   }
 
+  private val PhashDim = 60        // one sign bit per adjacent-cell gradient
+  private val PhashCells = PhashDim + 1
+  private val PhashBlocks = 4      // 4 x 15-bit blocks, Hamming<=3 pigeonhole
+  private val PhashBlockBits = PhashDim / PhashBlocks
+
+  /** Perceptual-hash (dHash, difference hash) near-dup over the MEDIA
+    * plane — the multimodal analog of dedup_simhash_pairs: decode each
+    * asset to a 61-cell grid of block means ([[Multimodal.AHashDecoder]],
+    * the downscale+mean step; per-partition batch decode, the real
+    * plumbing), take the sign of each ADJACENT-cell gradient as one of
+    * 60 hash bits, then find Hamming<=3 pairs with the same 4x15-bit
+    * pigeonhole equi-join and exact popcount verify as the text-side
+    * simhash pairs. Gradient bits, not mean-threshold bits, on purpose:
+    * cell-vs-asset-mean bits (aHash) are heavily correlated across
+    * same-distribution payloads — measured 2% of ALL pairs within
+    * Hamming 3 at sf0.01, a quadratic candidate regime — while local
+    * gradients track content and de-correlate (a DCT pHash or learned
+    * embedding slots into the same Decoder seam). Deterministic and
+    * oracle-checked end to end, decode included.
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, dir)
+    val feats = Multimodal.extractFeatures(media, new Multimodal.AHashDecoder(PhashCells))
+      .toDF()
+      .filter(col("decode_ok"))
+      .select(col("media_id"), col("features"))
+    val hashed = feats.select(col("media_id"),
+      aggregate(
+        transform(sequence(lit(0), lit(PhashDim - 1)),
+          i => when(
+            element_at(col("features"), i + 1) > element_at(col("features"), i + 2),
+            pow(lit(2.0), i).cast("long")).otherwise(0L)),
+        lit(0L), (a, x) => a + x).as("ph"))
+    val blocks = hashed
+      .select(col("media_id"), col("ph"),
+        explode(sequence(lit(0), lit(PhashBlocks - 1))).as("block"))
+      .select(col("media_id"), col("block"),
+        expr(s"shiftright(ph, block * $PhashBlockBits) & ${(1 << PhashBlockBits) - 1}")
+          .as("bval"))
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("media_id").as("id_a"), col("ph").as("ph_a")), "id_a")
+      .join(hashed.select(col("media_id").as("id_b"), col("ph").as("ph_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= PhashBlocks - 1)
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
-    "mm_frames" -> mmFrames)
+    "mm_frames" -> mmFrames,
+    "mm_phash" -> mmPhash)
 
   private def fSql(i: Int): String =
     s"round(CAST('0x' || substr(md5(text || '#f$i'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS f$i"
@@ -74,5 +129,41 @@ object MultimodalQueries {
          |SELECT media_id, bi AS frame_index,
          |       CAST(len(fhex) // 2 AS INT) AS n_bytes,
          |       lower(fhex) AS frame_hex
-         |FROM f ORDER BY media_id, frame_index""".stripMargin)
+         |FROM f ORDER BY media_id, frame_index""".stripMargin,
+    // block means are exact-integer sums divided once (correctly rounded
+    // identically on both engines), so the per-bit gradient comparisons
+    // match Spark bit-for-bit
+    "mm_phash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |f AS (
+         |  SELECT media_id,
+         |         [coalesce(list_avg(
+         |            [CAST('0x' || substr(hx, j * 2 + 1, 2) AS BIGINT)
+         |             for j in range(i * ((n + ${PhashCells - 1}) // $PhashCells),
+         |                            least((i + 1) * ((n + ${PhashCells - 1}) // $PhashCells), n))]), 0.0)
+         |          for i in range(0, $PhashCells)] AS fv
+         |  FROM h),
+         |p AS (
+         |  SELECT media_id,
+         |    CAST(list_sum(list_transform(range(0, $PhashDim), i ->
+         |      CASE WHEN fv[CAST(i AS INT) + 1] > fv[CAST(i AS INT) + 2]
+         |           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS ph
+         |  FROM f),
+         |bl AS (SELECT media_id, ph, unnest(range(0, $PhashBlocks)) AS block FROM p),
+         |blv AS (SELECT media_id, block,
+         |        (ph >> CAST(block * $PhashBlockBits AS INT)) & ${(1 << PhashBlockBits) - 1} AS bval
+         |        FROM bl),
+         |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |         FROM blv a JOIN blv b
+         |         ON a.block = b.block AND a.bval = b.bval AND a.media_id < b.media_id)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(bit_count(xor(pa.ph, pb.ph)) AS INT) AS hamming
+         |FROM cand c
+         |JOIN p pa ON pa.media_id = c.id_a
+         |JOIN p pb ON pb.media_id = c.id_b
+         |WHERE bit_count(xor(pa.ph, pb.ph)) <= ${PhashBlocks - 1}
+         |ORDER BY id_a, id_b""".stripMargin)
 }
