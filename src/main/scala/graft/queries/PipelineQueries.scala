@@ -226,6 +226,30 @@ object PipelineQueries {
       .orderBy("user_id", "bucket")
   }
 
+  /** Event-type transition matrix (first-order Markov estimate): for
+    * each user's event sequence in (ts, event_id) order, count
+    * (type → next-type) transitions and normalize per source type — the
+    * behavioral-model / anomalous-flow profile. One user-keyed window
+    * (lead) to form transitions, one partial-aggregated groupBy to
+    * |types|² cells, and the per-source normalizer rides a window over
+    * that tiny aggregate — never a second event scan.
+    */
+  def pipeMarkov(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(wSeq))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy("from_type")
+    trans
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / sum("n").over(wSrc), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Regular-grid gap filling with forward fill — the sensor-series
     * normalization step between raw MQTT events and model features
     * (models want one row per (user, hour), observed or not). Per-user
@@ -394,6 +418,7 @@ object PipelineQueries {
     "pipe_retention" -> pipeRetention,
     "pipe_resample" -> pipeResample,
     "pipe_gap_fill" -> pipeGapFill,
+    "pipe_markov" -> pipeMarkov,
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
@@ -452,6 +477,16 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT event_id, 'fixed', CAST(user_id % 100 AS DOUBLE) FROM events)
         |ORDER BY event_id, mkey""".stripMargin,
+    "pipe_markov" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |       round(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE, 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "pipe_gap_fill" ->
       """WITH obs AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS h, round(avg(value), 6) AS v

@@ -370,6 +370,29 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Zipf rank-frequency fit — the corpus-health diagnostic (natural
+    * corpora fit log(tf) ≈ slope·log(rank) + c with slope ≈ −1; template
+    * spam, boilerplate floods, and truncated crawls bend the curve).
+    * One explode + partial-aggregated token counts, a distributed top-N
+    * cut (TakeOrdered, no global sort), then the regression runs over at
+    * most N rows — the only global window sees the bounded top set,
+    * never the open vocabulary.
+    */
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(1000)
+      .createOrReplaceTempView("graft_zipf_top")
+    s.sql(
+      """WITH r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, tok) AS rnk
+        |           FROM graft_zipf_top)
+        |SELECT round(regr_slope(ln(tf), ln(rnk)), 6) AS slope,
+        |       round(regr_intercept(ln(tf), ln(rnk)), 6) AS intercept,
+        |       count(1) AS n_tokens
+        |FROM r""".stripMargin)
+  }
+
   /** Per-document most-salient token by TF-IDF — the corpus-weighted
     * keyword profile (topic tagging / domain mixing signal). Same scale
     * shape as textUnigramLp: one explode, two partial-aggregated groupBys
@@ -950,6 +973,7 @@ object TextQueries {
     "text_dup_ngrams" -> textDupNgrams,
     "text_unigram_lp" -> textUnigramLp,
     "text_bigram_lp" -> textBigramLp,
+    "text_zipf" -> textZipf,
     "text_top_tokens" -> textTopTokens)
 
   // ---- DuckDB oracle SQL ----------------------------------------------
@@ -1400,6 +1424,16 @@ object TextQueries {
         |JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
         |CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_zipf" ->
+      """WITH tf AS (SELECT tok, count(*) AS tf
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |            GROUP BY tok),
+        |top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 1000),
+        |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, tok) AS rnk FROM top)
+        |SELECT round(regr_slope(ln(tf), ln(rnk)), 6) AS slope,
+        |       round(regr_intercept(ln(tf), ln(rnk)), 6) AS intercept,
+        |       CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM r""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  round(len(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE /
