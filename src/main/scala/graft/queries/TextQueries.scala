@@ -148,9 +148,14 @@ object TextQueries {
     * (multi-table, more blocks for larger k) is the Manku tuning.
     */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sims = Tables.documents(s, dir)
-      .select(col("doc_id"), hashArrayBits(tokens(col("text")), SimhashBits).as("hs"))
-      .select(col("doc_id"), simhashFromHashesBits(col("hs"), SimhashBits).as("simhash"))
+    // stageBarrier: inferred filters (isnotnull, size>0) would otherwise
+    // be pushed through the projection and re-derive the md5+simhash
+    // kernels a second time per row in each branch
+    val sims = stageBarrier(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), hashArrayBits(tokens(col("text")), SimhashBits).as("hs")),
+      Seq(col("doc_id")),
+      "simhash" -> simhashFromHashesBits(col("hs"), SimhashBits))
     // constant-range explode (see explodeBands for why not posexplode)
     val blocks = sims
       .select(col("doc_id"), col("simhash"),

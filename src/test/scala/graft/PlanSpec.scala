@@ -91,6 +91,35 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("dedup_simhash_pairs: block join is key-based; one simhash kernel per side") {
+    val p = physical("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // candidate generation + two verify joins re-derive the signature, but
+    // each derivation runs the kernel exactly once (no md5 fan-out)
+    val o = optimized("dedup_simhash_pairs")
+    assert("graft_simhash".r.findAllIn(o).length == 4, o.take(2000))
+  }
+
+  test("knn_lsh: band and rerank joins are key-based, never nested-loop") {
+    val p = physical("knn_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("mm_phash: candidate join is key-based, never nested-loop") {
+    val p = physical("mm_phash")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("split_assign: pure projection — no aggregate, no join, one output sort") {
+    val p = physical("split_assign")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("PLANS.md is fresh: every registered query has a plan section") {
     // PLANS.md went stale once (r4) when queries were added without
     // regenerating it; `sbt "runMain graft.Explain"` rebuilds it
