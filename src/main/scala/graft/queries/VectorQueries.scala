@@ -598,6 +598,40 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Maximum-inner-product top-k via the norm-augmentation reduction
+    * (Bachrach et al., RecSys'14): append sqrt(M² − |x|²) to each corpus
+    * vector (M = max corpus norm, a 1-row aggregate broadcast as a
+    * scalar) and 0 to each query — then cosine on the augmented vectors
+    * is ip/(M·|q|), strictly monotone in the inner product per query, so
+    * COSINE-metric infrastructure (the LSH/IVF index family here) serves
+    * IP-metric retrieval (recommender/retrieval scoring with
+    * unnormalized embeddings) unchanged. Ranked through the augmented
+    * cosine on purpose — the query exercises the reduction, and the
+    * oracle replays the identical construction. Corpus side: one scan +
+    * broadcast of the 1-row max, pure projection, no shuffle.
+    */
+  def embMips(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val m = e.agg(max(sqrt(dot(col("v"), col("v")))).as("mx"))
+    val corpus = e.crossJoin(broadcast(m))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        // greatest(..., 0): mx*mx − dot can round a hair negative for
+        // the max-norm row itself; both engines clamp identically
+        concat(col("v"), array(sqrt(greatest(
+          col("mx") * col("mx") - dot(col("v"), col("v")), lit(0.0))))).as("ca"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        concat(col("v"), array(lit(0.0))).as("qa"))
+    val w = Window.partitionBy("query_id").orderBy(col("mips_score").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qa"), col("ca")), 6).as("mips_score"),
+        round(dot(col("qv"), col("cv")), 6).as("ip"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- Product quantization --------------------------------------------
 
   private val PqM = 8      // subspaces
@@ -779,6 +813,7 @@ object VectorQueries {
     "emb_neardup" -> embNeardup,
     "emb_lsh_buckets" -> embLshBuckets,
     "knn_lsh" -> knnLsh,
+    "emb_mips" -> embMips,
     "emb_quantize" -> embQuantize,
     "emb_pq" -> embPq,
     "knn_ivf_pq" -> knnIvfPq,
@@ -1195,6 +1230,24 @@ object VectorQueries {
          |       CAST((s >> CAST(band * 4 AS INT)) % 16 AS BIGINT) AS bucket
          |FROM sig CROSS JOIN range(0, 4) rb(band)
          |ORDER BY vec_id, band""".stripMargin,
+    "emb_mips" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |m AS (SELECT max(sqrt(list_dot_product(v, v))) AS mx FROM e),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv,
+         |             list_append(v, sqrt(greatest(mx * mx - list_dot_product(v, v), 0.0))) AS ca
+         |      FROM e CROSS JOIN m),
+         |q AS (SELECT vec_id AS query_id, v AS qv, list_append(v, 0.0) AS qa
+         |      FROM e WHERE vec_id < $NumQueries),
+         |s AS (SELECT query_id, neighbor_id,
+         |             round(${cosSql.format("qa", "ca", "qa", "qa", "ca", "ca")}, 6) AS mips_score,
+         |             round(list_dot_product(qv, cv), 6) AS ip
+         |      FROM q JOIN c ON neighbor_id <> query_id)
+         |SELECT query_id, neighbor_id, mips_score, ip, rnk FROM (
+         |  SELECT query_id, neighbor_id, mips_score, ip,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY mips_score DESC, neighbor_id) AS INT) AS rnk
+         |  FROM s)
+         |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
     "knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |planes AS (
