@@ -34,6 +34,23 @@ object TopKStream {
   case class Summary(counters: Seq[Counter])
   case class Hit(shard: Int, token: String, count: Long, err: Long)
 
+  /** The pure SpaceSaving fold for one summary — exposed so the
+    * algorithmic guarantees are property-testable without a stream.
+    */
+  private[graft] def foldToken(
+      m: scala.collection.mutable.LinkedHashMap[String, (Long, Long)],
+      token: String, k: Int): Unit =
+    m.get(token) match {
+      case Some((c, e)) => m(token) = (c + 1, e)
+      case None if m.size < k => m(token) = (1L, 0L)
+      case None =>
+        // evict the minimum counter (deterministic token tie-break);
+        // the newcomer inherits its count as the overestimate bound
+        val (mTok, (mCnt, _)) = m.minBy { case (t, (c, _)) => (c, t) }
+        m.remove(mTok)
+        m(token) = (mCnt + 1, mCnt)
+    }
+
   def apply(toks: Dataset[Tok], k: Int): Dataset[Hit] = {
     implicit val hitEnc = Encoders.product[Hit]
     implicit val stateEnc = Encoders.product[Summary]
@@ -45,18 +62,7 @@ object TopKStream {
         (shard: Int, rows: Iterator[Tok], state: GroupState[Summary]) =>
           val m = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
           state.getOption.foreach(_.counters.foreach(c => m(c.token) = (c.count, c.err)))
-          rows.foreach { r =>
-            m.get(r.token) match {
-              case Some((c, e)) => m(r.token) = (c + 1, e)
-              case None if m.size < k => m(r.token) = (1L, 0L)
-              case None =>
-                // evict the minimum counter (deterministic token tie-break);
-                // the newcomer inherits its count as the overestimate bound
-                val (mTok, (mCnt, _)) = m.minBy { case (t, (c, _)) => (c, t) }
-                m.remove(mTok)
-                m(r.token) = (mCnt + 1, mCnt)
-            }
-          }
+          rows.foreach(r => foldToken(m, r.token, k))
           state.update(Summary(m.iterator.map {
             case (t, (c, e)) => Counter(t, c, e)
           }.toSeq))

@@ -204,6 +204,28 @@ class PropertiesSpec extends SparkTestBase {
     assert(got.exists { case (_, nTrue, nEst) => nEst > nTrue })
   }
 
+  test("SpaceSaving fold: est>=true, est-err<=true, capacity k, heavy hitters resident") {
+    val streamG = for {
+      n <- Gen.choose(20, 300)
+      toks <- Gen.listOfN(n, Gen.oneOf((0 until 12).map(i => s"t$i")))
+    } yield toks
+    samples(streamG, 30).foreach { stream =>
+      val k = 4
+      val m = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+      stream.foreach(t => graft.streaming.TopKStream.foldToken(m, t, k))
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(m.size <= k)
+      m.foreach { case (tok, (est, err)) =>
+        assert(est >= truth(tok), s"$tok undercounted")
+        assert(est - err <= truth(tok), s"$tok lower bound violated")
+      }
+      // any token with true count > N/k must be resident (SpaceSaving thm)
+      val threshold = stream.size.toDouble / k
+      truth.collect { case (tok, c) if c > threshold => tok }
+        .foreach(tok => assert(m.contains(tok), s"heavy hitter $tok evicted"))
+    }
+  }
+
   test("fingerprint stays in [0, 1e9+7) for arbitrary token lists") {
     val tokG = Gen.listOfN(6, Gen.identifier.map(_.take(4)))
     val cases = samples(tokG, 40).map(_.mkString(" "))

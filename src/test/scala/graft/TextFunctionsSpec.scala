@@ -57,6 +57,25 @@ class TextFunctionsSpec extends SparkTestBase {
     df.as[(Seq[Long], Seq[Long])].collect().foreach { case (n, h) => assert(n == h) }
   }
 
+  test("wide hash kernel: bits=60 == first 15 md5 hex chars; bits=32 == h32") {
+    val toks = Seq("hello", "wörld", "日本語", "#f0", "x")
+    val df = toks.map(Tuple1(_)).toDF("t")
+      .select(
+        element_at(hashArrayBits(array(col("t")), 60), 1).as("h60"),
+        element_at(hashArrayBits(array(col("t")), 32), 1).as("h32n"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("ref60"),
+        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("ref32"))
+    df.as[(Long, Long, Long, Long)].collect().foreach { case (h60, h32n, ref60, ref32) =>
+      assert(h60 == ref60 && h60 >= 0 && h60 < (1L << 60))
+      assert(h32n == ref32)
+    }
+    // wide simhash stays within its declared width
+    val sh = toks.map(Tuple1(_)).toDF("t")
+      .select(simhashFromHashesBits(hashArrayBits(tokens(col("t")), 60), 60).as("s"))
+      .as[Long].collect()
+    sh.foreach(s => assert(s >= 0 && s < (1L << 60)))
+  }
+
   test("native minhash kernel == HOF formulation on random inputs") {
     val rng = new scala.util.Random(11)
     val rows = Seq.fill(30)(Seq.fill(rng.nextInt(50) + 1)(rng.alphanumeric.take(8).mkString))
