@@ -203,14 +203,20 @@ object TextQueries {
       .filter(size(col("toks")) >= WinnowW + ShingleK - 1)
       .withColumn("shingles", wordShingles(col("toks"), ShingleK))
       .withColumn("hs", hashArray(col("shingles")))
+    // W is small and fixed, so the window min is a least() over W direct
+    // element_at reads + a leftmost-first when-chain for the argmin — no
+    // per-window array allocation (the slice() formulation copied a
+    // W-element array twice per window: 2x measured cost at sf0.1)
     val staged = stageBarrier(base, Seq(col("doc_id")),
       "sel" -> array_distinct(transform(
         sequence(lit(1), size(col("hs")) - (WinnowW - 1)),
         i => {
-          val sl = slice(col("hs"), i, lit(WinnowW))
-          struct(
-            (i.cast("long") + array_position(sl, array_min(sl)) - 1L).as("pos"),
-            array_min(sl).as("fp"))
+          val h = (0 until WinnowW).map(o => element_at(col("hs"), i + o))
+          val mn = least(h: _*)
+          val pos = (0 until WinnowW - 1).foldRight((i + (WinnowW - 1)).cast("long")) {
+            case (o, rest) => when(h(o) === mn, (i + o).cast("long")).otherwise(rest)
+          }
+          struct(pos.as("pos"), mn.as("fp"))
         })))
     staged
       .select(col("doc_id"), explode(col("sel")).as("s"))
