@@ -195,7 +195,10 @@ object TextQueries {
     * join against an index table on `fp` for containment search — same
     * bucketed-equi-join regime as the LSH band join.
     */
-  def textWinnow(s: SparkSession, dir: String): DataFrame = {
+  /** The winnow selection rows (doc_id, pos, fp) shared by textWinnow
+    * and textWinnowMatch.
+    */
+  private def winnowSelections(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       // need >= W shingles, i.e. >= W + ShingleK - 1 tokens (filter on
@@ -221,7 +224,38 @@ object TextQueries {
     staged
       .select(col("doc_id"), explode(col("sel")).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
-      .orderBy("doc_id", "pos")
+  }
+
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowSelections(s, dir).orderBy("doc_id", "pos")
+
+  private val WinnowMaxDf = 50   // drop fingerprints shared by too many docs
+  private val WinnowMinShared = 3
+
+  /** Containment / plagiarism matches from the winnowing fingerprints —
+    * the MOSS use-case the fingerprints exist for: two documents match
+    * when they share >= MinShared selected fingerprints. Overly-common
+    * fingerprints (document frequency > MaxDf — boilerplate shingles
+    * every document carries) are dropped BEFORE the self-join, exactly
+    * as MOSS drops ubiquitous fingerprints: that cut is what keeps the
+    * fp equi-join collision-bounded at scale (a boilerplate fp would
+    * otherwise be an n² hot key). Shapes: distinct (doc, fp) projection,
+    * a vocabulary-sized df aggregate, the df cut as a fp-keyed semi
+    * join, then the pair join + per-pair count.
+    */
+  def textWinnowMatch(s: SparkSession, dir: String): DataFrame = {
+    val fdoc = winnowSelections(s, dir).select(col("doc_id"), col("fp")).distinct()
+    val keep = fdoc.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf)
+      .select("fp")
+    val fk = fdoc.join(keep, "fp")
+    fk.as("a")
+      .join(fk.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("id_a", "id_b")
   }
 
   /** Deterministic stratified train/val/test assignment: md5 the doc_id
@@ -976,6 +1010,7 @@ object TextQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "text_winnow" -> textWinnow,
+    "text_winnow_match" -> textWinnowMatch,
     "split_assign" -> splitAssign,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
@@ -1357,6 +1392,24 @@ object TextQueries {
          |    for i in range(1, len(hs) - ${WinnowW - 2})]) AS s FROM h)
          |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, CAST(s.fp AS BIGINT) AS fp
          |FROM sel ORDER BY doc_id, pos""".stripMargin,
+    "text_winnow_match" ->
+      s"""WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, toks FROM toksrc WHERE len(toks) >= ${WinnowW + ShingleK - 1}),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM f),
+         |h AS (SELECT doc_id, $hsSql AS hs FROM sh),
+         |sel AS (SELECT doc_id, unnest([
+         |    {'pos': i + list_position(list_slice(hs, i, i + ${WinnowW - 1}),
+         |                              list_min(list_slice(hs, i, i + ${WinnowW - 1}))) - 1,
+         |     'fp': list_min(list_slice(hs, i, i + ${WinnowW - 1}))}
+         |    for i in range(1, len(hs) - ${WinnowW - 2})]) AS s FROM h),
+         |u AS (SELECT DISTINCT doc_id, CAST(s.fp AS BIGINT) AS fp FROM sel),
+         |dfc AS (SELECT fp, count(*) AS df FROM u GROUP BY fp),
+         |keep AS (SELECT fp FROM dfc WHERE df <= $WinnowMaxDf),
+         |fk AS (SELECT doc_id, fp FROM u JOIN keep USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin,
     "split_assign" ->
       s"""SELECT doc_id, lang,
          |       CASE WHEN u < 800000 THEN 'train'
