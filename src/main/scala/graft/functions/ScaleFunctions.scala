@@ -10,6 +10,45 @@ import org.apache.spark.sql.functions._
   */
 object ScaleFunctions {
 
+  /** Hamming-distance pair search over a bit-fingerprint column via
+    * block bucketing (Manku, Jain & Sarma, WWW'07): split the `bits`-wide
+    * fingerprint into `blocks` disjoint blocks; any two fingerprints
+    * within Hamming distance `blocks − 1` share at least one identical
+    * block (pigeonhole), so an equi-join on (block_index, block_value)
+    * generates every qualifying pair exactly — candidates ∝ n²/2^(bits/
+    * blocks) collisions, never n². Pairs are verified with the exact
+    * popcount(xor) distance. Shared engine behind dedup_simhash_pairs
+    * (SimHash) and mm_phash (dHash); any per-row long fingerprint works.
+    *
+    * @param fps (id, fingerprint) rows; `bits` ≤ 63, blocks | bits
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming ≤ blocks−1
+    */
+  def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, blocks: Int): DataFrame = {
+    require(bits % blocks == 0, s"blocks ($blocks) must divide bits ($bits)")
+    val blockBits = bits / blocks
+    val mask = (1L << blockBits) - 1
+    // constant-range explode (InferFiltersFromGenerate folds away on a
+    // constant sequence — see TextQueries.explodeBands)
+    val blocksDf = fps
+      .select(col(idCol), col(fpCol),
+        explode(sequence(lit(0), lit(blocks - 1))).as("block"))
+      .select(col(idCol), col("block"),
+        expr(s"shiftright($fpCol, block * $blockBits) & $mask").as("bval"))
+    val cand = blocksDf.as("a")
+      .join(blocksDf.as("b"),
+        col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cand
+      .join(fps.select(col(idCol).as("id_a"), col(fpCol).as("fp_a")), "id_a")
+      .join(fps.select(col(idCol).as("id_b"), col(fpCol).as("fp_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= blocks - 1)
+  }
+
   /** Salted equi-join for a skewed fact side: the fact gets a uniform
     * salt in [0, salts); the (small-ish but not broadcastable) build side
     * is replicated once per salt so every (key, salt) pair co-locates.

@@ -77,24 +77,8 @@ object MultimodalQueries {
             element_at(col("features"), i + 1) > element_at(col("features"), i + 2),
             pow(lit(2.0), i).cast("long")).otherwise(0L)),
         lit(0L), (a, x) => a + x).as("ph"))
-    val blocks = hashed
-      .select(col("media_id"), col("ph"),
-        explode(sequence(lit(0), lit(PhashBlocks - 1))).as("block"))
-      .select(col("media_id"), col("block"),
-        expr(s"shiftright(ph, block * $PhashBlockBits) & ${(1 << PhashBlockBits) - 1}")
-          .as("bval"))
-    val cand = blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
-      .distinct()
-    cand
-      .join(hashed.select(col("media_id").as("id_a"), col("ph").as("ph_a")), "id_a")
-      .join(hashed.select(col("media_id").as("id_b"), col("ph").as("ph_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= PhashBlocks - 1)
+    graft.functions.ScaleFunctions
+      .hammingPairs(hashed, "media_id", "ph", PhashDim, PhashBlocks)
       .orderBy("id_a", "id_b")
   }
 

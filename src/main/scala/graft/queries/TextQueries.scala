@@ -156,25 +156,8 @@ object TextQueries {
         .select(col("doc_id"), hashArrayBits(tokens(col("text")), SimhashBits).as("hs")),
       Seq(col("doc_id")),
       "simhash" -> simhashFromHashesBits(col("hs"), SimhashBits))
-    // constant-range explode (see explodeBands for why not posexplode)
-    val blocks = sims
-      .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(SimhashBlocks - 1))).as("block"))
-      .select(col("doc_id"), col("block"),
-        expr(s"shiftright(simhash, block * $SimhashBlockBits) & ${(1 << SimhashBlockBits) - 1}")
-          .as("bval"))
-    val cand = blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(sims.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), "id_a")
-      .join(sims.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        hamming32(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
-      .filter(col("hamming") <= SimhashMaxHamming)
+    graft.functions.ScaleFunctions
+      .hammingPairs(sims, "doc_id", "simhash", SimhashBits, SimhashBlocks)
       .orderBy("id_a", "id_b")
   }
 

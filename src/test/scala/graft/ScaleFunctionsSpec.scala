@@ -15,6 +15,28 @@ class ScaleFunctionsSpec extends SparkTestBase {
     "key_2" -> "C", "key_3" -> "D", "key_4" -> "E", "key_5" -> "F", "key_6" -> "G")
     .toDF("k", "label")
 
+  test("hammingPairs finds exactly the brute-force Hamming<=blocks-1 pairs") {
+    // deterministic pseudo-random 24-bit fingerprints + planted near-dups
+    val rng = new scala.util.Random(42)
+    val base = (0L until 60L).map(i => i -> (rng.nextLong().abs & 0xffffffL))
+    val planted = Seq(
+      100L -> (base(0)._2 ^ 1L),          // hamming 1 from id 0
+      101L -> (base(1)._2 ^ 0x11L),       // hamming 2 from id 1
+      102L -> (base(2)._2 ^ 0x111L),      // hamming 3 from id 2
+      103L -> (base(3)._2 ^ 0x1111L))     // hamming 4 — must NOT pair with id 3
+    val rows = base ++ planted
+    val fps = rows.toDF("id", "fp")
+    val got = ScaleFunctions.hammingPairs(fps, "id", "fp", bits = 24, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (ia, fa) <- rows; (ib, fb) <- rows if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == want)
+    assert(want.contains((0L, 100L, 1)) && want.contains((2L, 102L, 3)))
+    assert(!got.exists { case (a, b, _) => (a, b) == (3L, 103L) })
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     val plain = skewed.join(dim, "k").groupBy("label")
       .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
