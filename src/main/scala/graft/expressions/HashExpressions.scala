@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{Bridge, GraftImplicitCasts}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 
 /** Native kernels for the MinHash/SimHash hot path.
   *
@@ -230,6 +230,81 @@ case class ArrayH32(child: Expression, bits: Int = 32)
     copy(child = newChild)
 }
 
+/** Rabin–Karp rolling polynomial hash over a byte payload: element p of
+  * the result is Σ_j bytes(p+j)·base^(window−1−j) mod `mod` for every
+  * window position p in [0, n−window] — computed INCREMENTALLY, O(1) per
+  * position after the first window (subtract the outgoing byte's
+  * base^(w−1) term, multiply by base, add the incoming byte), where the
+  * naive per-window sum is O(window) per position. The true "rolling"
+  * fingerprint primitive behind Karp–Rabin matching, CDC chunking, and
+  * pre-winnowing fingerprint sampling. Empty result for payloads shorter
+  * than the window. mod ≤ 2^30ish keeps every intermediate in a long.
+  */
+case class RollingPolyHash(child: Expression, window: Int, base: Long, mod: Long)
+    extends UnaryExpression with GraftImplicitCasts {
+  require(window >= 1 && base > 0 && mod > 1 && mod <= (1L << 31),
+    s"bad rolling-hash params: window=$window base=$base mod=$mod")
+  override def prettyName: String = "graft_rolling_hash"
+  override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  /** base^(window-1) mod `mod` — the outgoing byte's coefficient. */
+  private lazy val topPow: Long = {
+    var r = 1L; var i = 0
+    while (i < window - 1) { r = r * base % mod; i += 1 }
+    r
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length
+    if (n < window) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - window + 1)
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * base + (b(i) & 0xffL)) % mod; i += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= n - window) {
+      h = ((h - (b(p - 1) & 0xffL) * topPow % mod + mod * 256L) % mod * base +
+        (b(p + window - 1) & 0xffL)) % mod
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      s"""
+         |final int $n = $a.length;
+         |final long[] $out = new long[$n < $window ? 0 : $n - $window + 1];
+         |if ($n >= $window) {
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $window; $i++) {
+         |    $h = ($h * ${base}L + ($a[$i] & 0xffL)) % ${mod}L;
+         |  }
+         |  $out[0] = $h;
+         |  for (int $p = 1; $p <= $n - $window; $p++) {
+         |    $h = (($h - ($a[$p - 1] & 0xffL) * ${topPow}L % ${mod}L + ${mod}L * 256L)
+         |      % ${mod}L * ${base}L + ($a[$p + $window - 1] & 0xffL)) % ${mod}L;
+         |    $out[$p] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   def minhashNative(hs: Column, numHashes: Int): Column =
     Bridge.column(MinHashFromHashes(Bridge.expression(hs), numHashes))
@@ -239,4 +314,7 @@ object HashExpressions {
 
   def h32ArrayNative(strs: Column, bits: Int = 32): Column =
     Bridge.column(ArrayH32(Bridge.expression(strs), bits))
+
+  def rollingHashNative(bytes: Column, window: Int, base: Long, mod: Long): Column =
+    Bridge.column(RollingPolyHash(Bridge.expression(bytes), window, base, mod))
 }

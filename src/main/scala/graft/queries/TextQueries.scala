@@ -241,6 +241,35 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  private val RollW = 16            // rolling window, bytes
+  private val RollB = 257L          // polynomial base
+  private val RollM = 1000000007L   // modulus
+  private val RollP = 8L            // keep fp ≡ 0 (mod p) → ~1/p density
+
+  /** Rabin–Karp rolling-hash fingerprints with 0-mod-p selection — the
+    * classic pre-winnowing fingerprint sampler (Manber '94; the
+    * CDC/Karp–Rabin primitive): every 16-byte window's polynomial hash,
+    * computed INCREMENTALLY by the native kernel (O(1) per position —
+    * the naive per-window sum is O(w) per position), keep positions
+    * whose hash ≡ 0 mod 8 for an expected 1/8-density fingerprint set.
+    * Contrast with [[textWinnow]]: 0-mod-p has no per-window guarantee
+    * (an adversarial / unlucky run can select nothing), which is exactly
+    * the gap winnowing's min-of-window closes — the two queries are the
+    * before/after of the SIGMOD'03 argument, both over one projection +
+    * explode, no shuffle before the output sort.
+    */
+  def textRollingFp(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageBarrier(
+      Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("b")),
+      Seq(col("doc_id")),
+      "hs" -> graft.expressions.HashExpressions.rollingHashNative(col("b"), RollW, RollB, RollM))
+    staged
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "fp")))
+      .filter(pmod(col("fp"), lit(RollP)) === 0)
+      .select(col("doc_id"), col("pos0").cast("long").as("pos"), col("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Deterministic stratified train/val/test assignment: md5 the doc_id
     * into a uniform [0, 1e6) bucket → 80/10/10. A pure projection — no
     * RNG state, no shuffle, no sort — so the same document lands in the
@@ -994,6 +1023,7 @@ object TextQueries {
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "text_winnow" -> textWinnow,
     "text_winnow_match" -> textWinnowMatch,
+    "text_rolling_fp" -> textRollingFp,
     "split_assign" -> splitAssign,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
@@ -1393,6 +1423,23 @@ object TextQueries {
          |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
          |ORDER BY id_a, id_b""".stripMargin,
+    "text_rolling_fp" -> {
+      // base^(w-1-j) mod M for j in 0..w-1, as a DuckDB literal list
+      val pws = (0 until RollW).map { j =>
+        var r = 1L; (0 until (RollW - 1 - j)).foreach(_ => r = r * RollB % RollM); r
+      }.mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |                  octet_length(encode(text)) AS n FROM documents),
+         |px AS (SELECT doc_id, hx, unnest(range(0, n - ${RollW - 1})) AS p FROM h),
+         |sel AS (
+         |  SELECT doc_id, p,
+         |         list_sum([CAST('0x' || substr(hx, CAST((p + j) * 2 + 1 AS INT), 2) AS BIGINT)
+         |                   * ($pws)[CAST(j AS INT) + 1]
+         |                   for j in range(0, $RollW)]) % $RollM AS fp
+         |  FROM px)
+         |SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+         |FROM sel WHERE fp % $RollP = 0 ORDER BY doc_id, pos""".stripMargin
+    },
     "split_assign" ->
       s"""SELECT doc_id, lang,
          |       CASE WHEN u < 800000 THEN 'train'

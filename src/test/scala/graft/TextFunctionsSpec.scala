@@ -76,6 +76,26 @@ class TextFunctionsSpec extends SparkTestBase {
     sh.foreach(s => assert(s >= 0 && s < (1L << 60)))
   }
 
+  test("rolling hash kernel == naive per-window polynomial; empty below window") {
+    import graft.expressions.HashExpressions.rollingHashNative
+    val (w, b, m) = (4, 257L, 1000000007L)
+    val texts = Seq("hello world rolling", "abcd", "abc", "", "ééé日本語 bytes")
+    val rows = texts.map(Tuple1(_)).toDF("t")
+      .select(col("t"), rollingHashNative(col("t").cast("binary"), w, b, m).as("hs"))
+      .as[(String, Seq[Long])].collect()
+    rows.foreach { case (t, hs) =>
+      val bytes = t.getBytes("UTF-8").map(_ & 0xff)
+      val want =
+        if (bytes.length < w) Seq.empty
+        else (0 to bytes.length - w).map { p =>
+          (0 until w).foldLeft(0L)((acc, j) => (acc * b + bytes(p + j)) % m)
+        }
+      assert(hs == want, s"mismatch for '$t'")
+    }
+    assert(rows.find(_._1 == "abc").get._2.isEmpty)
+    assert(rows.find(_._1 == "abcd").get._2.size == 1)
+  }
+
   test("native minhash kernel == HOF formulation on random inputs") {
     val rng = new scala.util.Random(11)
     val rows = Seq.fill(30)(Seq.fill(rng.nextInt(50) + 1)(rng.alphanumeric.take(8).mkString))
