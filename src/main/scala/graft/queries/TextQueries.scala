@@ -270,6 +270,47 @@ object TextQueries {
       .orderBy("doc_id", "pos")
   }
 
+  private val CdcMask = 64L   // boundary when rolling fp ≡ 0 (mod 64) → ~64 B chunks
+
+  /** Content-defined chunking (rsync / LBFS / FastCDC lineage): cut the
+    * payload AFTER every window whose rolling hash ≡ 0 mod 64, emit each
+    * chunk's (index, start, length, md5-of-hex fingerprint). Because
+    * boundaries depend only on LOCAL bytes, an insertion shifts chunk
+    * positions but re-synchronizes at the next content boundary — chunk
+    * fingerprints downstream dedup shared content across shifted
+    * near-copies, which the fixed-stride text_chunks cannot (every chunk
+    * after an insertion changes). Whole thing is one projection over the
+    * native rolling-hash kernel + a per-row explode; fingerprints hash
+    * the hex plane so the oracle (VARCHAR-only md5) replays byte-for-
+    * byte. Docs shorter than the window become one whole-doc chunk.
+    */
+  def textCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageBarrier(
+      Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("b")),
+      Seq(col("doc_id"), col("b")),
+      "hs" -> graft.expressions.HashExpressions.rollingHashNative(col("b"), RollW, RollB, RollM))
+    staged
+      // i is the 1-based index into hs → window start i−1, boundary after
+      // the window's last byte: (i−1) + W = i + W − 1
+      .withColumn("bnd", transform(
+        filter(sequence(lit(1), size(col("hs"))),
+          i => pmod(element_at(col("hs"), i), lit(CdcMask)) === 0),
+        i => (i + (RollW - 1)).cast("long")))
+      .withColumn("ss", concat(array(lit(0L)), col("bnd")))
+      .withColumn("es", concat(col("bnd"), array(length(col("b")).cast("long"))))
+      .select(col("doc_id"), col("b"),
+        posexplode(zip_with(col("ss"), col("es"),
+          (s0, e0) => struct(s0.as("s"), e0.as("e")))).as(Seq("ci", "se")))
+      .filter(col("se.e") > col("se.s"))
+      .select(col("doc_id"),
+        col("ci").cast("long").as("chunk_idx"),
+        col("se.s").as("start"),
+        (col("se.e") - col("se.s")).as("len"),
+        md5(lower(hex(expr(
+          "substring(b, cast(se.s + 1 as int), cast(se.e - se.s as int))")))).as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Deterministic stratified train/val/test assignment: md5 the doc_id
     * into a uniform [0, 1e6) bucket → 80/10/10. A pure projection — no
     * RNG state, no shuffle, no sort — so the same document lands in the
@@ -1024,6 +1065,7 @@ object TextQueries {
     "text_winnow" -> textWinnow,
     "text_winnow_match" -> textWinnowMatch,
     "text_rolling_fp" -> textRollingFp,
+    "text_cdc_chunks" -> textCdcChunks,
     "split_assign" -> splitAssign,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
@@ -1439,6 +1481,37 @@ object TextQueries {
          |  FROM px)
          |SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
          |FROM sel WHERE fp % $RollP = 0 ORDER BY doc_id, pos""".stripMargin
+    },
+    "text_cdc_chunks" -> {
+      val pws = (0 until RollW).map { j =>
+        var r = 1L; (0 until (RollW - 1 - j)).foreach(_ => r = r * RollB % RollM); r
+      }.mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |                  octet_length(encode(text)) AS n FROM documents),
+         |hs AS (
+         |  SELECT doc_id, hx, n,
+         |         [list_sum([CAST('0x' || substr(hx, CAST((p + j) * 2 + 1 AS INT), 2) AS BIGINT)
+         |                    * ($pws)[CAST(j AS INT) + 1]
+         |                    for j in range(0, $RollW)]) % $RollM
+         |          for p in range(0, n - ${RollW - 1})] AS hs
+         |  FROM h),
+         |bnd AS (SELECT doc_id, hx, n,
+         |          [p + $RollW for p in range(0, CAST(len(hs) AS BIGINT)) if hs[CAST(p AS INT) + 1] % $CdcMask = 0] AS bs
+         |        FROM hs),
+         |ch AS (SELECT doc_id, hx,
+         |         list_prepend(CAST(0 AS BIGINT), bs) AS ss,
+         |         list_append(bs, CAST(n AS BIGINT)) AS es
+         |       FROM bnd),
+         |ex AS (SELECT doc_id, hx, ss, es,
+         |              unnest(range(0, CAST(len(ss) AS BIGINT))) AS ci FROM ch)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         |       ss[CAST(ci AS INT) + 1] AS start,
+         |       es[CAST(ci AS INT) + 1] - ss[CAST(ci AS INT) + 1] AS len,
+         |       md5(lower(substr(hx, CAST(ss[CAST(ci AS INT) + 1] * 2 + 1 AS INT),
+         |                        CAST((es[CAST(ci AS INT) + 1] - ss[CAST(ci AS INT) + 1]) * 2 AS INT)))) AS fp
+         |FROM ex
+         |WHERE es[CAST(ci AS INT) + 1] > ss[CAST(ci AS INT) + 1]
+         |ORDER BY doc_id, chunk_idx""".stripMargin
     },
     "split_assign" ->
       s"""SELECT doc_id, lang,
