@@ -311,6 +311,25 @@ object TextQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** The CDC dedup deliverable: corpus bytes vs bytes after chunk-level
+    * dedup (each distinct chunk fingerprint stored once) — the number a
+    * storage/dataset team actually asks for. Distinct-fp accounting
+    * takes ONE chunk per fingerprint deterministically (min (doc,idx));
+    * everything aggregates from the chunk relation, no second corpus
+    * scan. The ratio is exact-integer until the final rounded division.
+    */
+  def cdcDedupRatio(s: SparkSession, dir: String): DataFrame = {
+    val chunks = textCdcChunks(s, dir)
+    chunks
+      .groupBy("fp").agg(min(col("len")).as("len1"), count(lit(1)).as("n_copies"))
+      .agg(
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("len1") * col("n_copies")).cast("long").as("total_bytes"),
+        sum(col("len1")).cast("long").as("dedup_bytes"))
+      .select(col("n_distinct_chunks"), col("total_bytes"), col("dedup_bytes"),
+        round(col("dedup_bytes").cast("double") / col("total_bytes"), 6).as("dedup_ratio"))
+  }
+
   /** Deterministic stratified train/val/test assignment: md5 the doc_id
     * into a uniform [0, 1e6) bucket → 80/10/10. A pure projection — no
     * RNG state, no shuffle, no sort — so the same document lands in the
@@ -1066,6 +1085,7 @@ object TextQueries {
     "text_winnow_match" -> textWinnowMatch,
     "text_rolling_fp" -> textRollingFp,
     "text_cdc_chunks" -> textCdcChunks,
+    "cdc_dedup_ratio" -> cdcDedupRatio,
     "split_assign" -> splitAssign,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
@@ -1148,6 +1168,39 @@ object TextQueries {
   private val deList = StopwordsDe.map(w => s"'$w'").mkString(", ")
   private val frList = StopwordsFr.map(w => s"'$w'").mkString(", ")
   private val esList = StopwordsEs.map(w => s"'$w'").mkString(", ")
+
+  /** Shared CDC chunk SQL (text_cdc_chunks + cdc_dedup_ratio). */
+  private lazy val cdcChunksSql: String = {
+      val pws = (0 until RollW).map { j =>
+        var r = 1L; (0 until (RollW - 1 - j)).foreach(_ => r = r * RollB % RollM); r
+      }.mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |                  octet_length(encode(text)) AS n FROM documents),
+         |hs AS (
+         |  SELECT doc_id, hx, n,
+         |         [list_sum([CAST('0x' || substr(hx, CAST((p + j) * 2 + 1 AS INT), 2) AS BIGINT)
+         |                    * ($pws)[CAST(j AS INT) + 1]
+         |                    for j in range(0, $RollW)]) % $RollM
+         |          for p in range(0, n - ${RollW - 1})] AS hs
+         |  FROM h),
+         |bnd AS (SELECT doc_id, hx, n,
+         |          [p + $RollW for p in range(0, CAST(len(hs) AS BIGINT)) if hs[CAST(p AS INT) + 1] % $CdcMask = 0] AS bs
+         |        FROM hs),
+         |ch AS (SELECT doc_id, hx,
+         |         list_prepend(CAST(0 AS BIGINT), bs) AS ss,
+         |         list_append(bs, CAST(n AS BIGINT)) AS es
+         |       FROM bnd),
+         |ex AS (SELECT doc_id, hx, ss, es,
+         |              unnest(range(0, CAST(len(ss) AS BIGINT))) AS ci FROM ch)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         |       ss[CAST(ci AS INT) + 1] AS start,
+         |       es[CAST(ci AS INT) + 1] - ss[CAST(ci AS INT) + 1] AS len,
+         |       md5(lower(substr(hx, CAST(ss[CAST(ci AS INT) + 1] * 2 + 1 AS INT),
+         |                        CAST((es[CAST(ci AS INT) + 1] - ss[CAST(ci AS INT) + 1]) * 2 AS INT)))) AS fp
+         |FROM ex
+         |WHERE es[CAST(ci AS INT) + 1] > ss[CAST(ci AS INT) + 1]
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1482,37 +1535,16 @@ object TextQueries {
          |SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
          |FROM sel WHERE fp % $RollP = 0 ORDER BY doc_id, pos""".stripMargin
     },
-    "text_cdc_chunks" -> {
-      val pws = (0 until RollW).map { j =>
-        var r = 1L; (0 until (RollW - 1 - j)).foreach(_ => r = r * RollB % RollM); r
-      }.mkString("[", ", ", "]")
-      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
-         |                  octet_length(encode(text)) AS n FROM documents),
-         |hs AS (
-         |  SELECT doc_id, hx, n,
-         |         [list_sum([CAST('0x' || substr(hx, CAST((p + j) * 2 + 1 AS INT), 2) AS BIGINT)
-         |                    * ($pws)[CAST(j AS INT) + 1]
-         |                    for j in range(0, $RollW)]) % $RollM
-         |          for p in range(0, n - ${RollW - 1})] AS hs
-         |  FROM h),
-         |bnd AS (SELECT doc_id, hx, n,
-         |          [p + $RollW for p in range(0, CAST(len(hs) AS BIGINT)) if hs[CAST(p AS INT) + 1] % $CdcMask = 0] AS bs
-         |        FROM hs),
-         |ch AS (SELECT doc_id, hx,
-         |         list_prepend(CAST(0 AS BIGINT), bs) AS ss,
-         |         list_append(bs, CAST(n AS BIGINT)) AS es
-         |       FROM bnd),
-         |ex AS (SELECT doc_id, hx, ss, es,
-         |              unnest(range(0, CAST(len(ss) AS BIGINT))) AS ci FROM ch)
-         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
-         |       ss[CAST(ci AS INT) + 1] AS start,
-         |       es[CAST(ci AS INT) + 1] - ss[CAST(ci AS INT) + 1] AS len,
-         |       md5(lower(substr(hx, CAST(ss[CAST(ci AS INT) + 1] * 2 + 1 AS INT),
-         |                        CAST((es[CAST(ci AS INT) + 1] - ss[CAST(ci AS INT) + 1]) * 2 AS INT)))) AS fp
-         |FROM ex
-         |WHERE es[CAST(ci AS INT) + 1] > ss[CAST(ci AS INT) + 1]
-         |ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+    "text_cdc_chunks" -> cdcChunksSql,
+    "cdc_dedup_ratio" ->
+      s"""WITH chunks AS ($cdcChunksSql),
+         |per_fp AS (SELECT fp, min(len) AS len1, count(*) AS n_copies
+         |           FROM chunks GROUP BY fp)
+         |SELECT CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |       CAST(sum(len1 * n_copies) AS BIGINT) AS total_bytes,
+         |       CAST(sum(len1) AS BIGINT) AS dedup_bytes,
+         |       round(sum(len1)::DOUBLE / sum(len1 * n_copies)::DOUBLE, 6) AS dedup_ratio
+         |FROM per_fp""".stripMargin,
     "split_assign" ->
       s"""SELECT doc_id, lang,
          |       CASE WHEN u < 800000 THEN 'train'
