@@ -258,7 +258,7 @@ object TextQueries {
     * before/after of the SIGMOD'03 argument, both over one projection +
     * explode, no shuffle before the output sort.
     */
-  def textRollingFp(s: SparkSession, dir: String): DataFrame = {
+  private def rollingFpRows(s: SparkSession, dir: String): DataFrame = {
     val staged = stageBarrier(
       Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("b")),
       Seq(col("doc_id")),
@@ -267,7 +267,32 @@ object TextQueries {
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "fp")))
       .filter(pmod(col("fp"), lit(RollP)) === 0)
       .select(col("doc_id"), col("pos0").cast("long").as("pos"), col("fp"))
-      .orderBy("doc_id", "pos")
+  }
+
+  def textRollingFp(s: SparkSession, dir: String): DataFrame =
+    rollingFpRows(s, dir).orderBy("doc_id", "pos")
+
+  /** Per-document duplicated-span coverage (the Lee et al. '22
+    * "Deduplicating Training Data Makes Language Models Better"
+    * diagnostic): the fraction of a document's sampled rolling-hash
+    * fingerprints that also occur in at least one OTHER document — how
+    * much of each document is text duplicated elsewhere, the dial that
+    * justifies substring-level dedup. Runs over the 0-mod-p SAMPLE on
+    * purpose: coverage is a ratio, so the 1/p sample estimates it at 1/p
+    * cost and the fingerprint df table is sample-sized — the scale
+    * answer for a 100 TB corpus where all-window accounting would be a
+    * corpus-sized shuffle.
+    */
+  def textDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val rows = rollingFpRows(s, dir).select(col("doc_id"), col("fp"))
+    val docsPerFp = rows.distinct().groupBy("fp").agg(count(lit(1)).as("ndocs"))
+    rows.join(docsPerFp, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_frac"))
+      .orderBy("doc_id")
   }
 
   private val CdcMask = 64L   // boundary when rolling fp ≡ 0 (mod 64) → ~64 B chunks
@@ -1084,6 +1109,7 @@ object TextQueries {
     "text_winnow" -> textWinnow,
     "text_winnow_match" -> textWinnowMatch,
     "text_rolling_fp" -> textRollingFp,
+    "text_dup_spans" -> textDupSpans,
     "text_cdc_chunks" -> textCdcChunks,
     "cdc_dedup_ratio" -> cdcDedupRatio,
     "split_assign" -> splitAssign,
@@ -1168,6 +1194,25 @@ object TextQueries {
   private val deList = StopwordsDe.map(w => s"'$w'").mkString(", ")
   private val frList = StopwordsFr.map(w => s"'$w'").mkString(", ")
   private val esList = StopwordsEs.map(w => s"'$w'").mkString(", ")
+
+  /** Shared sampled rolling-fingerprint SQL (text_rolling_fp + text_dup_spans). */
+  private lazy val rollingFpSql: String = {
+    // base^(w-1-j) mod M for j in 0..w-1, as a DuckDB literal list
+    val pws = (0 until RollW).map { j =>
+      var r = 1L; (0 until (RollW - 1 - j)).foreach(_ => r = r * RollB % RollM); r
+    }.mkString("[", ", ", "]")
+    s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |                  octet_length(encode(text)) AS n FROM documents),
+       |px AS (SELECT doc_id, hx, unnest(range(0, n - ${RollW - 1})) AS p FROM h),
+       |sel AS (
+       |  SELECT doc_id, p,
+       |         list_sum([CAST('0x' || substr(hx, CAST((p + j) * 2 + 1 AS INT), 2) AS BIGINT)
+       |                   * ($pws)[CAST(j AS INT) + 1]
+       |                   for j in range(0, $RollW)]) % $RollM AS fp
+       |  FROM px)
+       |SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+       |FROM sel WHERE fp % $RollP = 0""".stripMargin
+  }
 
   /** Shared CDC chunk SQL (text_cdc_chunks + cdc_dedup_ratio). */
   private lazy val cdcChunksSql: String = {
@@ -1518,23 +1563,18 @@ object TextQueries {
          |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
          |ORDER BY id_a, id_b""".stripMargin,
-    "text_rolling_fp" -> {
-      // base^(w-1-j) mod M for j in 0..w-1, as a DuckDB literal list
-      val pws = (0 until RollW).map { j =>
-        var r = 1L; (0 until (RollW - 1 - j)).foreach(_ => r = r * RollB % RollM); r
-      }.mkString("[", ", ", "]")
-      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
-         |                  octet_length(encode(text)) AS n FROM documents),
-         |px AS (SELECT doc_id, hx, unnest(range(0, n - ${RollW - 1})) AS p FROM h),
-         |sel AS (
-         |  SELECT doc_id, p,
-         |         list_sum([CAST('0x' || substr(hx, CAST((p + j) * 2 + 1 AS INT), 2) AS BIGINT)
-         |                   * ($pws)[CAST(j AS INT) + 1]
-         |                   for j in range(0, $RollW)]) % $RollM AS fp
-         |  FROM px)
-         |SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
-         |FROM sel WHERE fp % $RollP = 0 ORDER BY doc_id, pos""".stripMargin
-    },
+    "text_rolling_fp" -> s"$rollingFpSql ORDER BY doc_id, pos",
+    "text_dup_spans" ->
+      s"""WITH rfp AS ($rollingFpSql),
+         |u AS (SELECT DISTINCT doc_id, fp FROM rfp),
+         |dfc AS (SELECT fp, count(*) AS ndocs FROM u GROUP BY fp)
+         |SELECT r.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |       round(sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*)::DOUBLE, 6) AS dup_frac
+         |FROM rfp r JOIN dfc d USING (fp)
+         |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
     "text_cdc_chunks" -> cdcChunksSql,
     "cdc_dedup_ratio" ->
       s"""WITH chunks AS ($cdcChunksSql),

@@ -565,11 +565,12 @@ object VectorQueries {
     * band per query — widen Bits/BandBits for selectivity at scale, the
     * standard multi-table LSH tuning), never n·|Q|.
     */
-  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+  def knnLsh(s: SparkSession, dir: String): DataFrame = knnLshFrom(emb(s, dir))
+
+  private def knnLshFrom(e0: DataFrame): DataFrame = {
     val Bits = 16
     val BandBits = 4
-    val e = emb(s, dir)
-      .withColumn("sig", hyperplaneSignature(col("v"), Bits, 64))
+    val e = e0.withColumn("sig", hyperplaneSignature(col("v"), Bits, 64))
     def bands(df: DataFrame, idCol: String): DataFrame =
       df.select(col(idCol), col("sig"),
           explode(sequence(lit(0), lit(Bits / BandBits - 1))).as("band"))
@@ -596,6 +597,34 @@ object VectorQueries {
       .withColumn("rnk", row_number().over(wK))
       .filter(col("rnk") <= K)
       .orderBy("query_id", "rnk")
+  }
+
+  /** Recall@K of the LSH search against exact brute force — the quality
+    * dial for the Bits/BandBits trade, completing the recall triple
+    * (knn_recall: IVF; knn_recall_pq: IVF-PQ; here: hyperplane LSH).
+    * Same composition shape: one shared persisted corpus feeds both
+    * lineages, overlap via left-semi join, zeros kept from the query
+    * list, ≤ NumQueries rows materialized eagerly so the cache releases
+    * deterministically.
+    */
+  def knnRecallLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v")).persist()
+    try {
+      val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
+      val lsh = knnLshFrom(e)
+        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+      val overlap = brute
+        .join(lsh, col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val out = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / K, 6).as("recall"))
+        .orderBy("query_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally e.unpersist(false)
   }
 
   /** Maximum-inner-product top-k via the norm-augmentation reduction
@@ -813,6 +842,7 @@ object VectorQueries {
     "emb_neardup" -> embNeardup,
     "emb_lsh_buckets" -> embLshBuckets,
     "knn_lsh" -> knnLsh,
+    "knn_recall_lsh" -> knnRecallLsh,
     "emb_mips" -> embMips,
     "emb_quantize" -> embQuantize,
     "emb_pq" -> embPq,
@@ -1230,6 +1260,58 @@ object VectorQueries {
          |       CAST((s >> CAST(band * 4 AS INT)) % 16 AS BIGINT) AS bucket
          |FROM sig CROSS JOIN range(0, 4) rb(band)
          |ORDER BY vec_id, band""".stripMargin,
+    "knn_recall_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (
+         |  SELECT CAST(j AS INT) AS j,
+         |         [CAST('0x' || substr(md5('p' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)
+         |               AS BIGINT) / 4294967296.0 - 0.5
+         |          for i in range(0, 64)] AS pv
+         |  FROM range(0, 16) r(j)),
+         |sig AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN list_dot_product(v, pv) > 0
+         |                       THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS s
+         |  FROM e CROSS JOIN planes GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, band, (s >> CAST(band * 4 AS INT)) % 16 AS bucket
+         |  FROM sig CROSS JOIN range(0, 4) rb(band)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bands b JOIN bands q
+         |    ON b.band = q.band AND b.bucket = q.bucket
+         |  WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(${cosSql.format("eq.v", "ec.v", "eq.v", "eq.v", "ec.v", "ec.v")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN e eq ON eq.vec_id = c.query_id
+         |  JOIN e ec ON ec.vec_id = c.neighbor_id),
+         |lshk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= $K),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K),
+         |hit AS (
+         |  SELECT b.query_id, count(*) AS n
+         |  FROM brute b JOIN lshk l
+         |    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT qq.query_id, round(coalesce(hit.n, 0)::DOUBLE / $K, 6) AS recall
+         |FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hit USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     "emb_mips" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |m AS (SELECT max(sqrt(list_dot_product(v, v))) AS mx FROM e),
