@@ -6,7 +6,8 @@ import org.apache.spark.sql.graftbridge.FunctionRegistration
 /** Session-extension entry point:
   *   spark.sql.extensions=graft.GraftExtensions
   * registers the native kernels (graft_dot, graft_cosine,
-  * graft_h32_array, graft_simhash, graft_minhash16) as SQL functions.
+  * graft_h32_array, graft_simhash, graft_minhash16, graft_rolling_hash16)
+  * as SQL functions.
   * For an already-built session use `GraftFunctions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

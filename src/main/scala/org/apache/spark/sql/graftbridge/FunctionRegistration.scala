@@ -31,7 +31,10 @@ object FunctionRegistration {
     ("graft_simhash", "graft_simhash(hs) - 32-bit simhash from element hashes",
       (e: Seq[Expression]) => SimHashFromHashes(e.head)),
     ("graft_minhash16", "graft_minhash16(hs) - 16-entry minhash signature from element hashes",
-      (e: Seq[Expression]) => MinHashFromHashes(e.head, 16)))
+      (e: Seq[Expression]) => MinHashFromHashes(e.head, 16)),
+    ("graft_rolling_hash16",
+      "graft_rolling_hash16(bytes) - Rabin-Karp 16-byte-window rolling polynomial hashes",
+      (e: Seq[Expression]) => RollingPolyHash(e.head, 16, 257L, 1000000007L)))
 
   /** Inject into a SparkSessionExtensions (spark.sql.extensions path). */
   def inject(ext: SparkSessionExtensions): Unit =

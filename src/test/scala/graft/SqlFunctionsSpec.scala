@@ -10,13 +10,17 @@ class SqlFunctionsSpec extends SparkTestBase {
         |       round(graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
         |       graft_h32_array(array('a', 'b')) AS hs,
         |       graft_simhash(graft_h32_array(array('x', 'y', 'z'))) AS sh,
-        |       size(graft_minhash16(graft_h32_array(array('p q r')))) AS m
+        |       size(graft_minhash16(graft_h32_array(array('p q r')))) AS m,
+        |       graft_rolling_hash16(cast('abcdefghijklmnopqr' as binary)) AS rh
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
     assert(r.getSeq[Long](2).length == 2)
     assert(r.getLong(3) >= 0 && r.getLong(3) < (1L << 32))
     assert(r.getInt(4) == 16)
+    // 18 bytes, 16-byte window -> 3 window hashes, all in [0, 1e9+7)
+    assert(r.getSeq[Long](5).length == 3)
+    assert(r.getSeq[Long](5).forall(h => h >= 0 && h < 1000000007L))
   }
 
   test("SQL arguments coerce via declared input types (no ArrayData misread)") {
