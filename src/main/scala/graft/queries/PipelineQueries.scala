@@ -226,6 +226,31 @@ object PipelineQueries {
       .orderBy("user_id", "bucket")
   }
 
+  /** Inter-arrival cadence per (user, event type): lag each user's
+    * per-type event sequence, then aggregate the gap distribution
+    * (median/p90/max seconds) per type — the device-health dial that
+    * catches silent sensors and flapping reporters before the watchdog
+    * does. One user+type-keyed lag window over integer microsecond
+    * gaps (exact percentiles over exact longs — bit-stable across
+    * engines), then a partial-aggregated groupBy to |types| rows.
+    */
+  def pipeCadence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)") / 1e6, 6).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1e6, 6).as("p90_s"),
+        round(max(col("gap_us")).cast("double") / 1e6, 6).as("max_s"))
+      .orderBy("event_type")
+  }
+
   /** Event-type transition matrix (first-order Markov estimate): for
     * each user's event sequence in (ts, event_id) order, count
     * (type → next-type) transitions and normalize per source type — the
@@ -419,6 +444,7 @@ object PipelineQueries {
     "pipe_resample" -> pipeResample,
     "pipe_gap_fill" -> pipeGapFill,
     "pipe_markov" -> pipeMarkov,
+    "pipe_cadence" -> pipeCadence,
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
@@ -477,6 +503,19 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT event_id, 'fixed', CAST(user_id % 100 AS DOUBLE) FROM events)
         |ORDER BY event_id, mkey""".stripMargin,
+    "pipe_cadence" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_s,
+        |       round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s,
+        |       round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pipe_markov" ->
       """WITH t AS (
         |  SELECT user_id, event_type,
