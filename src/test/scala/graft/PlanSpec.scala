@@ -120,6 +120,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("text_rolling_fp / text_cdc_chunks: kernel projection only (no hash exchange)") {
+    // both are per-row kernel + explode shapes; a hashpartitioning would
+    // mean the corpus started shuffling for a projection
+    Seq("text_rolling_fp", "text_cdc_chunks").foreach { q =>
+      val p = physical(q)
+      assert(!p.contains("hashpartitioning"), s"$q: ${p.take(2000)}")
+      assert(p.contains("graft_rolling_hash"), s"$q lost the native kernel")
+    }
+  }
+
+  test("emb_mips: corpus stays projection-shaped; 1-row max and queries broadcast") {
+    val p = physical("emb_mips")
+    assert(!p.contains("hashpartitioning(vec_id"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
+  test("pipe_gap_fill: grid explode sits above the cell aggregate, not the events scan") {
+    // the Generate must consume the (user, h0, h1) bounds aggregate —
+    // exploding before aggregation would regenerate per event row
+    val o = optimized("pipe_gap_fill")
+    val genIdx = o.indexOf("Generate explode(sequence")
+    val aggIdx = o.indexOf("Aggregate")
+    assert(genIdx >= 0 && aggIdx >= 0 && genIdx < o.lastIndexOf("Aggregate"),
+      o.take(2500))
+  }
+
   test("PLANS.md is fresh: every registered query has a plan section") {
     // PLANS.md went stale once (r4) when queries were added without
     // regenerating it; `sbt "runMain graft.Explain"` rebuilds it
