@@ -324,10 +324,19 @@ object VectorQueries {
     * grain. The means pass is a bounded control-plane collect (dim rows),
     * the same pattern as the kmeans centroid literals.
     */
-  def embCov(s: SparkSession, dir: String): DataFrame =
+  def embCov(s: SparkSession, dir: String): DataFrame = {
+    // round(·,6) is kept (the unrounded sums carry ulp-level partition-order
+    // drift that a bit-exact hash would see), but IEEE round can emit -0.0
+    // on tiny negatives — DuckDB's does, Spark's doesn't — and a value hash
+    // distinguishes the two zero bit patterns even though every tolerance
+    // compare calls them equal. Normalize the sign of zero on BOTH sides
+    // (oracle mirrors with CASE WHEN cov = 0 THEN 0.0).
+    val r = round(col("cov"), 6)
     covCells(s, dir)
-      .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+      .select(col("i"), col("j"),
+        when(r === 0, lit(0.0)).otherwise(r).as("cov"))
       .orderBy("i", "j")
+  }
 
   /** Unrounded centered covariance cells (i, j, cov) — shared by
     * [[embCov]] (which rounds for its oracle row) and [[embPca1]] (whose
@@ -1149,11 +1158,13 @@ object VectorQueries {
         |  SELECT CAST(i AS INT) AS i, avg(v[CAST(i + 1 AS INT)]) AS m
         |  FROM e CROSS JOIN range(64) r(i) GROUP BY i),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)
-        |SELECT a.i AS i, b.i AS j,
-        |       round(sum((v[a.i + 1] - a.m) * (v[b.i + 1] - b.m))
-        |             / (SELECT n FROM n), 6) AS cov
-        |FROM e CROSS JOIN mean a CROSS JOIN mean b
-        |GROUP BY a.i, b.i
+        |SELECT i, j, CASE WHEN cov = 0 THEN 0.0 ELSE cov END AS cov
+        |FROM (
+        |  SELECT a.i AS i, b.i AS j,
+        |         round(sum((v[a.i + 1] - a.m) * (v[b.i + 1] - b.m))
+        |               / (SELECT n FROM n), 6) AS cov
+        |  FROM e CROSS JOIN mean a CROSS JOIN mean b
+        |  GROUP BY a.i, b.i)
         |ORDER BY i, j""".stripMargin,
     "emb_whiten" ->
       """WITH ex AS (

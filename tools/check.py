@@ -2,10 +2,29 @@
 """Local replica of the driver's correctness gate: for each query output
 parquet under OUTDIR, run the matching oracle SQL from oracle_sql.json in
 DuckDB (tables = parquet files in SFDIR), sort columns by name + rows, and
-compare values. Usage: check.py SFDIR OUTDIR [query ...]
+compare values. Usage: check.py [--atol] SFDIR OUTDIR [query ...]
+
+Default float compare is HASH-AWARE: a tight tolerance (rtol=1e-9,
+atol=1e-13 — three orders stricter than the old gate on small values, and
+relative-aware on large ones) PLUS an exact sign-of-zero check on the
+12-decimal-rounded values, so -0.0 vs 0.0 FAILS while cross-engine
+partition-order summation drift passes. Calibration (r7 driver data, 98
+queries): the driver's value hash tolerates the repo's real summation
+drift — emb_pca1 at 7e-15 relative straddling every significant-digit
+formatting grain, q_corr_agg's covar at 1.4e-12 absolute on magnitude 212
+— so its normalization is coarser than any fixed decimal/sig-digit scheme
+this repo's drift can distinguish; but it flagged emb_cov solely for a
+-0.0/0.0 bit difference (r6 AND r7), so sign of zero IS hashed and
+survives whatever rounding the driver applies (round(-0.0)=-0.0). This
+gate is therefore strictly tighter than every driver hypothesis consistent
+with the data: local-green implies driver-green. The emb_cov regression
+shipped because the old atol=1e-9 mode called -0.0 and 0.0 equal — pass
+--atol only to triage HOW FAR apart a red query is, never as the
+pre-commit gate.
 """
 import sys, os, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -19,9 +38,24 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def float_eq(a: pd.Series, b: pd.Series, exact: bool):
+    av = a.astype(float).to_numpy()
+    bv = b.astype(float).to_numpy()
+    if not exact:
+        return np.isclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
+    close = np.isclose(av, bv, rtol=1e-9, atol=1e-13, equal_nan=True)
+    # sign-of-zero on the rounded plane: 0.0 vs -0.0 (or vs a tiny negative
+    # that the driver's rounding would turn into -0.0) is a hash mismatch
+    ra = np.array([round(float(v), 12) for v in av])
+    rb = np.array([round(float(v), 12) for v in bv])
+    zero_sign_bad = (ra == 0) & (rb == 0) & (np.signbit(ra) != np.signbit(rb))
+    return close & ~zero_sign_bad
+
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:] if a != "--atol"]
+    exact = "--atol" not in sys.argv[1:]
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -49,12 +83,11 @@ def main():
         for c in got.columns:
             a, b = got[c], exp[c]
             if a.dtype.kind == "f" or b.dtype.kind == "f":
-                import numpy as np
-                same = np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+                same = float_eq(a, b, exact)
             else:
-                same = (a.astype(str) == b.astype(str))
+                same = (a.astype(str) == b.astype(str)).to_numpy()
             if not same.all():
-                i = same.idxmin() if hasattr(same, "idxmin") else list(same).index(False)
+                i = int(np.argmin(same))
                 print(f"FAIL {name}: col {c} row {i}: got={a.iloc[i]!r} exp={b.iloc[i]!r}")
                 eq = False
                 break
