@@ -242,7 +242,13 @@ case class ArrayH32(child: Expression, bits: Int = 32)
   */
 case class RollingPolyHash(child: Expression, window: Int, base: Long, mod: Long)
     extends UnaryExpression with GraftImplicitCasts {
-  require(window >= 1 && base > 0 && mod > 1 && mod <= (1L << 31),
+  // base is bounded too: the incremental step computes h*base and
+  // byte*topPow on raw longs, so (mod-1)*base (and 255*topPow ≤ 255*(mod-1))
+  // must stay under 2^63 — with mod ≤ 2^31 any base ≤ 2^31 is safe, and an
+  // oversized base must fail construction rather than silently overflow
+  // the intermediates into wrong (not erroring) hashes.
+  require(window >= 1 && base > 0 && base <= (1L << 31) &&
+      mod > 1 && mod <= (1L << 31),
     s"bad rolling-hash params: window=$window base=$base mod=$mod")
   override def prettyName: String = "graft_rolling_hash"
   override def graftInputTypes: Seq[DataType] = Seq(BinaryType)

@@ -25,16 +25,22 @@ object ScaleFunctions {
     */
   def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
       bits: Int, blocks: Int): DataFrame = {
+    // bits ≤ 63 keeps the fingerprint in the non-negative half of a long:
+    // a sign-extended shiftright on a negative 64-bit fingerprint would
+    // produce block values outside [0, 2^blockBits) and void the
+    // pigeonhole guarantee (scaladoc contract, now enforced)
+    require(bits >= 1 && bits <= 63, s"bits ($bits) must be in [1, 63]")
     require(bits % blocks == 0, s"blocks ($blocks) must divide bits ($bits)")
     val blockBits = bits / blocks
     val mask = (1L << blockBits) - 1
-    // constant-range explode (InferFiltersFromGenerate folds away on a
-    // constant sequence — see TextQueries.explodeBands)
+    // posexplode over a FIXED-LENGTH array of per-block Column expressions:
+    // pure Column API (no SQL-string interpolation of the caller's column
+    // name), constant literal shift amounts, and InferFiltersFromGenerate's
+    // size(...)>0 guard constant-folds on a statically-sized array
+    val blockExprs = (0 until blocks).map(b =>
+      shiftright(col(fpCol), b * blockBits).bitwiseAND(lit(mask)))
     val blocksDf = fps
-      .select(col(idCol), col(fpCol),
-        explode(sequence(lit(0), lit(blocks - 1))).as("block"))
-      .select(col(idCol), col("block"),
-        expr(s"shiftright($fpCol, block * $blockBits) & $mask").as("bval"))
+      .select(col(idCol), posexplode(array(blockExprs: _*)).as(Seq("block", "bval")))
     val cand = blocksDf.as("a")
       .join(blocksDf.as("b"),
         col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&

@@ -46,7 +46,14 @@ import org.apache.spark.sql.types._
   * number formatting; $sort comparators cannot signal equality; a bare
   * name directly before ':' in an object constructor is a LITERAL key
   * (`{name: v}` == `{"name": v}`), where jsonata-js evaluates it as a
-  * path — write `{(name): v}` to key by the field's value.
+  * path — write `{(name): v}` to key by the field's value; $decodeUrl /
+  * $encodeUrl assume canonical uppercase %XX reserved escapes (a
+  * lowercase `%2f` decodes where JS decodeURI leaves it) and use the
+  * control characters U+0001/U+0002 as internal protection sentinels —
+  * input strings that legitimately contain those two control characters
+  * are corrupted (U+0002 becomes '+', U+0001-plus-hex becomes a
+  * %-escape); URLs never contain raw control characters, so the pinned
+  * divergence is the contract, not a pre-escape pass in the hot path.
   *
   * CONTRACT (decided round 6, was SURVEY §7.4#1's open question): these
   * divergences are permanent; no interpreted-AST / VariantType fallback
@@ -565,7 +572,9 @@ object JsonataCompiler {
       // ' '→'+'), so encode = url_encode, remap '+'→%20, then restore each
       // kept char from its escape. decode = protect the reserved escapes
       // (decodeURI leaves them encoded; canonical uppercase %XX assumed)
-      // and literal '+', url_decode, restore.
+      // and literal '+', url_decode, restore. The protection sentinels are
+      // U+0001/U+0002 — inputs containing those raw control characters are
+      // corrupted; pinned divergence, see the contract header above.
       case "encodeUrl" =>
         arity(1)
         val kept = Seq(
