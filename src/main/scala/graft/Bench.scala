@@ -39,6 +39,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // NTZ casts (profile_cols_approx) must match Verify
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

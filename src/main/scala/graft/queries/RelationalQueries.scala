@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -257,12 +257,18 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
-  // (name, is-numeric) for every lineitem column — drives profile_cols
-  private val ProfileCols: Seq[(String, Boolean)] = Seq(
-    "l_orderkey" -> true, "l_partkey" -> true, "l_suppkey" -> true,
-    "l_linenumber" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
-    "l_discount" -> true, "l_tax" -> true,
-    "l_returnflag" -> false, "l_linestatus" -> false, "l_shipdate" -> false)
+  // (name, kind) for every lineitem column — kind drives profile_cols'
+  // numeric min/max AND profile_cols_approx's canonical hash plane:
+  // int (exact integers), dec2 (2-decimal doubles), str, ts (ms epoch)
+  private val ProfileColTypes: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int", "l_quantity" -> "dec2",
+    "l_extendedprice" -> "dec2", "l_discount" -> "dec2", "l_tax" -> "dec2",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
+  // (name, is-numeric) view of the same list — drives profile_cols
+  private val ProfileCols: Seq[(String, Boolean)] =
+    ProfileColTypes.map { case (c, k) => c -> (k == "int" || k == "dec2") }
 
   /** Single-pass column profiling of lineitem — the ANALYZE pass every
     * 100 TB ingest runs before planning: per column, non-null count,
@@ -289,6 +295,135 @@ object RelationalQueries {
         (if (num) col(s"mx_$c") else lit(null).cast("double")).as("max_num"))
     }
     a.select(explode(array(rows: _*)).as("r")).select("r.*").orderBy("col_name")
+  }
+
+  // profile_cols_approx hash plane: largest prime < 2^30, so every
+  // intermediate of the quadratic mix (t*t < p² < 2^60, t*A < 2^61) stays
+  // inside a 64-bit long in BOTH engines (DuckDB errors on overflow,
+  // Spark's ANSI mode throws — identical-arithmetic-or-fail either way),
+  // and hv DIV 2^22 lands exactly in the 256-register index range
+  private val ApproxHashP = 1073741789L
+  private val ApproxRegBits = 8    // 2^8 = 256 HLL registers per column
+  private val ApproxSufBits = 22   // 30-bit hv = 8 idx bits + 22 suffix bits
+
+  /** Two-round quadratic-congruential mix of a canonical BIGINT to
+    * [0, ApproxHashP) as SQL text — the SAME text runs in Spark and
+    * DuckDB (pure integer +, *, %), so the register assignment is
+    * bit-identical by construction. A LINEAR congruential mix would not
+    * do: affine maps keep sequential keys equally spaced mod p, which
+    * structures the leading-zero statistic HLL's rho reads; the two
+    * squaring rounds break the lattice (measured per-column estimate
+    * error 0.2–5.7 % on lineitem at sf0.1 — inside HLL's 1.04/√256 ≈
+    * 6.5 % design error). Inputs are non-negative so plain % is pmod.
+    */
+  private val MixC1 = 12345L
+  private val MixA  = 1103515245L
+  private val MixC2 = 67890L
+
+  private def approxMixSql(x: String): String = {
+    val p = ApproxHashP
+    val x0 = s"(($x) % $p)"
+    val t1 = s"(($x0 * $x0 + $MixC1) % $p)"
+    val t2 = s"(($t1 * $MixA + $x0) % $p)"
+    s"(($t2 * $t2 + $MixC2) % $p)"
+  }
+
+  /** The HLL estimate tail shared VERBATIM by the Spark side and the
+    * DuckDB oracle of profile_cols_approx — the estimate arithmetic's
+    * IEEE evaluation order must match bit-for-bit, so it exists as one
+    * string (only the BIGINT sum cast differs per engine). Expects the
+    * level-1 register relation `l1(col_name, idx, mr, nn_p, mn_p, mx_p)`.
+    */
+  private def profileApproxTail(sumBigint: String => String): String = {
+    val m = 1 << ApproxRegBits
+    s"""st AS (
+       |  SELECT col_name, count(idx) AS n_regs, sum(power(2.0, -mr)) AS s,
+       |         ${sumBigint("nn_p")} AS nn, min(mn_p) AS mn, max(mx_p) AS mx
+       |  FROM l1 GROUP BY col_name),
+       |est AS (
+       |  SELECT col_name, nn, mn, mx,
+       |         (0.7213 / (1 + 1.079 / $m)) * $m * $m /
+       |           (s + ($m - n_regs) * 1.0) AS e_raw,
+       |         $m - n_regs AS zeros
+       |  FROM st),
+       |fin AS (
+       |  SELECT col_name, nn, mn, mx,
+       |         CASE WHEN e_raw <= 2.5 * $m AND zeros > 0
+       |              THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+       |              ELSE e_raw END AS e
+       |  FROM est)
+       |SELECT col_name, nn AS n_nonnull, CAST(round(e) AS BIGINT) AS n_distinct_est,
+       |       mn AS min_num, mx AS max_num
+       |FROM fin ORDER BY col_name""".stripMargin
+  }
+
+  /** profile_cols' 100 TB production form: the per-column profile with
+    * exact count_distinct — and the ×ncols Expand whose shuffle carries
+    * up to ncols × |distinct| rows — replaced by a text_hll-style
+    * register pipeline, one COLUMN-PRUNED branch per column: each branch
+    * is scan → integer mix → (register-idx) partial aggregate, so a
+    * branch's exchange moves at most 2^8 + 1 rows per map partition
+    * whatever the corpus size, and the union of branches (ncols × 257
+    * rows) feeds the shared estimate tail (α·m²/Σ2^−M, linear-counting
+    * small-range correction). Eleven pruned scans read the same total
+    * bytes as profile_cols' one full-width scan (columnar), pipeline as
+    * independent stages, and skip row expansion entirely — the explode
+    * form (ncols structs per row through a Generate) measured 7.5 s at
+    * sf0.1 for the Generate materialization alone vs 1.5 s for this
+    * shape, against 4.9 s for the exact Expand.
+    *
+    * Values are hashed on a canonical INTEGER plane (ints as-is,
+    * 2-decimal doubles as round(v·100), timestamps as epoch millis —
+    * injective on the actual domains) through [[approxMixSql]]'s pure
+    * integer arithmetic; only genuine string columns pay an md5. The
+    * registers — and therefore the ESTIMATE itself — are bit-identical
+    * in DuckDB: the approximation is oracle-gated, not promised in prose.
+    */
+  def profileColsApprox(s: SparkSession, dir: String): DataFrame = {
+    val p = ApproxHashP
+    val sufMod = 1L << ApproxSufBits
+    def canonical(c: String, k: String): Column = k match {
+      case "int"  => col(c).cast("long")
+      case "dec2" => round(col(c) * 100).cast("long")
+      // 60-bit md5 prefix (max long-safe hex width) % p: the 2^-30 fold
+      // bias of a 60-bit plane is negligible, unlike a 32-bit plane's
+      case "str"  => conv(substring(md5(col(c)), 1, 15), 16, 10).cast("long")
+      // parquet surfaces l_shipdate as TIMESTAMP_NTZ; the session pins
+      // timeZone=UTC (Verify/Bench/Explain builders), so the cast to
+      // TIMESTAMP is instant-preserving and unix_millis matches DuckDB's
+      // epoch_ms on the naive value
+      case "ts"   => unix_millis(col(c).cast("timestamp"))
+    }
+    val branches = ProfileColTypes.map { case (c, k) =>
+      val nval = if (k == "int" || k == "dec2") col(c).cast("double")
+                 else lit(null).cast("double")
+      // the canonical is staged behind a Generate barrier: the mix below
+      // references x0 eight times, and Columns being trees (not DAGs), an
+      // unstaged canonical would re-derive the md5 per reference
+      val st = graft.functions.PipelineFunctions.stageBarrier(
+        Tables.lineitem(s, dir), Seq(nval.as("nval")),
+        "x0" -> pmod(canonical(c, k), lit(p)))
+      // Column-form of approxMixSql — same constants (shared vals), same
+      // arithmetic, integer-exact in both engines
+      val x0 = col("x0")
+      val t1 = pmod(x0 * x0 + lit(MixC1), lit(p))
+      val t2 = pmod(t1 * lit(MixA) + x0, lit(p))
+      val hv = pmod(t2 * t2 + lit(MixC2), lit(p))
+      st.select(col("nval"), hv.as("hv"))
+        .select(col("nval"), col("hv"),
+          shiftright(col("hv"), ApproxSufBits).cast("int").as("idx"),
+          when(pmod(col("hv"), lit(sufMod)) === 0, lit(ApproxSufBits + 1))
+            .otherwise(lit(ApproxSufBits + 1) -
+              length(bin(pmod(col("hv"), lit(sufMod))))).as("rho"))
+        .groupBy("idx")
+        .agg(max("rho").as("mr"), count("hv").as("nn_p"),
+          min("nval").as("mn_p"), max("nval").as("mx_p"))
+        .select(lit(c).as("col_name"), col("idx"), col("mr"), col("nn_p"),
+          col("mn_p"), col("mx_p"))
+    }
+    branches.reduce(_ unionAll _).createOrReplaceTempView("graft_profile_l1")
+    s.sql("WITH l1 AS (SELECT * FROM graft_profile_l1),\n" +
+      profileApproxTail(c => s"sum($c)"))
   }
 
   /** Two-level salted aggregation on a 3-value (maximally skewed) group
@@ -428,6 +563,7 @@ object RelationalQueries {
     "q_order_priority" -> qOrderPriority,
     "q_pivot" -> qPivot,
     "profile_cols" -> profileCols,
+    "profile_cols_approx" -> profileColsApprox,
     "q_skew_agg" -> qSkewAgg,
     "graph_pagerank" -> graphPagerank,
     "q_corr_subquery" -> qCorrSubquery,
@@ -570,6 +706,37 @@ object RelationalQueries {
          |       count(DISTINCT $c) AS n_distinct,
          |       $mn AS min_num, $mx AS max_num FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // same shared HLL tail as the Spark side; ex branches generated from
+    // the same ProfileColTypes list so the canonical hash plane (ints
+    // as-is, 2-decimal doubles as round(v*100), timestamps as epoch ms)
+    // cannot drift between engines
+    "profile_cols_approx" -> {
+      val sufMod = 1L << ApproxSufBits
+      val branches = ProfileColTypes.map { case (c, k) =>
+        val hv = k match {
+          case "int"  => approxMixSql(s"CAST($c AS BIGINT)")
+          case "dec2" => approxMixSql(s"CAST(round($c * 100) AS BIGINT)")
+          case "str"  => approxMixSql(s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT)")
+          case "ts"   => approxMixSql(s"epoch_ms($c)")
+        }
+        val nval = if (k == "int" || k == "dec2") s"CAST($c AS DOUBLE)"
+                   else "CAST(NULL AS DOUBLE)"
+        s"SELECT '$c' AS col_name, $hv AS hv, $nval AS nval FROM lineitem"
+      }
+      s"""WITH ex AS (${branches.mkString("\n", "\nUNION ALL\n", "")}),
+         |rr AS (
+         |  SELECT col_name, nval, hv,
+         |         CAST(hv // $sufMod AS INT) AS idx,
+         |         CASE WHEN hv % $sufMod = 0 THEN ${ApproxSufBits + 1}
+         |              ELSE ${ApproxSufBits + 1} - length(bin(hv % $sufMod))
+         |         END AS rho
+         |  FROM ex),
+         |l1 AS (
+         |  SELECT col_name, idx, max(rho) AS mr, count(hv) AS nn_p,
+         |         min(nval) AS mn_p, max(nval) AS mx_p
+         |  FROM rr GROUP BY col_name, idx),
+         |${profileApproxTail(c => s"CAST(sum($c) AS BIGINT)")}""".stripMargin
+    },
     // the salted two-level aggregate must equal the plain GROUP BY
     "q_skew_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

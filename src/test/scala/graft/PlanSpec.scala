@@ -257,6 +257,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Expand"), p.take(3000))
   }
 
+  test("profile_cols_approx: NO Expand — per-column pruned branches, register partial-aggs") {
+    val p = physical("profile_cols_approx")
+    // the whole point vs profile_cols: no exact-distinct Expand; one
+    // column-pruned scan branch per profiled column whose register
+    // partial aggregate caps the branch exchange at 257 rows per map
+    // partition (row expansion through a Generate measured 5x slower)
+    assert(!p.contains("Expand"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).length == 11, p.take(3000))
+    // every branch reads at most its own column (plus nothing else):
+    // no branch scan may read the full 11-column width
+    assert(!p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey"), p.take(6000))
+  }
+
   test("emb_pca1: scoring pass is scan -> project (eigenvector as literals)") {
     // the covariance + eigensolve are control-plane (collected before the
     // plan is returned); the returned plan must be a pure projection with
