@@ -295,6 +295,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val SpanRecallSample = 500L  // fixed-size doc sample for the span dial
+
+  /** The accuracy dial for [[textDupSpans]]' 1/p fingerprint sampling —
+    * the dedup_recall / knn_recall pattern applied to substring-level
+    * dedup: over a FIXED-SIZE doc sample, duplicated-span coverage is
+    * computed twice from the same rolling-hash relation — EXACTLY (every
+    * window position) and from the 0-mod-p sample the production query
+    * ships — and the absolute error between the two is the output. The
+    * all-window accounting is legitimate here precisely because the
+    * sample is constant-size (SpanRecallSample docs × ~300 windows at
+    * any corpus size — at 100 TB the accounting samples, the production
+    * path stays 1/p). Content-based selection makes the comparison
+    * well-posed: fp ≡ 0 (mod p) depends only on window BYTES, so a
+    * sampled window in one document matches iff its duplicate elsewhere
+    * is sampled too — the sampled plane is closed under duplication,
+    * which positional sampling would not be.
+    */
+  def dupSpanRecall(s: SparkSession, dir: String): DataFrame = {
+    val all = stageBarrier(
+      Tables.documents(s, dir).filter(col("doc_id") < SpanRecallSample)
+        .select(col("doc_id"), col("text").cast("binary").as("b")),
+      Seq(col("doc_id")),
+      "hs" -> graft.expressions.HashExpressions.rollingHashNative(col("b"), RollW, RollB, RollM))
+      .select(col("doc_id"), explode(col("hs")).as("fp"))
+    // coverage = dup-span fraction of `rows` (position multiplicity kept,
+    // as in textDupSpans); df over distinct (doc, fp)
+    def cover(rows: DataFrame, spans: String, dups: String): DataFrame = {
+      val df = rows.distinct().groupBy("fp").agg(count(lit(1)).as("ndocs"))
+      rows.join(df, "fp").agg(count(lit(1)).as(spans),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as(dups))
+    }
+    cover(all, "n_spans_exact", "n_dup_exact")
+      .crossJoin(cover(all.filter(pmod(col("fp"), lit(RollP)) === 0),
+        "n_spans_sampled", "n_dup_sampled"))
+      .select(col("n_spans_exact"), col("n_dup_exact"),
+        col("n_spans_sampled"), col("n_dup_sampled"),
+        round(col("n_dup_exact").cast("double") / col("n_spans_exact"), 6)
+          .as("exact_coverage"),
+        round(col("n_dup_sampled").cast("double") / col("n_spans_sampled"), 6)
+          .as("sampled_coverage"),
+        round(abs(col("n_dup_sampled").cast("double") / col("n_spans_sampled") -
+          col("n_dup_exact").cast("double") / col("n_spans_exact")), 6)
+          .as("abs_err"))
+  }
+
   private val CdcMask = 64L   // boundary when rolling fp ≡ 0 (mod 64) → ~64 B chunks
 
   /** Content-defined chunking (rsync / LBFS / FastCDC lineage): cut the
@@ -1110,6 +1155,7 @@ object TextQueries {
     "text_winnow_match" -> textWinnowMatch,
     "text_rolling_fp" -> textRollingFp,
     "text_dup_spans" -> textDupSpans,
+    "dup_span_recall" -> dupSpanRecall,
     "text_cdc_chunks" -> textCdcChunks,
     "cdc_dedup_ratio" -> cdcDedupRatio,
     "split_assign" -> splitAssign,
@@ -1575,6 +1621,40 @@ object TextQueries {
          |             / count(*)::DOUBLE, 6) AS dup_frac
          |FROM rfp r JOIN dfc d USING (fp)
          |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+    // the same window-hash relation computed without the 0-mod-p cut
+    // (allfp) and with it (sfp); coverage from each, plus the abs error
+    "dup_span_recall" -> {
+      val pws = (0 until RollW).map { j =>
+        var r = 1L; (0 until (RollW - 1 - j)).foreach(_ => r = r * RollB % RollM); r
+      }.mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |                  octet_length(encode(text)) AS n
+         |           FROM documents WHERE doc_id < $SpanRecallSample),
+         |px AS (SELECT doc_id, hx, unnest(range(0, n - ${RollW - 1})) AS p FROM h),
+         |allfp AS (
+         |  SELECT doc_id,
+         |         list_sum([CAST('0x' || substr(hx, CAST((p + j) * 2 + 1 AS INT), 2) AS BIGINT)
+         |                   * ($pws)[CAST(j AS INT) + 1]
+         |                   for j in range(0, $RollW)]) % $RollM AS fp
+         |  FROM px),
+         |dfx AS (SELECT fp, count(*) AS ndocs
+         |        FROM (SELECT DISTINCT doc_id, fp FROM allfp) GROUP BY fp),
+         |ex AS (SELECT count(*) AS n_spans_exact,
+         |              CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_exact
+         |       FROM allfp JOIN dfx USING (fp)),
+         |sfp AS (SELECT * FROM allfp WHERE fp % $RollP = 0),
+         |dfs AS (SELECT fp, count(*) AS ndocs
+         |        FROM (SELECT DISTINCT doc_id, fp FROM sfp) GROUP BY fp),
+         |sm AS (SELECT count(*) AS n_spans_sampled,
+         |              CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sampled
+         |       FROM sfp JOIN dfs USING (fp))
+         |SELECT n_spans_exact, n_dup_exact, n_spans_sampled, n_dup_sampled,
+         |       round(CAST(n_dup_exact AS DOUBLE) / n_spans_exact, 6) AS exact_coverage,
+         |       round(CAST(n_dup_sampled AS DOUBLE) / n_spans_sampled, 6) AS sampled_coverage,
+         |       round(abs(CAST(n_dup_sampled AS DOUBLE) / n_spans_sampled
+         |                 - CAST(n_dup_exact AS DOUBLE) / n_spans_exact), 6) AS abs_err
+         |FROM ex CROSS JOIN sm""".stripMargin
+    },
     "text_cdc_chunks" -> cdcChunksSql,
     "cdc_dedup_ratio" ->
       s"""WITH chunks AS ($cdcChunksSql),

@@ -257,6 +257,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Expand"), p.take(3000))
   }
 
+  test("dup_span_recall: the doc-sample bound is pushed to both parquet scans") {
+    // the dial's 100 TB contract: work ∝ sample size, so the doc_id <
+    // sample filter must prune at the scan, not post-scan. Four scans:
+    // each coverage arm reads the fingerprint relation twice (occurrence
+    // rows + document-frequency side) — every one sample-bounded
+    val p = physical("dup_span_recall")
+    assert("PushedFilters: \\[.*LessThan\\(doc_id".r.findAllIn(p).length == 4, p.take(4000))
+  }
+
   test("profile_cols_approx: NO Expand — per-column pruned branches, register partial-aggs") {
     val p = physical("profile_cols_approx")
     // the whole point vs profile_cols: no exact-distinct Expand; one
