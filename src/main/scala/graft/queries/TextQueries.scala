@@ -1077,6 +1077,74 @@ object TextQueries {
       .orderBy("bigram")
   }
 
+  private val BpeMergeRounds = 10
+
+  /** BPE merge-table training (Sennrich et al. '16) — the tokenizer-
+    * training primitive, and the natural iterative-operator companion to
+    * graph_pagerank: N rounds of count-adjacent-pairs → merge the most
+    * frequent pair, emitting the learned merge table (rank, lhs, rhs,
+    * pair_count).
+    *
+    * Scale shape: ONE corpus pass builds the (word, count, symbols)
+    * vocabulary — every later round iterates over that VOCABULARY-sized
+    * relation only, the same reason classic BPE trainers work from word
+    * frequencies. Each round's argmax is a 1-row bounded collect
+    * (control-plane, the kmeans-centroid pattern), re-entering the next
+    * round as literals; the merge application is a per-row aggregate()
+    * fold (greedy left-to-right non-overlapping, the reference BPE
+    * semantics — "aaaa" under merge (a,a) → [aa, aa]); localCheckpoint
+    * truncates the N-round lineage like the PageRank/CC loops. Ties
+    * break deterministically on (count DESC, lhs, rhs). No end-of-word
+    * marker is appended — the merge STATISTICS are what this trains;
+    * a production tokenizer would add its marker in the vocab pass.
+    * The oracle replays all N rounds as generated CTEs (the PageRank
+    * pattern), with the greedy selection expressed as run-parity over
+    * match positions: a position merges iff it matches and its offset
+    * inside the maximal run of consecutive matches is even.
+    */
+  def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    var vocab = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("s",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .localCheckpoint()
+    val merges = collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to BpeMergeRounds) {
+      val top = vocab.filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))")).as("pr"))
+        .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0)
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, a, b, c))
+      // greedy left-to-right fold: pend carries the unconsumed previous
+      // symbol; (pend=a, x=b) emits the merged symbol and clears pend
+      val emptyOut = expr("CAST(array() AS ARRAY<STRING>)")
+      val noPend = lit(null).cast("string")
+      vocab = vocab.withColumn("s",
+        aggregate(col("s"),
+          struct(emptyOut.as("out"), noPend.as("pend")),
+          (acc, x) => {
+            val out = acc.getField("out")
+            val pend = acc.getField("pend")
+            when(pend.isNull, struct(out.as("out"), x.as("pend")))
+              .when(pend === lit(a) && x === lit(b),
+                struct(concat(out, array(lit(a + b))).as("out"), noPend.as("pend")))
+              .otherwise(struct(concat(out, array(pend)).as("out"), x.as("pend")))
+          },
+          acc => when(acc.getField("pend").isNull, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+      ).localCheckpoint()
+    }
+    import s.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count").orderBy("merge_rank")
+  }
+
   /** The corpus mixing report: per ingestion source, how many documents
     * and tokens it contributes, its token share of the whole corpus, its
     * mean quality, and its near-dup rate — the table a data-mixing
@@ -1138,6 +1206,7 @@ object TextQueries {
     "text_contaminate" -> textContaminate,
     "text_bloom" -> textBloom,
     "text_pmi" -> textPmi,
+    "text_bpe_merges" -> textBpeMerges,
     "dedup_incremental" -> dedupIncremental,
     "dedup_recall" -> dedupRecall,
     "text_cms" -> textCms,
@@ -1462,6 +1531,56 @@ object TextQueries {
          |CROSS JOIN nu CROSS JOIN nb
          |WHERE n_pair >= $PmiMinCount
          |ORDER BY bigram""".stripMargin,
+    // BpeMergeRounds merge rounds unrolled as generated CTEs (the
+    // graph_pagerank pattern). Greedy left-to-right non-overlapping merge
+    // selection is expressed as run-parity: position i merges iff it
+    // matches the round's top pair and its offset inside the maximal run
+    // of consecutive matching positions is even (runstart = last
+    // non-matching position + 1); the following position is then consumed
+    // via lag(sel). Must agree with textBpeMerges' aggregate() fold.
+    "text_bpe_merges" -> {
+      def round(r: Int): String = {
+        val prev = s"v${r - 1}"
+        // v/m MATERIALIZED: each round references the previous vocab (and
+        // its own m) twice — default CTE inlining would re-derive the
+        // whole chain exponentially (2^rounds scans of documents)
+        s"""p$r AS (
+           |  SELECT cnt, s[i] AS l, s[i + 1] AS rr
+           |  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i FROM $prev)),
+           |m$r AS MATERIALIZED (
+           |  SELECT l, rr, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM p$r GROUP BY l, rr ORDER BY c DESC, l, rr LIMIT 1),
+           |mt$r AS (
+           |  SELECT w, cnt, s, i,
+           |         i < len(s) AND s[i] = (SELECT l FROM m$r)
+           |           AND s[i + 1] = (SELECT rr FROM m$r) AS mt
+           |  FROM (SELECT w, cnt, s, unnest(range(1, len(s) + 1)) AS i FROM $prev)),
+           |sel$r AS (
+           |  SELECT w, cnt, s, i, mt,
+           |         mt AND (i - coalesce(max(CASE WHEN NOT mt THEN i END)
+           |             OVER (PARTITION BY w ORDER BY i ROWS UNBOUNDED PRECEDING), 0) - 1) % 2 = 0 AS sel
+           |  FROM mt$r),
+           |em$r AS (
+           |  SELECT w, cnt, i,
+           |         CASE WHEN sel THEN s[i] || s[i + 1] ELSE s[i] END AS sym,
+           |         lag(sel, 1, false) OVER (PARTITION BY w ORDER BY i) AS consumed
+           |  FROM sel$r),
+           |v$r AS MATERIALIZED (
+           |  SELECT w, cnt, list(sym ORDER BY i) AS s
+           |  FROM em$r WHERE NOT consumed GROUP BY w, cnt)""".stripMargin
+      }
+      val rounds = (1 to BpeMergeRounds).map(round).mkString(",\n")
+      val sel = (1 to BpeMergeRounds).map(r =>
+        s"SELECT $r AS merge_rank, l AS lhs, rr AS rhs, c FROM m$r").mkString("\nUNION ALL\n")
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         |         [substr(w, CAST(i AS INT), 1) for i in range(1, length(w) + 1)] AS s
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 1 GROUP BY w),
+         |$rounds
+         |SELECT merge_rank, lhs, rhs, c AS pair_count FROM (
+         |$sel) ORDER BY merge_rank""".stripMargin
+    },
     "corpus_mix" ->
       s"""$pairsCore,
          |dup AS (SELECT DISTINCT id_b FROM pairs),
