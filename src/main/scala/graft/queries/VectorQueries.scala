@@ -288,6 +288,57 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  private val DriftThreshold = 0.1
+
+  /** Streaming-ANN daily ingest: assign an ingest batch (vec_id ≡ 9 mod
+    * 10 — ids 0..7 stay in the old corpus so the kmeans seeds are the
+    * same 8 vectors the full-corpus quantizer uses) against a FROZEN
+    * coarse quantizer, and emit the per-list ingest stats plus the
+    * retrain trigger — dedup_incremental's story ([[TextQueries
+    * .dedupIncremental]]) on the vector side. The quantizer (kmeans on
+    * the OLD corpus only) and the old per-dimension reference stats are
+    * control-plane: collected once at build (the index already existed
+    * before the batch arrived) and re-entering as plan literals, so the
+    * RETURNED plan touches only the batch — a shuffle-free argmax
+    * assignment projection, one 8-row broadcast for the quantization
+    * cosine, an 8-group list aggregate, and a 64-group drift aggregate
+    * whose reference means/stddevs are literal arrays. Work per day ∝
+    * batch size, never index size — the incremental contract. The
+    * retrain trigger is emb_drift's standardized mean shift, batch vs
+    * frozen reference, thresholded at [[DriftThreshold]].
+    */
+  def knnIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val old = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    old.persist()
+    val (cent, oldStats) =
+      try {
+        val c = kmeansCentroids(old, nLists = 8, iters = 2)
+        val st = old.select(posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("i").agg(avg("x").as("m"), stddev_pop("x").as("sd"))
+          .orderBy("i").collect()
+        (c, st)
+      } finally old.unpersist(false)
+    val mOld = array(oldStats.map(r => lit(r.getDouble(1))): _*)
+    val sdOld = array(oldStats.map(r => lit(r.getDouble(2))): _*)
+    val batch = e.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val withCos = assignListsProjection(batch, cent)
+      .join(broadcast(centRelation(e, cent)), "list_id")
+      .select(col("list_id"), col("vec_id"), cosine(col("v"), col("cv")).as("qcos"))
+    val listStats = withCos.groupBy("list_id")
+      .agg(count(lit(1)).as("n_new"), round(avg("qcos"), 6).as("avg_cos"))
+    val sdO = element_at(sdOld, col("i") + 1)
+    val drift = batch.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg("x").as("m_new"), stddev_pop("x").as("sd_new"))
+      .select((abs(col("m_new") - element_at(mOld, col("i") + 1)) /
+        sqrt((sdO * sdO + col("sd_new") * col("sd_new")) / 2)).as("drift"))
+      .agg(round(max("drift"), 6).as("max_dim_drift"))
+    listStats.crossJoin(broadcast(drift))
+      .select(col("list_id"), col("n_new"), col("avg_cos"), col("max_dim_drift"),
+        (col("max_dim_drift") > DriftThreshold).as("retrain"))
+      .orderBy("list_id")
+  }
+
   /** Per-dimension z-score standardization (whitening-lite) — the
     * preprocessing pass run before PQ/LSH indexing so no dimension
     * dominates the distance. Two passes by construction: a 64-group
@@ -846,6 +897,7 @@ object VectorQueries {
     "knn_brute" -> knnBrute,
     "knn_ivf" -> knnIvf,
     "knn_ivf_kmeans" -> knnIvfKmeans,
+    "knn_ivf_incremental" -> knnIvfIncremental,
     "knn_recall" -> knnRecall,
     "emb_centroid_dist" -> embCentroidDist,
     "emb_neardup" -> embNeardup,
@@ -1101,6 +1153,54 @@ object VectorQueries {
          |                            ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin
+    },
+    // mirrors knnIvfIncremental: quantizer trained on the OLD (vec_id %
+    // 10 <> 9) corpus with the same seed/assign/mean chain as
+    // knn_ivf_kmeans, batch assignment keeping its argmax cosine, then
+    // list stats + the emb_drift-style standardized mean shift vs the
+    // old-corpus reference stats
+    "knn_ivf_incremental" -> {
+      def assignCte(src: String, centCte: String): String =
+        s"""SELECT vec_id, v, list_id FROM (
+           |    SELECT e.vec_id, e.v, c.list_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+           |    FROM $src e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
+      def meanCte(assignCte: String): String =
+        s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
+           |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
+           |    FROM $assignCte CROSS JOIN range(1, 65) r(i)
+           |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eo AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 10 <> 9),
+         |eb AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 10 = 9),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM eo WHERE vec_id < 8),
+         |a1 AS (${assignCte("eo", "c0")}),
+         |c1 AS MATERIALIZED (${meanCte("a1")}),
+         |a2 AS (${assignCte("eo", "c1")}),
+         |c2 AS MATERIALIZED (${meanCte("a2")}),
+         |ab AS MATERIALIZED (
+         |  SELECT vec_id, list_id, ccos FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |           ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} AS ccos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+         |    FROM eb e CROSS JOIN c2 c) WHERE rnk = 1),
+         |ls AS (SELECT list_id, count(*) AS n_new, round(avg(ccos), 6) AS avg_cos
+         |       FROM ab GROUP BY list_id),
+         |so AS (SELECT CAST(i AS INT) AS i, avg(v[CAST(i + 1 AS INT)]) AS m,
+         |              stddev_pop(v[CAST(i + 1 AS INT)]) AS sd
+         |       FROM eo CROSS JOIN range(64) r(i) GROUP BY i),
+         |sb AS (SELECT CAST(i AS INT) AS i, avg(v[CAST(i + 1 AS INT)]) AS m,
+         |              stddev_pop(v[CAST(i + 1 AS INT)]) AS sd
+         |       FROM eb CROSS JOIN range(64) r(i) GROUP BY i),
+         |dr AS (SELECT round(max(abs(sb.m - so.m) /
+         |                        sqrt((so.sd * so.sd + sb.sd * sb.sd) / 2)), 6)
+         |               AS max_dim_drift
+         |       FROM so JOIN sb USING (i))
+         |SELECT list_id, n_new, avg_cos, max_dim_drift,
+         |       max_dim_drift > $DriftThreshold AS retrain
+         |FROM ls CROSS JOIN dr ORDER BY list_id""".stripMargin
     },
     // mirrors embDrift: parity halves, per-dimension Welford stats,
     // unrounded under atol

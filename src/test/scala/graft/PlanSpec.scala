@@ -257,6 +257,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Expand"), p.take(3000))
   }
 
+  test("knn_ivf_incremental: returned plan is batch-only — broadcasts, no corpus shuffle") {
+    // quantizer + reference stats are control-plane literals collected at
+    // build; the returned plan may scan embeddings only for the BATCH
+    // (assignment pass + drift pass), join only via broadcast (8-row
+    // centroid relation, 1-row drift scalar)
+    val p = physical("knn_ivf_incremental")
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("dup_span_recall: the doc-sample bound is pushed to both parquet scans") {
     // the dial's 100 TB contract: work ∝ sample size, so the doc_id <
     // sample filter must prune at the scan, not post-scan. Four scans:
