@@ -1079,6 +1079,31 @@ object TextQueries {
 
   private val BpeMergeRounds = 10
 
+  /** One BPE merge round applied to a symbol array: greedy left-to-right
+    * non-overlapping replacement of adjacent (a, b) with a+b — the
+    * reference BPE semantics ("aaaa" under (a,a) → [aa, aa]) — as a
+    * per-row aggregate() fold. `pend` carries the unconsumed previous
+    * symbol; (pend=a, x=b) emits the merged symbol and clears pend.
+    * Property-pinned against a sequential reference in PropertiesSpec;
+    * must agree with the oracle's run-parity formulation.
+    */
+  private[graft] def bpeMergeFold(s: Column, a: String, b: String): Column = {
+    val emptyOut = expr("CAST(array() AS ARRAY<STRING>)")
+    val noPend = lit(null).cast("string")
+    aggregate(s,
+      struct(emptyOut.as("out"), noPend.as("pend")),
+      (acc, x) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        when(pend.isNull, struct(out.as("out"), x.as("pend")))
+          .when(pend === lit(a) && x === lit(b),
+            struct(concat(out, array(lit(a + b))).as("out"), noPend.as("pend")))
+          .otherwise(struct(concat(out, array(pend)).as("out"), x.as("pend")))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+  }
+
   /** BPE merge-table training (Sennrich et al. '16) — the tokenizer-
     * training primitive, and the natural iterative-operator companion to
     * graph_pagerank: N rounds of count-adjacent-pairs → merge the most
@@ -1122,24 +1147,7 @@ object TextQueries {
         .limit(1).collect()(0)
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, a, b, c))
-      // greedy left-to-right fold: pend carries the unconsumed previous
-      // symbol; (pend=a, x=b) emits the merged symbol and clears pend
-      val emptyOut = expr("CAST(array() AS ARRAY<STRING>)")
-      val noPend = lit(null).cast("string")
-      vocab = vocab.withColumn("s",
-        aggregate(col("s"),
-          struct(emptyOut.as("out"), noPend.as("pend")),
-          (acc, x) => {
-            val out = acc.getField("out")
-            val pend = acc.getField("pend")
-            when(pend.isNull, struct(out.as("out"), x.as("pend")))
-              .when(pend === lit(a) && x === lit(b),
-                struct(concat(out, array(lit(a + b))).as("out"), noPend.as("pend")))
-              .otherwise(struct(concat(out, array(pend)).as("out"), x.as("pend")))
-          },
-          acc => when(acc.getField("pend").isNull, acc.getField("out"))
-            .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
-      ).localCheckpoint()
+      vocab = vocab.withColumn("s", bpeMergeFold(col("s"), a, b)).localCheckpoint()
     }
     import s.implicits._
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count").orderBy("merge_rank")

@@ -234,4 +234,40 @@ class PropertiesSpec extends SparkTestBase {
       .as[Long].collect()
       .foreach(f => assert(f >= 0 && f < 1000000007L))
   }
+
+  test("bpeMergeFold == sequential greedy left-to-right non-overlapping merge") {
+    // reference implementation of the BPE merge-application semantics
+    def ref(xs: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.Buffer[String]()
+      var i = 0
+      while (i < xs.length) {
+        if (i + 1 < xs.length && xs(i) == a && xs(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += xs(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // tiny alphabet so pair hits (incl. a==b runs like "aaaa") are dense
+    val symG = Gen.oneOf("a", "b", "c", "ab")
+    val caseG = for {
+      n <- Gen.choose(0, 10)
+      xs <- Gen.listOfN(n, symG)
+      a <- symG
+      b <- symG
+    } yield (xs, a, b)
+    val cases = samples(caseG, 150)
+    val got = cases.zipWithIndex
+      .map { case ((xs, a, b), i) => (i, xs, a, b) }
+      .toDF("i", "s", "a", "b")
+    // one fold per distinct (a, b) literal pair present in the sample
+    val byPair = cases.map { case (_, a, b) => (a, b) }.distinct
+    byPair.foreach { case (a, b) =>
+      val res = got.filter(col("a") === a && col("b") === b)
+        .select(col("i"), graft.queries.TextQueries.bpeMergeFold(col("s"), a, b).as("m"))
+        .as[(Int, Seq[String])].collect().toMap
+      res.foreach { case (i, m) =>
+        val (xs, _, _) = cases(i)
+        assert(m == ref(xs, a, b), s"xs=$xs a=$a b=$b got=$m exp=${ref(xs, a, b)}")
+      }
+    }
+  }
 }
