@@ -295,6 +295,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The substring-dedup DELIVERABLE (Lee et al. '22): per document, the
+    * merged byte ranges covered by duplicated spans — the list a removal
+    * pass would actually cut, where [[textDupSpans]] reports only the
+    * coverage ratio. Duplicated sampled fingerprints become [pos, pos+W)
+    * intervals; overlapping-or-adjacent intervals merge via the classic
+    * running-max-end window (new span iff pos > max end over preceding
+    * rows; cumulative sum of the flags numbers the spans). One window
+    * per document over the doc's DUPLICATED sampled positions — the
+    * post-join relation is sample-density × dup-rate sized, and the
+    * window key is doc_id, the same per-entity shape as text_pack's
+    * running sum. Output (doc_id, span_idx, span_start, span_end, n_fps).
+    */
+  def textDupSpanRanges(s: SparkSession, dir: String): DataFrame = {
+    val rows = rollingFpRows(s, dir).select(col("doc_id"), col("pos"), col("fp"))
+    val docsPerFp = rows.select("doc_id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("ndocs"))
+    val dup = rows.join(docsPerFp, "fp").filter(col("ndocs") > 1)
+      .select(col("doc_id"), col("pos"), (col("pos") + RollW).as("e"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dup
+      .withColumn("meb", max("e").over(wPrev))
+      .withColumn("ng", when(col("meb").isNull || col("pos") > col("meb"), 1L)
+        .otherwise(0L))
+      .withColumn("grp", sum("ng").over(wCum))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), max("e").as("span_end"),
+        count(lit(1)).as("n_fps"))
+      .select(col("doc_id"), (col("grp") - 1).as("span_idx"),
+        col("span_start"), col("span_end"), col("n_fps"))
+      .orderBy("doc_id", "span_idx")
+  }
+
   private val SpanRecallSample = 500L  // fixed-size doc sample for the span dial
 
   /** The accuracy dial for [[textDupSpans]]' 1/p fingerprint sampling —
@@ -1232,6 +1267,7 @@ object TextQueries {
     "text_winnow_match" -> textWinnowMatch,
     "text_rolling_fp" -> textRollingFp,
     "text_dup_spans" -> textDupSpans,
+    "text_dup_span_ranges" -> textDupSpanRanges,
     "dup_span_recall" -> dupSpanRecall,
     "text_cdc_chunks" -> textCdcChunks,
     "cdc_dedup_ratio" -> cdcDedupRatio,
@@ -1748,6 +1784,28 @@ object TextQueries {
          |             / count(*)::DOUBLE, 6) AS dup_frac
          |FROM rfp r JOIN dfc d USING (fp)
          |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+    // mirrors textDupSpanRanges: duplicated sampled positions become
+    // [pos, pos+W) intervals merged by the running-max-end window
+    "text_dup_span_ranges" ->
+      s"""WITH rfp AS ($rollingFpSql),
+         |u AS (SELECT DISTINCT doc_id, fp FROM rfp),
+         |dfc AS (SELECT fp, count(*) AS ndocs FROM u GROUP BY fp),
+         |dup AS (SELECT r.doc_id, r.pos, r.pos + $RollW AS e
+         |        FROM rfp r JOIN dfc d USING (fp) WHERE d.ndocs > 1),
+         |m AS (SELECT doc_id, pos, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS meb
+         |      FROM dup),
+         |g AS (SELECT doc_id, pos, e,
+         |         CASE WHEN meb IS NULL OR pos > meb THEN 1 ELSE 0 END AS ng FROM m),
+         |c AS (SELECT doc_id, pos, e,
+         |         sum(ng) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |      FROM g)
+         |SELECT doc_id, CAST(grp - 1 AS BIGINT) AS span_idx,
+         |       min(pos) AS span_start, max(e) AS span_end,
+         |       CAST(count(*) AS BIGINT) AS n_fps
+         |FROM c GROUP BY doc_id, grp ORDER BY doc_id, span_idx""".stripMargin,
     // the same window-hash relation computed without the 0-mod-p cut
     // (allfp) and with it (sfp); coverage from each, plus the abs error
     "dup_span_recall" -> {
