@@ -226,6 +226,54 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  private val QBins = 4096
+
+  /** q_quantiles' 100 TB production form: exact `percentile` buffers and
+    * sorts every group member per aggregate (memory and time ∝ the
+    * largest group), while this two-pass histogram sketch is
+    * constant-state — pass 1 is a 1-row global min/max broadcast, pass 2
+    * buckets values into QBins fixed-width bins with a partial-aggregated
+    * (event_type, bin) count, and the estimate reads each quantile off
+    * the cumulative histogram with linear interpolation inside the
+    * target bin. Shuffle carries ≤ QBins rows per type per map
+    * partition at ANY row count; accuracy is bounded by the bin width
+    * PLUS the local inter-value gap at the quantile (the estimate lands
+    * within 2 ranks of quantile_cont's continuous rank — with one-count
+    * tail buckets the gap term dominates; test-pinned as that rank-error
+    * contract in QueriesSmokeSpec). Everything after the counts is deterministic
+    * double arithmetic from engine-identical min/max, so the ESTIMATES
+    * are oracle-gated like text_hll's and profile_cols_approx's.
+    */
+  def qQuantilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val stats = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val bRaw = floor((col("value") - col("lo")) /
+      ((col("hi") - col("lo")) / QBins))
+    val hist = ev.crossJoin(broadcast(stats))
+      .select(col("event_type"), col("lo"), col("hi"),
+        least(greatest(bRaw, lit(0.0)), lit((QBins - 1).toDouble))
+          .cast("long").as("b"))
+      .groupBy("event_type", "lo", "hi", "b").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wN = Window.partitionBy("event_type")
+    val cumd = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wN))
+    def est(p: Double): Column = {
+      val target = lit(p) * col("n")
+      val hit = col("cum") >= target && (col("cum") - col("c")) < target
+      val e = col("lo") + (col("hi") - col("lo")) / QBins *
+        (col("b") + (target - (col("cum") - col("c"))) / col("c"))
+      val r = round(max(when(hit, e)), 6)
+      when(r === 0, lit(0.0)).otherwise(r)
+    }
+    cumd.groupBy("event_type")
+      .agg(est(0.5).as("p50_est"), est(0.9).as("p90_est"),
+        est(0.99).as("p99_est"), max("n").as("n"))
+      .orderBy("event_type")
+  }
+
   /** Correlated-style aggregate filter: parts priced above the average of
     * their p_type group (windowed avg, then filter).
     */
@@ -559,6 +607,7 @@ object RelationalQueries {
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
+    "q_quantiles_approx" -> qQuantilesApprox,
     "q_above_avg" -> qAboveAvg,
     "q_order_priority" -> qOrderPriority,
     "q_pivot" -> qPivot,
@@ -672,6 +721,38 @@ object RelationalQueries {
         |       round(quantile_cont(value, 0.99), 6) AS p99,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // mirrors qQuantilesApprox: same bin formula, same cumulative-
+    // histogram interpolation, arithmetic in the same order (the only
+    // integral-valued double ever cast is floor()'d, so DuckDB's
+    // round-on-cast and Spark's truncate-on-cast agree)
+    "q_quantiles_approx" -> {
+      def est(p: Double, as: String): String =
+        s"""CASE WHEN round(max(CASE WHEN cum >= $p * n AND cum - c < $p * n
+           |  THEN lo + (hi - lo) / $QBins * (b + ($p * n - (cum - c)) / c) END), 6) = 0
+           |  THEN 0.0 ELSE round(max(CASE WHEN cum >= $p * n AND cum - c < $p * n
+           |  THEN lo + (hi - lo) / $QBins * (b + ($p * n - (cum - c)) / c) END), 6)
+           |  END AS $as""".stripMargin
+      s"""WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+         |h AS (
+         |  SELECT event_type, lo, hi,
+         |         CAST(least(greatest(floor((value - lo) / ((hi - lo) / $QBins)), 0.0),
+         |                    ${QBins - 1}.0) AS BIGINT) AS b,
+         |         count(*) AS c
+         |  FROM events CROSS JOIN s
+         |  GROUP BY event_type, lo, hi, b),
+         |w AS (
+         |  SELECT event_type, lo, hi, b, c,
+         |         sum(c) OVER (PARTITION BY event_type ORDER BY b
+         |                      ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(c) OVER (PARTITION BY event_type) AS n
+         |  FROM h)
+         |SELECT event_type,
+         |       ${est(0.5, "p50_est")},
+         |       ${est(0.9, "p90_est")},
+         |       ${est(0.99, "p99_est")},
+         |       CAST(max(n) AS BIGINT) AS n
+         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "q_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders o

@@ -28,6 +28,36 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(noOracle.isEmpty, s"queries missing oracleSql: $noOracle")
   }
 
+  test("q_quantiles_approx honors the histogram sketch's rank-error contract") {
+    // the honest accuracy contract of a count-histogram quantile: the
+    // estimate lands within the bucket containing the count-crossing
+    // rank, which is within 2 ranks of quantile_cont's continuous rank —
+    // so it must lie inside [x(floor(r)-1), x(floor(r)+2)] ± a bin width.
+    // (A fixed %-of-range bound would be wrong: with one-count tail
+    // buckets the error is the LOCAL inter-value gap, not the bin width —
+    // at sf0.001 the p99 gap is ~20% of range and that is correct.)
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q_quantiles_approx")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val range = ev.map(_._2).max - ev.map(_._2).min
+    val binw = range / 4096
+    val byType = ev.groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    assert(approx.keySet == byType.keySet)
+    byType.foreach { case (t, vals) =>
+      val n = vals.length
+      Seq(0.5, 0.9, 0.99).zip(approx(t)).foreach { case (p, a) =>
+        val r = p * (n - 1)
+        val loB = vals(math.max(0, r.toInt - 1)) - binw - 1e-9
+        val hiB = vals(math.min(n - 1, r.toInt + 2)) + binw + 1e-9
+        assert(a >= loB && a <= hiB, s"$t p$p approx=$a not in [$loB, $hiB]")
+      }
+    }
+  }
+
   test("text_bloom never misses a contamination hit text_contaminate found") {
     // the Bloom screen's one-sided error contract: false positives are
     // allowed, false negatives are not — per doc, bloom hits dominate
