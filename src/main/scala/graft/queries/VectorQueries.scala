@@ -288,6 +288,37 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF list-size balance — the ANN scan-cost diagnostic read before
+    * trusting an IVF index: a probe visits NProbe of nLists lists, so
+    * the max/mean list-size ratio bounds worst-case query cost against
+    * the balanced ideal (clustered corpora routinely skew 10×, and the
+    * fix — more lists, or a re-trained quantizer — starts from this
+    * table). Composition: the same learned coarse quantizer as
+    * knn_ivf_kmeans ([[kmeansCentroids]] — driver-resident literals),
+    * the shuffle-free assignment projection, then ONE nLists-group
+    * aggregation; the load-factor denominator is a 1-row total broadcast
+    * (control-plane sized), so the corpus is scanned once and never
+    * shuffled.
+    */
+  def embIvfBalance(s: SparkSession, dir: String): DataFrame = {
+    val NLists = 8
+    val e = emb(s, dir).select(col("vec_id"), col("v"))
+    e.persist()
+    val cent =
+      try kmeansCentroids(e, nLists = NLists, iters = 2)
+      finally e.unpersist(false)
+    val counts = assignListsProjection(e, cent)
+      .groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+    // the total is a window over the ≤ nLists-row counts relation (never
+    // the corpus) — one scan, no second lineage re-deriving the assignment
+    val wAll = Window.partitionBy(lit(1))
+    counts
+      .select(col("list_id"), col("n_vecs"),
+        (col("n_vecs") * lit(NLists.toDouble) /
+          sum("n_vecs").over(wAll).cast("double")).as("load_factor"))
+      .orderBy("list_id")
+  }
+
   private val DriftThreshold = 0.1
 
   /** Streaming-ANN daily ingest: assign an ingest batch (vec_id ≡ 9 mod
@@ -581,6 +612,41 @@ object VectorQueries {
         .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
       val overlap = brute
         .join(pq, col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val out = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / K, 6).as("recall"))
+        .orderBy("query_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally e.unpersist(false)
+  }
+
+  private val TruncDim = 16
+
+  /** Recall@K of brute-force search over the TRUNCATED embedding prefix
+    * (first TruncDim of 64 dims) against full-width brute force — the
+    * Matryoshka-representation storage dial (Kusupati et al.,
+    * NeurIPS'22): a 4× smaller index answers the query, and this number
+    * prices that compression in recall, completing the recall family
+    * (IVF: knn_recall, PQ: knn_recall_pq, LSH: knn_recall_lsh, width:
+    * here). Same composition shape as [[knnRecall]]: one shared
+    * persisted corpus feeds both lineages (the truncated side is a pure
+    * slice() projection of the same cache — no second scan), overlap is
+    * a left-semi join, zeros kept via the query list, and the
+    * ≤ NumQueries result materializes eagerly so the cache releases
+    * deterministically.
+    */
+  def knnRecallTrunc(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v")).persist()
+    try {
+      val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
+      val trunc = knnBruteFrom(e.select(col("vec_id"), slice(col("v"), 1, TruncDim).as("v")))
+        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+      val overlap = brute
+        .join(trunc, col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
       val out = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"))
@@ -909,6 +975,8 @@ object VectorQueries {
     "emb_pq" -> embPq,
     "knn_ivf_pq" -> knnIvfPq,
     "knn_recall_pq" -> knnRecallPq,
+    "knn_recall_trunc" -> knnRecallTrunc,
+    "emb_ivf_balance" -> embIvfBalance,
     "dedup_semantic" -> dedupSemantic,
     "emb_whiten" -> embWhiten,
     "emb_cov" -> embCov,
@@ -1303,6 +1371,72 @@ object VectorQueries {
          |SELECT af.vec_id, af.list_id, dup.id_b IS NULL AS keep
          |FROM af LEFT JOIN dup ON af.vec_id = dup.id_b
          |ORDER BY af.vec_id""".stripMargin
+    },
+    // brute top-k over the TruncDim-prefix slice vs full-width brute
+    // top-k — knn_recall's composition shape with the truncated side a
+    // pure v[1:TruncDim] slice
+    "knn_recall_trunc" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K),
+         |es AS (SELECT vec_id, v[1:$TruncDim] AS sv FROM e),
+         |qs AS (SELECT vec_id AS query_id, v[1:$TruncDim] AS qsv FROM e
+         |       WHERE vec_id < $NumQueries),
+         |tpairs AS (
+         |  SELECT query_id, es.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qsv", "sv", "qsv", "qsv", "sv", "sv")}, 6) AS cos
+         |  FROM qs JOIN es ON es.vec_id <> qs.query_id),
+         |trunc AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM tpairs)
+         |  WHERE rnk <= $K),
+         |hits AS (SELECT b.query_id, count(*) AS n_hit
+         |         FROM brute b JOIN trunc t
+         |           ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+         |         GROUP BY b.query_id)
+         |SELECT q.query_id, round(coalesce(n_hit, 0) / $K.0, 6) AS recall
+         |FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < $NumQueries) q
+         |LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+    // mirrors embIvfBalance: the knn_ivf_kmeans coarse-quantizer chain
+    // (seeds = vec_id < 8, two Lloyd rounds, final assignment), then one
+    // per-list count with the total as a scalar subquery
+    "emb_ivf_balance" -> {
+      def assignCte(centCte: String): String =
+        s"""SELECT vec_id, v, list_id FROM (
+           |    SELECT e.vec_id, e.v, c.list_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+           |    FROM e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
+      def meanCte(assignCte: String): String =
+        s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
+           |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
+           |    FROM $assignCte CROSS JOIN range(1, 65) r(i)
+           |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (${assignCte("c0")}),
+         |c1 AS (${meanCte("a1")}),
+         |a2 AS (${assignCte("c1")}),
+         |c2 AS (${meanCte("a2")}),
+         |af AS (${assignCte("c2")}),
+         |cnt AS (SELECT list_id, count(*) AS n_vecs FROM af GROUP BY list_id)
+         |SELECT list_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |       n_vecs * 8.0 / CAST((SELECT sum(n_vecs) FROM cnt) AS DOUBLE) AS load_factor
+         |FROM cnt ORDER BY list_id""".stripMargin
     },
     "knn_recall" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
