@@ -592,6 +592,62 @@ object TextQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Corpus drift per source: KL(P_source ‖ P_corpus) over unigram
+    * distributions — the distribution-shift monitor a training-data mix
+    * is steered by (a source whose KL jumps between snapshots changed
+    * its content mix; emb_drift is the same dial on the vector plane).
+    * Only tokens the source actually emits contribute (p_s > 0, and
+    * p_corpus > 0 for any such token by construction), so no smoothing
+    * constant enters the estimate. Scale shape: one explode, then every
+    * aggregate is vocabulary-sized — per-(source, token) counts partial-
+    * aggregate; corpus token counts derive FROM those counts (no second
+    * corpus pass); source/corpus totals are scalar aggregates of the
+    * same relation; the final per-source sum sees |sources| groups.
+    * Float note: per-row terms are engine-identical (exact integer
+    * ratios through ln); the per-source sum's order-dependence is
+    * ~1e-15 relative, inside the gate's rtol like pipe_anomaly's z.
+    */
+  def textKlDrift(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .createOrReplaceTempView("graft_kl_toks")
+    s.sql(
+      """WITH t AS (SELECT source, tok, count(1) AS tf_s
+        |           FROM graft_kl_toks GROUP BY source, tok),
+        |c AS (SELECT tok, CAST(sum(tf_s) AS DOUBLE) AS tf_c FROM t GROUP BY tok),
+        |ns AS (SELECT source, CAST(sum(tf_s) AS DOUBLE) AS n_s FROM t GROUP BY source),
+        |nc AS (SELECT CAST(sum(tf_s) AS DOUBLE) AS n_c FROM t)
+        |SELECT t.source,
+        |       sum((CAST(t.tf_s AS DOUBLE) / ns.n_s) *
+        |           ln((CAST(t.tf_s AS DOUBLE) * nc.n_c) / (c.tf_c * ns.n_s))) AS kl,
+        |       CAST(count(1) AS BIGINT) AS n_toks
+        |FROM t JOIN c USING (tok) JOIN ns USING (source) CROSS JOIN nc
+        |GROUP BY t.source ORDER BY source""".stripMargin)
+  }
+
+  /** CCNet-style perplexity buckets: per-LANGUAGE head/middle/tail cut
+    * of the bigram-LM fluency score ([[textBigramLp]]) — the curation
+    * step that keeps head+middle and drops (or downsamples) the tail
+    * (Wenzek et al., LREC'20). The ntile window partitions BY LANGUAGE —
+    * CCNet's actual construction — so the corpus-wide global sort a flat
+    * ntile would need never exists; within a language the sort is the
+    * price of an exact tercile cut, and at 100 TB the swap is two
+    * approx-quantile threshold constants per language (the
+    * profile_cols_approx pattern) with the same output contract.
+    */
+  def textPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    textBigramLp(s, dir).createOrReplaceTempView("graft_ppl_lp")
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .createOrReplaceTempView("graft_ppl_docs")
+    s.sql(
+      """SELECT d.doc_id, d.lang,
+        |       CAST(ntile(3) OVER (PARTITION BY d.lang
+        |                           ORDER BY l.avg_logp DESC, d.doc_id) AS BIGINT)
+        |         AS ppl_bucket
+        |FROM graft_ppl_docs d JOIN graft_ppl_lp l ON l.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Zipf rank-frequency fit — the corpus-health diagnostic (natural
     * corpora fit log(tf) ≈ slope·log(rank) + c with slope ≈ −1; template
     * spam, boilerplate floods, and truncated crawls bend the curve).
@@ -1279,6 +1335,8 @@ object TextQueries {
     "text_dup_ngrams" -> textDupNgrams,
     "text_unigram_lp" -> textUnigramLp,
     "text_bigram_lp" -> textBigramLp,
+    "text_kl_drift" -> textKlDrift,
+    "text_perplexity_buckets" -> textPerplexityBuckets,
     "text_zipf" -> textZipf,
     "text_top_tokens" -> textTopTokens)
 
@@ -1287,6 +1345,27 @@ object TextQueries {
 
   private def hx(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  // the bigram-LM fluency score (textBigramLp's oracle body, no final
+  // ORDER BY) — shared by text_bigram_lp and text_perplexity_buckets
+  private val bigramLpSql: String =
+    """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+      |                 for i in range(1, len(toks))]) AS bg
+      |       FROM toksrc WHERE len(toks) >= 2),
+      |tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c2 AS (SELECT bg, count(*) AS n2 FROM bg GROUP BY bg),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(n2) AS BIGINT) AS n1
+      |       FROM c2 GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM tok)
+      |SELECT doc_id,
+      |       avg(ln((n2 + 0.5) / (n1 + 0.5 * vs))) AS avg_logp
+      |FROM bg b
+      |JOIN c2 USING (bg)
+      |JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
+      |CROSS JOIN v
+      |GROUP BY doc_id""".stripMargin
 
   private val shinglesSql =
     "[array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, len(toks) - 1)]"
@@ -1910,24 +1989,30 @@ object TextQueries {
         |SELECT doc_id, avg(ln(tf::DOUBLE / n_total::DOUBLE)) AS avg_logp
         |FROM tok JOIN v USING (tok) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "text_bigram_lp" ->
-      """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |bg AS (SELECT doc_id,
-        |         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
-        |                 for i in range(1, len(toks))]) AS bg
-        |       FROM toksrc WHERE len(toks) >= 2),
-        |tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-        |c2 AS (SELECT bg, count(*) AS n2 FROM bg GROUP BY bg),
-        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(n2) AS BIGINT) AS n1
-        |       FROM c2 GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs FROM tok)
-        |SELECT doc_id,
-        |       avg(ln((n2 + 0.5) / (n1 + 0.5 * vs))) AS avg_logp
-        |FROM bg b
-        |JOIN c2 USING (bg)
-        |JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
-        |CROSS JOIN v
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_lp" -> s"$bigramLpSql ORDER BY doc_id",
+    // the bigram-LM score as a CTE, then an exact per-language tercile —
+    // both engines implement SQL-standard ntile (remainder rows to the
+    // leading buckets), and the ORDER BY key is the hash-green avg_logp
+    "text_perplexity_buckets" ->
+      s"""WITH lp AS ($bigramLpSql)
+         |SELECT d.doc_id, d.lang,
+         |       ntile(3) OVER (PARTITION BY d.lang
+         |                      ORDER BY lp.avg_logp DESC, d.doc_id) AS ppl_bucket
+         |FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_kl_drift" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |t AS (SELECT source, tok, count(1) AS tf_s FROM tk GROUP BY source, tok),
+        |c AS (SELECT tok, CAST(sum(tf_s) AS DOUBLE) AS tf_c FROM t GROUP BY tok),
+        |ns AS (SELECT source, CAST(sum(tf_s) AS DOUBLE) AS n_s FROM t GROUP BY source),
+        |nc AS (SELECT CAST(sum(tf_s) AS DOUBLE) AS n_c FROM t)
+        |SELECT t.source,
+        |       sum((CAST(t.tf_s AS DOUBLE) / ns.n_s) *
+        |           ln((CAST(t.tf_s AS DOUBLE) * nc.n_c) / (c.tf_c * ns.n_s))) AS kl,
+        |       CAST(count(1) AS BIGINT) AS n_toks
+        |FROM t JOIN c USING (tok) JOIN ns USING (source) CROSS JOIN nc
+        |GROUP BY t.source ORDER BY source""".stripMargin,
     "text_zipf" ->
       """WITH tf AS (SELECT tok, count(*) AS tf
         |            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
