@@ -64,7 +64,10 @@ object MultimodalQueries {
     * embedding slots into the same Decoder seam). Deterministic and
     * oracle-checked end to end, decode included.
     */
-  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    mmPhashPairs(s, dir).orderBy("id_a", "id_b")
+
+  private def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(s, dir)
     val feats = Multimodal.extractFeatures(media, new Multimodal.AHashDecoder(PhashCells))
       .toDF()
@@ -79,16 +82,74 @@ object MultimodalQueries {
         lit(0L), (a, x) => a + x).as("ph"))
     graft.functions.ScaleFunctions
       .hammingPairs(hashed, "media_id", "ph", PhashDim, PhashBlocks)
-      .orderBy("id_a", "id_b")
+  }
+
+  /** Media near-dup clusters: connected components over the mm_phash
+    * pair graph — dedup_cc's deliverable on the media plane, closing the
+    * multimodal dedup story end to end (decode → dHash → Hamming pairs →
+    * transitive clusters → keep-the-minimum representative). The CC loop
+    * iterates ONLY over pair-incident assets ([[graft.functions
+    * .ScaleFunctions.connectedComponentsIncident]]); every asset in no
+    * pair rejoins as its own singleton via the final left join, so the
+    * iterative state is pair-volume-sized, never corpus-sized.
+    */
+  def mmDedupCc(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mmPhashPairs(s, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.functions.ScaleFunctions.connectedComponentsIncident(pairs)
+      .withColumnRenamed("id", "cid")
+    Multimodal.mediaFromDocuments(s, dir).toDF().select(col("media_id"))
+      .join(comp, col("media_id") === col("cid"), "left_outer")
+      .select(col("media_id"),
+        coalesce(col("lbl"), col("media_id")).as("component"),
+        (coalesce(col("lbl"), col("media_id")) === col("media_id")).as("keep"))
+      .orderBy("media_id")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
-    "mm_phash" -> mmPhash)
+    "mm_phash" -> mmPhash,
+    "mm_dedup_cc" -> mmDedupCc)
 
   private def fSql(i: Int): String =
     s"round(CAST('0x' || substr(md5(text || '#f$i'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS f$i"
+
+  // the dHash pipeline through verified Hamming pairs (`prs`) — shared by
+  // the mm_phash oracle and mm_dedup_cc's recursive closure
+  private val phashPairsCte: String =
+    s"""h AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |f AS (
+       |  SELECT media_id,
+       |         [coalesce(list_avg(
+       |            [CAST('0x' || substr(hx, j * 2 + 1, 2) AS BIGINT)
+       |             for j in range(i * ((n + ${PhashCells - 1}) // $PhashCells),
+       |                            least((i + 1) * ((n + ${PhashCells - 1}) // $PhashCells), n))]), 0.0)
+       |          for i in range(0, $PhashCells)] AS fv
+       |  FROM h),
+       |p AS (
+       |  SELECT media_id,
+       |    CAST(list_sum(list_transform(range(0, $PhashDim), i ->
+       |      CASE WHEN fv[CAST(i AS INT) + 1] > fv[CAST(i AS INT) + 2]
+       |           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS ph
+       |  FROM f),
+       |bl AS (SELECT media_id, ph, unnest(range(0, $PhashBlocks)) AS block FROM p),
+       |blv AS (SELECT media_id, block,
+       |        (ph >> CAST(block * $PhashBlockBits AS INT)) & ${(1 << PhashBlockBits) - 1} AS bval
+       |        FROM bl),
+       |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+       |         FROM blv a JOIN blv b
+       |         ON a.block = b.block AND a.bval = b.bval AND a.media_id < b.media_id),
+       |prs AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(bit_count(xor(pa.ph, pb.ph)) AS INT) AS hamming
+       |  FROM cand c
+       |  JOIN p pa ON pa.media_id = c.id_a
+       |  JOIN p pb ON pb.media_id = c.id_b
+       |  WHERE bit_count(xor(pa.ph, pb.ph)) <= ${PhashBlocks - 1})""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_features" ->
@@ -118,36 +179,21 @@ object MultimodalQueries {
     // identically on both engines), so the per-bit gradient comparisons
     // match Spark bit-for-bit
     "mm_phash" ->
-      s"""WITH h AS (
-         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         |         octet_length(encode(text)) AS n
-         |  FROM documents WHERE octet_length(encode(text)) > 0),
-         |f AS (
-         |  SELECT media_id,
-         |         [coalesce(list_avg(
-         |            [CAST('0x' || substr(hx, j * 2 + 1, 2) AS BIGINT)
-         |             for j in range(i * ((n + ${PhashCells - 1}) // $PhashCells),
-         |                            least((i + 1) * ((n + ${PhashCells - 1}) // $PhashCells), n))]), 0.0)
-         |          for i in range(0, $PhashCells)] AS fv
-         |  FROM h),
-         |p AS (
-         |  SELECT media_id,
-         |    CAST(list_sum(list_transform(range(0, $PhashDim), i ->
-         |      CASE WHEN fv[CAST(i AS INT) + 1] > fv[CAST(i AS INT) + 2]
-         |           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS ph
-         |  FROM f),
-         |bl AS (SELECT media_id, ph, unnest(range(0, $PhashBlocks)) AS block FROM p),
-         |blv AS (SELECT media_id, block,
-         |        (ph >> CAST(block * $PhashBlockBits AS INT)) & ${(1 << PhashBlockBits) - 1} AS bval
-         |        FROM bl),
-         |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
-         |         FROM blv a JOIN blv b
-         |         ON a.block = b.block AND a.bval = b.bval AND a.media_id < b.media_id)
-         |SELECT c.id_a, c.id_b,
-         |       CAST(bit_count(xor(pa.ph, pb.ph)) AS INT) AS hamming
-         |FROM cand c
-         |JOIN p pa ON pa.media_id = c.id_a
-         |JOIN p pb ON pb.media_id = c.id_b
-         |WHERE bit_count(xor(pa.ph, pb.ph)) <= ${PhashBlocks - 1}
-         |ORDER BY id_a, id_b""".stripMargin)
+      s"""WITH $phashPairsCte
+         |SELECT id_a, id_b, hamming FROM prs
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the mm_phash pair CTEs feeding a recursive transitive closure
+    // seeded from ALL media ids (assets in no pair are singletons) —
+    // dedup_cc's oracle shape on the media plane
+    "mm_dedup_cc" ->
+      s"""WITH RECURSIVE $phashPairsCte,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |      UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+         |SELECT a AS media_id, CAST(min(b) AS BIGINT) AS component,
+         |       a = min(b) AS keep
+         |FROM reach GROUP BY a ORDER BY media_id""".stripMargin)
 }

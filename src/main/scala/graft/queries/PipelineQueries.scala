@@ -251,6 +251,54 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** Event-rate level-shift detection per event type: hourly event
+    * counts, the trailing-6h vs leading-6h window around every hour
+    * boundary, and the single largest rate shift per type — the
+    * changepoint scan that catches a fleet going quiet (or a retry
+    * storm starting) hours before an absolute threshold would. Exactness
+    * by construction: both windows sum INTEGER counts (bit-stable across
+    * engines whatever the frame-evaluation order), and the rate ratio is
+    * one double division of exact longs, so ranking and output are
+    * deterministic — the pipe_cadence discipline. Scale shape: one
+    * partial-aggregated groupBy to (type, hour) rows — time-bounded,
+    * not event-bounded — then type-keyed windows over that aggregate;
+    * only full 6+6 windows compete, so series edges never fake a shift.
+    * Detection is over observed hours (pipe_gap_fill composes upstream
+    * when silent hours must read as zero).
+    */
+  def pipeLevelShift(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("hr", date_format(
+        timestamp_seconds(floor(unix_micros(col("ts")) / (3600L * 1000000)) * 3600L),
+        "yyyy-MM-dd HH:mm:ss"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      .createOrReplaceTempView("graft_shift_hourly")
+    s.sql(
+      """WITH w AS (
+        |  SELECT event_type, hr,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY hr
+        |                      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS prev_n,
+        |         count(1) OVER (PARTITION BY event_type ORDER BY hr
+        |                      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS prev_c,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY hr
+        |                      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS next_n,
+        |         count(1) OVER (PARTITION BY event_type ORDER BY hr
+        |                      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS next_c
+        |  FROM graft_shift_hourly),
+        |f AS (
+        |  SELECT event_type, hr, CAST(prev_n AS BIGINT) AS prev_n,
+        |         CAST(next_n AS BIGINT) AS next_n,
+        |         CAST(next_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS rate_ratio
+        |  FROM w WHERE prev_c = 6 AND next_c = 6),
+        |rk AS (
+        |  SELECT event_type, hr, prev_n, next_n, rate_ratio,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY greatest(rate_ratio, 1.0 / rate_ratio) DESC, hr) AS rnk
+        |  FROM f)
+        |SELECT event_type, hr AS shift_hour, prev_n, next_n, rate_ratio
+        |FROM rk WHERE rnk = 1 ORDER BY event_type""".stripMargin)
+  }
+
   /** Event-type transition matrix (first-order Markov estimate): for
     * each user's event sequence in (ts, event_id) order, count
     * (type → next-type) transitions and normalize per source type — the
@@ -445,6 +493,7 @@ object PipelineQueries {
     "pipe_gap_fill" -> pipeGapFill,
     "pipe_markov" -> pipeMarkov,
     "pipe_cadence" -> pipeCadence,
+    "pipe_level_shift" -> pipeLevelShift,
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
@@ -516,6 +565,38 @@ object PipelineQueries {
         |       round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_s
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // integer window sums -> one double division of exact longs: ranking
+    // and output are engine-deterministic whatever the frame-eval order
+    "pipe_level_shift" ->
+      """WITH hb AS (
+        |  SELECT event_type,
+        |         strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+        |                  '%Y-%m-%d %H:%M:%S') AS hr
+        |  FROM events),
+        |hc AS (SELECT event_type, hr, count(*) AS n FROM hb GROUP BY event_type, hr),
+        |w AS (
+        |  SELECT event_type, hr,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY hr
+        |                      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS prev_n,
+        |         count(*) OVER (PARTITION BY event_type ORDER BY hr
+        |                      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS prev_c,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY hr
+        |                      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS next_n,
+        |         count(*) OVER (PARTITION BY event_type ORDER BY hr
+        |                      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS next_c
+        |  FROM hc),
+        |f AS (
+        |  SELECT event_type, hr, CAST(prev_n AS BIGINT) AS prev_n,
+        |         CAST(next_n AS BIGINT) AS next_n,
+        |         CAST(next_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS rate_ratio
+        |  FROM w WHERE prev_c = 6 AND next_c = 6),
+        |rk AS (
+        |  SELECT event_type, hr, prev_n, next_n, rate_ratio,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY greatest(rate_ratio, 1.0 / rate_ratio) DESC, hr) AS rnk
+        |  FROM f)
+        |SELECT event_type, hr AS shift_hour, prev_n, next_n, rate_ratio
+        |FROM rk WHERE rnk = 1 ORDER BY event_type""".stripMargin,
     "pipe_markov" ->
       """WITH t AS (
         |  SELECT user_id, event_type,
