@@ -497,6 +497,32 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Salted equi-join as a checked query — [[qSkewAgg]]'s counterpart
+    * for the JOIN side of skew handling, making ScaleFunctions.saltedJoin
+    * oracle-gated the way q_skew_agg gates saltedSum: the fact side
+    * (lineitem) takes a uniform salt, the build side (orders — small-ish
+    * but not broadcastable at 100 TB) replicates once per salt, so every
+    * (key, salt) pair co-locates and one hot order key can no longer
+    * strangle a join partition (the case AQE's skew splitting cannot fix
+    * when the hot key dominates BOTH sides). Gated to equal the PLAIN
+    * join + aggregate — the identity that makes salting mechanically
+    * safe — and revenue is emitted unrounded under the gate's rtol (the
+    * pipe_anomaly discipline: rounding near a boundary is the only way
+    * order-dependent ~1e-11 float drift becomes visible).
+    */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val Salts = 8
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val build = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.functions.ScaleFunctions.saltedJoin(fact, build, "okey", Salts)
+      .groupBy("o_orderpriority")
+      .agg(sum("rev").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
     * quantity is under 20% of their part's average — the "small-order
     * revenue" probe. Declared as SQL with a correlated subquery so
@@ -614,6 +640,7 @@ object RelationalQueries {
     "profile_cols" -> profileCols,
     "profile_cols_approx" -> profileColsApprox,
     "q_skew_agg" -> qSkewAgg,
+    "q_salted_join" -> qSaltedJoin,
     "graph_pagerank" -> graphPagerank,
     "q_corr_subquery" -> qCorrSubquery,
     "q_corr_agg" -> qCorrAgg,
@@ -824,6 +851,13 @@ object RelationalQueries {
         |       count(*) AS n_rows,
         |       round(sum(l_quantity) / count(*), 6) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the PLAIN join + aggregate the salted form must equal
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // DuckDB has no width_bucket; the explicit formula mirrors Spark's
     // WidthBucket for in-range values — bucket = floor(v / width) + 1
     // with width = (600000 - 0) / 30 = 20000 (exact in double, so the

@@ -47,7 +47,10 @@ object VectorQueries {
     * own label centroid — the IVF coarse-quantizer building block (exact,
     * aggregation-based; one shuffle on label).
     */
-  def embCentroidDist(s: SparkSession, dir: String): DataFrame = {
+  def embCentroidDist(s: SparkSession, dir: String): DataFrame =
+    centroidDistCore(s, dir).orderBy("vec_id")
+
+  private def centroidDistCore(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     // mean per dimension: aggregate arrays elementwise via posexplode
     val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
@@ -57,6 +60,29 @@ object VectorQueries {
     e.join(broadcast(centroids), "label")
       .select(col("vec_id"), col("label"),
         round(cosine(col("v"), col("cv")), 6).as("cos_to_centroid"))
+  }
+
+  /** Embedding outlier screen: vectors whose cosine to their OWN label
+    * centroid is a low outlier within the label (z ≤ −3) — the
+    * mis-embedded / mislabeled row filter a curation pass runs before
+    * an index or a training mix trusts the embedding column
+    * (pipe_anomaly's z-score screen on the vector plane). Composition:
+    * [[embCentroidDist]]'s broadcast-centroid projection, a |labels|-row
+    * stats aggregate broadcast back onto it, then per-row z as a pure
+    * projection — the corpus is scanned once and never shuffles; z is
+    * emitted unrounded under the gate's rtol and the −3 cut compares
+    * values whose cross-engine drift is ~1e-12, so the row set is
+    * stable.
+    */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    val d = centroidDistCore(s, dir)
+    val stats = d.groupBy("label").agg(
+      avg("cos_to_centroid").as("m"), stddev_pop("cos_to_centroid").as("sd"))
+    d.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"), col("cos_to_centroid"),
+        ((col("cos_to_centroid") - col("m")) /
+          when(col("sd") === 0, lit(1.0)).otherwise(col("sd"))).as("z"))
+      .filter(col("z") <= -3.0)
       .orderBy("vec_id")
   }
 
@@ -966,6 +992,7 @@ object VectorQueries {
     "knn_ivf_incremental" -> knnIvfIncremental,
     "knn_recall" -> knnRecall,
     "emb_centroid_dist" -> embCentroidDist,
+    "emb_outliers" -> embOutliers,
     "emb_neardup" -> embNeardup,
     "emb_lsh_buckets" -> embLshBuckets,
     "knn_lsh" -> knnLsh,
@@ -1156,6 +1183,25 @@ object VectorQueries {
          |SELECT vec_id, e.label,
          |       round(${cosSql.format("v", "cv", "v", "v", "cv", "cv")}, 6) AS cos_to_centroid
          |FROM e JOIN cent ON e.label = cent.label
+         |ORDER BY vec_id""".stripMargin,
+    // the emb_centroid_dist chain feeding a per-label z-score screen;
+    // z unrounded under the gate's rtol, cut at -3 like pipe_anomaly
+    "emb_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
+         |       FROM e CROSS JOIN range(1, 65) r(i)),
+         |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cm GROUP BY label),
+         |d AS (SELECT vec_id, e.label,
+         |             round(${cosSql.format("v", "cv", "v", "v", "cv", "cv")}, 6) AS cos_to_centroid
+         |      FROM e JOIN cent ON e.label = cent.label),
+         |st AS (SELECT label, avg(cos_to_centroid) AS m,
+         |              stddev_pop(cos_to_centroid) AS sd
+         |       FROM d GROUP BY label)
+         |SELECT vec_id, d.label, cos_to_centroid,
+         |       (cos_to_centroid - m) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) AS z
+         |FROM d JOIN st ON d.label = st.label
+         |WHERE (cos_to_centroid - m) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) <= -3.0
          |ORDER BY vec_id""".stripMargin,
     "knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
