@@ -251,6 +251,35 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** Event-time disorder profile per event type — the dial that picks a
+    * streaming watermark delay (`withWatermark`'s lateness budget IS
+    * this distribution's tail): within each user's arrival sequence
+    * (event_id order — ingestion is sequential per device), an event's
+    * disorder is how far the already-seen event-time high-water mark is
+    * ahead of it. Running max over integer microseconds and exact
+    * percentiles over exact longs (the pipe_cadence discipline), so the
+    * profile is bit-stable across engines. One user-keyed window over
+    * the arrival sequence, then a partial-aggregated groupBy to |types|
+    * rows; at 100 TB the per-user windows are the same per-key sort a
+    * sessionization pass already pays — no global arrival sort exists.
+    */
+  def pipeLateness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wArrival = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("hwm", max("us").over(wArrival))
+      .withColumn("disorder_us", col("hwm") - col("us"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("disorder_us") > 0, 1L).otherwise(0L)).as("n_disordered"),
+        round(expr("percentile(disorder_us, 0.95)") / 1e6, 6).as("p95_disorder_s"),
+        round(max(col("disorder_us")).cast("double") / 1e6, 6).as("max_disorder_s"))
+      .orderBy("event_type")
+  }
+
   /** Event-rate level-shift detection per event type: hourly event
     * counts, the trailing-6h vs leading-6h window around every hour
     * boundary, and the single largest rate shift per type — the
@@ -494,6 +523,7 @@ object PipelineQueries {
     "pipe_markov" -> pipeMarkov,
     "pipe_cadence" -> pipeCadence,
     "pipe_level_shift" -> pipeLevelShift,
+    "pipe_lateness" -> pipeLateness,
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
@@ -565,6 +595,20 @@ object PipelineQueries {
         |       round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_s
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // running max over integer micros + exact percentiles over longs:
+    // bit-stable (the pipe_cadence discipline)
+    "pipe_lateness" ->
+      """WITH a AS (
+        |  SELECT event_type,
+        |         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           - epoch_us(ts) AS disorder_us
+        |  FROM events)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disordered,
+        |       round(quantile_cont(disorder_us, 0.95) / 1e6, 6) AS p95_disorder_s,
+        |       round(CAST(max(disorder_us) AS DOUBLE) / 1e6, 6) AS max_disorder_s
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin,
     // integer window sums -> one double division of exact longs: ranking
     // and output are engine-deterministic whatever the frame-eval order
     "pipe_level_shift" ->
