@@ -84,6 +84,30 @@ object MultimodalQueries {
       .hammingPairs(hashed, "media_id", "ph", PhashDim, PhashBlocks)
   }
 
+  /** Partial-copy detection across media assets: two assets sharing at
+    * least one identical sampled FRAME are partial copies (clipped /
+    * re-encoded / concatenated variants share frames even when whole-
+    * asset hashes and pHashes differ — the frame plane is where video
+    * dedup actually runs). Frames dedup within asset first (distinct
+    * frame fingerprint per asset), then a fingerprint-keyed equi-join
+    * generates candidate pairs — candidates ∝ fingerprint collisions,
+    * the CDC-chunk / LSH-bucket regime, never assets². Fingerprint =
+    * md5 of the frame's hex (the binary→hex plane the mm oracles
+    * already share, since DuckDB's md5 is VARCHAR-only).
+    */
+  def mmSharedFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, dir)
+    val fr = Multimodal.sampleFrames(media, FrameSize, FrameStride, MaxFrames)
+      .select(col("media_id"), md5(lower(hex(col("frame_bytes")))).as("fh"))
+      .distinct()
+    fr.as("a")
+      .join(fr.as("b"),
+        col("a.fh") === col("b.fh") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Media near-dup clusters: connected components over the mm_phash
     * pair graph — dedup_cc's deliverable on the media plane, closing the
     * multimodal dedup story end to end (decode → dHash → Hamming pairs →
@@ -110,10 +134,24 @@ object MultimodalQueries {
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
     "mm_phash" -> mmPhash,
-    "mm_dedup_cc" -> mmDedupCc)
+    "mm_dedup_cc" -> mmDedupCc,
+    "mm_shared_frames" -> mmSharedFrames)
 
   private def fSql(i: Int): String =
     s"round(CAST('0x' || substr(md5(text || '#f$i'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS f$i"
+
+  // the frame-sampling chain through `f(media_id, bi, fhex)` — shared by
+  // the mm_frames oracle and mm_shared_frames' fingerprint join
+  private val framesCte: String =
+    s"""h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents),
+       |n AS (SELECT media_id, hx,
+       |             (len(hx) // 2 + ${FrameSize - 1}) // $FrameSize AS nb
+       |      FROM h),
+       |ix AS (SELECT media_id, hx, CAST(unnest(range(nb)) AS INT) AS bi FROM n),
+       |f AS (SELECT media_id, bi,
+       |             substr(hx, bi * ${FrameSize * 2} + 1, ${FrameSize * 2}) AS fhex
+       |      FROM ix
+       |      WHERE bi % $FrameStride = 0 AND bi < ${FrameStride * MaxFrames})""".stripMargin
 
   // the dHash pipeline through verified Hamming pairs (`prs`) — shared by
   // the mm_phash oracle and mm_dedup_cc's recursive closure
@@ -162,19 +200,20 @@ object MultimodalQueries {
     // = chars [i*64+1, 64] of hex(bytes); every FrameStride-th block,
     // first MaxFrames of them
     "mm_frames" ->
-      s"""WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents),
-         |n AS (SELECT media_id, hx,
-         |             (len(hx) // 2 + ${FrameSize - 1}) // $FrameSize AS nb
-         |      FROM h),
-         |ix AS (SELECT media_id, hx, CAST(unnest(range(nb)) AS INT) AS bi FROM n),
-         |f AS (SELECT media_id, bi,
-         |             substr(hx, bi * ${FrameSize * 2} + 1, ${FrameSize * 2}) AS fhex
-         |      FROM ix
-         |      WHERE bi % $FrameStride = 0 AND bi < ${FrameStride * MaxFrames})
+      s"""WITH $framesCte
          |SELECT media_id, bi AS frame_index,
          |       CAST(len(fhex) // 2 AS INT) AS n_bytes,
          |       lower(fhex) AS frame_hex
          |FROM f ORDER BY media_id, frame_index""".stripMargin,
+    // the frames CTE feeding a per-asset-distinct fingerprint self-join —
+    // the same md5-on-the-hex-plane fingerprint as the Spark side
+    "mm_shared_frames" ->
+      s"""WITH $framesCte,
+         |fp AS (SELECT DISTINCT media_id, md5(lower(fhex)) AS fh FROM f)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fp a JOIN fp b ON a.fh = b.fh AND a.media_id < b.media_id
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     // block means are exact-integer sums divided once (correctly rounded
     // identically on both engines), so the per-bit gradient comparisons
     // match Spark bit-for-bit

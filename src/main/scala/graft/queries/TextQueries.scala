@@ -1219,6 +1219,17 @@ object TextQueries {
     * inside the maximal run of consecutive matches is even.
     */
   def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val (_, merges) = bpeTrain(s, dir)
+    import s.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_count").orderBy("merge_rank")
+  }
+
+  /** The BPE training loop, returning both artifacts: the final
+    * (w, cnt, s) vocabulary after BpeMergeRounds merges (feeds the
+    * encode step) and the merge table itself.
+    */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     var vocab = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
@@ -1240,8 +1251,34 @@ object TextQueries {
       merges += ((r, a, b, c))
       vocab = vocab.withColumn("s", bpeMergeFold(col("s"), a, b)).localCheckpoint()
     }
-    import s.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count").orderBy("merge_rank")
+    (vocab, merges.toSeq)
+  }
+
+  /** The BPE ENCODE step — apply the trained merge table to the corpus
+    * and report per-document subword statistics (token count under the
+    * learned vocabulary, symbols-per-character compression): the number
+    * a tokenizer-budget decision (sequence length, packing density,
+    * $/token) reads off after text_bpe_merges trains the table. Scale
+    * shape: segmentation lives on the VOCABULARY (each distinct word
+    * carries its symbol split out of the training loop — word-sized,
+    * not corpus-sized), so encoding the corpus is one explode + a
+    * vocabulary-keyed join (AQE: broadcast at small SF, shuffle join on
+    * the open vocabulary at 100 TB — the text_tfidf regime) + one
+    * per-doc partial aggregate; integer-derived ratio, bit-stable.
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = bpeTrain(s, dir)
+    val wl = vocab.select(col("w"), size(col("s")).cast("long").as("n_sym"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(wl, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_bpe_tokens"),
+        (sum("n_sym").cast("double") /
+          sum(length(col("w"))).cast("double")).as("tokens_per_char"))
+      .orderBy("doc_id")
   }
 
   /** The corpus mixing report: per ingestion source, how many documents
@@ -1306,6 +1343,7 @@ object TextQueries {
     "text_bloom" -> textBloom,
     "text_pmi" -> textPmi,
     "text_bpe_merges" -> textBpeMerges,
+    "text_bpe_encode" -> textBpeEncode,
     "dedup_incremental" -> dedupIncremental,
     "dedup_recall" -> dedupRecall,
     "text_cms" -> textCms,
@@ -1345,6 +1383,47 @@ object TextQueries {
 
   private def hx(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  // the BPE merge chain v0 → v{BpeMergeRounds} (+ per-round winners m$r):
+  // shared by text_bpe_merges (reads the m$r) and text_bpe_encode (reads
+  // the final vocabulary). v/m MATERIALIZED: each round references the
+  // previous vocab (and its own m) twice — default CTE inlining would
+  // re-derive the whole chain exponentially (2^rounds scans of documents)
+  private lazy val bpeVocabCte: String = {
+    def round(r: Int): String = {
+      val prev = s"v${r - 1}"
+      s"""p$r AS (
+         |  SELECT cnt, s[i] AS l, s[i + 1] AS rr
+         |  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i FROM $prev)),
+         |m$r AS MATERIALIZED (
+         |  SELECT l, rr, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM p$r GROUP BY l, rr ORDER BY c DESC, l, rr LIMIT 1),
+         |mt$r AS (
+         |  SELECT w, cnt, s, i,
+         |         i < len(s) AND s[i] = (SELECT l FROM m$r)
+         |           AND s[i + 1] = (SELECT rr FROM m$r) AS mt
+         |  FROM (SELECT w, cnt, s, unnest(range(1, len(s) + 1)) AS i FROM $prev)),
+         |sel$r AS (
+         |  SELECT w, cnt, s, i, mt,
+         |         mt AND (i - coalesce(max(CASE WHEN NOT mt THEN i END)
+         |             OVER (PARTITION BY w ORDER BY i ROWS UNBOUNDED PRECEDING), 0) - 1) % 2 = 0 AS sel
+         |  FROM mt$r),
+         |em$r AS (
+         |  SELECT w, cnt, i,
+         |         CASE WHEN sel THEN s[i] || s[i + 1] ELSE s[i] END AS sym,
+         |         lag(sel, 1, false) OVER (PARTITION BY w ORDER BY i) AS consumed
+         |  FROM sel$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT w, cnt, list(sym ORDER BY i) AS s
+         |  FROM em$r WHERE NOT consumed GROUP BY w, cnt)""".stripMargin
+    }
+    s"""v0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+       |         [substr(w, CAST(i AS INT), 1) for i in range(1, length(w) + 1)] AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY w),
+       |${(1 to BpeMergeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
 
   // the bigram-LM fluency score (textBigramLp's oracle body, no final
   // ORDER BY) — shared by text_bigram_lp and text_perplexity_buckets
@@ -1662,48 +1741,25 @@ object TextQueries {
     // non-matching position + 1); the following position is then consumed
     // via lag(sel). Must agree with textBpeMerges' aggregate() fold.
     "text_bpe_merges" -> {
-      def round(r: Int): String = {
-        val prev = s"v${r - 1}"
-        // v/m MATERIALIZED: each round references the previous vocab (and
-        // its own m) twice — default CTE inlining would re-derive the
-        // whole chain exponentially (2^rounds scans of documents)
-        s"""p$r AS (
-           |  SELECT cnt, s[i] AS l, s[i + 1] AS rr
-           |  FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i FROM $prev)),
-           |m$r AS MATERIALIZED (
-           |  SELECT l, rr, CAST(sum(cnt) AS BIGINT) AS c
-           |  FROM p$r GROUP BY l, rr ORDER BY c DESC, l, rr LIMIT 1),
-           |mt$r AS (
-           |  SELECT w, cnt, s, i,
-           |         i < len(s) AND s[i] = (SELECT l FROM m$r)
-           |           AND s[i + 1] = (SELECT rr FROM m$r) AS mt
-           |  FROM (SELECT w, cnt, s, unnest(range(1, len(s) + 1)) AS i FROM $prev)),
-           |sel$r AS (
-           |  SELECT w, cnt, s, i, mt,
-           |         mt AND (i - coalesce(max(CASE WHEN NOT mt THEN i END)
-           |             OVER (PARTITION BY w ORDER BY i ROWS UNBOUNDED PRECEDING), 0) - 1) % 2 = 0 AS sel
-           |  FROM mt$r),
-           |em$r AS (
-           |  SELECT w, cnt, i,
-           |         CASE WHEN sel THEN s[i] || s[i + 1] ELSE s[i] END AS sym,
-           |         lag(sel, 1, false) OVER (PARTITION BY w ORDER BY i) AS consumed
-           |  FROM sel$r),
-           |v$r AS MATERIALIZED (
-           |  SELECT w, cnt, list(sym ORDER BY i) AS s
-           |  FROM em$r WHERE NOT consumed GROUP BY w, cnt)""".stripMargin
-      }
-      val rounds = (1 to BpeMergeRounds).map(round).mkString(",\n")
       val sel = (1 to BpeMergeRounds).map(r =>
         s"SELECT $r AS merge_rank, l AS lhs, rr AS rhs, c FROM m$r").mkString("\nUNION ALL\n")
-      s"""WITH v0 AS MATERIALIZED (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
-         |         [substr(w, CAST(i AS INT), 1) for i in range(1, length(w) + 1)] AS s
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE length(w) >= 1 GROUP BY w),
-         |$rounds
+      s"""WITH $bpeVocabCte
          |SELECT merge_rank, lhs, rhs, c AS pair_count FROM (
          |$sel) ORDER BY merge_rank""".stripMargin
     },
+    // the shared merge chain's FINAL vocabulary joined back onto the
+    // corpus tokens — segmentation lives on the vocabulary, the corpus
+    // pays one join; ratio from exact integer sums
+    "text_bpe_encode" ->
+      s"""WITH $bpeVocabCte,
+         |wl AS (SELECT w, CAST(len(s) AS BIGINT) AS n_sym FROM v$BpeMergeRounds),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(sum(n_sym) AS DOUBLE) / CAST(sum(length(w)) AS DOUBLE)
+         |         AS tokens_per_char
+         |FROM tok JOIN wl USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "corpus_mix" ->
       s"""$pairsCore,
          |dup AS (SELECT DISTINCT id_b FROM pairs),
