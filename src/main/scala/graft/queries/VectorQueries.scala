@@ -169,8 +169,8 @@ object VectorQueries {
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = knnIvfFrom(emb(s, dir))
 
-  private def knnIvfFrom(e: DataFrame): DataFrame = {
-    val NProbe = 2
+  private def knnIvfFrom(e: DataFrame, nProbe: Int = 2): DataFrame = {
+    val NProbe = nProbe
     // centroids: one shuffle on label, tiny output (nlists x dim)
     val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("label", "i").agg(avg("x").as("m"))
@@ -650,6 +650,36 @@ object VectorQueries {
     } finally e.unpersist(false)
   }
 
+  private val SweepMaxProbe = 4
+
+  /** Recall@K as a FUNCTION of nprobe (1..SweepMaxProbe) — the tuning
+    * CURVE behind knn_recall's single point: nprobe is the knob an IVF
+    * deployment actually turns (each +1 probes one more list ≈ +1/nlists
+    * of the corpus per query), and this emits the recall-vs-cost table
+    * that decision reads. One persisted corpus feeds the brute ground
+    * truth and all sweep points; the per-point hit counts are bounded
+    * control-plane actions (≤ NumQueries·K rows each, the kmeans-loop
+    * discipline), so the result is an exact 4-row relation from integer
+    * hit counts.
+    */
+  def knnRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).persist()
+    try {
+      val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
+      val rows = (1 to SweepMaxProbe).map { p =>
+        val ivf = knnIvfFrom(e, p)
+          .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+        val hits = brute
+          .join(ivf, col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
+            "left_semi")
+          .count()
+        (p, hits.toDouble / (NumQueries * K))
+      }
+      import s.implicits._
+      rows.toDF("nprobe", "recall")
+    } finally e.unpersist(false)
+  }
+
   private val TruncDim = 16
 
   /** Recall@K of brute-force search over the TRUNCATED embedding prefix
@@ -1003,6 +1033,7 @@ object VectorQueries {
     "knn_ivf_pq" -> knnIvfPq,
     "knn_recall_pq" -> knnRecallPq,
     "knn_recall_trunc" -> knnRecallTrunc,
+    "knn_recall_sweep" -> knnRecallSweep,
     "emb_ivf_balance" -> embIvfBalance,
     "dedup_semantic" -> dedupSemantic,
     "emb_whiten" -> embWhiten,
@@ -1417,6 +1448,51 @@ object VectorQueries {
          |SELECT af.vec_id, af.list_id, dup.id_b IS NULL AS keep
          |FROM af LEFT JOIN dup ON af.vec_id = dup.id_b
          |ORDER BY af.vec_id""".stripMargin
+    },
+    // knn_recall's chain with the probe depth swept 1..SweepMaxProbe:
+    // shared MATERIALIZED ground truth + a prnk-carrying candidate
+    // relation; each sweep point re-ranks the prnk<=p subset
+    "knn_recall_sweep" -> {
+      def point(p: Int): String =
+        s"""SELECT $p AS nprobe,
+           |       CAST((SELECT count(*)
+           |             FROM brute b JOIN (
+           |               SELECT query_id, neighbor_id FROM (
+           |                 SELECT query_id, neighbor_id,
+           |                        row_number() OVER (PARTITION BY query_id
+           |                          ORDER BY cos DESC, neighbor_id) AS rnk
+           |                 FROM cand WHERE prnk <= $p) WHERE rnk <= $K) i
+           |               ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+           |            AS DOUBLE) / ${NumQueries * K}.0 AS recall""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
+         |       FROM e CROSS JOIN range(1, 65) r(i)),
+         |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+         |cent AS MATERIALIZED (SELECT label, list(m ORDER BY i) AS cv FROM cm GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K),
+         |probe AS (
+         |  SELECT query_id, qv, label,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql.format("qv", "cv", "qv", "qv", "cv", "cv")} DESC, label) AS prnk
+         |  FROM q CROSS JOIN cent),
+         |cand AS MATERIALIZED (
+         |  SELECT p.query_id, p.prnk, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("p.qv", "e.v", "p.qv", "p.qv", "e.v", "e.v")}, 6) AS cos
+         |  FROM probe p JOIN e ON e.label = p.label AND e.vec_id <> p.query_id
+         |  WHERE p.prnk <= $SweepMaxProbe)
+         |${(1 to SweepMaxProbe).map(point).mkString("\nUNION ALL\n")}
+         |ORDER BY nprobe""".stripMargin
     },
     // brute top-k over the TruncDim-prefix slice vs full-width brute
     // top-k — knn_recall's composition shape with the truncated side a
