@@ -280,6 +280,36 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** Watermark what-if table — the decision [[pipeLateness]]'s profile
+    * feeds: for each candidate `withWatermark` delay, how many events
+    * would arrive inside the budget and how many would be dropped as
+    * too-late. One pass over the same per-user disorder projection into
+    * a single aggregate row of conditional integer counts, reshaped to
+    * one row per candidate delay (a constant-size explode of the 1-row
+    * aggregate — no second scan, no per-delay corpus pass). All counts
+    * exact longs; the kept-fraction is one double division of exact
+    * integers, bit-stable.
+    */
+  def pipeWatermarkFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Delays = Seq(0L, 30L, 60L, 300L) // seconds
+    val wArrival = Window.partitionBy("user_id").orderBy("event_id")
+    val disorder = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("disorder_us", max("us").over(wArrival) - col("us"))
+    val aggCols = count(lit(1)).as("total") +:
+      Delays.map(d => sum(when(col("disorder_us") <= d * 1000000L, 1L).otherwise(0L))
+        .as(s"k$d"))
+    val agg = disorder.agg(aggCols.head, aggCols.tail: _*)
+    agg.select(
+        explode(array(Delays.map(d =>
+          struct(lit(d.toInt).as("delay_s"), col(s"k$d").as("n_kept"))): _*)).as("r"),
+        col("total"))
+      .select(col("r.delay_s"), col("total").as("n_events"), col("r.n_kept"),
+        (col("r.n_kept").cast("double") / col("total").cast("double")).as("kept_frac"))
+      .orderBy("delay_s")
+  }
+
   /** Event-rate level-shift detection per event type: hourly event
     * counts, the trailing-6h vs leading-6h window around every hour
     * boundary, and the single largest rate shift per type — the
@@ -524,6 +554,7 @@ object PipelineQueries {
     "pipe_cadence" -> pipeCadence,
     "pipe_level_shift" -> pipeLevelShift,
     "pipe_lateness" -> pipeLateness,
+    "pipe_watermark_fit" -> pipeWatermarkFit,
     "pipe_stats_cube" -> pipeStatsCube)
 
   val oracles: Map[String, String] = Map(
@@ -595,6 +626,28 @@ object PipelineQueries {
         |       round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_s
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // one aggregate row of conditional integer counts reshaped to one
+    // row per candidate delay; kept_frac = exact-int division
+    "pipe_watermark_fit" ->
+      """WITH d AS (
+        |  SELECT max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           - epoch_us(ts) AS disorder_us
+        |  FROM events),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |         CAST(sum(CASE WHEN disorder_us <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+        |         CAST(sum(CASE WHEN disorder_us <= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS k30,
+        |         CAST(sum(CASE WHEN disorder_us <= 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS k60,
+        |         CAST(sum(CASE WHEN disorder_us <= 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS k300
+        |  FROM d)
+        |SELECT delay_s, total AS n_events, n_kept,
+        |       CAST(n_kept AS DOUBLE) / CAST(total AS DOUBLE) AS kept_frac
+        |FROM (
+        |  SELECT 0 AS delay_s, total, k0 AS n_kept FROM a
+        |  UNION ALL SELECT 30, total, k30 FROM a
+        |  UNION ALL SELECT 60, total, k60 FROM a
+        |  UNION ALL SELECT 300, total, k300 FROM a)
+        |ORDER BY delay_s""".stripMargin,
     // running max over integer micros + exact percentiles over longs:
     // bit-stable (the pipe_cadence discipline)
     "pipe_lateness" ->

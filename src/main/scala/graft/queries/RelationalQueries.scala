@@ -305,6 +305,25 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Unpivot/melt — the inverse reshape of [[qPivot]]: per-flag measure
+    * columns stacked into (l_returnflag, measure, value) rows, the
+    * wide→long normalization feature stores and plotting layers ask
+    * for. stack() is a Generate over the already-aggregated |flags|-row
+    * relation, so the reshape adds nothing to the one partial-aggregated
+    * groupBy; sums emitted unrounded (quantity sums are integer-valued
+    * and exact; price sums sit under the gate's rtol).
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'n_rows', n_rows, 'sum_price', sum_price, 'sum_qty', sum_qty) AS (measure, value)")
+      .orderBy("l_returnflag", "measure")
+  }
+
   // (name, kind) for every lineitem column — kind drives profile_cols'
   // numeric min/max AND profile_cols_approx's canonical hash plane:
   // int (exact integers), dec2 (2-decimal doubles), str, ts (ms epoch)
@@ -637,6 +656,7 @@ object RelationalQueries {
     "q_above_avg" -> qAboveAvg,
     "q_order_priority" -> qOrderPriority,
     "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "profile_cols" -> profileCols,
     "profile_cols_approx" -> profileColsApprox,
     "q_skew_agg" -> qSkewAgg,
@@ -805,6 +825,18 @@ object RelationalQueries {
         |  round(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN o_totalprice END), 2) AS "MACHINERY"
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the UNION-ALL form of Spark's stack() over the same 1-aggregate
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |         sum(l_extendedprice) AS sum_price,
+        |         CAST(count(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'n_rows' AS measure, n_rows AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM a)
+        |ORDER BY l_returnflag, measure""".stripMargin,
     // one SELECT per column, generated from the same ProfileCols list the
     // Spark side uses — the metric definitions can't drift apart
     "profile_cols" -> ProfileCols.map { case (c, num) =>

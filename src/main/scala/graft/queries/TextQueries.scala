@@ -99,6 +99,40 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Asymmetric containment pairs (Broder's containment coefficient):
+    * |A∩B|/|A| and |A∩B|/|B| over distinct word sets, flagged when
+    * either direction ≥ 0.7 — the QUOTE-INCLUSION detector symmetric
+    * Jaccard misses by construction (a 50-word post quoted inside a
+    * 5000-word page has j ≈ 0.01 but containment ≈ 1.0, and the small
+    * side is the duplicate to drop). Candidates come from the same LSH
+    * band index as dedup_minhash_pairs — honest caveat, pinned here:
+    * MinHash approximates JACCARD, so extreme-size-ratio containment
+    * pairs can be missed at the candidate stage; the 100 TB upgrade for
+    * containment-first workloads is a prefix-filtered or winnowing
+    * index (text_winnow_match is this repo's containment-native path).
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val base = minhashStages(s, dir)
+    val bands = explodeBands(base)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = base.select(col("doc_id"), array_distinct(col("toks")).as("ws"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(col("ws_a")).cast("double"), 6).as("contain_a"),
+        round(size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(col("ws_b")).cast("double"), 6).as("contain_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= 0.7)
+      .orderBy("id_a", "id_b")
+  }
+
   /** The dedup deliverable: which documents survive near-dup removal.
     * Canonical keep-first policy: a doc is dropped iff it appears as the
     * LARGER id of any verified near-dup pair (id_a < id_b ⇒ the earliest
@@ -1354,6 +1388,7 @@ object TextQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_containment" -> dedupContainment,
     "dedup_keep" -> dedupKeep,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -1577,6 +1612,22 @@ object TextQueries {
     "dedup_minhash_pairs" ->
       s"""$pairsCore
          |SELECT id_a, id_b, j_word, j_shingle FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // pairsCore's cand/sets BEFORE the jaccard cut — containment keeps
+    // pairs the symmetric filter drops (the `pairs` CTE goes unreferenced
+    // and uncomputed)
+    "dedup_containment" ->
+      s"""$pairsCore,
+         |cont AS (
+         |  SELECT id_a, id_b,
+         |         round(len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))::DOUBLE /
+         |               len(sa.ws)::DOUBLE, 6) AS contain_a,
+         |         round(len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))::DOUBLE /
+         |               len(sb.ws)::DOUBLE, 6) AS contain_b
+         |  FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+         |            JOIN sets sb ON cand.id_b = sb.doc_id)
+         |SELECT id_a, id_b, contain_a, contain_b FROM cont
+         |WHERE greatest(contain_a, contain_b) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_keep" ->
       s"""$pairsCore,
          |dup AS (SELECT DISTINCT id_b FROM pairs)
