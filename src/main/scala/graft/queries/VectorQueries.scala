@@ -680,6 +680,55 @@ object VectorQueries {
     } finally e.unpersist(false)
   }
 
+  /** Recall@K of BINARY-quantized search (one sign bit per dimension —
+    * 64 dims pack into a single long, a 32× compression over float32)
+    * against full-precision brute force: the third axis of the
+    * quantization family (int8: emb_quantize, PQ codes: emb_pq/knn_ivf
+    * _pq, 1-bit: here) and the cheapest candidate generator a vector
+    * store ships (Hamming distance is one xor+popcount per candidate).
+    * Fingerprinting is a pure projection; the ranked search is the
+    * knn_brute shape (corpus × broadcast 5-query sample, explicitly
+    * bounded) with integer Hamming ranks — deterministic, no float in
+    * the rank key; recall is an exact integer ratio.
+    */
+  def knnRecallBinary(s: SparkSession, dir: String): DataFrame = {
+    // 63 sign bits (dims 1–63): the long's sign bit stays clear — the
+    // same bits ≤ 63 contract as hammingPairs, and the DuckDB mirror's
+    // BIGINT shift/sum stays in the positive half
+    val Bits = 63
+    val fp = aggregate(
+      transform(sequence(lit(0), lit(Bits - 1)),
+        i => when(element_at(col("v"), i + 1) > 0.0,
+          pow(lit(2.0), i).cast("long")).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+    val e = emb(s, dir).select(col("vec_id"), col("v")).persist()
+    try {
+      val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
+      val fps = e.select(col("vec_id"), fp.as("fp"))
+      val queries = fps.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("fp").as("qfp"))
+      val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+      val bin = fps.select(col("vec_id").as("neighbor_id"), col("fp"))
+        .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          bit_count(col("fp").bitwiseXOR(col("qfp"))).cast("int").as("hamming"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+      val overlap = brute
+        .join(bin, col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val out = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / K, 6).as("recall"))
+        .orderBy("query_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally e.unpersist(false)
+  }
+
   private val TruncDim = 16
 
   /** Recall@K of brute-force search over the TRUNCATED embedding prefix
@@ -1034,6 +1083,7 @@ object VectorQueries {
     "knn_recall_pq" -> knnRecallPq,
     "knn_recall_trunc" -> knnRecallTrunc,
     "knn_recall_sweep" -> knnRecallSweep,
+    "knn_recall_binary" -> knnRecallBinary,
     "emb_ivf_balance" -> embIvfBalance,
     "dedup_semantic" -> dedupSemantic,
     "emb_whiten" -> embWhiten,
@@ -1449,6 +1499,45 @@ object VectorQueries {
          |FROM af LEFT JOIN dup ON af.vec_id = dup.id_b
          |ORDER BY af.vec_id""".stripMargin
     },
+    // sign-bit fingerprints via the mm_phash disjoint-power sum (63 bits
+    // keeps the BIGINT positive), integer Hamming ranks, knn_recall's
+    // overlap shape
+    "knn_recall_binary" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K),
+         |fps AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(0, 63), i ->
+         |      CASE WHEN v[CAST(i AS INT) + 1] > 0.0
+         |           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS fp
+         |  FROM e),
+         |qf AS (SELECT vec_id AS query_id, fp AS qfp FROM fps WHERE vec_id < $NumQueries),
+         |bin AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT qf.query_id, fps.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY qf.query_id
+         |             ORDER BY bit_count(xor(fps.fp, qf.qfp)), fps.vec_id) AS rnk
+         |    FROM qf JOIN fps ON fps.vec_id <> qf.query_id)
+         |  WHERE rnk <= $K),
+         |hits AS (SELECT b.query_id, count(*) AS n_hit
+         |         FROM brute b JOIN bin i
+         |           ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |         GROUP BY b.query_id)
+         |SELECT q.query_id, round(coalesce(n_hit, 0) / $K.0, 6) AS recall
+         |FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < $NumQueries) q
+         |LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     // knn_recall's chain with the probe depth swept 1..SweepMaxProbe:
     // shared MATERIALIZED ground truth + a prnk-carrying candidate
     // relation; each sweep point re-ranks the prnk<=p subset
