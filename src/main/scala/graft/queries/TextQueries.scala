@@ -758,6 +758,66 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition/quality rule filter (Rae et al. '21,
+    * adapted to this corpus's scales): the NAMED rule set production
+    * curation stacks start from, as per-document machine-readable
+    * flags — word-count bounds, mean-word-length bounds, symbol-ratio
+    * cap, minimum stopword evidence — plus the conjunction `keep`.
+    * Everything is integer/string arithmetic off one staged scan
+    * (tokens + regex counts computed once behind the stage barrier),
+    * so flags and ratios are bit-stable; thresholds compare exact
+    * integer ratios, never drifting floats.
+    */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id"), t),
+      "toks" -> tokens(t))
+    val parts = stageBarrier(staged, Seq(col("doc_id")),
+      "n_words" -> size(col("toks")).cast("long"),
+      "word_chars" -> aggregate(transform(col("toks"), w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x),
+      "n_chars" -> length(t).cast("long"),
+      "sym_chars" -> length(regexp_replace(t, "[A-Za-z0-9 .,]", "")).cast("long"),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn).cast("long"))
+    parts.select(col("doc_id"), col("n_words"),
+        (col("word_chars").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double")).as("mean_word_len"),
+        (col("sym_chars").cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double")).as("symbol_ratio"),
+        col("stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("stop_hits"),
+        (col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("stop_hits") >= 2L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-distribution entropy per document — the information-
+    * density quality signal (template spam, repeated boilerplate, and
+    * character floods sit far below natural text's ~4.1 bits/char;
+    * the gzip-ability proxy without decompressing anything). One
+    * character explode, a (doc, char)-keyed partial aggregate (≤
+    * alphabet-size groups per doc), and the entropy sum over those
+    * ≤ |alphabet| rows — never a second corpus pass.
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .createOrReplaceTempView("graft_entropy_ch")
+    s.sql(
+      """WITH c AS (SELECT doc_id, ch, count(1) AS cnt
+        |           FROM graft_entropy_ch GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars FROM c GROUP BY doc_id)
+        |SELECT c.doc_id, n.n_chars,
+        |       sum(-(CAST(cnt AS DOUBLE) / n_chars) *
+        |           log2(CAST(cnt AS DOUBLE) / n_chars)) AS entropy_bits
+        |FROM c JOIN n ON c.doc_id = n.doc_id
+        |GROUP BY c.doc_id, n.n_chars ORDER BY doc_id""".stripMargin)
+  }
+
   /** The curation deliverable an LLM-data user actually runs: per-document
     * keep/drop with machine-readable reasons — near-dup (verified LSH
     * pairs, keep-first), low quality (blended score < threshold), language
@@ -1404,6 +1464,8 @@ object TextQueries {
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
+    "text_gopher_rules" -> textGopherRules,
+    "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_dup_ngrams" -> textDupNgrams,
     "text_unigram_lp" -> textUnigramLp,
@@ -2080,6 +2142,38 @@ object TextQueries {
         |  round(list_max(list_transform(list_distinct(l),
         |        x -> len(list_filter(l, y -> y = x))))::DOUBLE / len(l)::DOUBLE, 6) AS top_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    // exact-integer ratios through one staged projection — flags never
+    // compare drifting floats
+    "text_gopher_rules" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS BIGINT) AS word_chars,
+         |         CAST(len(text) AS BIGINT) AS n_chars,
+         |         CAST(len(regexp_replace(text, '[A-Za-z0-9 .,]', '', 'g')) AS BIGINT) AS sym_chars,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($enList))) AS BIGINT) AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words,
+         |       CAST(word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len,
+         |       CAST(sym_chars AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS symbol_ratio,
+         |       stop_hits,
+         |       (n_words BETWEEN 50 AND 100000 AND
+         |        CAST(word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 AND
+         |        CAST(sym_chars AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.1 AND
+         |        stop_hits >= 2) AS keep
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         unnest([substr(text, CAST(i AS INT), 1) for i in range(1, len(text) + 1)]) AS ch
+        |  FROM documents),
+        |c AS (SELECT doc_id, ch, count(1) AS cnt FROM ch GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars FROM c GROUP BY doc_id)
+        |SELECT c.doc_id, n.n_chars,
+        |       sum(-(CAST(cnt AS DOUBLE) / n_chars) *
+        |           log2(CAST(cnt AS DOUBLE) / n_chars)) AS entropy_bits
+        |FROM c JOIN n ON c.doc_id = n.doc_id
+        |GROUP BY c.doc_id, n.n_chars ORDER BY c.doc_id""".stripMargin,
     "text_dup_ngrams" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh
