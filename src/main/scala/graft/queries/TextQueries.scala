@@ -1427,8 +1427,64 @@ object TextQueries {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** The dedup-funnel accounting table every curation run reports: how
+    * many documents (and how much text) survive each stage — raw →
+    * exact dedup (md5 keep-first) → near-dup removal (verified LSH
+    * pairs among exact survivors, keep-first) → Gopher-rule quality
+    * filter. Stages are genuinely SEQUENTIAL: the near-dup drop set
+    * only counts pairs whose BOTH endpoints survived exact dedup (an
+    * exact duplicate must be charged to the exact stage, not double-
+    * counted at near-dup), and the quality gate applies to near-dup
+    * survivors only. One documents scan computes length+fp, the pair
+    * set is the banded LSH join dedup_keep already uses, the flags
+    * reduce to a single 1-row aggregate, and the 4 stage rows are a
+    * stack() over that row — at 100 TB this costs a scan + the dedup
+    * join + a 1-row shuffle, no new shuffle shape. Percentages are
+    * int-ratio doubles (deterministic cross-engine).
+    */
+  def corpusDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("nch"),
+        md5(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("nch"), (col("rn") === 1).as("k_exact"))
+    val exKeep = ex.filter(col("k_exact")).select("doc_id")
+    val nd = dedupMinhashPairs(s, dir)
+      .join(exKeep.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(exKeep.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("nd_hit", lit(true))
+    val g = textGopherRules(s, dir).select(col("doc_id"), col("keep").as("k_gopher"))
+    ex.join(nd, Seq("doc_id"), "left_outer")
+      .join(g, Seq("doc_id"))
+      .select(col("nch"), col("k_exact"),
+        (col("k_exact") && col("nd_hit").isNull).as("k_nd"),
+        (col("k_exact") && col("nd_hit").isNull && col("k_gopher")).as("k_q"))
+      .agg(
+        count(lit(1)).as("d0"), sum("nch").as("b0"),
+        sum(when(col("k_exact"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("k_exact"), col("nch")).otherwise(0L)).as("b1"),
+        sum(when(col("k_nd"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("k_nd"), col("nch")).otherwise(0L)).as("b2"),
+        sum(when(col("k_q"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("k_q"), col("nch")).otherwise(0L)).as("b3"))
+      .selectExpr(
+        """stack(4,
+          |  CAST(0 AS BIGINT), 'raw',     d0, b0,
+          |  CAST(1 AS BIGINT), 'exact',   d1, b1,
+          |  CAST(2 AS BIGINT), 'neardup', d2, b2,
+          |  CAST(3 AS BIGINT), 'quality', d3, b3) AS (stage, phase, docs, chars)""".stripMargin,
+        "d0", "b0")
+      .select(col("stage"), col("phase"), col("docs"), col("chars"),
+        round(col("docs").cast("double") / col("d0").cast("double"), 6).as("pct_docs"),
+        round(col("chars").cast("double") / col("b0").cast("double"), 6).as("pct_chars"))
+      .orderBy("stage")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_curate" -> textCurate,
+    "corpus_dedup_funnel" -> corpusDedupFunnel,
     "dedup_cc" -> dedupCC,
     "dedup_cluster_stats" -> dedupClusterStats,
     "sample_balanced" -> sampleBalanced,
@@ -1696,6 +1752,48 @@ object TextQueries {
          |SELECT d.doc_id, dup.id_b IS NULL AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id_b
          |ORDER BY d.doc_id""".stripMargin,
+    "corpus_dedup_funnel" ->
+      s"""$pairsCore,
+         |exd AS (
+         |  SELECT doc_id, CAST(len(text) AS BIGINT) AS nch,
+         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS k_exact
+         |  FROM documents),
+         |exk AS (SELECT doc_id FROM exd WHERE k_exact),
+         |nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+         |       WHERE id_a IN (SELECT doc_id FROM exk)
+         |         AND id_b IN (SELECT doc_id FROM exk)),
+         |g AS (SELECT doc_id,
+         |        (CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 50 AND 100000 AND
+         |         CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS DOUBLE) /
+         |           CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 AND
+         |         CAST(len(regexp_replace(text, '[A-Za-z0-9 .,]', '', 'g')) AS DOUBLE) /
+         |           CAST(greatest(len(text), 1) AS DOUBLE) <= 0.1 AND
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ($enList))) AS BIGINT) >= 2) AS keep
+         |      FROM documents),
+         |flags AS (
+         |  SELECT e.nch, e.k_exact,
+         |         (e.k_exact AND nd.doc_id IS NULL) AS k_nd,
+         |         (e.k_exact AND nd.doc_id IS NULL AND g.keep) AS k_q
+         |  FROM exd e LEFT JOIN nd ON e.doc_id = nd.doc_id
+         |            JOIN g ON e.doc_id = g.doc_id),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS d0, CAST(sum(nch) AS BIGINT) AS b0,
+         |         CAST(sum(CASE WHEN k_exact THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |         CAST(sum(CASE WHEN k_exact THEN nch ELSE 0 END) AS BIGINT) AS b1,
+         |         CAST(sum(CASE WHEN k_nd THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |         CAST(sum(CASE WHEN k_nd THEN nch ELSE 0 END) AS BIGINT) AS b2,
+         |         CAST(sum(CASE WHEN k_q THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |         CAST(sum(CASE WHEN k_q THEN nch ELSE 0 END) AS BIGINT) AS b3
+         |  FROM flags),
+         |stages AS (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS phase, d0 AS docs, b0 AS chars, d0, b0 FROM agg
+         |  UNION ALL SELECT CAST(1 AS BIGINT), 'exact', d1, b1, d0, b0 FROM agg
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'neardup', d2, b2, d0, b0 FROM agg
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'quality', d3, b3, d0, b0 FROM agg)
+         |SELECT stage, phase, docs, chars,
+         |       round(CAST(docs AS DOUBLE) / CAST(d0 AS DOUBLE), 6) AS pct_docs,
+         |       round(CAST(chars AS DOUBLE) / CAST(b0 AS DOUBLE), 6) AS pct_chars
+         |FROM stages ORDER BY stage""".stripMargin,
     "text_hll" -> {
       val m = 1 << HllP
       val sb = 32 - HllP
