@@ -638,8 +638,66 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  private val BootReps = 32
+  // Poisson(1) inverse-CDF cumulative thresholds P(X <= k), k = 0..8 —
+  // decimal literals shared verbatim with the oracle so the CASE cut is
+  // bit-identical cross-engine whatever the engines' own exp() does
+  private val BootCum: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402")
+
+  private def bootWeightCase(u: String): String =
+    BootCum.zipWithIndex.map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+
+  /** Poisson-bootstrap confidence intervals on the per-type event-value
+    * mean (Chamandy, Muralidharan, Najmi & Naidu '12, "Estimating
+    * uncertainty for massive data streams" — Google's bootstrap for data
+    * too large to resample by index): replicate r gives every row an
+    * independent Poisson(1) multiplicity instead of drawing n rows with
+    * replacement, so each replicate is ONE weighted aggregate over the
+    * same scan — no per-replicate shuffle of the data, no driver-side
+    * resample. The weight is a pure projection (seeded h32 of
+    * (event_id, r) → uniform → inverse-CDF CASE against shared decimal
+    * literals, truncated at 9 — P(X>9|λ=1) ≈ 1e-7, irrelevant and
+    * deterministic); the explode is a constant ×32 map-side fan-out;
+    * the aggregate is (event_type × 32)-sized however many events flow
+    * in. The 94% central interval reads the 2nd/31st order statistics
+    * of the 32 replicate means via a sort of a 32-element array —
+    * selection, not float arithmetic, so cross-engine parity holds
+    * bit-exactly. At 100 TB: same plan, B stays 32, state stays
+    * types × B.
+    */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("graft_boot_events")
+    s.sql(
+      s"""WITH u AS (
+         |  SELECT event_type, value, r,
+         |         CAST(conv(substr(md5(concat(CAST(event_id AS STRING), '#',
+         |                                     CAST(r AS STRING))), 1, 8), 16, 10)
+         |              AS BIGINT) / 4294967296.0 AS u
+         |  FROM graft_boot_events
+         |  LATERAL VIEW explode(sequence(0, ${BootReps - 1})) t AS r),
+         |w AS (SELECT event_type, value, r, ${bootWeightCase("u")} AS w FROM u),
+         |m AS (SELECT event_type, r,
+         |             sum(value * CAST(w AS DOUBLE)) / CAST(sum(w) AS DOUBLE) AS m
+         |      FROM w GROUP BY event_type, r),
+         |base AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n_events,
+         |                sum(value) / CAST(count(1) AS DOUBLE) AS mean_value
+         |         FROM graft_boot_events GROUP BY event_type)
+         |SELECT b.event_type, b.n_events, b.mean_value,
+         |       element_at(sort_array(collect_list(m.m)), 2) AS ci_lo,
+         |       element_at(sort_array(collect_list(m.m)), ${BootReps - 1}) AS ci_hi
+         |FROM base b JOIN m ON b.event_type = m.event_type
+         |GROUP BY b.event_type, b.n_events, b.mean_value
+         |ORDER BY event_type""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
+    "q_bootstrap_ci" -> qBootstrapCi,
     "q3_topk" -> q3Topk,
     "q5_region_join" -> q5RegionJoin,
     "q_window_rank" -> qWindowRank,
@@ -667,6 +725,27 @@ object RelationalQueries {
     "q_histogram" -> qHistogram)
 
   val oracles: Map[String, String] = Map(
+    "q_bootstrap_ci" ->
+      s"""WITH x AS (SELECT event_type, value, event_id, unnest(range(0, $BootReps)) AS r
+         |           FROM events),
+         |u AS (SELECT event_type, value, r,
+         |             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#' ||
+         |                                     CAST(r AS VARCHAR)), 1, 8) AS BIGINT)
+         |               / 4294967296.0 AS u
+         |      FROM x),
+         |w AS (SELECT event_type, value, r, ${bootWeightCase("u")} AS w FROM u),
+         |m AS (SELECT event_type, r,
+         |             sum(value * CAST(w AS DOUBLE)) / CAST(sum(w) AS DOUBLE) AS m
+         |      FROM w GROUP BY event_type, r),
+         |base AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n_events,
+         |                sum(value) / CAST(count(1) AS DOUBLE) AS mean_value
+         |         FROM events GROUP BY event_type)
+         |SELECT b.event_type, b.n_events, b.mean_value,
+         |       list_sort(list(m.m))[2] AS ci_lo,
+         |       list_sort(list(m.m))[${BootReps - 1}] AS ci_hi
+         |FROM base b JOIN m ON b.event_type = m.event_type
+         |GROUP BY b.event_type, b.n_events, b.mean_value
+         |ORDER BY b.event_type""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

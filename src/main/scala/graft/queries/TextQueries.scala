@@ -641,6 +641,55 @@ object TextQueries {
     * ratios through ln); the per-source sum's order-dependence is
     * ~1e-15 relative, inside the gate's rtol like pipe_anomaly's z.
     */
+  private val DsirTarget = "src0"   // curated/target-domain stand-in
+
+  /** DSIR importance weights (Xie, Santurkar, Ma & Liang, NeurIPS'23
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw-pool document by its log importance ratio
+    * Σ_tok [ln p_target(tok) − ln p_raw(tok)] under add-1-smoothed
+    * unigram LMs sharing the corpus vocabulary — the data-selection
+    * primitive that tilts a 100 TB crawl toward a curated target domain
+    * (source '`src0`' stands in as the target here; DSIR proper hashes
+    * n-grams into buckets first, which is exactly [[textBloom]]'s
+    * hashed-feature plane — the unigram form keeps the oracle exact).
+    * Scale shape: one explode; both LMs and the per-token log-ratio
+    * table are vocabulary-sized partial aggregates; the score join keys
+    * on the token (AQE broadcasts it when it fits, shuffle-joins the
+    * open vocabulary at 100 TB — the text_tfidf regime); the per-doc
+    * sum sees tokens in document order on both engines (the
+    * text_unigram_lp parity precedent). Output per raw doc: token
+    * count, summed log weight, and the length-normalized per-token
+    * weight (DSIR's length-bias caveat says read both).
+    */
+  def corpusDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .createOrReplaceTempView("graft_dsir_toks")
+    s.sql(
+      s"""WITH tgt AS (SELECT tok, count(1) AS tf FROM graft_dsir_toks
+         |             WHERE source = '$DsirTarget' GROUP BY tok),
+         |rawc AS (SELECT tok, count(1) AS tf FROM graft_dsir_toks
+         |         WHERE source <> '$DsirTarget' GROUP BY tok),
+         |vsz AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM graft_dsir_toks),
+         |nt AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM graft_dsir_toks
+         |       WHERE source = '$DsirTarget'),
+         |nr AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM graft_dsir_toks
+         |       WHERE source <> '$DsirTarget'),
+         |lr AS (SELECT d.tok,
+         |              ln((CAST(coalesce(tgt.tf, 0) AS DOUBLE) + 1.0) / (nt.n + vsz.v)) -
+         |              ln((CAST(coalesce(rawc.tf, 0) AS DOUBLE) + 1.0) / (nr.n + vsz.v)) AS lw
+         |       FROM (SELECT DISTINCT tok FROM graft_dsir_toks) d
+         |       LEFT JOIN tgt ON d.tok = tgt.tok
+         |       LEFT JOIN rawc ON d.tok = rawc.tok
+         |       CROSS JOIN vsz CROSS JOIN nt CROSS JOIN nr)
+         |SELECT t.doc_id, CAST(count(1) AS BIGINT) AS n_toks,
+         |       sum(lr.lw) AS log_w,
+         |       sum(lr.lw) / CAST(count(1) AS DOUBLE) AS log_w_tok
+         |FROM graft_dsir_toks t JOIN lr ON t.tok = lr.tok
+         |WHERE t.source <> '$DsirTarget'
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   def textKlDrift(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
@@ -1527,6 +1576,7 @@ object TextQueries {
     "text_unigram_lp" -> textUnigramLp,
     "text_bigram_lp" -> textBigramLp,
     "text_kl_drift" -> textKlDrift,
+    "corpus_dsir_weights" -> corpusDsirWeights,
     "text_perplexity_buckets" -> textPerplexityBuckets,
     "text_zipf" -> textZipf,
     "text_top_tokens" -> textTopTokens)
@@ -2312,6 +2362,31 @@ object TextQueries {
         |       CAST(count(1) AS BIGINT) AS n_toks
         |FROM t JOIN c USING (tok) JOIN ns USING (source) CROSS JOIN nc
         |GROUP BY t.source ORDER BY source""".stripMargin,
+    "corpus_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+         |            FROM documents),
+         |tgt AS (SELECT tok, count(1) AS tf FROM tk
+         |        WHERE source = '$DsirTarget' GROUP BY tok),
+         |rawc AS (SELECT tok, count(1) AS tf FROM tk
+         |         WHERE source <> '$DsirTarget' GROUP BY tok),
+         |vsz AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tk),
+         |nt AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM tk
+         |       WHERE source = '$DsirTarget'),
+         |nr AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM tk
+         |       WHERE source <> '$DsirTarget'),
+         |lr AS (SELECT d.tok,
+         |              ln((CAST(coalesce(tgt.tf, 0) AS DOUBLE) + 1.0) / (nt.n + vsz.v)) -
+         |              ln((CAST(coalesce(rawc.tf, 0) AS DOUBLE) + 1.0) / (nr.n + vsz.v)) AS lw
+         |       FROM (SELECT DISTINCT tok FROM tk) d
+         |       LEFT JOIN tgt ON d.tok = tgt.tok
+         |       LEFT JOIN rawc ON d.tok = rawc.tok
+         |       CROSS JOIN vsz CROSS JOIN nt CROSS JOIN nr)
+         |SELECT t.doc_id, CAST(count(1) AS BIGINT) AS n_toks,
+         |       sum(lr.lw) AS log_w,
+         |       sum(lr.lw) / CAST(count(1) AS DOUBLE) AS log_w_tok
+         |FROM tk t JOIN lr ON t.tok = lr.tok
+         |WHERE t.source <> '$DsirTarget'
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "text_zipf" ->
       """WITH tf AS (SELECT tok, count(*) AS tf
         |            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
