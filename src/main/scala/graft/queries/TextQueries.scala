@@ -1104,6 +1104,58 @@ object TextQueries {
          |ORDER BY ex.lang""".stripMargin)
   }
 
+  /** HLL sketch MERGEABILITY made checkable — the algebraic property
+    * that lets constant-state distinct counting ride Spark's partial
+    * aggregation at 100 TB: a register vector is a max-aggregate, max
+    * is associative and commutative, so merging per-shard sketches
+    * (register-wise max, ≤ m rows per shard on the exchange) yields
+    * EXACTLY the sketch a single pass over the full corpus would
+    * build — no approximation is added by distribution, only by the
+    * sketch itself. This query proves the law on real data: the
+    * corpus-distinct estimate from max-merged per-language sketches
+    * vs the direct corpus sketch, plus the equality flag (true by
+    * construction — and the oracle checks it cross-engine).
+    */
+  def textHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val m = 1 << HllP               // 256
+    val sb = 32 - HllP              // 24
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .createOrReplaceTempView("graft_hllu_toks")
+    def estChain(src: String, a: String): String =
+      s"""st_$a AS (SELECT count(1) AS n_regs, sum(power(2.0, -mr)) AS s FROM $src),
+         |est_$a AS (SELECT (0.7213 / (1 + 1.079 / $m)) * $m * $m /
+         |                    (s + ($m - n_regs) * 1.0) AS e_raw,
+         |                  $m - n_regs AS zeros
+         |           FROM st_$a),
+         |fin_$a AS (SELECT CASE WHEN e_raw <= 2.5 * $m AND zeros > 0
+         |                       THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+         |                       ELSE e_raw END AS e
+         |           FROM est_$a)""".stripMargin
+    s.sql(
+      s"""WITH h AS (
+         |  SELECT lang, tok,
+         |         CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS hv
+         |  FROM graft_hllu_toks),
+         |rr AS (
+         |  SELECT lang, CAST(hv DIV ${1L << sb} AS INT) AS idx,
+         |         CASE WHEN hv % ${1L << sb} = 0 THEN ${sb + 1}
+         |              ELSE $sb + 1 - length(bin(hv % ${1L << sb}))
+         |         END AS rho
+         |  FROM h),
+         |regs AS (SELECT lang, idx, max(rho) AS mr FROM rr GROUP BY lang, idx),
+         |mrg AS (SELECT idx, max(mr) AS mr FROM regs GROUP BY idx),
+         |drc AS (SELECT idx, max(rho) AS mr FROM rr GROUP BY idx),
+         |${estChain("mrg", "m")},
+         |${estChain("drc", "d")},
+         |ex AS (SELECT count(DISTINCT tok) AS n_exact FROM graft_hllu_toks)
+         |SELECT ex.n_exact,
+         |       CAST(round(fm.e) AS BIGINT) AS est_merged,
+         |       CAST(round(fd.e) AS BIGINT) AS est_direct,
+         |       CAST(round(fm.e) AS BIGINT) = CAST(round(fd.e) AS BIGINT) AS merge_exact
+         |FROM ex CROSS JOIN fin_m fm CROSS JOIN fin_d fd""".stripMargin)
+  }
+
   private val RecallSample = 500   // fixed-size sample for the recall accounting
 
   /** LSH banding recall — the dedup path's quality dial, mirroring
@@ -1547,6 +1599,7 @@ object TextQueries {
     "dedup_recall" -> dedupRecall,
     "text_cms" -> textCms,
     "text_hll" -> textHll,
+    "text_hll_union" -> textHllUnion,
     "text_chunks" -> textChunks,
     "text_pack" -> textPack,
     "text_tfidf" -> textTfidf,
@@ -1875,6 +1928,39 @@ object TextQueries {
          |SELECT ex.lang, n_exact, CAST(round(e) AS BIGINT) AS n_est
          |FROM ex JOIN fin ON ex.lang = fin.lang
          |ORDER BY ex.lang""".stripMargin
+    },
+    "text_hll_union" -> {
+      val m = 1 << HllP
+      val sb = 32 - HllP
+      def estChain(src: String, a: String): String =
+        s"""st_$a AS (SELECT count(1) AS n_regs, sum(power(2.0, -mr)) AS s FROM $src),
+           |est_$a AS (SELECT (0.7213 / (1 + 1.079 / $m)) * $m * $m /
+           |                    (s + ($m - n_regs) * 1.0) AS e_raw,
+           |                  $m - n_regs AS zeros
+           |           FROM st_$a),
+           |fin_$a AS (SELECT CASE WHEN e_raw <= 2.5 * $m AND zeros > 0
+           |                       THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+           |                       ELSE e_raw END AS e
+           |           FROM est_$a)""".stripMargin
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT lang, tok, ${hx("tok")} AS hv FROM tok),
+         |rr AS (
+         |  SELECT lang, CAST(hv // ${1L << sb} AS INT) AS idx,
+         |         CASE WHEN hv % ${1L << sb} = 0 THEN ${sb + 1}
+         |              ELSE $sb + 1 - length(bin(hv % ${1L << sb}))
+         |         END AS rho
+         |  FROM h),
+         |regs AS (SELECT lang, idx, max(rho) AS mr FROM rr GROUP BY lang, idx),
+         |mrg AS (SELECT idx, max(mr) AS mr FROM regs GROUP BY idx),
+         |drc AS (SELECT idx, max(rho) AS mr FROM rr GROUP BY idx),
+         |${estChain("mrg", "m")},
+         |${estChain("drc", "d")},
+         |ex AS (SELECT count(DISTINCT tok) AS n_exact FROM tok)
+         |SELECT ex.n_exact,
+         |       CAST(round(fm.e) AS BIGINT) AS est_merged,
+         |       CAST(round(fd.e) AS BIGINT) AS est_direct,
+         |       CAST(round(fm.e) AS BIGINT) = CAST(round(fd.e) AS BIGINT) AS merge_exact
+         |FROM ex CROSS JOIN fin_m fm CROSS JOIN fin_d fd""".stripMargin
     },
     "text_cms" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
