@@ -716,7 +716,11 @@ object TextQueries {
     * ntile would need never exists; within a language the sort is the
     * price of an exact tercile cut, and at 100 TB the swap is two
     * approx-quantile threshold constants per language (the
-    * profile_cols_approx pattern) with the same output contract.
+    * profile_cols_approx pattern) with the same output contract. The
+    * ntile sort key is round(avg_logp, 9) — a grain well above the ~1 ulp
+    * cross-engine drift of a partial-aggregated avg, so a rank flip
+    * between two near-equal docs can't shift a tercile boundary
+    * (doc_id stays the tiebreaker).
     */
   def textPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     textBigramLp(s, dir).createOrReplaceTempView("graft_ppl_lp")
@@ -725,7 +729,8 @@ object TextQueries {
     s.sql(
       """SELECT d.doc_id, d.lang,
         |       CAST(ntile(3) OVER (PARTITION BY d.lang
-        |                           ORDER BY l.avg_logp DESC, d.doc_id) AS BIGINT)
+        |                           ORDER BY round(l.avg_logp, 9) DESC, d.doc_id)
+        |            AS BIGINT)
         |         AS ppl_bucket
         |FROM graft_ppl_docs d JOIN graft_ppl_lp l ON l.doc_id = d.doc_id
         |ORDER BY doc_id""".stripMargin)
@@ -843,6 +848,147 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val LineW = 4     // tokens per pseudo-line (the '\n' proxy — see scaladoc)
+  private val LineDfCut = 3 // drop lines appearing in >= this many distinct docs
+
+  /** Line-level boilerplate removal (CCNet / RefinedWeb line-dedup): the
+    * web-corpus cleaning step between document dedup and quality
+    * filtering — headers, footers, and nav chrome repeat VERBATIM across
+    * documents, so a line whose document frequency exceeds a cut is
+    * boilerplate and gets dropped, not the document containing it. This
+    * corpus has no newline structure (single-space token text), so a
+    * fixed [[LineW]]-token segment is the line unit — production swaps
+    * the segmenter for split(text, '\n') and nothing else changes.
+    * Output per document: line count, dropped-line count, and the kept
+    * char fraction (the cleaned-size accounting a crawl ingest reports).
+    *
+    * Scale shape ([[textDupSpans]] at line granularity): one explode to
+    * (doc, line) rows, lines identified by a 60-bit md5 fingerprint so
+    * the df table and the join key are 8-byte longs, never strings; the
+    * df aggregate is line-vocabulary-sized; the only corpus-sized
+    * shuffle is the fp equi-join back. At 100 TB the df cut runs
+    * per-source/per-shard (CCNet's actual construction) so each df
+    * table stays bounded — the synthetic corpus is too small to shard,
+    * so the cut here is global.
+    */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id")),
+      "toks" -> tokens(col("text")))
+    val segs = staged.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), ((size(col("toks")) - 1) / LineW).cast("int")),
+        i => array_join(slice(col("toks"), i * LineW + 1, lit(LineW)), " ")))
+        .as("seg"))
+    val withFp = stageBarrier(segs, Seq(col("doc_id"), length(col("seg")).as("seg_chars")),
+      "fp" -> conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long"))
+    val df = withFp.select("doc_id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("ndocs"))
+    withFp.join(df, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ndocs") >= LineDfCut, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("ndocs") < LineDfCut, col("seg_chars").cast("long"))
+          .otherwise(0L)).as("kept_chars"),
+        sum(col("seg_chars").cast("long")).as("total_chars"))
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        round(col("kept_chars").cast("double") /
+          greatest(col("total_chars"), lit(1L)).cast("double"), 6).as("kept_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val ClfBuckets = 1024
+  private val ClfScale = 8.0
+  // deterministic stand-in for a trained weight vector: w(b) =
+  // ((b * 2654435761) mod 1000003) / 1000003 - 0.5 — integer-exact on
+  // both engines, so parity never depends on shipping 1024 float
+  // literals through SQL text
+  private lazy val clfWeights: Array[Double] =
+    Array.tabulate(ClfBuckets)(b =>
+      (b.toLong * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
+
+  /** Fasttext-style linear quality classifier (the GPT-3 / LLaMA
+    * selection filter): score = mean over unigram+bigram features of
+    * w[h(feature) mod B], squashed to a keep probability by a sigmoid —
+    * the model-based companion to [[corpusDsirWeights]]' importance
+    * weights and the rule-based [[textGopherRules]]. The weight vector
+    * rides the plan as a bounded literal (the PQ-codebook pattern):
+    * scoring is a PURE PROJECTION — one tokenize, one md5 pass per
+    * feature, an element_at per feature against the literal, a per-row
+    * fold — no join, no shuffle, nothing corpus-sized but the scan, which
+    * is exactly why this filter family is what production corpus passes
+    * run at 100 TB. Keep decision compares the exact integer-derived raw
+    * score against 0, so no float drift can flip it.
+    */
+  def textClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    val wlit = typedLit(clfWeights.toSeq)
+    val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id")),
+      "toks" -> tokens(col("text")))
+    val feats = stageBarrier(staged, Seq(col("doc_id")),
+      "feats" -> concat(col("toks"), wordShingles(col("toks"), 2)))
+    val hashed = stageBarrier(feats, Seq(col("doc_id"), size(col("feats")).as("n_feats")),
+      "hs" -> hashArray(col("feats")))
+    hashed
+      .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
+        (aggregate(
+          transform(col("hs"),
+            h => element_at(wlit, pmod(h, lit(ClfBuckets.toLong)).cast("int") + 1)),
+          lit(0.0), (a, x) => a + x) / col("n_feats")).as("score"))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        (lit(1.0) / (lit(1.0) + exp(-lit(ClfScale) * col("score")))).as("keep_prob"),
+        (col("score") >= 0.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scan + redaction — the compliance pass every production corpus
+    * runs before training: per document, counts of email / IPv4 / phone /
+    * api-key-shaped spans and the text with each span replaced by a
+    * typed placeholder. Regex built-ins only (regexp_extract_all +
+    * regexp_replace — codegen'd, no UDF), so the whole operator is a
+    * stateless projection: zero shuffle, scales as the scan. The
+    * synthetic corpus contains no PII-shaped spans, so a deterministic
+    * FIXTURE footer (a pure projection of doc_id, derived identically by
+    * the oracle) decorates a subset of documents — the operator under
+    * test is the scan/redact chain, and the fixture makes every pattern
+    * class actually fire and every count column carry signal.
+    */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val ReEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ReIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val RePhone = "\\b\\d{3}-\\d{4}\\b"
+    val ReKey = "\\bsk-[A-Za-z0-9]{16,}"
+    val id = col("doc_id")
+    val decorated = concat(col("text"),
+      when(id % 7 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" from 10."), (id % 256).cast("string"), lit(".0."),
+          (id % 256).cast("string"))).otherwise(lit("")),
+      when(id % 13 === 0,
+        concat(lit(" token sk-"), substring(md5(id.cast("string")), 1, 20)))
+        .otherwise(lit("")),
+      when(id % 17 === 0,
+        concat(lit(" ph "), (lit(100) + id % 900).cast("string"), lit("-"),
+          (lit(1000) + id % 9000).cast("string"))).otherwise(lit("")))
+    val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id")),
+      "t" -> decorated)
+    val t = col("t")
+    staged
+      .select(col("doc_id"),
+        size(regexp_extract_all(t, lit(ReEmail), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(t, lit(ReIp), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(t, lit(RePhone), lit(0))).cast("long").as("n_phone"),
+        size(regexp_extract_all(t, lit(ReKey), lit(0))).cast("long").as("n_key"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, ReEmail, "<EMAIL>"),
+              ReIp, "<IP>"),
+            RePhone, "<PHONE>"),
+          ReKey, "<KEY>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** Character-distribution entropy per document — the information-
     * density quality signal (template spam, repeated boilerplate, and
     * character floods sit far below natural text's ~4.1 bits/char;
@@ -852,7 +998,11 @@ object TextQueries {
     * ≤ |alphabet| rows — never a second corpus pass.
     */
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    // empty-doc guard: sequence(1, 0) is the DESCENDING [1, 0], which
+    // would emit two empty-string char rows where the oracle's
+    // range(1, len+1) emits none — filter empties out before the explode
     Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
       .createOrReplaceTempView("graft_entropy_ch")
@@ -1623,6 +1773,9 @@ object TextQueries {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_gopher_rules" -> textGopherRules,
+    "text_boilerplate" -> textBoilerplate,
+    "text_classifier_score" -> textClassifierScore,
+    "text_pii" -> textPii,
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_dup_ngrams" -> textDupNgrams,
@@ -2396,6 +2549,88 @@ object TextQueries {
          |        CAST(sym_chars AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.1 AND
          |        stop_hits >= 2) AS keep
          |FROM p ORDER BY doc_id""".stripMargin,
+    // fixed-width token segments as the line unit, 60-bit md5 line
+    // fingerprints, df over distinct (doc, fp) — mirrors textBoilerplate
+    "text_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |seg AS (
+         |  SELECT doc_id,
+         |         array_to_string(toks[(CAST(i AS INT)*$LineW+1):(CAST(i AS INT)*$LineW+$LineW)], ' ') AS seg
+         |  FROM t CROSS JOIN range(0, 2048) r(i)
+         |  WHERE CAST(i AS INT) <= (len(toks) - 1) // $LineW),
+         |f AS (SELECT doc_id, len(seg) AS seg_chars,
+         |             CAST('0x' || substr(md5(seg), 1, 15) AS BIGINT) AS fp
+         |      FROM seg),
+         |df AS (SELECT fp, count(*) AS ndocs
+         |       FROM (SELECT DISTINCT doc_id, fp FROM f) GROUP BY fp)
+         |SELECT f.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(CASE WHEN ndocs >= $LineDfCut THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dropped,
+         |       round(CAST(sum(CASE WHEN ndocs < $LineDfCut THEN seg_chars ELSE 0 END) AS DOUBLE) /
+         |             CAST(greatest(sum(seg_chars), 1) AS DOUBLE), 6) AS kept_char_frac
+         |FROM f JOIN df USING (fp)
+         |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
+    // unigram+bigram features, h32 on the md5-hex plane, the same
+    // integer-derived weight table built by list_transform, list_sum's
+    // left fold == the Spark aggregate() fold
+    "text_classifier_score" ->
+      s"""WITH wv AS (
+         |  SELECT list_transform(range(0, $ClfBuckets),
+         |           b -> CAST((b * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS w),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ft AS (SELECT doc_id,
+         |              list_concat(toks,
+         |                [array_to_string(list_slice(toks, i, i + 1), ' ')
+         |                 for i in range(1, len(toks))]) AS feats
+         |       FROM t),
+         |sc AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+         |              list_sum([w[CAST(${hx("f")} % $ClfBuckets AS INT) + 1]
+         |                        for f in feats]) / len(feats) AS score
+         |       FROM ft CROSS JOIN wv)
+         |SELECT doc_id, n_feats, score,
+         |       1.0 / (1.0 + exp(-$ClfScale * score)) AS keep_prob,
+         |       score >= 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // decorated text = the same pure doc_id fixture; counts on the
+    // decorated text, redaction chain in the same order with 'g' flags
+    "text_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}-\\d{4}\\b"
+      val key = "\\bsk-[A-Za-z0-9]{16,}"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         text ||
+         |         CASE WHEN doc_id % 7 = 0
+         |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 11 = 0
+         |              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |                   CAST(doc_id % 256 AS VARCHAR)
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 13 = 0
+         |              THEN ' token sk-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 20)
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 17 = 0
+         |              THEN ' ph ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||
+         |                   CAST(1000 + doc_id % 9000 AS VARCHAR)
+         |              ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+         |       CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+         |       CAST(len(regexp_extract_all(t, '$key')) AS BIGINT) AS n_key,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |             '$ip', '<IP>', 'g'),
+         |           '$phone', '<PHONE>', 'g'),
+         |         '$key', '<KEY>', 'g') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "text_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id,
@@ -2427,12 +2662,14 @@ object TextQueries {
     "text_bigram_lp" -> s"$bigramLpSql ORDER BY doc_id",
     // the bigram-LM score as a CTE, then an exact per-language tercile —
     // both engines implement SQL-standard ntile (remainder rows to the
-    // leading buckets), and the ORDER BY key is the hash-green avg_logp
+    // leading buckets), and the ORDER BY key is avg_logp rounded to 9
+    // decimals (drift-proof rank grain; doc_id tiebreaks)
     "text_perplexity_buckets" ->
       s"""WITH lp AS ($bigramLpSql)
          |SELECT d.doc_id, d.lang,
          |       ntile(3) OVER (PARTITION BY d.lang
-         |                      ORDER BY lp.avg_logp DESC, d.doc_id) AS ppl_bucket
+         |                      ORDER BY round(lp.avg_logp, 9) DESC, d.doc_id)
+         |         AS ppl_bucket
          |FROM documents d JOIN lp ON lp.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "text_kl_drift" ->

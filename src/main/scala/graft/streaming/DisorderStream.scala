@@ -17,10 +17,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * timestamp for expiry — state is 16 bytes × users-active-in-horizon,
   * independent of stream length (the NearDupStream bound, one row per
   * key). Within a micro-batch, rows apply in arrival order (event_id —
-  * ingestion is sequential per device), so a replayed batch recomputes
-  * the same high-water marks: disorders of already-seen events are
-  * reproduced, not inflated (at-least-once-benign like the routing
-  * sink's idempotent writes).
+  * ingestion is sequential per device), so a checkpoint-restored replay
+  * of the SAME micro-batch recomputes the same high-water marks:
+  * disorders of already-seen events are reproduced, not inflated. That
+  * benignity is same-batch only — an event redelivered in a LATER batch,
+  * after its user's high-water mark has advanced, is assigned an
+  * inflated disorder, so cross-batch redelivery needs an upstream
+  * event_id dedup if it is in scope.
   *
   * Semantics pinned to the batch form: disorder here equals
   * `pipe_lateness`'s `max(us) OVER (PARTITION BY user ORDER BY
