@@ -764,6 +764,121 @@ object VectorQueries {
     } finally e.unpersist(false)
   }
 
+  private val RerankDepths = Seq(50, 100, 200)
+
+  /** Shared stage 2 of the two-stage searches: given ranked candidates
+    * (query_id, neighbor_id, rnk), for each depth d rerank the rnk <= d
+    * cut with EXACT full-width cosine to top-K and measure recall@K
+    * against brute force — one (cand_k, recall) row per depth, the
+    * knn_recall_sweep discipline (bounded per-point hit counts, an exact
+    * integer-ratio result). Because the rerank orders by the same
+    * rounded-cosine + neighbor_id key as the ground truth, a true
+    * neighbor is recovered iff the generator put it inside the cut:
+    * recall@K(d) equals candidate-set recall exactly, so the curve is a
+    * pure measurement of the GENERATOR, with the rerank stage supplying
+    * the exactness that makes that identity hold. Scale shape: the
+    * corpus is projected (never shuffled) once per stage; candidates and
+    * queries broadcast into the rerank, so stage-2 work is
+    * candidate-sized — the contract that lets stage 1 shrink the index.
+    */
+  private def rerankRecallCurve(s: SparkSession, e: DataFrame, cand: DataFrame): DataFrame = {
+    val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val rows = RerankDepths.map { d =>
+      val rr = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+        .join(broadcast(cand.filter(col("rnk") <= d)
+          .select("query_id", "neighbor_id")), "neighbor_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        .withColumn("rrnk", row_number().over(wK))
+        .filter(col("rrnk") <= K)
+        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+      val hits = brute
+        .join(rr, col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
+          "left_semi")
+        .count()
+      (d, hits.toDouble / (NumQueries * K))
+    }
+    import s.implicits._
+    rows.toDF("cand_k", "recall")
+  }
+
+  /** Matryoshka two-stage search (the closure [[knnRecallTrunc]]'s own
+    * SURVEY note prescribes): the 4x-smaller [[TruncDim]]-prefix index
+    * generates top-d candidates per query, a full-width exact rerank
+    * cuts them to top-K, and the output prices the pipeline in recall@K
+    * at each candidate depth d in [[RerankDepths]] — the dial a
+    * prefix-indexed deployment turns. On THIS corpus the prefix is
+    * weakly informative (iid synthetic dims: prefix cosine correlates
+    * ~sqrt(TruncDim/64) with the full score), so the curve climbs slowly
+    * (~0.48 @ 50 of 500 to ~0.86 @ 200) — the honest worst case. Trained
+    * Matryoshka embeddings (Kusupati et al., NeurIPS'22) are optimized
+    * so the prefix ranking concentrates the true neighbors at small d;
+    * the query measures exactly that concentration, whatever the
+    * embedding. Stage shape: candidate scoring reads only the
+    * TruncDim-prefix projection of the corpus (the 4x storage shrink),
+    * stage 2 is candidate-sized (see [[rerankRecallCurve]]).
+    */
+  def knnTruncRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v")).persist()
+    try {
+      val es = e.select(col("vec_id"), slice(col("v"), 1, TruncDim).as("sv"))
+      val q16 = es.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("sv").as("qsv"))
+      val wCand = Window.partitionBy("query_id")
+        .orderBy(col("tcos").desc, col("neighbor_id"))
+      val cand = es.select(col("vec_id").as("neighbor_id"), col("sv"))
+        .join(broadcast(q16), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qsv"), col("sv")), 6).as("tcos"))
+        .withColumn("rnk", row_number().over(wCand))
+        .filter(col("rnk") <= RerankDepths.max)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      // rerankRecallCurve's per-depth counts are driver-side actions, so
+      // the returned local relation is already materialized here
+      rerankRecallCurve(s, e, cand)
+    } finally e.unpersist(false)
+  }
+
+  /** Binary-prefilter two-stage search — the same closure for the 1-bit
+    * axis ([[knnRecallBinary]]'s production shape): 63 sign bits per
+    * vector (32x compression, one long), Hamming distance (xor+popcount,
+    * integer-only rank key) generates top-d candidates, full-precision
+    * cosine reranks to top-K, recall@K per depth against brute. The
+    * fingerprint is the cheapest candidate generator a vector store
+    * ships, and 63 sign bits carry more of the full-width ordering than
+    * the 16-dim prefix does on this corpus — the two curves side by side
+    * are the generator comparison a deployment reads before choosing its
+    * first stage.
+    */
+  def knnBinaryRerank(s: SparkSession, dir: String): DataFrame = {
+    val Bits = 63
+    val fp = aggregate(
+      transform(sequence(lit(0), lit(Bits - 1)),
+        i => when(element_at(col("v"), i + 1) > 0.0,
+          pow(lit(2.0), i).cast("long")).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+    val e = emb(s, dir).select(col("vec_id"), col("v")).persist()
+    try {
+      val fps = e.select(col("vec_id"), fp.as("fp"))
+      val qf = fps.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("fp").as("qfp"))
+      val wCand = Window.partitionBy("query_id")
+        .orderBy(col("hamming"), col("neighbor_id"))
+      val cand = fps.select(col("vec_id").as("neighbor_id"), col("fp"))
+        .join(broadcast(qf), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          bit_count(col("fp").bitwiseXOR(col("qfp"))).cast("int").as("hamming"))
+        .withColumn("rnk", row_number().over(wCand))
+        .filter(col("rnk") <= RerankDepths.max)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      rerankRecallCurve(s, e, cand)
+    } finally e.unpersist(false)
+  }
+
   /** Random-hyperplane LSH index rows (vec_id, band, bucket): 16 sign
     * bits from literal hyperplanes, sliced into 4 bands of 4 bits — the
     * approximate ANN candidate structure (vectors sharing (band, bucket)
@@ -1082,8 +1197,10 @@ object VectorQueries {
     "knn_ivf_pq" -> knnIvfPq,
     "knn_recall_pq" -> knnRecallPq,
     "knn_recall_trunc" -> knnRecallTrunc,
+    "knn_trunc_rerank" -> knnTruncRerank,
     "knn_recall_sweep" -> knnRecallSweep,
     "knn_recall_binary" -> knnRecallBinary,
+    "knn_binary_rerank" -> knnBinaryRerank,
     "emb_ivf_balance" -> embIvfBalance,
     "dedup_semantic" -> dedupSemantic,
     "emb_whiten" -> embWhiten,
@@ -1622,6 +1739,102 @@ object VectorQueries {
          |FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < $NumQueries) q
          |LEFT JOIN hits USING (query_id)
          |ORDER BY query_id""".stripMargin,
+    // knn_recall_trunc's chain with a rnk-carrying candidate relation
+    // (depth <= max RerankDepths) and, per depth point, a full-width
+    // exact rerank over the rnk<=d cut before the @K overlap — the
+    // knn_recall_sweep UNION ALL shape
+    "knn_trunc_rerank" -> {
+      def point(d: Int): String =
+        s"""SELECT $d AS cand_k,
+           |       CAST((SELECT count(*)
+           |             FROM brute b JOIN (
+           |               SELECT query_id, neighbor_id FROM (
+           |                 SELECT c.query_id, c.neighbor_id,
+           |                        row_number() OVER (PARTITION BY c.query_id
+           |                          ORDER BY round(${cosSql.format("q.qv", "e.v", "q.qv", "q.qv", "e.v", "e.v")}, 6) DESC,
+           |                                   c.neighbor_id) AS rnk
+           |                 FROM cand c JOIN e ON e.vec_id = c.neighbor_id
+           |                             JOIN q ON q.query_id = c.query_id
+           |                 WHERE c.rnk <= $d) WHERE rnk <= $K) i
+           |               ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+           |            AS DOUBLE) / ${NumQueries * K}.0 AS recall""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K),
+         |es AS (SELECT vec_id, v[1:$TruncDim] AS sv FROM e),
+         |qs AS (SELECT vec_id AS query_id, v[1:$TruncDim] AS qsv FROM e
+         |       WHERE vec_id < $NumQueries),
+         |tpairs AS (
+         |  SELECT query_id, es.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qsv", "sv", "qsv", "qsv", "sv", "sv")}, 6) AS tcos
+         |  FROM qs JOIN es ON es.vec_id <> qs.query_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY tcos DESC, neighbor_id) AS rnk
+         |    FROM tpairs)
+         |  WHERE rnk <= ${RerankDepths.max})
+         |${RerankDepths.map(point).mkString("\nUNION ALL\n")}
+         |ORDER BY cand_k""".stripMargin
+    },
+    // knn_recall_binary's chain with a rnk-carrying Hamming candidate
+    // relation and the same per-depth full-precision rerank points
+    "knn_binary_rerank" -> {
+      def point(d: Int): String =
+        s"""SELECT $d AS cand_k,
+           |       CAST((SELECT count(*)
+           |             FROM brute b JOIN (
+           |               SELECT query_id, neighbor_id FROM (
+           |                 SELECT c.query_id, c.neighbor_id,
+           |                        row_number() OVER (PARTITION BY c.query_id
+           |                          ORDER BY round(${cosSql.format("q.qv", "e.v", "q.qv", "q.qv", "e.v", "e.v")}, 6) DESC,
+           |                                   c.neighbor_id) AS rnk
+           |                 FROM cand c JOIN e ON e.vec_id = c.neighbor_id
+           |                             JOIN q ON q.query_id = c.query_id
+           |                 WHERE c.rnk <= $d) WHERE rnk <= $K) i
+           |               ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+           |            AS DOUBLE) / ${NumQueries * K}.0 AS recall""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K),
+         |fps AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(0, 63), i ->
+         |      CASE WHEN v[CAST(i AS INT) + 1] > 0.0
+         |           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS fp
+         |  FROM e),
+         |qf AS (SELECT vec_id AS query_id, fp AS qfp FROM fps WHERE vec_id < $NumQueries),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT qf.query_id, fps.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY qf.query_id
+         |             ORDER BY bit_count(xor(fps.fp, qf.qfp)), fps.vec_id) AS rnk
+         |    FROM qf JOIN fps ON fps.vec_id <> qf.query_id)
+         |  WHERE rnk <= ${RerankDepths.max})
+         |${RerankDepths.map(point).mkString("\nUNION ALL\n")}
+         |ORDER BY cand_k""".stripMargin
+    },
     // mirrors embIvfBalance: the knn_ivf_kmeans coarse-quantizer chain
     // (seeds = vec_id < 8, two Lloyd rounds, final assignment), then one
     // per-list count with the total as a scalar subquery
