@@ -196,6 +196,21 @@ object TextFunctions {
     langIdFromHits(en, de, fr, es)
   }
 
+  /** Gopher-rule keep conjunction (Rae et al. '21 subset) from
+    * already-materialized parts — cheap comparisons, safe to inline.
+    * Single source of the thresholds for the batch query
+    * (TextQueries.textGopherRules) and the streaming gate
+    * (GraftPipeline.gopherGate), so batch and stream can never disagree
+    * on a decision. Parts: word count, mean word length, symbol-char
+    * ratio, stopword hits.
+    */
+  def gopherKeepFromParts(nWords: Column, meanWordLen: Column,
+      symbolRatio: Column, stopHits: Column): Column =
+    nWords.between(50L, 100000L) &&
+      meanWordLen.between(3.0, 10.0) &&
+      symbolRatio <= 0.1 &&
+      stopHits >= 2L
+
   /** Quality score from already-materialized parts — cheap arithmetic,
     * safe to inline. Parts: char count, alpha-char count, token count,
     * English-stopword hit count.

@@ -841,10 +841,8 @@ object TextQueries {
         col("stop_hits"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("symbol_ratio"), col("stop_hits"),
-        (col("n_words").between(50L, 100000L) &&
-          col("mean_word_len").between(3.0, 10.0) &&
-          col("symbol_ratio") <= 0.1 &&
-          col("stop_hits") >= 2L).as("keep"))
+        gopherKeepFromParts(col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("stop_hits")).as("keep"))
       .orderBy("doc_id")
   }
 

@@ -214,6 +214,42 @@ object GraftPipeline {
       .drop("q_toks")
   }
 
+  /** Gopher-rule gate — the streaming form of text_gopher_rules' named
+    * rule filter (Rae et al. '21 subset): drop records whose payload
+    * text fails the keep conjunction (word count, mean word length,
+    * symbol ratio, stopword floor), with the thresholds shared from
+    * TextFunctions.gopherKeepFromParts so the batch query and this gate
+    * can never disagree on a decision (GopherGateSpec pins it). A
+    * stateless projection+filter — no watermark, no state store — and a
+    * pure function of the payload, so a replayed micro-batch makes
+    * identical decisions (at-least-once-benign like sampleGate). The
+    * token array stages once behind a Generate barrier; every rule part
+    * reads the staged column, one tokenize per record.
+    */
+  def gopherGate(routed: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val t = col(textCol)
+    val staged = graft.functions.PipelineFunctions.stageBarrier(
+      routed, routed.columns.map(col).toSeq,
+      "g_toks" -> tokens(t))
+    val parts = graft.functions.PipelineFunctions.stageBarrier(
+      staged, (routed.columns :+ "g_toks").map(col).toSeq,
+      "g_n_words" -> size(col("g_toks")).cast("long"),
+      "g_word_chars" -> aggregate(
+        transform(col("g_toks"), w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x),
+      "g_stop_hits" -> stopwordHits(col("g_toks"), StopwordsEn).cast("long"))
+    parts
+      .filter(gopherKeepFromParts(
+        col("g_n_words"),
+        col("g_word_chars").cast("double") /
+          greatest(col("g_n_words"), lit(1L)).cast("double"),
+        length(regexp_replace(t, "[A-Za-z0-9 .,]", "")).cast("double") /
+          greatest(length(t), lit(1)).cast("double"),
+        col("g_stop_hits")))
+      .drop("g_toks", "g_n_words", "g_word_chars", "g_stop_hits")
+  }
+
   /** Streaming Count-Min build — the batch text_cms as a continuously
     * maintained aggregation: tokens hash into (row, bucket) counters,
     * update-mode emits changed counters per micro-batch. The state store

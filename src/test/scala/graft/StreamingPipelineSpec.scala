@@ -272,6 +272,30 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(batch.size > 50 && batch.size < 150) // ~rate, not degenerate
   }
 
+  test("gopherGate: stream decisions == batch text_gopher_rules keeps") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftPipeline.gopherGate(mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("graft_gopher_gate")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_gopher_gate")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchKeep = graft.queries.TextQueries.textGopherRules(spark, sfDir)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKeep) // shared gopherKeepFromParts: no divergence
+    assert(streamed.nonEmpty && streamed.size < docs.size) // both rules fire
+    // gate passes the input schema through untouched
+    val kept = GraftPipeline.gopherGate(Seq((1L, "x")).toDF("doc_id", "text"), "text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("qualityGate drops low-quality payload text, keeps schema") {
     val docs = Seq(
       ("good", "the quick brown fox jumps over the lazy dog and it is a fine day for that " * 3),
