@@ -196,6 +196,57 @@ object TextFunctions {
     langIdFromHits(en, de, fr, es)
   }
 
+  /** Fasttext-style classifier surface, shared by the batch query
+    * (TextQueries.textClassifierScore) and the streaming gate
+    * (GraftPipeline.classifierGate) so decisions cannot diverge. The
+    * weight table is a deterministic stand-in for a trained model —
+    * w(b) = ((b·2654435761) mod 1000003)/1000003 − 0.5, integer-exact on
+    * both engines — and rides the plan as a bounded literal (the
+    * PQ-codebook pattern); a real deployment swaps in trained weights,
+    * same plan shape.
+    */
+  val ClassifierBuckets = 1024
+  lazy val classifierWeights: Seq[Double] =
+    (0 until ClassifierBuckets).map(b =>
+      (b.toLong * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
+
+  /** Mean hashed-feature weight from a pre-hashed feature array (see
+    * [[hashArray]]): the linear bag-of-ngrams score. Keep iff >= 0 —
+    * an exact integer-derived comparison, no float drift can flip it.
+    */
+  def classifierScoreFromHashes(hs: Column, nFeats: Column): Column =
+    aggregate(
+      transform(hs, h => element_at(typedLit(classifierWeights),
+        pmod(h, lit(ClassifierBuckets.toLong)).cast("int") + 1)),
+      lit(0.0), (a, x) => a + x) / nFeats
+
+  /** PII regex classes, in redaction order, shared by the batch scan
+    * (TextQueries.textPii) and the streaming scrub
+    * (GraftPipeline.piiScrub). Regex built-ins only — the whole surface
+    * stays a codegen'd stateless projection.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{4}\\b",
+    "key" -> "\\bsk-[A-Za-z0-9]{16,}")
+
+  /** Replace every PII span with its typed placeholder, class by class
+    * in [[PiiPatterns]] order.
+    */
+  def piiRedact(t: Column): Column =
+    PiiPatterns.foldLeft(t) { case (c, (n, re)) =>
+      regexp_replace(c, re, s"<${n.toUpperCase}>")
+    }
+
+  /** Per-class PII span counts (n_email, n_ip, n_phone, n_key), for
+    * staging alongside the redaction.
+    */
+  def piiCounts(t: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (n, re) =>
+      s"n_$n" -> size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    }
+
   /** Gopher-rule keep conjunction (Rae et al. '21 subset) from
     * already-materialized parts — cheap comparisons, safe to inline.
     * Single source of the thresholds for the batch query

@@ -862,30 +862,50 @@ object TextQueries {
     *
     * Scale shape ([[textDupSpans]] at line granularity): one explode to
     * (doc, line) rows, lines identified by a 60-bit md5 fingerprint so
-    * the df table and the join key are 8-byte longs, never strings; the
-    * df aggregate is line-vocabulary-sized; the only corpus-sized
-    * shuffle is the fp equi-join back. At 100 TB the df cut runs
-    * per-source/per-shard (CCNet's actual construction) so each df
-    * table stays bounded — the synthetic corpus is too small to shard,
-    * so the cut here is global.
+    * every key in flight is an 8-byte long, never a string; the df
+    * aggregate is line-vocabulary-sized and its input distinct is the
+    * one corpus-sized shuffle. The join BACK probes only the
+    * HIGH-df (boilerplate) fingerprints — orders smaller than the full
+    * line vocabulary (real boilerplate is a thin head: nav/header
+    * chrome), so AQE broadcasts it and the corpus is never shuffled a
+    * second time. At 100 TB the df cut runs per-source/per-shard
+    * (CCNet's actual construction) so each df table stays bounded — the
+    * synthetic corpus is too small to shard, so the cut here is global.
     */
-  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, seg_idx, seg, fp) line rows — the shared lineage of
+    * [[textBoilerplate]] (accounting) and [[textBoilerplateClean]]
+    * (removal deliverable).
+    */
+  private def boilerplateSegs(s: SparkSession, dir: String): DataFrame = {
     val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id")),
       "toks" -> tokens(col("text")))
     val segs = staged.select(col("doc_id"),
-      explode(transform(
+      posexplode(transform(
         sequence(lit(0), ((size(col("toks")) - 1) / LineW).cast("int")),
         i => array_join(slice(col("toks"), i * LineW + 1, lit(LineW)), " ")))
-        .as("seg"))
-    val withFp = stageBarrier(segs, Seq(col("doc_id"), length(col("seg")).as("seg_chars")),
+        .as(Seq("seg_idx", "seg")))
+    stageBarrier(segs, Seq(col("doc_id"), col("seg_idx"), col("seg")),
       "fp" -> conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long"))
-    val df = withFp.select("doc_id", "fp").distinct()
+  }
+
+  /** The high-df (boilerplate) fingerprint set — orders smaller than the
+    * full line vocabulary (real boilerplate is a thin head), so the join
+    * back against it broadcasts at scale and the corpus shuffles once
+    * (the df build's distinct), not twice.
+    */
+  private def boilerplateSet(withFp: DataFrame): DataFrame =
+    withFp.select("doc_id", "fp").distinct()
       .groupBy("fp").agg(count(lit(1)).as("ndocs"))
-    withFp.join(df, "fp")
+      .filter(col("ndocs") >= LineDfCut)
+
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val withFp = boilerplateSegs(s, dir)
+      .select(col("doc_id"), col("fp"), length(col("seg")).as("seg_chars"))
+    withFp.join(boilerplateSet(withFp), Seq("fp"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("ndocs") >= LineDfCut, 1L).otherwise(0L)).as("n_dropped"),
-        sum(when(col("ndocs") < LineDfCut, col("seg_chars").cast("long"))
+        sum(when(col("ndocs").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("ndocs").isNull, col("seg_chars").cast("long"))
           .otherwise(0L)).as("kept_chars"),
         sum(col("seg_chars").cast("long")).as("total_chars"))
       .select(col("doc_id"), col("n_lines"), col("n_dropped"),
@@ -894,15 +914,33 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  private val ClfBuckets = 1024
+  /** The boilerplate-removal DELIVERABLE ([[textBoilerplate]] reports
+    * the accounting; this emits the cleaned corpus): kept lines
+    * re-joined in document order. Same lineage — the high-df set joins
+    * back (broadcast at scale), kept segments re-assemble per document
+    * through a collect-sort-join aggregate whose state is bounded by a
+    * single document's line count, the per-entity bound every per-doc
+    * aggregate here already lives under. This is the operator a crawl
+    * ingest actually APPLIES between dedup and quality scoring; the
+    * accounting query is its audit.
+    */
+  def textBoilerplateClean(s: SparkSession, dir: String): DataFrame = {
+    val withFp = boilerplateSegs(s, dir)
+    withFp.join(boilerplateSet(withFp), Seq("fp"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("ndocs").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("ndocs").isNull,
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private def ClfBuckets = ClassifierBuckets // shared with the streaming gate
   private val ClfScale = 8.0
-  // deterministic stand-in for a trained weight vector: w(b) =
-  // ((b * 2654435761) mod 1000003) / 1000003 - 0.5 — integer-exact on
-  // both engines, so parity never depends on shipping 1024 float
-  // literals through SQL text
-  private lazy val clfWeights: Array[Double] =
-    Array.tabulate(ClfBuckets)(b =>
-      (b.toLong * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
 
   /** Fasttext-style linear quality classifier (the GPT-3 / LLaMA
     * selection filter): score = mean over unigram+bigram features of
@@ -918,7 +956,6 @@ object TextQueries {
     * score against 0, so no float drift can flip it.
     */
   def textClassifierScore(s: SparkSession, dir: String): DataFrame = {
-    val wlit = typedLit(clfWeights.toSeq)
     val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id")),
       "toks" -> tokens(col("text")))
     val feats = stageBarrier(staged, Seq(col("doc_id")),
@@ -927,10 +964,7 @@ object TextQueries {
       "hs" -> hashArray(col("feats")))
     hashed
       .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
-        (aggregate(
-          transform(col("hs"),
-            h => element_at(wlit, pmod(h, lit(ClfBuckets.toLong)).cast("int") + 1)),
-          lit(0.0), (a, x) => a + x) / col("n_feats")).as("score"))
+        classifierScoreFromHashes(col("hs"), col("n_feats")).as("score"))
       .select(col("doc_id"), col("n_feats"), col("score"),
         (lit(1.0) / (lit(1.0) + exp(-lit(ClfScale) * col("score")))).as("keep_prob"),
         (col("score") >= 0.0).as("keep"))
@@ -950,10 +984,6 @@ object TextQueries {
     * class actually fire and every count column carry signal.
     */
   def textPii(s: SparkSession, dir: String): DataFrame = {
-    val ReEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ReIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val RePhone = "\\b\\d{3}-\\d{4}\\b"
-    val ReKey = "\\bsk-[A-Za-z0-9]{16,}"
     val id = col("doc_id")
     val decorated = concat(col("text"),
       when(id % 7 === 0,
@@ -972,19 +1002,62 @@ object TextQueries {
       "t" -> decorated)
     val t = col("t")
     staged
-      .select(col("doc_id"),
-        size(regexp_extract_all(t, lit(ReEmail), lit(0))).cast("long").as("n_email"),
-        size(regexp_extract_all(t, lit(ReIp), lit(0))).cast("long").as("n_ip"),
-        size(regexp_extract_all(t, lit(RePhone), lit(0))).cast("long").as("n_phone"),
-        size(regexp_extract_all(t, lit(ReKey), lit(0))).cast("long").as("n_key"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(t, ReEmail, "<EMAIL>"),
-              ReIp, "<IP>"),
-            RePhone, "<PHONE>"),
-          ReKey, "<KEY>").as("redacted"))
+      .select(Seq(col("doc_id")) ++
+        piiCounts(t).map { case (n, c) => c.as(n) } :+
+        piiRedact(t).as("redacted"): _*)
       .orderBy("doc_id")
+  }
+
+  private val AgreementQualityMin = 0.5 // textCurate's quality threshold
+
+  /** Filter-ensemble agreement table — the 8-cell diagnostic a curation
+    * team reads before composing filters: per (gopher_keep, clf_keep,
+    * quality_keep) cell, document count and corpus fraction. The three
+    * filter families (named rules [[textGopherRules]], learned linear
+    * model [[textClassifierScore]], blended heuristic [[textQuality]])
+    * disagree on real corpora, and the off-diagonal cells are where the
+    * curation policy actually gets decided (rules-only loses recall,
+    * model-only loses explainability; the all-agree diagonal is the
+    * safe core). ONE documents scan: tokenize once, every filter reads
+    * the same staged columns; the aggregate is 8-cell and the fraction
+    * window runs over the 8-row relation, never the corpus.
+    */
+  def textFilterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id"), t),
+      "toks" -> tokens(t))
+    val feats = stageBarrier(staged, Seq(col("doc_id"), t, col("toks")),
+      "feats" -> concat(col("toks"), wordShingles(col("toks"), 2)))
+    val hashed = stageBarrier(feats,
+      Seq(col("doc_id"), t, col("toks"), size(col("feats")).as("n_feats")),
+      "hs" -> hashArray(col("feats")))
+    val parts = stageBarrier(hashed, Seq(col("doc_id"), col("hs"), col("n_feats")),
+      "n_words" -> size(col("toks")).cast("long"),
+      "word_chars" -> aggregate(
+        transform(col("toks"), w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x),
+      "n_chars" -> length(t).cast("long"),
+      "sym_chars" -> length(regexp_replace(t, "[A-Za-z0-9 .,]", "")).cast("long"),
+      "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")).cast("long"),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn).cast("long"))
+    val flags = parts.select(
+      gopherKeepFromParts(col("n_words"),
+        col("word_chars").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"),
+        col("sym_chars").cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double"),
+        col("stop_hits")).as("gopher_keep"),
+      (classifierScoreFromHashes(col("hs"), col("n_feats")) >= 0.0).as("clf_keep"),
+      (qualityScoreFromParts(col("n_chars"), col("alpha_len"),
+        col("n_words"), col("stop_hits")) >= AgreementQualityMin).as("quality_keep"))
+    val w = Window.partitionBy() // the 8-row cells relation
+    flags.groupBy("gopher_keep", "clf_keep", "quality_keep")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("gopher_keep"), col("clf_keep"), col("quality_keep"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6)
+          .as("frac"))
+      .orderBy("gopher_keep", "clf_keep", "quality_keep")
   }
 
   /** Character-distribution entropy per document — the information-
@@ -1772,8 +1845,10 @@ object TextQueries {
     "text_quality" -> textQuality,
     "text_gopher_rules" -> textGopherRules,
     "text_boilerplate" -> textBoilerplate,
+    "text_boilerplate_clean" -> textBoilerplateClean,
     "text_classifier_score" -> textClassifierScore,
     "text_pii" -> textPii,
+    "text_filter_agreement" -> textFilterAgreement,
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_dup_ngrams" -> textDupNgrams,
@@ -2559,15 +2634,38 @@ object TextQueries {
          |f AS (SELECT doc_id, len(seg) AS seg_chars,
          |             CAST('0x' || substr(md5(seg), 1, 15) AS BIGINT) AS fp
          |      FROM seg),
-         |df AS (SELECT fp, count(*) AS ndocs
-         |       FROM (SELECT DISTINCT doc_id, fp FROM f) GROUP BY fp)
+         |b AS (SELECT fp, count(*) AS ndocs
+         |      FROM (SELECT DISTINCT doc_id, fp FROM f) GROUP BY fp
+         |      HAVING count(*) >= $LineDfCut)
          |SELECT f.doc_id,
          |       CAST(count(*) AS BIGINT) AS n_lines,
-         |       CAST(sum(CASE WHEN ndocs >= $LineDfCut THEN 1 ELSE 0 END) AS BIGINT)
+         |       CAST(sum(CASE WHEN b.ndocs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_dropped,
-         |       round(CAST(sum(CASE WHEN ndocs < $LineDfCut THEN seg_chars ELSE 0 END) AS DOUBLE) /
+         |       round(CAST(sum(CASE WHEN b.ndocs IS NULL THEN seg_chars ELSE 0 END) AS DOUBLE) /
          |             CAST(greatest(sum(seg_chars), 1) AS DOUBLE), 6) AS kept_char_frac
-         |FROM f JOIN df USING (fp)
+         |FROM f LEFT JOIN b ON f.fp = b.fp
+         |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
+    // same lineage; kept segments re-assemble via string_agg ORDER BY
+    // seg_idx (the list-sort-join fold on the Spark side)
+    "text_boilerplate_clean" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |seg AS (
+         |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         |         array_to_string(toks[(CAST(i AS INT)*$LineW+1):(CAST(i AS INT)*$LineW+$LineW)], ' ') AS seg
+         |  FROM t CROSS JOIN range(0, 2048) r(i)
+         |  WHERE CAST(i AS INT) <= (len(toks) - 1) // $LineW),
+         |f AS (SELECT doc_id, seg_idx, seg,
+         |             CAST('0x' || substr(md5(seg), 1, 15) AS BIGINT) AS fp
+         |      FROM seg),
+         |b AS (SELECT fp, count(*) AS ndocs
+         |      FROM (SELECT DISTINCT doc_id, fp FROM f) GROUP BY fp
+         |      HAVING count(*) >= $LineDfCut)
+         |SELECT f.doc_id,
+         |       CAST(sum(CASE WHEN b.ndocs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       coalesce(string_agg(CASE WHEN b.ndocs IS NULL THEN seg END, ' '
+         |                           ORDER BY seg_idx), '') AS clean_text
+         |FROM f LEFT JOIN b ON f.fp = b.fp
          |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
     // unigram+bigram features, h32 on the md5-hex plane, the same
     // integer-derived weight table built by list_transform, list_sum's
@@ -2629,6 +2727,35 @@ object TextQueries {
          |         '$key', '<KEY>', 'g') AS redacted
          |FROM d ORDER BY doc_id""".stripMargin
     },
+    // the three filter families' shared-scan flags, an 8-cell GROUP BY,
+    // corpus fraction from a scalar total (== Spark's unbounded window
+    // over the cells relation)
+    "text_filter_agreement" ->
+      s"""WITH wv AS (
+         |  SELECT list_transform(range(0, $ClfBuckets),
+         |           b -> CAST((b * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS w),
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |ft AS (SELECT doc_id, text, toks,
+         |              list_concat(toks,
+         |                [array_to_string(list_slice(toks, i, i + 1), ' ')
+         |                 for i in range(1, len(toks))]) AS feats
+         |       FROM t),
+         |f AS (SELECT doc_id,
+         |  (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000 AND
+         |   CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) /
+         |     CAST(greatest(len(toks), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 AND
+         |   CAST(len(regexp_replace(text, '[A-Za-z0-9 .,]', '', 'g')) AS DOUBLE) /
+         |     CAST(greatest(len(text), 1) AS DOUBLE) <= 0.1 AND
+         |   len(list_filter(toks, x -> x IN ($enList))) >= 2) AS gopher_keep,
+         |  (list_sum([w[CAST(${hx("ff")} % $ClfBuckets AS INT) + 1]
+         |             for ff in feats]) / len(feats) >= 0) AS clf_keep,
+         |  ($qualitySql >= $AgreementQualityMin) AS quality_keep
+         | FROM ft CROSS JOIN wv)
+         |SELECT gopher_keep, clf_keep, quality_keep,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       round(CAST(count(*) AS DOUBLE) /
+         |             CAST((SELECT count(*) FROM documents) AS DOUBLE), 6) AS frac
+         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "text_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id,

@@ -250,6 +250,53 @@ object GraftPipeline {
       .drop("g_toks", "g_n_words", "g_word_chars", "g_stop_hits")
   }
 
+  /** Classifier gate — the streaming form of text_classifier_score's
+    * fasttext-style linear filter (the GPT-3/LLaMA-style selection
+    * companion to [[gopherGate]]'s named rules): unigram+bigram hashed
+    * features, mean literal-table weight, keep iff raw score >= 0 — the
+    * same exact integer-derived comparison as the batch query
+    * (thresholds and weights shared via TextFunctions, spec-pinned), so
+    * no float drift and no batch/stream divergence. Stateless pure
+    * projection+filter; replay-stable; one tokenize + one md5 kernel
+    * pass per record behind Generate barriers.
+    */
+  def classifierGate(routed: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val t = col(textCol)
+    val staged = graft.functions.PipelineFunctions.stageBarrier(
+      routed, routed.columns.map(col).toSeq,
+      "c_toks" -> tokens(t))
+    val feats = graft.functions.PipelineFunctions.stageBarrier(
+      staged, (routed.columns :+ "c_toks").map(col).toSeq,
+      "c_feats" -> concat(col("c_toks"), wordShingles(col("c_toks"), 2)))
+    val hashed = graft.functions.PipelineFunctions.stageBarrier(
+      feats, (routed.columns :+ "c_feats").map(col).toSeq,
+      "c_hs" -> hashArray(col("c_feats")))
+    hashed
+      .filter(classifierScoreFromHashes(col("c_hs"), size(col("c_feats"))) >= 0.0)
+      .drop("c_feats", "c_hs")
+  }
+
+  /** PII scrub — the streaming form of text_pii's redaction arm: replace
+    * every email / IPv4 / phone / key-shaped span in `textCol` with its
+    * typed placeholder (classes and order shared via
+    * TextFunctions.PiiPatterns, so batch and stream redact identically)
+    * and append a `pii_hits` total for drop/alert routing. The
+    * compliance transform a production ingest runs INLINE, before
+    * anything persists: a stateless regex projection — codegen'd
+    * built-ins, no UDF, no state — so at-least-once replay rewrites the
+    * same record to the same bytes.
+    */
+  def piiScrub(routed: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val t = col(textCol)
+    val staged = graft.functions.PipelineFunctions.stageBarrier(
+      routed, routed.columns.filterNot(_ == textCol).map(col).toSeq,
+      textCol -> piiRedact(t),
+      "pii_hits" -> piiCounts(t).map(_._2).reduce(_ + _))
+    staged.select((routed.columns :+ "pii_hits").map(col).toSeq: _*)
+  }
+
   /** Streaming Count-Min build — the batch text_cms as a continuously
     * maintained aggregation: tokens hash into (row, bucket) counters,
     * update-mode emits changed counters per micro-batch. The state store

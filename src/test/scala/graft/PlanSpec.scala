@@ -147,6 +147,30 @@ class PlanSpec extends SparkTestBase {
       o.take(2500))
   }
 
+  test("text_classifier_score: scoring is a pure projection (weights are plan literals)") {
+    // the fasttext-style filter's whole value is that it adds NO plan
+    // structure: no join, no aggregate, one tokenize, one md5 kernel pass
+    val p = physical("text_classifier_score")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+    val o = optimized("text_classifier_score")
+    assert("graft_h32_array".r.findAllIn(o).length == 1, o.take(2000))
+    assert("split\\(".r.findAllIn(o).length == 1, o.take(2000))
+  }
+
+  test("text_pii: scan+redact is a stateless projection (no join, no aggregate)") {
+    val p = physical("text_pii")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("text_boilerplate: line explode feeds a key-based join-back, never nested-loop") {
+    val p = physical("text_boilerplate")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000)) // the line-unit explode
+  }
+
   test("PLANS.md is fresh: every registered query has a plan section") {
     // PLANS.md went stale once (r4) when queries were added without
     // regenerating it; `sbt "runMain graft.Explain"` rebuilds it

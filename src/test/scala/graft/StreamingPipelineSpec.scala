@@ -296,6 +296,53 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(kept.columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("classifierGate: stream decisions == batch text_classifier_score keeps") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftPipeline.classifierGate(mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("graft_clf_gate")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_clf_gate")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchKeep = graft.queries.TextQueries.textClassifierScore(spark, sfDir)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKeep) // shared weights + threshold: no divergence
+    assert(streamed.nonEmpty && streamed.size < docs.size)
+  }
+
+  test("piiScrub: stream redaction == batch; hits counted; schema + pii_hits") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "write to bob.smith@example.com or call 555-1234 today"),
+      (2L, "server 10.0.0.1 token sk-abcdef0123456789abcd"),
+      (3L, "nothing sensitive here"))
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftPipeline.piiScrub(mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("graft_pii_scrub")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_pii_scrub")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = GraftPipeline.piiScrub(rows.toDF("doc_id", "text"), "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch) // identical bytes under replay/batch
+    val byId = streamed.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == "write to <EMAIL> or call <PHONE> today")
+    assert(byId(1L)._3 == 2L)
+    assert(byId(2L)._2 == "server <IP> token <KEY>")
+    assert(byId(2L)._3 == 2L)
+    assert(byId(3L) == ((3L, "nothing sensitive here", 0L)))
+  }
+
   test("qualityGate drops low-quality payload text, keeps schema") {
     val docs = Seq(
       ("good", "the quick brown fox jumps over the lazy dog and it is a fine day for that " * 3),

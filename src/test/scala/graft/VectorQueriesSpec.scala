@@ -11,6 +11,21 @@ import graft.queries.VectorQueries
 class VectorQueriesSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("rerank recall curves: monotone in candidate depth, bounded, full-length") {
+    // candidate sets nest as depth grows and the rerank is exact, so
+    // recall@K(d) = |brute ∩ cand(d)| / (|Q|·K) is non-decreasing — a
+    // theorem about the two-stage composition, pinned here for both
+    // generator families
+    Seq("knn_trunc_rerank", "knn_binary_rerank").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, sf())
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(50, 100, 200), s"$q depths")
+      assert(rows.forall { case (_, r) => r >= 0.0 && r <= 1.0 }, s"$q bounds")
+      val recalls = rows.map(_._2).toSeq
+      assert(recalls == recalls.sorted, s"$q monotonicity")
+    }
+  }
+
   test("embNeardup finds exactly the planted near-duplicate pairs") {
     val rng = new scala.util.Random(7)
     def unit(v: Array[Double]): Array[Double] = {
