@@ -64,6 +64,63 @@ object TextQueries {
       .select(col("doc_id"), col("band"),
         element_at(col("buckets"), col("band") + 1).as("bucket"))
 
+  private val BandsSweepConfigs = Seq(2 -> 8, 4 -> 4, 8 -> 2) // (bands, rows/band)
+  private val BandsSweepJaccard = 0.7
+
+  /** The LSH S-curve tuning dial — candidate volume and precision as a
+    * function of the (bands × rows) split of the SAME 16-hash signature
+    * (Broder/LSH theory: P(candidate) = 1−(1−J^r)^b, threshold ≈
+    * (1/b)^(1/r), so 2×8 ≈ 0.92, 4×4 ≈ 0.71 (the production config),
+    * 8×2 ≈ 0.35). Per config: banded candidate join, exact
+    * shingle-Jaccard verify at [[BandsSweepJaccard]], one
+    * (n_cand, n_good, precision) row — the table a dedup deployment
+    * reads to pick its operating point, where more bands buy recall at
+    * the price of candidate volume (the thing that explodes first at
+    * 100 TB) and precision. knn_recall_sweep's discipline: one persisted
+    * signature pass feeds every config, per-config results are bounded
+    * scalar counts, and the output is an exact integer-ratio 3-row
+    * relation. At 100 TB this tuning pass runs over a bounded SAMPLE
+    * (the dup_span_recall pattern) — the loose 8×2 point's candidate
+    * volume grows superlinearly by design, which is precisely the cost
+    * the sweep exposes before production commits to a config.
+    */
+  def dedupBandsSweep(s: SparkSession, dir: String): DataFrame = {
+    val base = minhashStages(s, dir).persist()
+    try {
+      val sets = base.select(col("doc_id"), array_distinct(col("shingles")).as("ss"))
+      val rows = BandsSweepConfigs.map { case (b, r) =>
+        val bands = base
+          .withColumn("bkts", lshBandBuckets(col("sig"), r))
+          .select(col("doc_id"), col("bkts"),
+            explode(sequence(lit(0), lit(b - 1))).as("band"))
+          .select(col("doc_id"), col("band"),
+            element_at(col("bkts"), col("band") + 1).as("bucket"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val agg = cand
+          .join(sets.select(col("doc_id").as("id_a"), col("ss").as("ss_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("ss").as("ss_b")), "id_b")
+          .select((size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+            size(array_union(col("ss_a"), col("ss_b"))).cast("double") >=
+            BandsSweepJaccard).as("good"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("good"), 1L).otherwise(0L)), lit(0L)).as("g"))
+          .collect()(0)
+        val nCand = agg.getLong(0)
+        val nGood = agg.getLong(1)
+        (b, r, math.round(math.pow(1.0 / b, 1.0 / r) * 1e6) / 1e6,
+          nCand, nGood,
+          if (nCand == 0) 0.0 else nGood.toDouble / nCand)
+      }
+      import s.implicits._
+      rows.toDF("n_bands", "rows_per_band", "threshold", "n_cand", "n_good", "prec")
+    } finally base.unpersist(false)
+  }
+
   /** MinHash signatures exploded to (doc_id, band, bucket) rows — the LSH
     * index table. Docs with < ShingleK tokens are excluded (no shingles).
     */
@@ -1827,6 +1884,7 @@ object TextQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_bands_sweep" -> dedupBandsSweep,
     "dedup_containment" -> dedupContainment,
     "dedup_keep" -> dedupKeep,
     "dedup_simhash" -> dedupSimhash,
@@ -2059,6 +2117,51 @@ object TextQueries {
     "dedup_minhash_pairs" ->
       s"""$pairsCore
          |SELECT id_a, id_b, j_word, j_shingle FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // the same sig chain re-banded per (bands × rows) config; per config
+    // a banded candidate join + unrounded shingle-Jaccard verify, scalar
+    // counts per point (knn_recall_sweep's UNION ALL shape)
+    "dedup_bands_sweep" -> {
+      def bucketsFor(r: Int): String =
+        s"[${hx(s"array_to_string(list_slice(sig, b * $r + 1, b * $r + $r), ',')")} for b in range(0, ${NumHashes / r})]"
+      val cfgCtes = BandsSweepConfigs.map { case (b, r) =>
+        s"""bk$b AS (SELECT doc_id, ${bucketsFor(r)} AS buckets FROM sigm),
+           |bands$b AS (
+           |  SELECT doc_id, i - 1 AS band, buckets[i] AS bucket
+           |  FROM bk$b, range(1, ${NumHashes / r} + 1) r(i)),
+           |cand$b AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands$b a JOIN bands$b b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |good$b AS (
+           |  SELECT 1 AS one
+           |  FROM cand$b c JOIN sets sa ON c.id_a = sa.doc_id
+           |               JOIN sets sb ON c.id_b = sb.doc_id
+           |  WHERE len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))::DOUBLE /
+           |        len(list_distinct(list_concat(sa.ss, sb.ss)))::DOUBLE >= $BandsSweepJaccard)""".stripMargin
+      }.mkString(",\n")
+      def point(b: Int, r: Int): String =
+        s"""SELECT $b AS n_bands, $r AS rows_per_band,
+           |       round(pow(1.0 / $b, 1.0 / $r), 6) AS threshold,
+           |       CAST((SELECT count(*) FROM cand$b) AS BIGINT) AS n_cand,
+           |       CAST((SELECT count(*) FROM good$b) AS BIGINT) AS n_good,
+           |       CASE WHEN (SELECT count(*) FROM cand$b) = 0 THEN 0.0
+           |            ELSE CAST((SELECT count(*) FROM good$b) AS DOUBLE) /
+           |                 CAST((SELECT count(*) FROM cand$b) AS DOUBLE) END AS prec""".stripMargin
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, toks, $shinglesSql AS shingles
+         |  FROM toksrc WHERE len(toks) >= $ShingleK),
+         |hsrc AS (
+         |  SELECT doc_id, toks, $hsSql AS hs FROM sh),
+         |sigm AS MATERIALIZED (
+         |  SELECT doc_id, $sigSql AS sig FROM hsrc),
+         |sets AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+         |$cfgCtes
+         |${BandsSweepConfigs.map { case (b, r) => point(b, r) }.mkString("\nUNION ALL\n")}
+         |ORDER BY n_bands""".stripMargin
+    },
     // pairsCore's cand/sets BEFORE the jaccard cut — containment keeps
     // pairs the symmetric filter drops (the `pairs` CTE goes unreferenced
     // and uncomputed)
