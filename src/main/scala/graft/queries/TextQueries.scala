@@ -1065,6 +1065,77 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus health table — the dashboard a crawl-snapshot
+    * review reads: per source, document and token volume, mean quality,
+    * gopher keep rate, and English share (the dominant-language check).
+    * Sources are how a corpus is acquired and how it rots (one bad
+    * crawler, one template-farm domain), so per-source is the
+    * granularity quality regressions surface at. ONE scan with the
+    * shared staged tokenization; the aggregate is |sources|-sized, a
+    * bounded relation at any corpus size (sources grow like acquisition
+    * channels, not rows).
+    */
+  def corpusSourceProfile(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val staged = stageBarrier(Tables.documents(s, dir),
+      Seq(col("doc_id"), col("source"), col("lang"), t),
+      "toks" -> tokens(t))
+    val parts = stageBarrier(staged, Seq(col("source"), col("lang")),
+      "n_words" -> size(col("toks")).cast("long"),
+      "word_chars" -> aggregate(
+        transform(col("toks"), w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x),
+      "n_chars" -> length(t).cast("long"),
+      "sym_chars" -> length(regexp_replace(t, "[A-Za-z0-9 .,]", "")).cast("long"),
+      "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")).cast("long"),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn).cast("long"))
+    parts
+      .select(col("source"), col("lang"), col("n_words"),
+        qualityScoreFromParts(col("n_chars"), col("alpha_len"),
+          col("n_words"), col("stop_hits")).as("quality"),
+        gopherKeepFromParts(col("n_words"),
+          col("word_chars").cast("double") /
+            greatest(col("n_words"), lit(1L)).cast("double"),
+          col("sym_chars").cast("double") /
+            greatest(col("n_chars"), lit(1L)).cast("double"),
+          col("stop_hits")).as("g_keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_tokens"),
+        round(avg("quality"), 6).as("avg_quality"),
+        round(sum(when(col("g_keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("gopher_keep_frac"),
+        round(sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("en_frac"))
+      .orderBy("source")
+  }
+
+  private val FixedKPerLang = 50
+
+  /** Deterministic fixed-k per-group sample — the eval-set construction
+    * primitive ([[sampleBalanced]] equalizes RATES; this pins exact
+    * COUNTS): per language, the k documents with the smallest portable
+    * content-independent hash h32(doc_id) win, so the sample is uniform
+    * within each group, reproducible across runs and engines, and stable
+    * under corpus append (a new doc displaces at most one winner). The
+    * rank window partitions by language, and Catalyst's WindowGroupLimit
+    * pushes the rnk <= k cut to BOTH sides of the exchange (PLANS.md,
+    * PlanSpec-pinned): each map partition forwards at most k rows per
+    * language, so the shuffle carries ~k·|langs|·partitions rows
+    * whatever the corpus size — the TakeOrdered-per-group scale shape,
+    * for free from the declarative form.
+    */
+  def sampleFixedK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(pmod(h32(col("doc_id").cast("string")), lit(1000000L)), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= FixedKPerLang)
+      .select(col("doc_id"), col("lang"), col("rnk").cast("long").as("rnk"))
+      .orderBy("doc_id")
+  }
+
   private val AgreementQualityMin = 0.5 // textCurate's quality threshold
 
   /** Filter-ensemble agreement table — the 8-cell diagnostic a curation
@@ -1907,6 +1978,8 @@ object TextQueries {
     "text_classifier_score" -> textClassifierScore,
     "text_pii" -> textPii,
     "text_filter_agreement" -> textFilterAgreement,
+    "corpus_source_profile" -> corpusSourceProfile,
+    "sample_fixed_k" -> sampleFixedK,
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_dup_ngrams" -> textDupNgrams,
@@ -2859,6 +2932,37 @@ object TextQueries {
          |       round(CAST(count(*) AS DOUBLE) /
          |             CAST((SELECT count(*) FROM documents) AS DOUBLE), 6) AS frac
          |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // one scan, |sources|-sized aggregate; quality/gopher exprs verbatim
+    // from their own oracles so the profile can't drift from the flags
+    "corpus_source_profile" ->
+      s"""WITH p AS (
+         |  SELECT source, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         $qualitySql AS quality,
+         |         (CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 50 AND 100000 AND
+         |          CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS DOUBLE) /
+         |            CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 AND
+         |          CAST(len(regexp_replace(text, '[A-Za-z0-9 .,]', '', 'g')) AS DOUBLE) /
+         |            CAST(greatest(len(text), 1) AS DOUBLE) <= 0.1 AND
+         |          len(list_filter(string_split(text, ' '), x -> x IN ($enList))) >= 2) AS g_keep
+         |  FROM documents)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |       round(avg(quality), 6) AS avg_quality,
+         |       round(CAST(sum(CASE WHEN g_keep THEN 1 ELSE 0 END) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 6) AS gopher_keep_frac,
+         |       round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 6) AS en_frac
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // fixed-k winners by content-independent hash rank within language
+    "sample_fixed_k" ->
+      s"""SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ${hx("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= $FixedKPerLang ORDER BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id,

@@ -879,6 +879,50 @@ object VectorQueries {
     } finally e.unpersist(false)
   }
 
+  /** Cosine-threshold dial for [[dedupSemantic]] — the embedding-plane
+    * analog of dedup_bands_sweep's S-curve: over the SAME list-bucketed
+    * candidate pairs (IVF coarse quantizer, within-list pairs only —
+    * never all-pairs), pair volume, distinct dropped docs, and the kept
+    * corpus fraction at cos >= 0.4 / 0.6 / 0.8. Semantic dedup's only
+    * free parameter is this threshold, and the table is what a curation
+    * pass reads to pick it (too low eats paraphrases and topical
+    * neighbors, too high keeps boilerplate rewrites). All three
+    * thresholds are conditional sums over ONE pass of the pair relation
+    * — no per-threshold jobs — and the reshape is a constant 3-row
+    * stack, the corpus_dedup_funnel discipline.
+    */
+  def dedupSemanticSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    e.persist()
+    val cent =
+      try kmeansCentroids(e, nLists = 8, iters = 2)
+      finally e.unpersist(false)
+    val lists = assignListsProjection(e, cent)
+    val a = lists.select(col("list_id"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = lists.select(col("list_id"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, "list_id")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+    val thresholds = Seq("04" -> 0.4, "06" -> 0.6, "08" -> 0.8)
+    val aggs = thresholds.flatMap { case (n, t) =>
+      Seq(coalesce(sum(when(col("cos") >= t, 1L)), lit(0L)).as(s"p$n"),
+        countDistinct(when(col("cos") >= t, col("id_b"))).as(s"d$n"))
+    }
+    val nv = lists.agg(count(lit(1)).as("n_vec"))
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(nv))
+      .selectExpr(
+        """stack(3,
+          |  CAST(0.4 AS DOUBLE), p04, d04,
+          |  CAST(0.6 AS DOUBLE), p06, d06,
+          |  CAST(0.8 AS DOUBLE), p08, d08) AS (cos_min, n_pairs, n_dropped)""".stripMargin,
+        "n_vec")
+      .select(col("cos_min"), col("n_pairs"), col("n_dropped"),
+        round((col("n_vec") - col("n_dropped")).cast("double") /
+          col("n_vec").cast("double"), 6).as("kept_frac"))
+      .orderBy("cos_min")
+  }
+
   /** Random-hyperplane LSH index rows (vec_id, band, bucket): 16 sign
     * bits from literal hyperplanes, sliced into 4 bands of 4 bits — the
     * approximate ANN candidate structure (vectors sharing (band, bucket)
@@ -1203,6 +1247,7 @@ object VectorQueries {
     "knn_binary_rerank" -> knnBinaryRerank,
     "emb_ivf_balance" -> embIvfBalance,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_sweep" -> dedupSemanticSweep,
     "emb_whiten" -> embWhiten,
     "emb_cov" -> embCov,
     "emb_pca1" -> embPca1,
@@ -1615,6 +1660,47 @@ object VectorQueries {
          |SELECT af.vec_id, af.list_id, dup.id_b IS NULL AS keep
          |FROM af LEFT JOIN dup ON af.vec_id = dup.id_b
          |ORDER BY af.vec_id""".stripMargin
+    },
+    // the dedup_semantic kmeans chain, ONE pass of the within-list pair
+    // relation with per-threshold conditional aggregates, 3-row UNION
+    "dedup_semantic_sweep" -> {
+      def assignCte(centCte: String): String =
+        s"""SELECT vec_id, v, list_id FROM (
+           |    SELECT e.vec_id, e.v, c.list_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+           |    FROM e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
+      def meanCte(assignCte: String): String =
+        s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
+           |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
+           |    FROM $assignCte CROSS JOIN range(1, 65) r(i)
+           |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
+      def pointSql(n: String, t: Double): String =
+        s"""SELECT CAST($t AS DOUBLE) AS cos_min, p$n AS n_pairs, d$n AS n_dropped,
+           |       round(CAST(n_vec - d$n AS DOUBLE) / CAST(n_vec AS DOUBLE), 6) AS kept_frac
+           |FROM ag CROSS JOIN nv""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (${assignCte("c0")}),
+         |c1 AS (${meanCte("a1")}),
+         |a2 AS (${assignCte("c1")}),
+         |c2 AS (${meanCte("a2")}),
+         |af AS MATERIALIZED (${assignCte("c2")}),
+         |pr AS (
+         |  SELECT b.vec_id AS id_b,
+         |         round(${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 6) AS cos
+         |  FROM af a JOIN af b ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM af),
+         |ag AS (SELECT
+         |  CAST(coalesce(sum(CASE WHEN cos >= 0.4 THEN 1 END), 0) AS BIGINT) AS p04,
+         |  CAST(count(DISTINCT CASE WHEN cos >= 0.4 THEN id_b END) AS BIGINT) AS d04,
+         |  CAST(coalesce(sum(CASE WHEN cos >= 0.6 THEN 1 END), 0) AS BIGINT) AS p06,
+         |  CAST(count(DISTINCT CASE WHEN cos >= 0.6 THEN id_b END) AS BIGINT) AS d06,
+         |  CAST(coalesce(sum(CASE WHEN cos >= 0.8 THEN 1 END), 0) AS BIGINT) AS p08,
+         |  CAST(count(DISTINCT CASE WHEN cos >= 0.8 THEN id_b END) AS BIGINT) AS d08
+         | FROM pr)
+         |${Seq("04" -> 0.4, "06" -> 0.6, "08" -> 0.8).map { case (n, t) => pointSql(n, t) }.mkString("\nUNION ALL\n")}
+         |ORDER BY cos_min""".stripMargin
     },
     // sign-bit fingerprints via the mm_phash disjoint-power sum (63 bits
     // keeps the BIGINT positive), integer Hamming ranks, knn_recall's

@@ -171,6 +171,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate"), p.take(2000)) // the line-unit explode
   }
 
+  test("sample_fixed_k: rank cut pushes to both shuffle sides (WindowGroupLimit)") {
+    // map-side WindowGroupLimit means each partition forwards at most k
+    // rows per language — the property that keeps the shuffle bounded
+    val p = physical("sample_fixed_k")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(2500))
+  }
+
   test("PLANS.md is fresh: every registered query has a plan section") {
     // PLANS.md went stale once (r4) when queries were added without
     // regenerating it; `sbt "runMain graft.Explain"` rebuilds it

@@ -179,6 +179,63 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("piiRedact is idempotent and leaves PII-free text untouched") {
+    // placeholders must not themselves match any PII class — otherwise a
+    // second scrub pass (or a scrub after an upstream scrub) corrupts text
+    val piiGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s"plain $s text"),
+      Gen.choose(0L, 99999L).map(i => s"mail u$i@example.com end"),
+      Gen.choose(0L, 255L).map(i => s"ip 10.$i.0.$i end"),
+      Gen.choose(100L, 999L).map(i => s"ph $i-${i * 7 % 9000 + 1000} end"),
+      Gen.alphaNumStr.map(s => s"key sk-aaaabbbbccccdddd$s end"))
+    val rows = samples(piiGen, 120).toDF("t")
+    val once = rows.select(piiRedact(col("t")).as("r1"))
+    val twice = once.select(col("r1"), piiRedact(col("r1")).as("r2"))
+      .filter(col("r1") =!= col("r2"))
+    assert(twice.count() == 0)
+    // a text with no PII-shaped span passes through byte-identical
+    val clean = rows.filter(!col("t").rlike("@|sk-|\\d"))
+      .select(col("t"), piiRedact(col("t")).as("r"))
+      .filter(col("t") =!= col("r"))
+    assert(clean.count() == 0)
+  }
+
+  test("classifier score is bounded by the weight range; empty-proof") {
+    // score = mean of weights in (-0.5, 0.5) => always inside that range
+    val textGen: Gen[String] = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("the", "a", "table", "scan", "fast", "x1"))
+        .map(_.mkString(" ")))
+    val rows = samples(textGen, 100).toDF("text")
+    val staged = stageBarrier(rows, Seq(col("text")), "toks" -> tokens(col("text")))
+    val feats = stageBarrier(staged, Seq.empty,
+      "feats" -> concat(col("toks"), wordShingles(col("toks"), 2)))
+    val scored = feats.select(
+      classifierScoreFromHashes(hashArray(col("feats")), size(col("feats"))).as("s"))
+    val out = scored.filter(col("s") < -0.5 || col("s") > 0.5)
+    assert(out.count() == 0)
+  }
+
+  test("gopherKeepFromParts agrees with an independent Scala evaluation") {
+    val docGen: Gen[(Int, Double, Double, Int)] = for {
+      n <- Gen.choose(0, 200)
+      mwl <- Gen.choose(0.0, 15.0)
+      sym <- Gen.choose(0.0, 0.5)
+      stop <- Gen.choose(0, 10)
+    } yield (n, mwl, sym, stop)
+    val rows = samples(docGen, 200)
+    val df = rows.toDF("n", "mwl", "sym", "stop")
+      .select(col("n").cast("long").as("n"), col("mwl"), col("sym"),
+        col("stop").cast("long").as("stop"))
+      .withColumn("keep",
+        gopherKeepFromParts(col("n"), col("mwl"), col("sym"), col("stop")))
+    val got = df.select("keep").collect().map(_.getBoolean(0)).toSeq
+    val want = rows.map { case (n, mwl, sym, stop) =>
+      n >= 50 && n <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        sym <= 0.1 && stop >= 2
+    }
+    assert(got == want)
+  }
+
   test("count-min estimates never undercount, even with forced collisions") {
     // width 8 << vocabulary so every row collides heavily; the min across
     // depth-4 rows must still bound every true count from ABOVE
