@@ -879,6 +879,67 @@ object VectorQueries {
     } finally e.unpersist(false)
   }
 
+  /** Recall closure for [[knnIvfIncremental]] — the acceptance number
+    * the emb_drift retrain trigger guards: does the FROZEN quantizer
+    * still search well for vectors it never saw at train time? Lloyd
+    * trains on the 90% "old" corpus only; everything (old + the new
+    * batch) is assigned with the frozen centroids; the first NumQueries
+    * NEW-batch vectors become the queries; IVF probes 2 of 8 lists with
+    * exact rerank to top-K; recall@K is measured against full-corpus
+    * brute force. While this number holds, incremental ingest keeps
+    * assigning against the literals and nothing retrains; when
+    * max_dim_drift trips, THIS is the number that would have sagged.
+    * Same plan discipline as knn_ivf_kmeans: centroids are bounded plan
+    * literals, probes broadcast, the corpus never shuffles.
+    */
+  def knnIvfIncrementalRecall(s: SparkSession, dir: String): DataFrame = {
+    val NProbe = 2
+    val e = emb(s, dir).select(col("vec_id"), col("v")).persist()
+    try {
+      val old = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+      val cent = kmeansCentroids(old, nLists = 8, iters = 2)
+      val corpusLists = assignListsProjection(e, cent)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("list_id"))
+      val queries = e.filter(pmod(col("vec_id"), lit(10)) === 9 &&
+          col("vec_id") < 10L * NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wB = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      val brute = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+        .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(wB))
+        .filter(col("rnk") <= K)
+        .select("query_id", "neighbor_id")
+      val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("list_id"))
+      val probed = queries.join(broadcast(centRelation(e, cent)), lit(true))
+        .select(col("query_id"), col("qv"), col("list_id"),
+          cosine(col("qv"), col("cv")).as("ccos"))
+        .withColumn("prnk", row_number().over(wProbe))
+        .filter(col("prnk") <= NProbe)
+        .select(col("query_id"), col("qv"), col("list_id"))
+      val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      val ivf = broadcast(probed).join(corpusLists, "list_id")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv2")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(wK))
+        .filter(col("rnk") <= K)
+        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+      val overlap = brute
+        .join(ivf, col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val out = queries.select("query_id")
+        .join(overlap, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / K, 6).as("recall"))
+        .orderBy("query_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally e.unpersist(false)
+  }
+
   /** Cosine-threshold dial for [[dedupSemantic]] — the embedding-plane
     * analog of dedup_bands_sweep's S-curve: over the SAME list-bucketed
     * candidate pairs (IVF coarse quantizer, within-list pairs only —
@@ -1228,6 +1289,7 @@ object VectorQueries {
     "knn_ivf" -> knnIvf,
     "knn_ivf_kmeans" -> knnIvfKmeans,
     "knn_ivf_incremental" -> knnIvfIncremental,
+    "knn_ivf_incremental_recall" -> knnIvfIncrementalRecall,
     "knn_recall" -> knnRecall,
     "emb_centroid_dist" -> embCentroidDist,
     "emb_outliers" -> embOutliers,
@@ -1660,6 +1722,62 @@ object VectorQueries {
          |SELECT af.vec_id, af.list_id, dup.id_b IS NULL AS keep
          |FROM af LEFT JOIN dup ON af.vec_id = dup.id_b
          |ORDER BY af.vec_id""".stripMargin
+    },
+    // the kmeans chain TRAINED on the old 90% (a1/a2 assign eo), final
+    // assignment over the full corpus, batch-vector queries, probe top-2
+    // lists, exact rerank, recall vs full-corpus brute
+    "knn_ivf_incremental_recall" -> {
+      def assignCte(src: String, centCte: String): String =
+        s"""SELECT vec_id, v, list_id FROM (
+           |    SELECT e.vec_id, e.v, c.list_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+           |    FROM $src e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
+      def meanCte(assignCte: String): String =
+        s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
+           |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
+           |    FROM $assignCte CROSS JOIN range(1, 65) r(i)
+           |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eo AS (SELECT * FROM e WHERE vec_id % 10 <> 9),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM eo WHERE vec_id < 8),
+         |a1 AS (${assignCte("eo", "c0")}),
+         |c1 AS (${meanCte("a1")}),
+         |a2 AS (${assignCte("eo", "c1")}),
+         |c2 AS MATERIALIZED (${meanCte("a2")}),
+         |af AS MATERIALIZED (${assignCte("e", "c2")}),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+         |     WHERE vec_id % 10 = 9 AND vec_id < ${10 * NumQueries}),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) DESC,
+         |                      e.vec_id) AS rnk
+         |    FROM q JOIN e ON e.vec_id <> q.query_id)
+         |  WHERE rnk <= $K),
+         |probe AS (
+         |  SELECT query_id, qv, list_id FROM (
+         |    SELECT q.query_id, q.qv, c.list_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql.format("q.qv", "c.cv", "q.qv", "q.qv", "c.cv", "c.cv")} DESC, c.list_id) AS prnk
+         |    FROM q CROSS JOIN c2 c)
+         |  WHERE prnk <= 2),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, a.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY round(${cosSql.format("p.qv", "a.v", "p.qv", "p.qv", "a.v", "a.v")}, 6) DESC,
+         |                      a.vec_id) AS rnk
+         |    FROM probe p JOIN af a ON a.list_id = p.list_id AND a.vec_id <> p.query_id)
+         |  WHERE rnk <= $K),
+         |hits AS (SELECT b.query_id, count(*) AS n_hit
+         |         FROM brute b JOIN ivf i
+         |           ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |         GROUP BY b.query_id)
+         |SELECT q.query_id, round(coalesce(n_hit, 0) / $K.0, 6) AS recall
+         |FROM q LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin
     },
     // the dedup_semantic kmeans chain, ONE pass of the within-list pair
     // relation with per-threshold conditional aggregates, 3-row UNION
