@@ -695,7 +695,51 @@ object RelationalQueries {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** Partial-aggregate MERGE identity — the batch-incremental rollup
+    * pattern a 100 TB pipeline lives on: yesterday's aggregate state
+    * plus today's delta state, merged, must equal the aggregate over
+    * the union, so the daily rollup never rescans history. Old (90% of
+    * orders) and delta (10%) are aggregated separately, merged with the
+    * algebraic merge functions (count/sum add, min/max least/greatest,
+    * avg re-derived from merged sum/count — never averaged averages),
+    * and compared against the direct aggregate of everything;
+    * `merge_exact` pins losslessness per group. Quantities are
+    * integer-valued doubles, so the sums are EXACT regardless of
+    * addition order — the identity is bitwise, not approximate. Plan
+    * cost: two partial scans + one direct scan of the same table, all
+    * group-sized aggregates and a |flags|-row join.
+    */
+  def qAggMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+    def part(df: DataFrame, sfx: String): DataFrame =
+      df.groupBy("l_returnflag").agg(
+        count(lit(1)).as(s"n$sfx"),
+        sum("l_quantity").as(s"sq$sfx"),
+        min("l_quantity").as(s"mn$sfx"),
+        max("l_quantity").as(s"mx$sfx"))
+    val direct = part(li, "_d")
+    val old = part(li.filter(pmod(col("l_orderkey"), lit(10)) =!= 9), "_o")
+    val delta = part(li.filter(pmod(col("l_orderkey"), lit(10)) === 9), "_n")
+    val merged = old.join(delta, Seq("l_returnflag"), "full_outer")
+      .select(col("l_returnflag"),
+        (coalesce(col("n_o"), lit(0L)) + coalesce(col("n_n"), lit(0L))).as("n_m"),
+        (coalesce(col("sq_o"), lit(0.0)) + coalesce(col("sq_n"), lit(0.0))).as("sq_m"),
+        coalesce(least(col("mn_o"), col("mn_n")), col("mn_o"), col("mn_n")).as("mn_m"),
+        coalesce(greatest(col("mx_o"), col("mx_n")), col("mx_o"), col("mx_n")).as("mx_m"))
+    direct.join(merged, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("n_m").as("n_rows"), col("sq_m").as("sum_qty"),
+        col("mn_m").as("min_qty"), col("mx_m").as("max_qty"),
+        round(col("sq_m") / col("n_m"), 6).as("avg_qty"),
+        (col("n_m") === col("n_d") && col("sq_m") === col("sq_d") &&
+          col("mn_m") === col("mn_d") && col("mx_m") === col("mx_d"))
+          .as("merge_exact"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_merge" -> qAggMerge,
     "q1_agg" -> q1Agg,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q3_topk" -> q3Topk,
@@ -725,6 +769,40 @@ object RelationalQueries {
     "q_histogram" -> qHistogram)
 
   val oracles: Map[String, String] = Map(
+    // old/delta partials merged with the algebraic merge fns, compared
+    // against the direct aggregate; quantities are integer-valued
+    // doubles so the sums are exact and merge_exact is a bitwise pin
+    "q_agg_merge" ->
+      """WITH d AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_d,
+        |         sum(l_quantity) AS sq_d, min(l_quantity) AS mn_d,
+        |         max(l_quantity) AS mx_d
+        |  FROM lineitem GROUP BY l_returnflag),
+        |o AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_o,
+        |         sum(l_quantity) AS sq_o, min(l_quantity) AS mn_o,
+        |         max(l_quantity) AS mx_o
+        |  FROM lineitem WHERE l_orderkey % 10 <> 9 GROUP BY l_returnflag),
+        |nw AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_n,
+        |         sum(l_quantity) AS sq_n, min(l_quantity) AS mn_n,
+        |         max(l_quantity) AS mx_n
+        |  FROM lineitem WHERE l_orderkey % 10 = 9 GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag,
+        |         coalesce(n_o, 0) + coalesce(n_n, 0) AS n_m,
+        |         coalesce(sq_o, 0.0) + coalesce(sq_n, 0.0) AS sq_m,
+        |         coalesce(least(mn_o, mn_n), mn_o, mn_n) AS mn_m,
+        |         coalesce(greatest(mx_o, mx_n), mx_o, mx_n) AS mx_m
+        |  FROM o FULL OUTER JOIN nw USING (l_returnflag))
+        |SELECT m.l_returnflag,
+        |       CAST(n_m AS BIGINT) AS n_rows, sq_m AS sum_qty,
+        |       mn_m AS min_qty, mx_m AS max_qty,
+        |       round(sq_m / n_m, 6) AS avg_qty,
+        |       (n_m = n_d AND sq_m = sq_d AND mn_m = mn_d AND mx_m = mx_d)
+        |         AS merge_exact
+        |FROM m JOIN d ON m.l_returnflag = d.l_returnflag
+        |ORDER BY m.l_returnflag""".stripMargin,
     "q_bootstrap_ci" ->
       s"""WITH x AS (SELECT event_type, value, event_id, unnest(range(0, $BootReps)) AS r
          |           FROM events),

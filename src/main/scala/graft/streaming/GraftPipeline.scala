@@ -333,6 +333,18 @@ object GraftPipeline {
     TopKStream(toks, k)
   }
 
+  /** Streaming fixed-k per-group sample (see [[FixedKStream]]): keep
+    * the k smallest-hash-rank record ids per group — converges to
+    * exactly the batch sample_fixed_k winner set on the same records.
+    */
+  def fixedKStream(input: DataFrame, groupCol: String, idCol: String,
+      k: Int = 50): Dataset[FixedKStream.Sample] = {
+    import input.sparkSession.implicits._
+    FixedKStream(
+      input.select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id")).as[FixedKStream.Rec], k)
+  }
+
   /** Content-keyed streaming exact dedup — the batch dedup_exact as a
     * stream, layered on [[dedupStream]]: the dedup key is the md5
     * FINGERPRINT of the payload text, not the text itself, so a state row
