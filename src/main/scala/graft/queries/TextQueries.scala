@@ -1110,6 +1110,36 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Sampling-temperature mixture table (Conneau et al. '20, XLM-R §3:
+    * p_i ∝ share_i^α) — the knob multilingual/multi-source training
+    * actually turns: α=1 reproduces corpus shares (big languages
+    * dominate), α→0 flattens toward uniform (small languages upsampled).
+    * Per language: token share, the normalized sampling probability at
+    * α=0.3 (XLM-R's choice) and α=0.7, and the implied EPOCH factor
+    * p/share — how many passes over that language's data one corpus-
+    * sized token budget implies (>1 = upsampled/repeated, the number
+    * repetition-aware scaling laws ask about). Everything after the one
+    * scan is a |langs|-row relation; the normalizations are windows
+    * over it, never the corpus.
+    */
+  def corpusAlphaMix(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageBarrier(Tables.documents(s, dir), Seq(col("lang")),
+      "nt" -> size(tokens(col("text"))).cast("long"))
+    val byLang = staged.groupBy("lang").agg(sum("nt").as("n_tokens"))
+    val w = Window.partitionBy() // the |langs|-row relation
+    val shared = byLang.select(col("lang"), col("n_tokens"),
+      (col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(w).cast("double")).as("share"))
+    def alpha(a: Double, p: String, ep: String): Seq[Column] = {
+      val pa = pow(col("share"), a) / sum(pow(col("share"), a)).over(w)
+      Seq(round(pa, 6).as(p), round(pa / col("share"), 6).as(ep))
+    }
+    shared.select(Seq(col("lang"), col("n_tokens"),
+        round(col("share"), 6).as("share")) ++
+      alpha(0.3, "p_03", "epochs_03") ++ alpha(0.7, "p_07", "epochs_07"): _*)
+      .orderBy("lang")
+  }
+
   private val FixedKPerLang = 50
 
   /** Deterministic fixed-k per-group sample — the eval-set construction
@@ -1979,6 +2009,7 @@ object TextQueries {
     "text_pii" -> textPii,
     "text_filter_agreement" -> textFilterAgreement,
     "corpus_source_profile" -> corpusSourceProfile,
+    "corpus_alpha_mix" -> corpusAlphaMix,
     "sample_fixed_k" -> sampleFixedK,
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
@@ -2955,6 +2986,21 @@ object TextQueries {
          |       round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
          |             CAST(count(*) AS DOUBLE), 6) AS en_frac
          |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // |langs|-row relation after one scan; α-weights and normalizations
+    // as scalar CTEs (== Spark's unbounded windows over the tiny relation)
+    "corpus_alpha_mix" ->
+      """WITH t AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM t),
+        |sh AS (SELECT lang, n AS n_tokens, CAST(n AS DOUBLE) / tn AS share
+        |       FROM t CROSS JOIN tot),
+        |a AS (SELECT sum(pow(share, 0.3)) AS s03, sum(pow(share, 0.7)) AS s07 FROM sh)
+        |SELECT lang, n_tokens, round(share, 6) AS share,
+        |       round(pow(share, 0.3) / s03, 6) AS p_03,
+        |       round(pow(share, 0.3) / s03 / share, 6) AS epochs_03,
+        |       round(pow(share, 0.7) / s07, 6) AS p_07,
+        |       round(pow(share, 0.7) / s07 / share, 6) AS epochs_07
+        |FROM sh CROSS JOIN a ORDER BY lang""".stripMargin,
     // fixed-k winners by content-independent hash rank within language
     "sample_fixed_k" ->
       s"""SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
