@@ -1180,7 +1180,11 @@ object TextQueries {
     * the same staged columns; the aggregate is 8-cell and the fraction
     * window runs over the 8-row relation, never the corpus.
     */
-  def textFilterAgreement(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document keep flags for all three filter families off ONE
+    * staged scan — shared by [[textFilterAgreement]] and
+    * [[textFilterPpl]].
+    */
+  private def filterFlags(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id"), t),
       "toks" -> tokens(t))
@@ -1198,7 +1202,7 @@ object TextQueries {
       "sym_chars" -> length(regexp_replace(t, "[A-Za-z0-9 .,]", "")).cast("long"),
       "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")).cast("long"),
       "stop_hits" -> stopwordHits(col("toks"), StopwordsEn).cast("long"))
-    val flags = parts.select(
+    parts.select(col("doc_id"),
       gopherKeepFromParts(col("n_words"),
         col("word_chars").cast("double") /
           greatest(col("n_words"), lit(1L)).cast("double"),
@@ -1208,6 +1212,10 @@ object TextQueries {
       (classifierScoreFromHashes(col("hs"), col("n_feats")) >= 0.0).as("clf_keep"),
       (qualityScoreFromParts(col("n_chars"), col("alpha_len"),
         col("n_words"), col("stop_hits")) >= AgreementQualityMin).as("quality_keep"))
+  }
+
+  def textFilterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val flags = filterFlags(s, dir)
     val w = Window.partitionBy() // the 8-row cells relation
     flags.groupBy("gopher_keep", "clf_keep", "quality_keep")
       .agg(count(lit(1)).as("n_docs"))
@@ -1216,6 +1224,27 @@ object TextQueries {
         round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6)
           .as("frac"))
       .orderBy("gopher_keep", "clf_keep", "quality_keep")
+  }
+
+  /** Filter validation against an INTRINSIC metric — the check a data
+    * team runs before trusting a filter: per (gopher_keep, clf_keep)
+    * cell, the mean bigram-LM fluency ([[textBigramLp]]) of the cell's
+    * documents. If a filter selects for quality, its keep side should
+    * read more fluent under a model that knows nothing about the
+    * filter; a table that says otherwise means the filter keys on
+    * something else (length, symbols) and needs recalibration before
+    * it gates a corpus. One flags scan ([[filterFlags]]) + the
+    * vocabulary-sized bigram-LM lineage, a doc-keyed join, a 4-cell
+    * aggregate.
+    */
+  def textFilterPpl(s: SparkSession, dir: String): DataFrame = {
+    val lp = textBigramLp(s, dir).select(col("doc_id"), col("avg_logp"))
+    filterFlags(s, dir).select(col("doc_id"), col("gopher_keep"), col("clf_keep"))
+      .join(lp, "doc_id")
+      .groupBy("gopher_keep", "clf_keep")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("avg_logp"), 6).as("avg_fluency"))
+      .orderBy("gopher_keep", "clf_keep")
   }
 
   /** Character-distribution entropy per document — the information-
@@ -2008,6 +2037,7 @@ object TextQueries {
     "text_classifier_score" -> textClassifierScore,
     "text_pii" -> textPii,
     "text_filter_agreement" -> textFilterAgreement,
+    "text_filter_ppl" -> textFilterPpl,
     "corpus_source_profile" -> corpusSourceProfile,
     "corpus_alpha_mix" -> corpusAlphaMix,
     "sample_fixed_k" -> sampleFixedK,
@@ -2207,6 +2237,31 @@ object TextQueries {
          |WHERE es[CAST(ci AS INT) + 1] > ss[CAST(ci AS INT) + 1]
          |ORDER BY doc_id, chunk_idx""".stripMargin
   }
+
+  // shared flags chain (wv/t/ft/f CTEs): per-doc gopher/classifier/
+  // quality keeps — mirrors filterFlags; used by text_filter_agreement
+  // and text_filter_ppl
+  private lazy val filterFlagsCteSql: String =
+    s"""wv AS (
+       |  SELECT list_transform(range(0, $ClfBuckets),
+       |           b -> CAST((b * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS w),
+       |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |ft AS (SELECT doc_id, text, toks,
+       |              list_concat(toks,
+       |                [array_to_string(list_slice(toks, i, i + 1), ' ')
+       |                 for i in range(1, len(toks))]) AS feats
+       |       FROM t),
+       |f AS (SELECT doc_id,
+       |  (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000 AND
+       |   CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) /
+       |     CAST(greatest(len(toks), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 AND
+       |   CAST(len(regexp_replace(text, '[A-Za-z0-9 .,]', '', 'g')) AS DOUBLE) /
+       |     CAST(greatest(len(text), 1) AS DOUBLE) <= 0.1 AND
+       |   len(list_filter(toks, x -> x IN ($enList))) >= 2) AS gopher_keep,
+       |  (list_sum([w[CAST(${hx("ff")} % $ClfBuckets AS INT) + 1]
+       |             for ff in feats]) / len(feats) >= 0) AS clf_keep,
+       |  ($qualitySql >= $AgreementQualityMin) AS quality_keep
+       | FROM ft CROSS JOIN wv)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -2938,31 +2993,21 @@ object TextQueries {
     // corpus fraction from a scalar total (== Spark's unbounded window
     // over the cells relation)
     "text_filter_agreement" ->
-      s"""WITH wv AS (
-         |  SELECT list_transform(range(0, $ClfBuckets),
-         |           b -> CAST((b * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS w),
-         |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-         |ft AS (SELECT doc_id, text, toks,
-         |              list_concat(toks,
-         |                [array_to_string(list_slice(toks, i, i + 1), ' ')
-         |                 for i in range(1, len(toks))]) AS feats
-         |       FROM t),
-         |f AS (SELECT doc_id,
-         |  (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000 AND
-         |   CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) /
-         |     CAST(greatest(len(toks), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 AND
-         |   CAST(len(regexp_replace(text, '[A-Za-z0-9 .,]', '', 'g')) AS DOUBLE) /
-         |     CAST(greatest(len(text), 1) AS DOUBLE) <= 0.1 AND
-         |   len(list_filter(toks, x -> x IN ($enList))) >= 2) AS gopher_keep,
-         |  (list_sum([w[CAST(${hx("ff")} % $ClfBuckets AS INT) + 1]
-         |             for ff in feats]) / len(feats) >= 0) AS clf_keep,
-         |  ($qualitySql >= $AgreementQualityMin) AS quality_keep
-         | FROM ft CROSS JOIN wv)
+      s"""WITH $filterFlagsCteSql
          |SELECT gopher_keep, clf_keep, quality_keep,
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       round(CAST(count(*) AS DOUBLE) /
          |             CAST((SELECT count(*) FROM documents) AS DOUBLE), 6) AS frac
          |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the flags chain joined to the bigram-LM fluency score, 4-cell agg
+    "text_filter_ppl" ->
+      s"""WITH $filterFlagsCteSql,
+         |lp AS ($bigramLpSql)
+         |SELECT gopher_keep, clf_keep,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       round(avg(avg_logp), 6) AS avg_fluency
+         |FROM f JOIN lp USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // one scan, |sources|-sized aggregate; quality/gopher exprs verbatim
     // from their own oracles so the profile can't drift from the flags
     "corpus_source_profile" ->
