@@ -171,6 +171,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate"), p.take(2000)) // the line-unit explode
   }
 
+  test("corpus_source_profile / corpus_alpha_mix: one scan, no join; windows over the tiny relation") {
+    Seq("corpus_source_profile", "corpus_alpha_mix").foreach { q =>
+      val p = physical(q)
+      assert(!p.contains("Join"), s"$q: ${p.take(2000)}")
+    }
+    // alpha_mix's normalization windows must consume the |langs|-row
+    // aggregate, never the corpus: the aggregate sits BELOW the windows
+    val p = physical("corpus_alpha_mix")
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"), p.take(2500))
+    val o = optimized("corpus_source_profile")
+    assert("split\\(".r.findAllIn(o).length == 1, o.take(2000))
+  }
+
+  test("text_boilerplate_clean: key-based join-back; list reassembly is an object aggregate") {
+    val p = physical("text_boilerplate_clean")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000)) // collect_list path
+  }
+
   test("sample_fixed_k: rank cut pushes to both shuffle sides (WindowGroupLimit)") {
     // map-side WindowGroupLimit means each partition forwards at most k
     // rows per language — the property that keeps the shuffle bounded
