@@ -879,6 +879,64 @@ object VectorQueries {
     } finally e.unpersist(false)
   }
 
+  /** Recall@K as a function of the number of LSH tables used (bands
+    * 1..4 of the 16-bit hyperplane signature) — the multi-table LSH
+    * tuning curve, completing the dial family (IVF: nprobe sweep,
+    * width: trunc curve, bits: binary curve, dedup-LSH: bands sweep):
+    * each extra table adds one more 4-bit band's bucket collisions to
+    * the candidate set, buying recall with candidate volume — the
+    * standard L-tables trade (Indyk–Motwani). One signature projection
+    * feeds a band-carrying candidate relation; each sweep point filters
+    * band < t, reranks exactly, and counts hits (knn_recall_sweep's
+    * bounded-scalar discipline).
+    */
+  def knnLshSweep(s: SparkSession, dir: String): DataFrame = {
+    val Bits = 16
+    val BandBits = 4
+    val e = emb(s, dir).select(col("vec_id"), col("v")).persist()
+    try {
+      val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
+      val sig = e.withColumn("sig", hyperplaneSignature(col("v"), Bits, 64))
+      def bands(df: DataFrame, idCol: String): DataFrame =
+        df.select(col(idCol), col("sig"),
+            explode(sequence(lit(0), lit(Bits / BandBits - 1))).as("band"))
+          .select(col(idCol), col("band"),
+            expr(s"shiftright(sig, band * $BandBits) % ${1 << BandBits}").as("bucket"))
+      val corpusBands = bands(sig.select(col("vec_id"), col("sig")), "vec_id")
+      val queryBands = bands(
+        sig.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("sig")), "query_id")
+      val cand = corpusBands.join(broadcast(queryBands),
+          corpusBands("band") === queryBands("band") &&
+            corpusBands("bucket") === queryBands("bucket") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          corpusBands("band").as("cband"))
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      val rows = (1 to Bits / BandBits).map { t =>
+        val candT = cand.filter(col("cband") < t)
+          .select("query_id", "neighbor_id").distinct()
+        val rr = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+          .join(broadcast(candT), "neighbor_id")
+          .join(broadcast(queries), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            round(cosine(col("qv"), col("cv")), 6).as("cos"))
+          .withColumn("rnk", row_number().over(wK))
+          .filter(col("rnk") <= K)
+          .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+        val hits = brute
+          .join(rr, col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
+            "left_semi")
+          .count()
+        (t, hits.toDouble / (NumQueries * K))
+      }
+      import s.implicits._
+      rows.toDF("n_tables", "recall")
+    } finally e.unpersist(false)
+  }
+
   /** Recall closure for [[knnIvfIncremental]] — the acceptance number
     * the emb_drift retrain trigger guards: does the FROZEN quantizer
     * still search well for vectors it never saw at train time? Lloyd
@@ -1297,6 +1355,7 @@ object VectorQueries {
     "emb_lsh_buckets" -> embLshBuckets,
     "knn_lsh" -> knnLsh,
     "knn_recall_lsh" -> knnRecallLsh,
+    "knn_lsh_sweep" -> knnLshSweep,
     "emb_mips" -> embMips,
     "emb_quantize" -> embQuantize,
     "emb_pq" -> embPq,
@@ -1722,6 +1781,59 @@ object VectorQueries {
          |SELECT af.vec_id, af.list_id, dup.id_b IS NULL AS keep
          |FROM af LEFT JOIN dup ON af.vec_id = dup.id_b
          |ORDER BY af.vec_id""".stripMargin
+    },
+    // knn_recall_lsh's chain with a band-carrying candidate relation;
+    // per point t: distinct band<t candidates, exact rerank, hit count
+    "knn_lsh_sweep" -> {
+      def point(t: Int): String =
+        s"""SELECT $t AS n_tables,
+           |       CAST((SELECT count(*)
+           |             FROM brute b JOIN (
+           |               SELECT query_id, neighbor_id FROM (
+           |                 SELECT c.query_id, c.neighbor_id,
+           |                        row_number() OVER (PARTITION BY c.query_id
+           |                          ORDER BY round(${cosSql.format("eq.v", "ec.v", "eq.v", "eq.v", "ec.v", "ec.v")}, 6) DESC,
+           |                                   c.neighbor_id) AS rnk
+           |                 FROM (SELECT DISTINCT query_id, neighbor_id
+           |                       FROM candb WHERE cband < $t) c
+           |                 JOIN e eq ON eq.vec_id = c.query_id
+           |                 JOIN e ec ON ec.vec_id = c.neighbor_id) WHERE rnk <= $K) i
+           |               ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+           |            AS DOUBLE) / ${NumQueries * K}.0 AS recall""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (
+         |  SELECT CAST(j AS INT) AS j,
+         |         [CAST('0x' || substr(md5('p' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)
+         |               AS BIGINT) / 4294967296.0 - 0.5
+         |          for i in range(0, 64)] AS pv
+         |  FROM range(0, 16) r(j)),
+         |sig AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN list_dot_product(v, pv) > 0
+         |                       THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS s
+         |  FROM e CROSS JOIN planes GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, band, (s >> CAST(band * 4 AS INT)) % 16 AS bucket
+         |  FROM sig CROSS JOIN range(0, 4) rb(band)),
+         |candb AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, b.band AS cband
+         |  FROM bands b JOIN bands q
+         |    ON b.band = q.band AND b.bucket = q.bucket
+         |  WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K)
+         |${(1 to 4).map(point).mkString("\nUNION ALL\n")}
+         |ORDER BY n_tables""".stripMargin
     },
     // the kmeans chain TRAINED on the old 90% (a1/a2 assign eo), final
     // assignment over the full corpus, batch-vector queries, probe top-2
