@@ -64,6 +64,76 @@ object TextQueries {
       .select(col("doc_id"), col("band"),
         element_at(col("buckets"), col("band") + 1).as("bucket"))
 
+  private val SsjT = 0.5 // Jaccard threshold (matches the LSH verify cut)
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * Chaudhuri/Bayardo/Xiao PPJoin-family primitive): every pair with
+    * shingle-Jaccard >= [[SsjT]], with NO false negatives — the exact
+    * counterpart of the MinHash-LSH candidate generator, for the corpus
+    * sizes / thresholds where a dedup pass must be provably complete.
+    * Prefix filter: order each document's distinct tokens rarest-first
+    * (global df, token tiebreak — a consistent order needs no global
+    * rank, just the (df, token) sort key); two sets with J >= t MUST
+    * share a token within their first |s| − ceil(t·|s|) + 1 tokens, so
+    * only prefix tokens explode into the candidate equi-join — and
+    * because prefixes hold each document's RAREST tokens, candidate
+    * volume tracks rare-token collisions, not document count squared.
+    * Verification is exact Jaccard on the candidate pairs.
+    *
+    * The oracle is BRUTE-FORCE all-pairs Jaccard — a different
+    * algorithm entirely — so the green gate is a cross-algorithm proof
+    * that the prefix filter loses no pair. Scale shape: a vocabulary-
+    * sized df aggregate, a token-keyed join, a per-doc sort (doc-sized
+    * state), the prefix explode (~(1−t)·tokens per doc), and the
+    * candidate equi-join; at 100 TB the df table shards like any
+    * vocabulary relation and the prefix join is the standard exact
+    * ssjoin layout.
+    */
+  def dedupSsjoinPrefix(s: SparkSession, dir: String): DataFrame = {
+    // shingle sets, not word sets: on a small-vocabulary corpus every
+    // pair shares half its WORDS (word-Jaccard 0.5 is vacuous and the
+    // join degenerates toward all-pairs); 3-gram shingles are high-
+    // cardinality, so the threshold is selective and the prefix filter
+    // actually prunes — the same set domain the MinHash signature hashes
+    // everything downstream — df table, per-doc sort, prefix explode,
+    // candidate equi-join, intersect/union verify — runs on 60-bit md5
+    // FINGERPRINTS of the shingles (8-byte longs, never ~25-byte
+    // strings); the oracle mirrors the same hex plane, so parity is
+    // exact and the set semantics are unchanged
+    val staged = stageBarrier(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= ShingleK),
+      Seq(col("doc_id")),
+      "hs" -> hashArrayBits(wordShingles(col("toks"), ShingleK), 60))
+    val docs = staged.select(col("doc_id"), array_distinct(col("hs")).as("ws"))
+    val toks = docs.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfT, "tok")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"),
+        count(lit(1)).as("n"))
+    val pre = ranked.select(col("doc_id"),
+        explode(slice(col("sorted"), lit(1),
+          (col("n").cast("double") - ceil(col("n").cast("double") * SsjT) + 1)
+            .cast("int"))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"))
+    val cand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(array_union(col("ws_a"), col("ws_b"))).cast("double")).as("j"))
+      .filter(col("j") >= SsjT)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("j_shingle"))
+      .orderBy("id_a", "id_b")
+  }
+
   private val BandsSweepConfigs = Seq(2 -> 8, 4 -> 4, 8 -> 2) // (bands, rows/band)
   private val BandsSweepJaccard = 0.7
 
@@ -2015,6 +2085,7 @@ object TextQueries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_bands_sweep" -> dedupBandsSweep,
+    "dedup_ssjoin_prefix" -> dedupSsjoinPrefix,
     "dedup_containment" -> dedupContainment,
     "dedup_keep" -> dedupKeep,
     "dedup_simhash" -> dedupSimhash,
@@ -2276,6 +2347,22 @@ object TextQueries {
     "dedup_minhash_pairs" ->
       s"""$pairsCore
          |SELECT id_a, id_b, j_word, j_shingle FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // brute-force all-pairs Jaccard — a DIFFERENT algorithm from the
+    // prefix-filtered Spark side, so green == cross-algorithm proof of
+    // the no-false-negatives property
+    "dedup_ssjoin_prefix" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             list_distinct([CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+         |                            for sh in $shinglesSql]) AS ws
+         |      FROM t WHERE len(toks) >= $ShingleK),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_filter(a.ws, x -> list_contains(b.ws, x)))::DOUBLE /
+         |         len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE AS j
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 6) AS j_shingle
+         |FROM pairs WHERE j >= $SsjT ORDER BY id_a, id_b""".stripMargin,
     // the same sig chain re-banded per (bands × rows) config; per config
     // a banded candidate join + unrounded shingle-Jaccard verify, scalar
     // counts per point (knn_recall_sweep's UNION ALL shape)

@@ -6,6 +6,20 @@ import graft.functions.TextFunctions._
 class TextFunctionsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("ssjoin-prefix is complete: every LSH-verified near-dup pair is found") {
+    // the exact prefix-filtered join must contain every pair the
+    // probabilistic MinHash-LSH path verified at the same set domain and
+    // threshold — LSH can only MISS pairs, never find one ssjoin lacks
+    val sfDir = sf()
+    val exact = graft.queries.TextQueries.dedupSsjoinPrefix(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.queries.TextQueries.dedupMinhashPairs(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("j_shingle") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH found pairs ssjoin missed: ${lsh.diff(exact)}")
+    assert(exact.nonEmpty)
+  }
+
   test("wordShingles: k-grams joined by space; fewer than k tokens -> empty") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(wordShingles(tokens(col("t")), 3).as("s"))
