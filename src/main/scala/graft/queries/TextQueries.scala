@@ -78,7 +78,18 @@ object TextQueries {
     * only prefix tokens explode into the candidate equi-join — and
     * because prefixes hold each document's RAREST tokens, candidate
     * volume tracks rare-token collisions, not document count squared.
-    * Verification is exact Jaccard on the candidate pairs.
+    * On top of the prefix filter, the two remaining PPJoin pruning
+    * filters run as predicates ON the candidate equi-join (so pruned
+    * pairs never materialize): the LENGTH filter — J >= t forces
+    * min(|a|,|b|) >= t·max(|a|,|b|) — and the POSITIONAL filter — a
+    * match at 1-based prefix positions (pa, pb) in the shared global
+    * (df, tok) sort order bounds the overlap by
+    * min(pa,pb) + min(|a|−pa, |b|−pb), since every common element
+    * sorts on the same side of the matched token in both arrays, and
+    * J >= t needs overlap >= t·(|a|+|b|)/(1+t). Both predicates are
+    * kept in multiplicative form (o·(1+t) >= t·(na+nb)) rather than a
+    * float ceil so a boundary pair can never be rounded into a false
+    * negative. Verification is exact Jaccard on the candidate pairs.
     *
     * The oracle is BRUTE-FORCE all-pairs Jaccard — a different
     * algorithm entirely — so the green gate is a cross-algorithm proof
@@ -113,14 +124,28 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"),
         count(lit(1)).as("n"))
-    val pre = ranked.select(col("doc_id"),
-        explode(slice(col("sorted"), lit(1),
+    val pre = ranked.select(col("doc_id"), col("n"),
+        posexplode(slice(col("sorted"), lit(1),
           (col("n").cast("double") - ceil(col("n").cast("double") * SsjT) + 1)
-            .cast("int"))).as("p"))
-      .select(col("doc_id"), col("p.tok").as("tok"))
+            .cast("int"))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col.tok").as("tok"))
+    // overlap upper bound for a match at prefix positions (pa, pb):
+    // common elements other than the match sort strictly before it in
+    // BOTH arrays or strictly after it in both (same global sort key)
+    val ubound = least(col("a.p"), col("b.p")) +
+      least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))
     val cand = pre.as("a")
       .join(pre.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          // PPJoin length filter: J >= t ⇒ min(na,nb) >= t·max(na,nb)
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")).cast("double") * SsjT &&
+          // PPJoin positional filter: overlap bound must still admit
+          // the t-required overlap t·(na+nb)/(1+t) — multiplicative
+          // form, no float ceil ⇒ no boundary false negatives
+          ubound.cast("double") * (1.0 + SsjT) >=
+            (col("a.n") + col("b.n")).cast("double") * SsjT)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
