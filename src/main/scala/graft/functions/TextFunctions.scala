@@ -211,8 +211,13 @@ object TextFunctions {
       (b.toLong * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
 
   /** Mean hashed-feature weight from a pre-hashed feature array (see
-    * [[hashArray]]): the linear bag-of-ngrams score. Keep iff >= 0 —
-    * an exact integer-derived comparison, no float drift can flip it.
+    * [[hashArray]]): the linear bag-of-ngrams score. Keep iff >= 0.
+    * The score is a double left-fold of non-dyadic weights divided by
+    * n_feats, so the keep decision is NOT drift-free in the abstract —
+    * it is flip-proof only because batch (textClassifierScore), stream
+    * (classifierGate), and the oracle SQL all fold the same weights in
+    * the same array order. Do not reorder or tree-reduce this
+    * summation without changing all three together.
     */
   def classifierScoreFromHashes(hs: Column, nFeats: Column): Column =
     aggregate(

@@ -2997,14 +2997,19 @@ object TextQueries {
          |        stop_hits >= 2) AS keep
          |FROM p ORDER BY doc_id""".stripMargin,
     // fixed-width token segments as the line unit, 60-bit md5 line
-    // fingerprints, df over distinct (doc, fp) — mirrors textBoilerplate
+    // fingerprints, df over distinct (doc, fp) — mirrors textBoilerplate.
+    // Segment indices come from a per-row unnest(range(...)) bounded by
+    // each doc's own token count — no global cap to silently outgrow.
     "text_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |seg0 AS (
+         |  SELECT doc_id, toks,
+         |         unnest(range(0, (len(toks) - 1) // $LineW + 1)) AS i
+         |  FROM t),
          |seg AS (
          |  SELECT doc_id,
          |         array_to_string(toks[(CAST(i AS INT)*$LineW+1):(CAST(i AS INT)*$LineW+$LineW)], ' ') AS seg
-         |  FROM t CROSS JOIN range(0, 2048) r(i)
-         |  WHERE CAST(i AS INT) <= (len(toks) - 1) // $LineW),
+         |  FROM seg0),
          |f AS (SELECT doc_id, len(seg) AS seg_chars,
          |             CAST('0x' || substr(md5(seg), 1, 15) AS BIGINT) AS fp
          |      FROM seg),
@@ -3023,11 +3028,14 @@ object TextQueries {
     // seg_idx (the list-sort-join fold on the Spark side)
     "text_boilerplate_clean" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |seg0 AS (
+         |  SELECT doc_id, toks,
+         |         unnest(range(0, (len(toks) - 1) // $LineW + 1)) AS i
+         |  FROM t),
          |seg AS (
          |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
          |         array_to_string(toks[(CAST(i AS INT)*$LineW+1):(CAST(i AS INT)*$LineW+$LineW)], ' ') AS seg
-         |  FROM t CROSS JOIN range(0, 2048) r(i)
-         |  WHERE CAST(i AS INT) <= (len(toks) - 1) // $LineW),
+         |  FROM seg0),
          |f AS (SELECT doc_id, seg_idx, seg,
          |             CAST('0x' || substr(md5(seg), 1, 15) AS BIGINT) AS fp
          |      FROM seg),

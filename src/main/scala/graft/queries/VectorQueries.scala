@@ -970,9 +970,12 @@ object VectorQueries {
         .filter(col("rnk") <= K)
         .select("query_id", "neighbor_id")
       val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("list_id"))
+      // ccos rounds to the 6-decimal parity grain BEFORE ranking (as the
+      // rerank stages do) so a near-tie between centroid cosines cannot
+      // select different probe lists cross-engine
       val probed = queries.join(broadcast(centRelation(e, cent)), lit(true))
         .select(col("query_id"), col("qv"), col("list_id"),
-          cosine(col("qv"), col("cv")).as("ccos"))
+          round(cosine(col("qv"), col("cv")), 6).as("ccos"))
         .withColumn("prnk", row_number().over(wProbe))
         .filter(col("prnk") <= NProbe)
         .select(col("query_id"), col("qv"), col("list_id"))
@@ -1013,9 +1016,8 @@ object VectorQueries {
   def dedupSemanticSweep(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     e.persist()
-    val cent =
-      try kmeansCentroids(e, nLists = 8, iters = 2)
-      finally e.unpersist(false)
+    try {
+    val cent = kmeansCentroids(e, nLists = 8, iters = 2)
     val lists = assignListsProjection(e, cent)
     val a = lists.select(col("list_id"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = lists.select(col("list_id"), col("vec_id").as("id_b"), col("v").as("vb"))
@@ -1028,7 +1030,7 @@ object VectorQueries {
         countDistinct(when(col("cos") >= t, col("id_b"))).as(s"d$n"))
     }
     val nv = lists.agg(count(lit(1)).as("n_vec"))
-    pairs.agg(aggs.head, aggs.tail: _*)
+    val out = pairs.agg(aggs.head, aggs.tail: _*)
       .crossJoin(broadcast(nv))
       .selectExpr(
         """stack(3,
@@ -1040,6 +1042,12 @@ object VectorQueries {
         round((col("n_vec") - col("n_dropped")).cast("double") /
           col("n_vec").cast("double"), 6).as("kept_frac"))
       .orderBy("cos_min")
+    // 3-row dial: evaluate while e is cached so the assignment and pair
+    // passes reuse the cached scan, then release (the
+    // knnIvfIncrementalRecall pattern)
+    val rows = out.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally e.unpersist(false)
   }
 
   /** Random-hyperplane LSH index rows (vec_id, band, bucket): 16 sign
@@ -1872,7 +1880,7 @@ object VectorQueries {
          |  SELECT query_id, qv, list_id FROM (
          |    SELECT q.query_id, q.qv, c.list_id,
          |           row_number() OVER (PARTITION BY q.query_id
-         |             ORDER BY ${cosSql.format("q.qv", "c.cv", "q.qv", "q.qv", "c.cv", "c.cv")} DESC, c.list_id) AS prnk
+         |             ORDER BY round(${cosSql.format("q.qv", "c.cv", "q.qv", "q.qv", "c.cv", "c.cv")}, 6) DESC, c.list_id) AS prnk
          |    FROM q CROSS JOIN c2 c)
          |  WHERE prnk <= 2),
          |ivf AS (

@@ -46,6 +46,13 @@ def float_eq(a: pd.Series, b: pd.Series, exact: bool):
     bv = b.astype(float).to_numpy()
     if not exact:
         return np.isclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
+    # rtol=1e-12 was calibrated at sf0.01 (the driver's gate SF), where the
+    # largest unrounded aggregates are ~1e8 and leave ~1e-4 absolute
+    # headroom. Cross-engine partition-order summation drift grows with
+    # corpus size; if the gate is ever run at a much larger SF and a
+    # magnitude-driven flake appears, loosen per magnitude bucket rather
+    # than globally (queries round to 6dp at the parity boundary, so the
+    # exposure is limited to deliberately-unrounded columns).
     close = np.isclose(av, bv, rtol=1e-12, atol=1e-13, equal_nan=True)
     # sign-of-zero on the rounded plane: 0.0 vs -0.0 (or vs a tiny negative
     # that the driver's rounding would turn into -0.0) is a hash mismatch
