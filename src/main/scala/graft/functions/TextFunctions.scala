@@ -199,16 +199,56 @@ object TextFunctions {
   /** Fasttext-style classifier surface, shared by the batch query
     * (TextQueries.textClassifierScore) and the streaming gate
     * (GraftPipeline.classifierGate) so decisions cannot diverge. The
-    * weight table is a deterministic stand-in for a trained model —
-    * w(b) = ((b·2654435761) mod 1000003)/1000003 − 0.5, integer-exact on
-    * both engines — and rides the plan as a bounded literal (the
-    * PQ-codebook pattern); a real deployment swaps in trained weights,
-    * same plan shape.
+    * weight table is the trained-weight hand-off point: it is loaded at
+    * PLAN TIME from `fixtures/classifier_weights.csv` (schema
+    * `bucket INT 0..1023, weight DOUBLE`; path overridable via the
+    * `GRAFT_CLASSIFIER_WEIGHTS` env var) and rides the plan as a bounded
+    * literal (the PQ-codebook pattern) — swap the CSV for a real
+    * fasttext export and batch, stream, and oracle all pick it up from
+    * the one source of truth, same plan shape. When no file is present
+    * (e.g. a bare checkout running against a different cwd) the loader
+    * falls back to [[classifierWeightsFormula]], the deterministic
+    * stand-in the committed CSV was generated from; a spec pins
+    * CSV == formula so the fallback cannot silently diverge until a
+    * genuinely trained table replaces the fixture (at which point that
+    * spec is updated alongside).
     */
   val ClassifierBuckets = 1024
-  lazy val classifierWeights: Seq[Double] =
+
+  /** The deterministic stand-in generator the committed fixture was
+    * produced from: w(b) = ((b·2654435761) mod 1000003)/1000003 − 0.5,
+    * integer-exact on both engines. Kept as the test fixture and the
+    * no-file fallback.
+    */
+  lazy val classifierWeightsFormula: Seq[Double] =
     (0 until ClassifierBuckets).map(b =>
       (b.toLong * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
+
+  /** Plan-time loader for the weight fixture. Driver-side file IO on a
+    * 1024-row table — never a distributed read; the result is a plan
+    * literal exactly like the PQ codebook.
+    */
+  private[graft] def loadClassifierWeights(path: java.nio.file.Path): Seq[Double] = {
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(path)).asScala.toSeq
+    require(lines.headOption.contains("bucket,weight"),
+      s"$path: expected header 'bucket,weight'")
+    val rows = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(b, w) = l.split(",", 2)
+      (b.trim.toInt, w.trim.toDouble)
+    }
+    require(rows.size == ClassifierBuckets &&
+      rows.map(_._1) == (0 until ClassifierBuckets),
+      s"$path: expected buckets 0..${ClassifierBuckets - 1} in order, got ${rows.size} rows")
+    rows.map(_._2)
+  }
+
+  lazy val classifierWeights: Seq[Double] = {
+    val p = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_CLASSIFIER_WEIGHTS", "fixtures/classifier_weights.csv"))
+    if (java.nio.file.Files.isReadable(p)) loadClassifierWeights(p)
+    else classifierWeightsFormula
+  }
 
   /** Mean hashed-feature weight from a pre-hashed feature array (see
     * [[hashArray]]): the linear bag-of-ngrams score. Keep iff >= 0.

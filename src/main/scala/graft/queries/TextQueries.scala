@@ -2334,13 +2334,19 @@ object TextQueries {
          |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // oracle weight vector rendered from the SAME plan-time table Spark
+  // folds (TextFunctions.classifierWeights, fixture-loaded) so editing
+  // fixtures/classifier_weights.csv moves batch, stream, and oracle
+  // together; Double.toString is shortest-roundtrip decimal, so DuckDB
+  // parses back bit-identical doubles
+  private lazy val wvListSql: String =
+    classifierWeights.map(_.toString).mkString("[", ", ", "]")
+
   // shared flags chain (wv/t/ft/f CTEs): per-doc gopher/classifier/
   // quality keeps — mirrors filterFlags; used by text_filter_agreement
   // and text_filter_ppl
   private lazy val filterFlagsCteSql: String =
-    s"""wv AS (
-       |  SELECT list_transform(range(0, $ClfBuckets),
-       |           b -> CAST((b * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS w),
+    s"""wv AS (SELECT $wvListSql AS w),
        |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
        |ft AS (SELECT doc_id, text, toks,
        |              list_concat(toks,
@@ -3049,13 +3055,11 @@ object TextQueries {
          |                           ORDER BY seg_idx), '') AS clean_text
          |FROM f LEFT JOIN b ON f.fp = b.fp
          |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
-    // unigram+bigram features, h32 on the md5-hex plane, the same
-    // integer-derived weight table built by list_transform, list_sum's
-    // left fold == the Spark aggregate() fold
+    // unigram+bigram features, h32 on the md5-hex plane, the weight
+    // table inlined from the shared fixture-loaded Scala value;
+    // list_sum's left fold == the Spark aggregate() fold
     "text_classifier_score" ->
-      s"""WITH wv AS (
-         |  SELECT list_transform(range(0, $ClfBuckets),
-         |           b -> CAST((b * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS w),
+      s"""WITH wv AS (SELECT $wvListSql AS w),
          |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |ft AS (SELECT doc_id,
          |              list_concat(toks,

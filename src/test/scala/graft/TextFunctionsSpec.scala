@@ -172,4 +172,28 @@ class TextFunctionsSpec extends SparkTestBase {
     // hello , world ! don ' t
     assert(df.as[Int].head() == 7)
   }
+
+  test("classifier weights load from the fixture CSV and match the generator formula") {
+    // the committed fixture is the stand-in-formula table; this pin keeps
+    // batch/stream/oracle flip-proof across the file hand-off — when a
+    // genuinely trained table replaces the fixture, update this spec with it
+    val p = java.nio.file.Paths.get("fixtures/classifier_weights.csv")
+    assert(java.nio.file.Files.isReadable(p), s"fixture missing: $p")
+    val loaded = loadClassifierWeights(p)
+    assert(loaded.size == ClassifierBuckets)
+    assert(loaded == classifierWeightsFormula,
+      "fixture CSV diverged from the formula it was generated from")
+    // the live plan literal is the file-loaded value
+    assert(classifierWeights == loaded)
+  }
+
+  test("classifier weight loader rejects malformed fixtures") {
+    val tmp = java.nio.file.Files.createTempFile("weights", ".csv")
+    try {
+      java.nio.file.Files.writeString(tmp, "bucket,weight\n0,0.1\n2,0.2\n")
+      intercept[IllegalArgumentException](loadClassifierWeights(tmp))
+      java.nio.file.Files.writeString(tmp, "wrong,header\n")
+      intercept[IllegalArgumentException](loadClassifierWeights(tmp))
+    } finally java.nio.file.Files.delete(tmp)
+  }
 }
