@@ -50,6 +50,22 @@ case class GraftConfig(
     inferTimeoutSecs: Int = 10,
     /** --log-interval seconds (js:52-56), default 60 */
     logIntervalSecs: Int = 60,
+    /** --max-stream-ids: cap on per-batch DISTINCT stream ids collected
+      * to the driver for the ensure step (extension surface, not a
+      * reference option — the reference's module-scope memo at js:10 has
+      * the same unbounded exposure). An adversarial or misconfigured
+      * topic space (a per-message uuid in the stream-id template, say)
+      * must degrade LOUDLY at the guard, not quietly on driver memory:
+      * past the cap the batch fails (streamIdOverflow = "fail",
+      * default) or ensures only the first cap ids in lexicographic
+      * order and logs the overflow (streamIdOverflow = "sample";
+      * publish still covers every record, and an unensured id
+      * re-ensures on re-sight once cardinality normalizes — ensure()
+      * is idempotent).
+      */
+    maxStreamIdsPerBatch: Int = 100000,
+    /** --stream-id-overflow: "fail" | "sample" (see maxStreamIdsPerBatch) */
+    streamIdOverflow: String = "fail",
     /** --reconnect-on-data-timeout seconds, 0 disables (js:57-61) */
     dataTimeoutSecs: Int = 900)
 
@@ -295,6 +311,36 @@ object GraftPipeline {
       textCol -> piiRedact(t),
       "pii_hits" -> piiCounts(t).map(_._2).reduce(_ + _))
     staged.select((routed.columns :+ "pii_hits").map(col).toSeq: _*)
+  }
+
+  /** Streaming ANN list assignment — knn_ivf_incremental's frozen-coarse-
+    * quantizer argmax ([[graft.queries.VectorQueries.knnIvfIncremental]])
+    * as a stateless streaming transform, completing the curation-gate
+    * family on the vector plane: each arriving embedding is assigned to
+    * its nearest IVF list so a streaming ingest can route vectors to
+    * index shards (or drop out-of-distribution ones) without touching
+    * the index. The quantizer is control-plane exactly as in the batch
+    * query: trained once on the EXISTING corpus, frozen, and entering
+    * the stream plan as nLists × dim literal doubles — so the per-record
+    * work is a pure shuffle-free projection (per-centroid cosine staged
+    * once behind a Generate barrier, argmax = array_position of the
+    * max, ties and all-NULL cosines to the lowest list id — the exact
+    * construction of `assignListsProjection`, spec-pinned stream ==
+    * batch). No state, no watermark; replay assigns identically because
+    * the quantizer is frozen literals.
+    */
+  def annAssignGate(routed: DataFrame, vecCol: String,
+      cent: Seq[(Int, Seq[Double])]): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val centArr = array(cent.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+    val listIds = array(cent.map { case (lid, _) => lit(lid) }: _*)
+    val staged = graft.functions.PipelineFunctions.stageBarrier(
+      routed, routed.columns.map(col).toSeq,
+      "a_coss" -> transform(centArr, cv => cosine(col(vecCol), cv)))
+    staged.select(routed.columns.map(col) :+
+      element_at(listIds,
+        coalesce(array_position(col("a_coss"), array_max(col("a_coss"))), lit(1L))
+          .cast("int")).as("list_id"): _*)
   }
 
   /** Streaming Count-Min build — the batch text_cms as a continuously

@@ -152,8 +152,25 @@ class RoutingSink(
       routed.limit(20).collect().foreach(r => println(s"[graft][$batchId] $r"))
     }
     if (!cfg.dryRun) {
-      val ids = routed.select("stream_id").distinct().collect().map(_.getString(0))
-      ids.foreach { id =>
+      val cap = cfg.maxStreamIdsPerBatch
+      // sort+limit compiles to TakeOrderedAndProject — bounded driver
+      // memory (cap+1 rows) whatever the id cardinality; the +1 row is
+      // the overflow probe. Lexicographic order makes the sampled ensure
+      // set deterministic under replay.
+      val ids = routed.select("stream_id").distinct()
+        .orderBy("stream_id").limit(cap + 1).collect().map(_.getString(0))
+      if (ids.length > cap) cfg.streamIdOverflow match {
+        case "sample" =>
+          System.err.println(s"[graft][$batchId] distinct stream ids exceed " +
+            s"max-stream-ids=$cap; ensuring the first $cap (overflow ids " +
+            "ensure on re-sight; check the stream-id template)")
+        case _ =>
+          throw new IllegalStateException(s"batch $batchId: distinct stream " +
+            s"ids exceed max-stream-ids=$cap — the stream-id template is " +
+            "likely deriving ids from unbounded message content; fix the " +
+            "template or set --stream-id-overflow sample")
+      }
+      ids.take(cap).foreach { id =>
         // get() touches the LRU access order; only a miss pays an ensure
         if (ensured.get(id) == null) {
           registry.ensure(id, cfg.publicStreams) // K1 + K2

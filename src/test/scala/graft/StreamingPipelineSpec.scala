@@ -317,6 +317,36 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.size < docs.size)
   }
 
+  test("annAssignGate: stream list assignments == batch frozen-quantizer argmax") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sfDir)
+    // mirror knn_ivf_incremental: quantizer trained (and frozen) on the
+    // OLD corpus; the vec_id % 10 == 9 slice is the arriving ingest
+    val old = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    val cent = graft.queries.VectorQueries.kmeansCentroids(old, nLists = 8, iters = 2)
+    val batchRows = e.filter(pmod(col("vec_id"), lit(10)) === 9)
+    val batchAssign = graft.queries.VectorQueries.assignListsProjection(batchRows, cent)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ingest = batchRows.select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = GraftPipeline.annAssignGate(mem.toDF().toDF("vec_id", "v"), "v", cent)
+      .writeStream.format("memory").queryName("graft_ann_assign")
+      .outputMode("append").start()
+    mem.addData(ingest: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_ann_assign")
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batchAssign) // same frozen literals: no divergence
+    assert(streamed.nonEmpty && streamed.values.toSet.size > 1) // routing is nontrivial
+    // gate passes the input schema through and appends list_id
+    assert(spark.table("graft_ann_assign").columns.toSeq == Seq("vec_id", "v", "list_id"))
+  }
+
   test("piiScrub: stream redaction == batch; hits counted; schema + pii_hits") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Seq(
