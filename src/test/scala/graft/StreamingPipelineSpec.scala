@@ -320,7 +320,7 @@ class StreamingPipelineSpec extends SparkTestBase {
   test("annAssignGate: stream list assignments == batch frozen-quantizer argmax") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sfDir = "/root/testdata/sf0.001"
-    val e = graft.Tables.embeddings(spark, sfDir)
+    val e = graft.queries.VectorQueries.embProjection(spark, sfDir)
     // mirror knn_ivf_incremental: quantizer trained (and frozen) on the
     // OLD corpus; the vec_id % 10 == 9 slice is the arriving ingest
     val old = e.filter(pmod(col("vec_id"), lit(10)) =!= 9)
