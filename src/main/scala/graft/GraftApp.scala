@@ -18,6 +18,7 @@ import graft.streaming._
   *     [--payload-schema 'a INT, b STRING' | --infer-schema
   *      [--infer-sample N] [--infer-timeout SECS]] [--public] [--dry-run]
   *     [--verbose] [--log-interval SECS] [--reconnect-on-data-timeout SECS]
+  *     [--max-stream-ids N] [--stream-id-overflow fail|sample]
   *     --out-dir DIR [--registry-dir DIR] [--checkpoint DIR] [--once]
   *
   * `--once` processes everything available then exits (for scripted runs
@@ -65,6 +66,8 @@ object GraftApp {
         case "--dry-run" => cfg = cfg.copy(dryRun = true)
         case "--verbose" => cfg = cfg.copy(verbose = true)
         case "--log-interval" => cfg = cfg.copy(logIntervalSecs = next().toInt)
+        case "--max-stream-ids" => cfg = cfg.copy(maxStreamIdsPerBatch = next().toInt)
+        case "--stream-id-overflow" => cfg = cfg.copy(streamIdOverflow = next())
         case "--reconnect-on-data-timeout" => cfg = cfg.copy(dataTimeoutSecs = next().toInt)
         case "--out-dir" => outDir = next()
         case "--publish-mqtt-url" => publishMqttUrl = Some(next())
@@ -81,6 +84,9 @@ object GraftApp {
     require(cfg.mqttUrl.nonEmpty, "--mqtt-url is required")
     require(topics.nonEmpty, "--topic is required (repeatable)")
     require(outDir.nonEmpty, "--out-dir is required")
+    require(Set("fail", "sample")(cfg.streamIdOverflow),
+      s"--stream-id-overflow must be 'fail' or 'sample', got '${cfg.streamIdOverflow}'")
+    require(cfg.maxStreamIdsPerBatch > 0, "--max-stream-ids must be positive")
     if (registryDir.isEmpty) registryDir = outDir + "/_streams"
     if (checkpoint.isEmpty) checkpoint =
       java.nio.file.Files.createTempDirectory("graft-ck").toString

@@ -57,11 +57,10 @@ case class GraftConfig(
       * topic space (a per-message uuid in the stream-id template, say)
       * must degrade LOUDLY at the guard, not quietly on driver memory:
       * past the cap the batch fails (streamIdOverflow = "fail",
-      * default) or ensures only the first cap ids in lexicographic
-      * order and logs the overflow (streamIdOverflow = "sample";
-      * publish still covers every record, and an unensured id
-      * re-ensures on re-sight once cardinality normalizes — ensure()
-      * is idempotent).
+      * default) or ensures a batch-rotated sample of cap ids and logs
+      * the overflow (streamIdOverflow = "sample"; publish still covers
+      * every record, the sample window rotates with batchId so no id is
+      * permanently starved of ensure(), and ensure() is idempotent).
       */
     maxStreamIdsPerBatch: Int = 100000,
     /** --stream-id-overflow: "fail" | "sample" (see maxStreamIdsPerBatch) */
@@ -332,6 +331,13 @@ object GraftPipeline {
   def annAssignGate(routed: DataFrame, vecCol: String,
       cent: Seq[(Int, Seq[Double])]): DataFrame = {
     import graft.functions.VectorFunctions.cosine
+    // the gate passes the full input schema through and appends list_id,
+    // staging the per-centroid cosines under an internal name — reject
+    // inputs that would collide at analysis time with a clear message
+    require(!routed.columns.contains("list_id"),
+      "annAssignGate: input already has a 'list_id' column")
+    require(!routed.columns.contains("a_coss"),
+      "annAssignGate: input already has an 'a_coss' column (reserved staging name)")
     val centArr = array(cent.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
     val listIds = array(cent.map { case (lid, _) => lit(lid) }: _*)
     val staged = graft.functions.PipelineFunctions.stageBarrier(

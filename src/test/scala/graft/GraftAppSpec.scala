@@ -127,6 +127,22 @@ class GraftAppSpec extends SparkTestBase {
     assert(ok.cfg.privateKey.contains("k3y"))
   }
 
+  test("parseArgs wires and validates the stream-id overflow guard flags") {
+    def base(extra: String*) = GraftApp.parseArgs(Array(
+      "--mqtt-url", "tcp://x:1", "--topic", "a/+", "--out-dir", "/tmp/o") ++ extra)
+    val ok = base("--max-stream-ids", "7", "--stream-id-overflow", "sample")
+    assert(ok.cfg.maxStreamIdsPerBatch == 7)
+    assert(ok.cfg.streamIdOverflow == "sample")
+    // defaults match GraftConfig
+    assert(base().cfg.maxStreamIdsPerBatch == 100000)
+    assert(base().cfg.streamIdOverflow == "fail")
+    // mode is validated at parse time, case-sensitively — a typo must not
+    // silently fall through to fail mode
+    intercept[IllegalArgumentException](base("--stream-id-overflow", "Sample"))
+    intercept[IllegalArgumentException](base("--stream-id-overflow", "skip"))
+    intercept[IllegalArgumentException](base("--max-stream-ids", "0"))
+  }
+
   test("private key derives a principal recorded on created streams") {
     import graft.streaming.FsStreamRegistry
     val root = Files.createTempDirectory("reg_owner").toString

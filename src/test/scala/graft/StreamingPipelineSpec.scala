@@ -137,6 +137,45 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(dirs == Set("a", "b", "c"))
   }
 
+  test("stream-id overflow guard: fail throws, sample rotates, bad mode rejected") {
+    def batchFor(ids: String*) = ids.zipWithIndex.map { case (id, i) =>
+      ("t", Timestamp.valueOf("2026-01-01 10:00:00"), true, s"""{"i":$i}""", id)
+    }.toDF("topic", "arrival_ts", "valid", "value", "stream_id")
+
+    // a misconfigured mode is rejected at construction, not at batch time
+    intercept[IllegalArgumentException](new RoutingSink(
+      new FsStreamRegistry(Files.createTempDirectory("ofl_bad").toString),
+      new FsStreamPublisher(Files.createTempDirectory("ofl_bad_out").toString),
+      GraftConfig(payloadSchema = schema, streamIdOverflow = "Sample")))
+
+    // fail mode (default): over-cap cardinality fails the batch loudly
+    val failSink = new RoutingSink(
+      new FsStreamRegistry(Files.createTempDirectory("ofl_fail").toString),
+      new FsStreamPublisher(Files.createTempDirectory("ofl_fail_out").toString),
+      GraftConfig(payloadSchema = schema, maxStreamIdsPerBatch = 1))
+    intercept[IllegalStateException](failSink.processBatch(batchFor("a", "b"), 0))
+
+    // sample mode: each batch ensures only cap ids, but the window is
+    // batch-salted so sustained over-cap traffic cannot permanently
+    // starve any id — across batches every id eventually gets ensured
+    val regRoot = Files.createTempDirectory("ofl_sample_reg").toString
+    val outDir = Files.createTempDirectory("ofl_sample_out").toString
+    val sink = new RoutingSink(new FsStreamRegistry(regRoot),
+      new FsStreamPublisher(outDir),
+      GraftConfig(payloadSchema = schema, maxStreamIdsPerBatch = 1,
+        streamIdOverflow = "sample", publicStreams = true))
+    val batches = 24
+    (0 until batches).foreach(b => sink.processBatch(batchFor("a", "b", "c"), b))
+    val dirs = new java.io.File(regRoot).listFiles().map(_.getName).toSet
+    assert(dirs == Set("a", "b", "c"),
+      s"rotating sample must reach every id, got $dirs")
+    // ... with the K2 public grant applied to each once ensured
+    assert(new java.io.File(regRoot).listFiles().forall(d =>
+      new java.io.File(d, "_public").exists()))
+    // and publish was never gated on the sample: every record landed
+    assert(spark.read.parquet(outDir).count() == batches * 3L)
+  }
+
   test("replayed micro-batch does not duplicate published rows") {
     val outDir = Files.createTempDirectory("graft_replay_out").toString
     val regDir = Files.createTempDirectory("graft_replay_reg").toString
@@ -345,6 +384,14 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.values.toSet.size > 1) // routing is nontrivial
     // gate passes the input schema through and appends list_id
     assert(spark.table("graft_ann_assign").columns.toSeq == Seq("vec_id", "v", "list_id"))
+  }
+
+  test("annAssignGate rejects inputs colliding with its output/staging columns") {
+    val cent = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val clash1 = Seq((1L, Seq(1.0, 0.0), 5)).toDF("vec_id", "v", "list_id")
+    intercept[IllegalArgumentException](GraftPipeline.annAssignGate(clash1, "v", cent))
+    val clash2 = Seq((1L, Seq(1.0, 0.0), 5)).toDF("vec_id", "v", "a_coss")
+    intercept[IllegalArgumentException](GraftPipeline.annAssignGate(clash2, "v", cent))
   }
 
   test("piiScrub: stream redaction == batch; hits counted; schema + pii_hits") {
