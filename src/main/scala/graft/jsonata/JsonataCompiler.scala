@@ -602,14 +602,70 @@ object JsonataCompiler {
         Typed(restored, StringType)
       // $formatNumber: the XPath picture subset shared with Java's
       // DecimalFormat ('#,##0.00', '0.###E0', '%', '‰') via Spark's
-      // format_number(expr, fmt). The 3rd (per-picture options) argument
-      // is not supported — throw at compile time, never silently ignore.
+      // format_number(expr, fmt). The 3rd argument is the XPath
+      // decimal-format properties object (public JSONata semantics:
+      // docs.jsonata.org/string-functions#formatnumber) — a compile-time
+      // literal object overriding formatting characters. Compiled fully
+      // statically: the picture's custom characters are standardized
+      // before format_number sees it, and the formatted OUTPUT's standard
+      // characters are translated to the custom ones with one codegen'd
+      // translate() (simultaneous per-char mapping, so separator swaps
+      // like {decimal: ',', grouping: '.'} are safe). The multi-char
+      // 'infinity'/'NaN' strings wrap the result in when() guards only
+      // when given. Non-literal options compile-error — never silently
+      // ignored.
       case "formatNumber" =>
         arity(2, 3)
-        if (args.length > 2)
+        val charOpts = Map( // single-char XPath properties and defaults
+          "decimal-separator" -> '.', "grouping-separator" -> ',',
+          "minus-sign" -> '-', "percent" -> '%', "per-mille" -> '‰',
+          "zero-digit" -> '0', "digit" -> '#', "pattern-separator" -> ';',
+          "exponent-separator" -> 'E')
+        val opts: Map[String, String] =
+          if (args.length < 3) Map.empty
+          else args(2) match {
+            case JObject(fields) => fields.map {
+              case (JKeyLit(k), JString(v)) => k -> v
+              case (k, v) => throw new JsonataCompileError(
+                s"$$formatNumber options must be literal string fields, got $k: $v")
+            }.toMap
+            case other => throw new JsonataCompileError(
+              s"$$formatNumber options must be an object literal, got $other")
+          }
+        opts.keys.find(k => !charOpts.contains(k) && k != "infinity" && k != "NaN")
+          .foreach(k => throw new JsonataCompileError(
+            s"$$formatNumber: unknown option '$k'"))
+        for ((k, v) <- opts if charOpts.contains(k) && v.length != 1)
           throw new JsonataCompileError(
-            "$formatNumber: the options argument is not supported (DecimalFormat picture subset)")
-        Typed(call_function("format_number", num(arg(0)).col, lit(litStr(args(1)))), StringType)
+            s"$$formatNumber: option '$k' must be a single character, got '$v'")
+        def digitRange(z: Char): Seq[(Char, Char)] =
+          (0 to 9).map(i => (z + i).toChar -> ('0' + i).toChar)
+        // picture: custom chars -> standard, so DecimalFormat parses it
+        val picMap: Map[Char, Char] = opts.collect {
+          case (k, v) if charOpts.contains(k) && k != "zero-digit" =>
+            v.head -> charOpts(k)
+        } ++ opts.get("zero-digit").toSeq.flatMap(z => digitRange(z.head))
+        val pic = litStr(args(1)).map(c => picMap.getOrElse(c, c))
+        val x = num(arg(0)).col
+        val formatted = call_function("format_number", x, lit(pic))
+        // output: standard chars -> custom, one simultaneous translate
+        val outPairs: Seq[(Char, Char)] = opts.toSeq.collect {
+          case (k, v) if charOpts.contains(k) && k != "zero-digit" =>
+            charOpts(k) -> v.head
+        } ++ opts.get("zero-digit").toSeq.flatMap(z =>
+          digitRange(z.head).map(_.swap))
+        val translated =
+          if (outPairs.isEmpty) formatted
+          else translate(formatted,
+            outPairs.map(_._1).mkString, outPairs.map(_._2).mkString)
+        val minus = opts.get("minus-sign").map(_.head).getOrElse('-')
+        val withInf = opts.get("infinity").map(s =>
+          when(x === Double.PositiveInfinity, lit(s))
+            .when(x === Double.NegativeInfinity, lit(s"$minus$s"))
+            .otherwise(translated)).getOrElse(translated)
+        val result = opts.get("NaN").map(s =>
+          when(isnan(x), lit(s)).otherwise(withInf)).getOrElse(withInf)
+        Typed(result, StringType)
       case "formatInteger" =>
         arity(2)
         val n = num(arg(0)).col.cast(LongType)

@@ -413,8 +413,34 @@ class JsonataSpec extends SparkTestBase {
   test("$formatNumber renders DecimalFormat pictures") {
     assert(evalOn(sensorJson, sensorSchema, "$formatNumber(1234.5678, '#,##0.00')") == "1,234.57")
     assert(evalOn(sensorJson, sensorSchema, "$formatNumber(0.14, '0%')") == "14%")
+  }
+
+  test("$formatNumber options argument (XPath decimal-format properties)") {
+    // separator overrides: picture written WITH the custom chars
+    // (public JSONata semantics — the options define the picture alphabet)
+    assert(evalOn(sensorJson, sensorSchema,
+      "$formatNumber(1234.5678, '#.##0,00', {'decimal-separator': ',', 'grouping-separator': '.'})")
+      == "1.234,57")
+    // zero-digit: the whole digit family rebased onto the circled digits
+    // (⑟ = U+245F, so ⑟+1 = ① … ⑟+9 = ⑨); picture written in the custom
+    // family, output digits come back in it
+    assert(evalOn(sensorJson, sensorSchema,
+      "$formatNumber(1234.5678, '⑟⑟⑟,⑟⑟⑟·⑟⑟', " +
+        "{'zero-digit': '⑟', 'decimal-separator': '·'})")
+      == "⑟⑟①,②③④·⑤⑦")
+    // minus-sign on a negative value
+    assert(evalOn(sensorJson, sensorSchema,
+      "$formatNumber(-3.5, '0.0', {'minus-sign': '–'})") == "–3.5")
+    // digit char override in the picture
+    assert(evalOn(sensorJson, sensorSchema,
+      "$formatNumber(1234.5678, '*,**0.00', {'digit': '*'})") == "1,234.57")
+    // non-literal / unknown options stay compile-time errors
     intercept[Exception](evalOn(sensorJson, sensorSchema,
-      "$formatNumber(1, '0', {'decimal-separator': ','})"))
+      "$formatNumber(1, '0', {'definitely-not-a-property': ','})"))
+    intercept[Exception](evalOn(sensorJson, sensorSchema,
+      "$formatNumber(1, '0', {'decimal-separator': value})"))
+    intercept[Exception](evalOn(sensorJson, sensorSchema,
+      "$formatNumber(1, '0', {'decimal-separator': '::'})"))
   }
 
   test("$formatInteger / $parseInteger: digit and roman pictures") {
