@@ -444,7 +444,7 @@ object TextQueries {
     * before/after of the SIGMOD'03 argument, both over one projection +
     * explode, no shuffle before the output sort.
     */
-  private def rollingFpRows(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def rollingFpRows(s: SparkSession, dir: String): DataFrame = {
     val staged = stageBarrier(
       Tables.documents(s, dir).select(col("doc_id"), col("text").cast("binary").as("b")),
       Seq(col("doc_id")),
@@ -493,12 +493,26 @@ object TextQueries {
     * window key is doc_id, the same per-entity shape as text_pack's
     * running sum. Output (doc_id, span_idx, span_start, span_end, n_fps).
     */
-  def textDupSpanRanges(s: SparkSession, dir: String): DataFrame = {
-    val rows = rollingFpRows(s, dir).select(col("doc_id"), col("pos"), col("fp"))
+  def textDupSpanRanges(s: SparkSession, dir: String): DataFrame =
+    mergeDupIntervals(markCrossDocDups(
+      rollingFpRows(s, dir).select(col("doc_id"), col("pos"), col("fp"))))
+
+  /** (doc_id, pos, fp) → the rows whose fp occurs in >1 distinct doc,
+    * as [pos, pos+W) intervals — the shared dup-marking step of the
+    * sampled and exact range deliverables.
+    */
+  private[graft] def markCrossDocDups(rows: DataFrame): DataFrame = {
     val docsPerFp = rows.select("doc_id", "fp").distinct()
       .groupBy("fp").agg(count(lit(1)).as("ndocs"))
-    val dup = rows.join(docsPerFp, "fp").filter(col("ndocs") > 1)
+    rows.join(docsPerFp, "fp").filter(col("ndocs") > 1)
       .select(col("doc_id"), col("pos"), (col("pos") + RollW).as("e"))
+  }
+
+  /** Classic running-max-end interval merge over (doc_id, pos, e): new
+    * span iff pos > max end over preceding rows; cumulative sum of the
+    * flags numbers the spans. One window per document.
+    */
+  private[graft] def mergeDupIntervals(dup: DataFrame): DataFrame = {
     val wPrev = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.partitionBy("doc_id").orderBy("pos")
@@ -514,6 +528,66 @@ object TextQueries {
       .select(col("doc_id"), (col("grp") - 1).as("span_idx"),
         col("span_start"), col("span_end"), col("n_fps"))
       .orderBy("doc_id", "span_idx")
+  }
+
+  /** Stride-1 all-window fingerprints over the deterministic doc shard
+    * `doc_id < SpanRecallSample` — the EXACT plane of the substring-dedup
+    * family (every window position, no 0-mod-p cut).
+    */
+  private def shardAllWindowFps(s: SparkSession, dir: String): DataFrame =
+    stageBarrier(
+      Tables.documents(s, dir).filter(col("doc_id") < SpanRecallSample)
+        .select(col("doc_id"), col("text").cast("binary").as("b")),
+      Seq(col("doc_id")),
+      "hs" -> graft.expressions.HashExpressions.rollingHashNative(col("b"), RollW, RollB, RollM))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "fp")))
+      .select(col("doc_id"), col("pos0").cast("long").as("pos"), col("fp"))
+
+  /** The EXACT substring-removal deliverable (Lee et al. '22,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * exact all-window form, not the sampled estimate) on a bounded
+    * shard: every stride-1 window duplicated across documents becomes a
+    * [pos, pos+W) interval, merged per document into the byte ranges an
+    * exact removal pass would cut. The shard (`doc_id <
+    * SpanRecallSample`, same deterministic shard as [[dupSpanRecall]])
+    * is what makes all-window accounting legitimate: the fingerprint
+    * relation is shard-docs × positions — constant-size at any corpus
+    * scale — where a corpus-wide stride-1 pass would be a corpus-sized
+    * shuffle per byte offset. At 100 TB the production path stays the
+    * 1/p-sampled [[textDupSpanRanges]]; this query is run per-shard
+    * (here one shard) to PRICE that sampling — [[dupRangeCoverage]]
+    * reports the measured delta. Plan shape: the same
+    * explode → df join → interval-merge window as the sampled
+    * deliverable, just without the 0-mod-p filter.
+    */
+  def textDupRangesExact(s: SparkSession, dir: String): DataFrame =
+    mergeDupIntervals(markCrossDocDups(shardAllWindowFps(s, dir)))
+
+  /** The sampled-vs-exact range-coverage delta on the shared shard — the
+    * price tag of 0-mod-p sampling stated in BYTES CUT, completing
+    * [[dupSpanRecall]] (which prices the coverage RATIO): bytes the
+    * exact pass would remove, bytes the sampled pass would remove, and
+    * the miss. The sampled plane is closed under duplication (fp ≡ 0
+    * mod p depends only on window bytes), so every sampled dup interval
+    * lies inside an exact merged range and the delta is one-sided —
+    * sampled_bytes ≤ exact_bytes always (spec-pinned subset property).
+    * Both sides are shard-sized aggregates of the two range queries.
+    */
+  def dupRangeCoverage(s: SparkSession, dir: String): DataFrame = {
+    val exact = textDupRangesExact(s, dir)
+      .agg(count(lit(1)).as("exact_ranges"),
+        coalesce(sum(col("span_end") - col("span_start")), lit(0L)).as("exact_bytes"))
+    val sampled = mergeDupIntervals(markCrossDocDups(
+      rollingFpRows(s, dir).filter(col("doc_id") < SpanRecallSample)
+        .select(col("doc_id"), col("pos"), col("fp"))))
+      .agg(count(lit(1)).as("sampled_ranges"),
+        coalesce(sum(col("span_end") - col("span_start")), lit(0L)).as("sampled_bytes"))
+    exact.crossJoin(sampled)
+      .select(col("exact_ranges"), col("exact_bytes"),
+        col("sampled_ranges"), col("sampled_bytes"),
+        (col("exact_bytes") - col("sampled_bytes")).as("missed_bytes"),
+        round(col("sampled_bytes").cast("double") / col("exact_bytes"), 6)
+          .as("sampled_frac"))
   }
 
   private val SpanRecallSample = 500L  // fixed-size doc sample for the span dial
@@ -2120,6 +2194,8 @@ object TextQueries {
     "text_rolling_fp" -> textRollingFp,
     "text_dup_spans" -> textDupSpans,
     "text_dup_span_ranges" -> textDupSpanRanges,
+    "text_dup_ranges_exact" -> textDupRangesExact,
+    "dup_range_coverage" -> dupRangeCoverage,
     "dup_span_recall" -> dupSpanRecall,
     "text_cdc_chunks" -> textCdcChunks,
     "cdc_dedup_ratio" -> cdcDedupRatio,
@@ -2300,6 +2376,47 @@ object TextQueries {
        |SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
        |FROM sel WHERE fp % $RollP = 0""".stripMargin
   }
+
+  /** Stride-1 all-window fingerprints over the `doc_id < SpanRecallSample`
+    * shard (text_dup_ranges_exact + dup_range_coverage).
+    */
+  private lazy val shardAllFpSql: String = {
+    val pws = (0 until RollW).map { j =>
+      var r = 1L; (0 until (RollW - 1 - j)).foreach(_ => r = r * RollB % RollM); r
+    }.mkString("[", ", ", "]")
+    s"""SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       |       list_sum([CAST('0x' || substr(hx, CAST((p + j) * 2 + 1 AS INT), 2) AS BIGINT)
+       |                 * ($pws)[CAST(j AS INT) + 1]
+       |                 for j in range(0, $RollW)]) % $RollM AS fp
+       |FROM (SELECT doc_id, hx, unnest(range(0, n - ${RollW - 1})) AS p
+       |      FROM (SELECT doc_id, hex(encode(text)) AS hx,
+       |                   octet_length(encode(text)) AS n
+       |            FROM documents WHERE doc_id < $SpanRecallSample))""".stripMargin
+  }
+
+  /** (doc_id, pos, fp) relation SQL → cross-doc-dup interval-merge SQL
+    * (the textDupSpanRanges shape, parameterized over the fp plane).
+    */
+  private def mergeRangesSql(fpRel: String): String =
+    s"""WITH rel AS ($fpRel),
+       |u AS (SELECT DISTINCT doc_id, fp FROM rel),
+       |dfc AS (SELECT fp, count(*) AS ndocs FROM u GROUP BY fp),
+       |dup AS (SELECT r.doc_id, r.pos, r.pos + $RollW AS e
+       |        FROM rel r JOIN dfc d USING (fp) WHERE d.ndocs > 1),
+       |m AS (SELECT doc_id, pos, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS meb
+       |      FROM dup),
+       |g AS (SELECT doc_id, pos, e,
+       |         CASE WHEN meb IS NULL OR pos > meb THEN 1 ELSE 0 END AS ng FROM m),
+       |c AS (SELECT doc_id, pos, e,
+       |         sum(ng) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |      FROM g)
+       |SELECT doc_id, CAST(grp - 1 AS BIGINT) AS span_idx,
+       |       min(pos) AS span_start, max(e) AS span_end,
+       |       CAST(count(*) AS BIGINT) AS n_fps
+       |FROM c GROUP BY doc_id, grp""".stripMargin
 
   /** Shared CDC chunk SQL (text_cdc_chunks + cdc_dedup_ratio). */
   private lazy val cdcChunksSql: String = {
@@ -2894,6 +3011,22 @@ object TextQueries {
          |       min(pos) AS span_start, max(e) AS span_end,
          |       CAST(count(*) AS BIGINT) AS n_fps
          |FROM c GROUP BY doc_id, grp ORDER BY doc_id, span_idx""".stripMargin,
+    // exact (stride-1, no 0-mod-p cut) removal ranges on the bounded shard
+    "text_dup_ranges_exact" ->
+      s"${mergeRangesSql(shardAllFpSql)} ORDER BY doc_id, span_idx",
+    // bytes the exact pass cuts vs bytes the sampled pass cuts, same shard
+    "dup_range_coverage" ->
+      s"""SELECT e.exact_ranges, e.exact_bytes, s.sampled_ranges, s.sampled_bytes,
+         |       e.exact_bytes - s.sampled_bytes AS missed_bytes,
+         |       round(s.sampled_bytes::DOUBLE / e.exact_bytes::DOUBLE, 6) AS sampled_frac
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS exact_ranges,
+         |             CAST(coalesce(sum(span_end - span_start), 0) AS BIGINT) AS exact_bytes
+         |      FROM (${mergeRangesSql(shardAllFpSql)})) e
+         |CROSS JOIN
+         |     (SELECT CAST(count(*) AS BIGINT) AS sampled_ranges,
+         |             CAST(coalesce(sum(span_end - span_start), 0) AS BIGINT) AS sampled_bytes
+         |      FROM (${mergeRangesSql(
+                 s"SELECT * FROM ($shardAllFpSql) WHERE fp % $RollP = 0")})) s""".stripMargin,
     // the same window-hash relation computed without the 0-mod-p cut
     // (allfp) and with it (sfp); coverage from each, plus the abs error
     "dup_span_recall" -> {

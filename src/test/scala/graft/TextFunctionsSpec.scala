@@ -149,6 +149,36 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(f1 >= 0 && f1 < 1000000007L)
   }
 
+  test("sampled dup ranges are contained in exact dup ranges (0-mod-p closure)") {
+    import graft.queries.TextQueries
+    val dir = sf()
+    // exact plane: stride-1 all-window dup ranges on the shard
+    val exact = TextQueries.textDupRangesExact(spark, dir)
+      .select("doc_id", "span_start", "span_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(t => (t._2, t._3)).toSeq }
+    // sampled plane restricted to the same shard (what dupRangeCoverage prices)
+    val sampled = TextQueries.mergeDupIntervals(TextQueries.markCrossDocDups(
+      TextQueries.rollingFpRows(spark, dir)
+        .filter(col("doc_id") < 500)))
+      .select("doc_id", "span_start", "span_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sampled.nonEmpty, "fixture must have sampled dup ranges")
+    // fp ≡ 0 (mod p) depends only on window BYTES, so the sampled plane is
+    // closed under duplication: every sampled dup interval must lie inside
+    // one exact merged range
+    sampled.foreach { case (d, s0, e0) =>
+      val within = exact.getOrElse(d, Seq.empty[(Long, Long)])
+        .exists { case (s1, e1) => s1 <= s0 && e0 <= e1 }
+      assert(within, s"sampled range [$s0,$e0) of doc $d escapes the exact ranges")
+    }
+    // ... and the one-row coverage deliverable prices exactly that gap
+    val cov = TextQueries.dupRangeCoverage(spark, dir).collect().head
+    val (eb, sb) = (cov.getAs[Long]("exact_bytes"), cov.getAs[Long]("sampled_bytes"))
+    assert(sb <= eb && cov.getAs[Long]("missed_bytes") == eb - sb)
+    assert(cov.getAs[Double]("sampled_frac") >= 0.0 && cov.getAs[Double]("sampled_frac") <= 1.0)
+  }
+
   test("langId picks the language with most stopword hits; und when none") {
     val df = Seq(
       "the cat sat on the mat and it is that for",
