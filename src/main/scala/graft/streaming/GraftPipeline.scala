@@ -312,6 +312,46 @@ object GraftPipeline {
     staged.select((routed.columns :+ "pii_hits").map(col).toSeq: _*)
   }
 
+  /** Watermark-delay recommender — the hand-off from the batch disorder
+    * profile ([[graft.queries.PipelineQueries.pipeLateness]] /
+    * `pipe_watermark_fit`) to the `withWatermark` lateness budget a
+    * streaming deployment actually passes: the SMALLEST candidate delay
+    * whose kept-fraction over the measured per-user event-time disorder
+    * meets `targetKeptFrac`, or — when no candidate does — the ceiling
+    * of the maximum observed disorder (keeps everything the profile
+    * saw). Disorder is the pipe_lateness definition exactly: within each
+    * user's arrival sequence, how far the already-seen event-time
+    * high-water mark is ahead of the event. Control-plane cost: ONE
+    * 1-row aggregate collect over a user-keyed window — the same per-key
+    * sort a sessionization pass pays, never a global arrival sort; run
+    * it on a profiling slice, hand the returned string to
+    * `withWatermark(tsCol, delay)`. Returns e.g. "60 seconds".
+    */
+  def recommendWatermarkDelay(events: DataFrame, userCol: String,
+      seqCol: String, tsCol: String, targetKeptFrac: Double,
+      candidatesS: Seq[Long] = Seq(0L, 30L, 60L, 300L, 900L, 3600L)): String = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetKeptFrac > 0.0 && targetKeptFrac <= 1.0,
+      s"targetKeptFrac must be in (0, 1], got $targetKeptFrac")
+    require(candidatesS.nonEmpty && candidatesS.forall(_ >= 0L),
+      "candidate delays must be non-negative seconds")
+    val w = Window.partitionBy(userCol).orderBy(seqCol)
+    val disorder = events
+      .select(col(userCol), col(seqCol), unix_micros(col(tsCol)).as("us"))
+      .withColumn("d_us", max("us").over(w) - col("us"))
+    val sortedC = candidatesS.distinct.sorted
+    val aggCols = (count(lit(1)).as("total") +:
+      sortedC.map(d => sum(when(col("d_us") <= d * 1000000L, 1L).otherwise(0L))
+        .as(s"k$d"))) :+ max("d_us").as("max_d_us")
+    val row = disorder.agg(aggCols.head, aggCols.tail: _*).collect().head
+    val total = row.getAs[Long]("total")
+    require(total > 0L, "cannot profile an empty event slice")
+    val secs = sortedC
+      .find(d => row.getAs[Long](s"k$d").toDouble / total >= targetKeptFrac)
+      .getOrElse(math.ceil(row.getAs[Long]("max_d_us") / 1e6).toLong)
+    s"$secs seconds"
+  }
+
   /** Streaming ANN list assignment — knn_ivf_incremental's frozen-coarse-
     * quantizer argmax ([[graft.queries.VectorQueries.knnIvfIncremental]])
     * as a stateless streaming transform, completing the curation-gate

@@ -386,6 +386,72 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(spark.table("graft_ann_assign").columns.toSeq == Seq("vec_id", "v", "list_id"))
   }
 
+  test("watermark recommender: smallest profiled delay meeting the target fraction") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sfDir)
+    val cands = Seq(0L, 30L, 60L, 300L)
+    val target = 0.95
+    val delay = GraftPipeline.recommendWatermarkDelay(
+      ev, "user_id", "event_id", "ts", target, cands)
+    val secs = delay.split(" ").head.toLong
+    // pin against the what-if table the profile feeds: the recommended
+    // delay's kept_frac meets the target and every smaller candidate's
+    // does not (pipe_watermark_fit uses the same candidate grid)
+    val fit = graft.queries.PipelineQueries.pipeWatermarkFit(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("delay_s").toLong -> r.getAs[Double]("kept_frac"))
+      .toMap
+    fit.keySet.intersect(cands.toSet) match { case ks => assert(ks == cands.toSet) }
+    cands.find(fit(_) >= target) match {
+      case Some(best) => assert(secs == best,
+        s"recommender must pick the smallest qualifying candidate ($best), got $secs")
+      case None => assert(secs > cands.max,
+        "with no qualifying candidate the fallback must exceed every candidate")
+    }
+    // the fallback path explicitly: if 0 s keeps less than everything, a
+    // target of 1.0 over candidates {0} must recommend covering the max
+    // observed disorder instead of returning the unqualified candidate
+    val all = GraftPipeline.recommendWatermarkDelay(
+      ev, "user_id", "event_id", "ts", 1.0, Seq(0L))
+    if (fit(0L) < 1.0) assert(all != "0 seconds") else assert(all == "0 seconds")
+  }
+
+  test("watermark recommender hand-off: the delay gates a streaming agg as profiled") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.streaming.OutputMode
+    // synthetic profile: user 0 emits t=0..99s in order, then 5 events
+    // re-emitted 50 s late (disorder exactly 50 s within the arrival seq)
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val onTime = (0L until 100L).map(i => (0L, i, ts(i)))
+    val late = (0L until 5L).map(i => (0L, 100L + i, ts(50L + i))) // 50s behind hwm
+    val profile = (onTime ++ late).toDF("user_id", "event_id", "ts")
+    val rec = GraftPipeline.recommendWatermarkDelay(
+      profile, "user_id", "event_id", "ts", 1.0, Seq(0L, 10L, 60L))
+    assert(rec == "60 seconds") // smallest candidate covering the 50s tail
+
+    // replay in arrival order under each delay: a watermarked window-count
+    // drops the late rows iff the delay is below the profiled disorder
+    def runWith(delay: String): Long = {
+      val mem = MemoryStream[(Long, Long, Timestamp)]
+      val name = s"graft_wm_${delay.replace(' ', '_')}"
+      val q = mem.toDF().toDF("user_id", "event_id", "ts")
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "10 seconds")).count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      mem.addData(onTime: _*)
+      q.processAllAvailable() // watermark now 99s - delay
+      mem.addData(late: _*)
+      q.processAllAvailable()
+      mem.addData((0L, 999L, ts(100000L))) // sentinel: close every window
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).filter(col("window.start") < ts(100000L))
+        .agg(sum("count")).collect().head.getLong(0)
+    }
+    assert(runWith(rec) == 105L)          // recommended delay keeps 100%
+    assert(runWith("0 seconds") == 100L)  // no budget: the 5 late rows drop
+  }
+
   test("annAssignGate rejects inputs colliding with its output/staging columns") {
     val cent = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
     val clash1 = Seq((1L, Seq(1.0, 0.0), 5)).toDF("vec_id", "v", "list_id")
