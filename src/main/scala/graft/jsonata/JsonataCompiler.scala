@@ -65,11 +65,14 @@ import org.apache.spark.sql.types._
   * keep failing loudly at compile time; the divergences above are pinned
   * by JsonataSpec cases.
   *
-  * Builtin coverage (2.0 function library): complete except, by the same
-  * contract, $eval (would require run-time interpretation),
-  * $formatNumber's per-picture options argument, and $formatInteger /
-  * $parseInteger word pictures ('w'/'W'/'Ww' — locale word tables; digit
-  * and roman pictures are supported). Each throws at compile time.
+  * Builtin coverage (2.0 function library): complete. $formatNumber
+  * takes the XPath decimal-format options argument; $formatInteger /
+  * $parseInteger support digit (with ';o' ordinal), roman i/I, letter
+  * a/A, and English word w/W/Ww pictures; $eval compiles its expression
+  * inline and therefore requires a string-LITERAL argument (a
+  * runtime-computed expression string would need per-record
+  * interpretation, which this contract excludes — it throws at compile
+  * time, the only remaining carve-out).
   * ($random/$shuffle delegate to Spark's rand()/shuffle(): valid samples,
   * but like all nondeterministic expressions they may differ across task
   * retries — don't key routing decisions on them.)
@@ -669,19 +672,44 @@ object JsonataCompiler {
       case "formatInteger" =>
         arity(2)
         val n = num(arg(0)).col.cast(LongType)
-        litStr(args(1)) match {
+        val (pic, ordinal) = splitPicture(name, litStr(args(1)))
+        pic match {
           case "i" | "I" =>
             val roman = romanColumn(n)
-            Typed(if (litStr(args(1)) == "i") lower(roman) else roman, StringType)
-          case pic if pic.forall(c => c == '0' || c == '#' || c == ',') =>
-            Typed(call_function("format_number", n, lit(pic)), StringType)
+            Typed(if (pic == "i") lower(roman) else roman, StringType)
+          case "w" | "W" | "Ww" =>
+            // XPath fn:format-integer semantics as implemented by the
+            // jsonata-js engine the reference delegates to: British
+            // "and", ", " between magnitude groups, hyphenated tens.
+            // Bounded closed-form (no recursion): |n| < 10^15, guarded
+            // with a loud raise_error beyond.
+            val w = when(abs(n) >= 1000000000000000L,
+              raise_error(lit("$formatInteger word pictures support |n| < 10^15"))
+                .cast(StringType))
+              .otherwise(wordsColumn(n, ordinal))
+            Typed(pic match {
+              case "w" => lower(w)
+              case "W" => upper(w)
+              case _   => w
+            }, StringType)
+          case "a" | "A" =>
+            Typed(lettersColumn(n, if (pic == "a") 'a' else 'A'), StringType)
+          case p if p.nonEmpty && p.forall(c => c.isDigit || c == '#' || c == ',') =>
+            // any mandatory-digit char standardizes to '0' (same width
+            // semantics); ';o' appends the English ordinal suffix
+            val std = p.map(c => if (c.isDigit) '0' else c)
+            val formatted = call_function("format_number", n, lit(std))
+            Typed(if (ordinal) concat(formatted, ordinalSuffix(n)) else formatted,
+              StringType)
           case other =>
             throw new JsonataCompileError(
-              s"$$formatInteger picture '$other' not supported (digit pictures and i/I roman)")
+              s"$$formatInteger picture '$other' not supported " +
+                "(digit pictures, i/I roman, a/A letters, w/W/Ww words)")
         }
       case "parseInteger" =>
         arity(2)
-        litStr(args(1)) match {
+        val (pPic, _) = splitPicture(name, litStr(args(1)))
+        pPic match {
           case "i" | "I" =>
             val vals = transform(split(upper(str(arg(0))), ""),
               c => element_at(romanValues, c))
@@ -690,11 +718,19 @@ object JsonataCompiler {
             Typed(aggregate(sequence(lit(1), nCh), lit(0L), (acc, i) =>
               acc + when(i < nCh && element_at(vals, i) < element_at(vals, i + 1),
                 -element_at(vals, i)).otherwise(element_at(vals, i))), LongType)
-          case pic if pic.forall(c => c == '0' || c == '#' || c == ',') =>
+          case "w" | "W" | "Ww" =>
+            Typed(parseWordsColumn(str(arg(0))), LongType)
+          case "a" | "A" =>
+            // inverse bijective base-26: fold chars as n*26 + (ch - base + 1)
+            val chars = split(lower(str(arg(0))), "")
+            Typed(aggregate(chars, lit(0L), (acc, c) =>
+              acc * 26L + (ascii(c).cast(LongType) - lit('a'.toLong) + 1L)), LongType)
+          case pic if pic.nonEmpty && pic.forall(c => c.isDigit || c == '#' || c == ',') =>
             Typed(regexp_replace(str(arg(0)), "[^0-9-]", "").cast(LongType), LongType)
           case other =>
             throw new JsonataCompileError(
-              s"$$parseInteger picture '$other' not supported (digit pictures and i/I roman)")
+              s"$$parseInteger picture '$other' not supported " +
+                "(digit pictures, i/I roman, a/A letters, w/W/Ww words)")
         }
 
       // aggregation over sequences
@@ -979,6 +1015,24 @@ object JsonataCompiler {
           struct(merged.map { case (n, (c, _)) => c.as(n) }.toSeq: _*),
           StructType(merged.map { case (n, (_, dt)) => StructField(n, dt) }.toSeq))
 
+      // $eval: the argument expression is parsed and compiled INLINE at
+      // plan time — sound because the contract requires a string literal
+      // (the overwhelmingly common use: a config-supplied expression
+      // constant per query). A runtime-computed expression string would
+      // need a per-record interpreter, which the tier-3 contract
+      // excludes — that case still fails loudly here at compile time.
+      case "eval" =>
+        arity(1, 2)
+        val src = args(0) match {
+          case JString(s) => s
+          case other => throw new JsonataCompileError(
+            s"$$eval requires a string-literal expression (got $other): " +
+              "dynamic expression strings would need run-time interpretation, " +
+              "which the codegen-only contract excludes")
+        }
+        val evalCtx = if (args.length == 2) arg(1) else ctx
+        compileNode(JsonataParser.parse(src), evalCtx, env)
+
       case other => throw new JsonataCompileError(s"unsupported function $$$other")
     }
   }
@@ -1021,6 +1075,161 @@ object JsonataCompiler {
     lit("I"), lit(1L), lit("V"), lit(5L), lit("X"), lit(10L),
     lit("L"), lit(50L), lit("C"), lit(100L), lit("D"), lit(500L),
     lit("M"), lit(1000L))
+
+  /** Split an XPath picture into (primary, ordinal?): `'w;o'` → ("w", true).
+    * Only the `o` format modifier is meaningful in English (jsonata-js
+    * likewise keys on the leading 'o'); anything else compile-errors.
+    */
+  private def splitPicture(fn: String, full: String): (String, Boolean) =
+    full.split(";", 2) match {
+      case Array(p)                       => (p, false)
+      case Array(p, m) if m.startsWith("o") => (p, true)
+      case Array(_, m) => throw new JsonataCompileError(
+        s"$$$fn picture modifier ';$m' not supported (only ';o' ordinal)")
+    }
+
+  // word tables for $formatInteger / $parseInteger word pictures —
+  // Title-Case base forms per the jsonata-js engine; 'w' lowercases the
+  // whole result, 'W' uppercases, 'Ww' keeps the title-case forms with
+  // lowercase connectors ("and")
+  private val fewWords = Seq("Zero", "One", "Two", "Three", "Four", "Five",
+    "Six", "Seven", "Eight", "Nine", "Ten", "Eleven", "Twelve", "Thirteen",
+    "Fourteen", "Fifteen", "Sixteen", "Seventeen", "Eighteen", "Nineteen")
+  private val fewOrdWords = Seq("Zeroth", "First", "Second", "Third", "Fourth",
+    "Fifth", "Sixth", "Seventh", "Eighth", "Ninth", "Tenth", "Eleventh",
+    "Twelfth", "Thirteenth", "Fourteenth", "Fifteenth", "Sixteenth",
+    "Seventeenth", "Eighteenth", "Nineteenth")
+  private val decadeWords = Seq("Twenty", "Thirty", "Forty", "Fifty", "Sixty",
+    "Seventy", "Eighty", "Ninety")
+  private val magnitudeWords =
+    Seq("Trillion" -> 1000000000000L, "Billion" -> 1000000000L,
+      "Million" -> 1000000L, "Thousand" -> 1000L)
+
+  /** English number words of a long (|n| < 10^15), closed-form: nested
+    * element_at/CASE over per-place literal arrays — codegen'd, no
+    * recursion or UDF. Faithful to the jsonata-js rendering: magnitude
+    * groups joined with ", ", a final group under 100 joined with
+    * " and ", tens hyphenated ("Forty-Two"), ordinal forms applied to
+    * the last spoken word ("One Hundred and Twenty-Third",
+    * "One Thousandth").
+    */
+  private def wordsColumn(n0: Column, ordinal: Boolean): Column = {
+    // Column./ is DOUBLE division; all quotients here are long place values
+    def idiv(a: Column, b: Long): Column = floor(a / b).cast(LongType)
+    val few = array(fewWords.map(lit): _*)
+    val ords = array(fewOrdWords.map(lit): _*)
+    val decades = array(decadeWords.map(lit): _*)
+    val decadesOrd = array(decadeWords.map(w => lit(w.dropRight(1) + "ieth")): _*)
+    def baseWord(m: Column, ord: Boolean): Column =
+      element_at(if (ord) ords else few, m.cast(IntegerType) + 1)
+    def decade(m: Column, ord: Boolean): Column =
+      element_at(if (ord) decadesOrd else decades, m.cast(IntegerType) - 1)
+    // 1..99 with the caller's connector: " and " when anything precedes
+    def tens(m: Column, prev: Column, ord: Boolean): Column = {
+      val andC = when(prev, lit(" and ")).otherwise(lit(""))
+      val d = idiv(m, 10L)
+      val r = m % 10L
+      when(m <= 19L, concat(andC, baseWord(m, ord)))
+        .otherwise(concat(andC,
+          when(r > 0L, concat(decade(d, ord = false), lit("-"), baseWord(r, ord)))
+            .otherwise(decade(d, ord))))
+    }
+    // 1..999; hundreds connect with ", " and carry " and " inside
+    def small3(m: Column, prev: Column, ord: Boolean): Column = {
+      val h = idiv(m, 100L)
+      val r = m % 100L
+      when(m < 100L, tens(m, prev, ord))
+        .otherwise(concat(
+          when(prev, lit(", ")).otherwise(lit("")),
+          baseWord(h, ord = false), lit(" Hundred"),
+          when(r > 0L, tens(r, lit(true), ord))
+            .otherwise(lit(if (ord) "th" else ""))))
+    }
+    val v = abs(n0)
+    // magnitude groups highest-first; `prev` accumulates left to right;
+    // ordinal "th" lands on a magnitude word only when nothing follows it
+    val (parts, prevAfter) =
+      magnitudeWords.foldLeft((Seq.empty[Column], lit(false))) {
+        case ((acc, prev), (word, base)) =>
+          val mant =
+            if (base == 1000000000000L) idiv(v, base) else idiv(v, base) % 1000L
+          val part = when(mant > 0L, concat(
+            when(prev, lit(", ")).otherwise(lit("")),
+            small3(mant, lit(false), ord = false),
+            lit(" " + word),
+            if (ordinal) when(v % base === 0L, lit("th")).otherwise(lit(""))
+            else lit(""))).otherwise(lit(""))
+          (acc :+ part, prev || mant > 0L)
+      }
+    val d0 = v % 1000L
+    val d0part = when(d0 > 0L, small3(d0, prevAfter, ordinal)).otherwise(lit(""))
+    val words = when(v === 0L, lit(if (ordinal) "Zeroth" else "Zero"))
+      .otherwise(concat(parts :+ d0part: _*))
+    when(n0 < 0L, concat(lit("-"), words)).otherwise(words)
+  }
+
+  /** Inverse of the word rendering: tokenize on whitespace/comma/hyphen,
+    * drop "and", look each token up in one literal map (cardinal AND
+    * ordinal forms), then fold with the classic (total, current)
+    * accumulator: ×100 scales the current group, a magnitude word
+    * flushes it into the total, anything else adds. One aggregate()
+    * over a bounded token array — codegen'd, no UDF.
+    */
+  private def parseWordsColumn(s: Column): Column = {
+    val entries: Seq[(String, Long)] =
+      fewWords.zipWithIndex.map { case (w, i) => w.toLowerCase -> i.toLong } ++
+      fewOrdWords.zipWithIndex.map { case (w, i) => w.toLowerCase -> i.toLong } ++
+      decadeWords.zipWithIndex.map { case (w, i) => w.toLowerCase -> ((i + 2) * 10L) } ++
+      decadeWords.zipWithIndex.map { case (w, i) =>
+        (w.dropRight(1) + "ieth").toLowerCase -> ((i + 2) * 10L) } ++
+      Seq("hundred" -> 100L, "hundredth" -> 100L) ++
+      magnitudeWords.flatMap { case (w, v) =>
+        Seq(w.toLowerCase -> v, (w.toLowerCase + "th") -> v) }
+    val wordValues = map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val sl = lower(s)
+    val toks = filter(
+      split(regexp_replace(sl, "(^-)|\\band\\b", " "), "[\\s,-]+"),
+      t => length(t) > 0)
+    val vals = transform(toks, t => element_at(wordValues, t))
+    val folded = aggregate(vals,
+      struct(lit(0L).as("total"), lit(0L).as("cur")),
+      (acc, x) => {
+        val total = acc.getField("total")
+        val cur = acc.getField("cur")
+        when(x === 100L,
+          struct(total.as("total"), (greatest(cur, lit(1L)) * 100L).as("cur")))
+          .when(x >= 1000L,
+            struct((total + greatest(cur, lit(1L)) * x).as("total"), lit(0L).as("cur")))
+          .otherwise(struct(total.as("total"), (cur + x).as("cur")))
+      })
+    val mag = folded.getField("total") + folded.getField("cur")
+    when(sl.startsWith("-"), -mag).otherwise(mag)
+  }
+
+  /** Bijective base-26 letter numbering (1→a, 26→z, 27→aa); 14 unrolled
+    * places cover the full Long range.
+    */
+  private def lettersColumn(n0: Column, base: Char): Column = {
+    val v = abs(n0)
+    val places =
+      Iterator.iterate(v)(m => floor((m - 1L) / 26L).cast(LongType)).take(14).toSeq
+    val chars = places.map(m =>
+      when(m > 0L, call_function("char", (m - 1L) % 26L + lit(base.toLong)))
+        .otherwise(lit("")))
+    val word = concat(chars.reverse: _*)
+    when(n0 < 0L, concat(lit("-"), word)).otherwise(word)
+  }
+
+  /** English ordinal suffix of a long: 11/12/13 → th, else by last digit. */
+  private def ordinalSuffix(n: Column): Column = {
+    val m100 = abs(n) % 100L
+    val m10 = abs(n) % 10L
+    when(m100.isin(11L, 12L, 13L), lit("th"))
+      .when(m10 === 1L, lit("st"))
+      .when(m10 === 2L, lit("nd"))
+      .when(m10 === 3L, lit("rd"))
+      .otherwise(lit("th"))
+  }
 
   private def numArr(t: Typed): Column = t.dt match {
     case ArrayType(et, _) if isNumeric(et) => t.col.cast(ArrayType(DoubleType))

@@ -451,7 +451,67 @@ class JsonataSpec extends SparkTestBase {
     assert(evalOn(sensorJson, sensorSchema, "$parseInteger('1,234', '#,##0')") == 1234L)
     assert(evalOn(sensorJson, sensorSchema, "$parseInteger('MCMLXXXIV', 'I')") == 1984L)
     assert(evalOn(sensorJson, sensorSchema, "$parseInteger('xlix', 'i')") == 49L)
-    intercept[Exception](evalOn(sensorJson, sensorSchema, "$formatInteger(5, 'w')"))
+  }
+
+  test("$formatInteger word pictures match public jsonata-js renderings") {
+    def fi(e: String): Any = evalOn(sensorJson, sensorSchema, e)
+    assert(fi("$formatInteger(0, 'w')") == "zero")
+    assert(fi("$formatInteger(9, 'w')") == "nine")
+    assert(fi("$formatInteger(12, 'w')") == "twelve")
+    assert(fi("$formatInteger(16, 'W')") == "SIXTEEN")
+    assert(fi("$formatInteger(42, 'w')") == "forty-two")
+    assert(fi("$formatInteger(123, 'w')") == "one hundred and twenty-three")
+    assert(fi("$formatInteger(1000, 'w')") == "one thousand")
+    assert(fi("$formatInteger(1100, 'w')") == "one thousand, one hundred")
+    assert(fi("$formatInteger(2789, 'w')")
+      == "two thousand, seven hundred and eighty-nine")
+    assert(fi("$formatInteger(1001, 'w')") == "one thousand and one")
+    assert(fi("$formatInteger(123, 'Ww')") == "One Hundred and Twenty-Three")
+    assert(fi("$formatInteger(1234567890123, 'w')")
+      == "one trillion, two hundred and thirty-four billion, " +
+         "five hundred and sixty-seven million, eight hundred and " +
+         "ninety thousand, one hundred and twenty-three")
+    assert(fi("$formatInteger(-42, 'w')") == "-forty-two")
+    // ordinals
+    assert(fi("$formatInteger(1, 'w;o')") == "first")
+    assert(fi("$formatInteger(12, 'w;o')") == "twelfth")
+    assert(fi("$formatInteger(20, 'w;o')") == "twentieth")
+    assert(fi("$formatInteger(21, 'w;o')") == "twenty-first")
+    assert(fi("$formatInteger(100, 'w;o')") == "one hundredth")
+    assert(fi("$formatInteger(123, 'w;o')") == "one hundred and twenty-third")
+    assert(fi("$formatInteger(1000, 'w;o')") == "one thousandth")
+    assert(fi("$formatInteger(1001, 'w;o')") == "one thousand and first")
+    // digit-picture ordinals
+    assert(fi("$formatInteger(12, '1;o')") == "12th")
+    assert(fi("$formatInteger(21, '1;o')") == "21st")
+    assert(fi("$formatInteger(22, '1;o')") == "22nd")
+    assert(fi("$formatInteger(113, '1;o')") == "113th")
+    // letter pictures (bijective base-26)
+    assert(fi("$formatInteger(1, 'a')") == "a")
+    assert(fi("$formatInteger(26, 'a')") == "z")
+    assert(fi("$formatInteger(27, 'A')") == "AA")
+    assert(fi("$formatInteger(57, 'a')") == "be")
+    // round-trips through $parseInteger
+    assert(fi("$parseInteger('forty-two', 'w')") == 42L)
+    assert(fi("$parseInteger('one hundred and twenty-three', 'w')") == 123L)
+    assert(fi("$parseInteger('Twelfth', 'Ww')") == 12L)
+    assert(fi("$parseInteger('one trillion, two hundred and thirty-four " +
+      "billion, five hundred and sixty-seven million, eight hundred and " +
+      "ninety thousand, one hundred and twenty-three', 'w')") == 1234567890123L)
+    assert(fi("$parseInteger('be', 'a')") == 57L)
+    assert(fi("$parseInteger('AA', 'A')") == 27L)
+    // unknown picture/modifier still compile-time errors
+    intercept[Exception](fi("$formatInteger(5, 'α')"))
+    intercept[Exception](fi("$formatInteger(5, 'w;x')"))
+  }
+
+  test("$eval compiles literal expression strings inline; rejects dynamic ones") {
+    assert(evalOn(sensorJson, sensorSchema, "$eval('2 + 3')") == 5L)
+    assert(evalOn(sensorJson, sensorSchema, "$eval('watts * 2')") == 15.0)
+    assert(evalOn(nestedJson, nestedSchema, "$eval('$sum(t)', readings)") == 43.6)
+    assert(evalOn(sensorJson, sensorSchema,
+      "($f := 3; $eval('$f + 1'))") == 4L)
+    intercept[JsonataCompileError](evalOn(sensorJson, sensorSchema, "$eval(name)"))
   }
 
   test("$single returns the lone match and errors on 0 or many") {
