@@ -1165,7 +1165,9 @@ object JsonataCompiler {
     val d0part = when(d0 > 0L, small3(d0, prevAfter, ordinal)).otherwise(lit(""))
     val words = when(v === 0L, lit(if (ordinal) "Zeroth" else "Zero"))
       .otherwise(concat(parts :+ d0part: _*))
-    when(n0 < 0L, concat(lit("-"), words)).otherwise(words)
+    // null in → null out (JSONata: undefined), not the empty-concat ""
+    when(n0.isNull, lit(null).cast(StringType))
+      .when(n0 < 0L, concat(lit("-"), words)).otherwise(words)
   }
 
   /** Inverse of the word rendering: tokenize on whitespace/comma/hyphen,
@@ -1217,7 +1219,8 @@ object JsonataCompiler {
       when(m > 0L, call_function("char", (m - 1L) % 26L + lit(base.toLong)))
         .otherwise(lit("")))
     val word = concat(chars.reverse: _*)
-    when(n0 < 0L, concat(lit("-"), word)).otherwise(word)
+    when(n0.isNull, lit(null).cast(StringType))
+      .when(n0 < 0L, concat(lit("-"), word)).otherwise(word)
   }
 
   /** English ordinal suffix of a long: 11/12/13 → th, else by last digit. */

@@ -145,6 +145,57 @@ object PipelineQueries {
       .orderBy("event_id", "mkey")
   }
 
+  /** T1 tier-4 surface: the XPath picture/eval tail of the builtin
+    * library — digit-ordinal, English-word (cardinal and Title-ordinal),
+    * and letter $formatInteger pictures, a words round-trip through
+    * $parseInteger, and a static $eval — all compiled to closed-form
+    * codegen'd CASE/array-lookup trees (zero interpretation, zero UDFs).
+    * The DuckDB oracle renders the same words through an enumerated
+    * 100-arm CASE generated from the same lookup tables, so the two
+    * engines agree arm by arm rather than sharing the composition logic.
+    */
+  def pipeJsonataT4(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val staged = withParsedJson(ev, col("props"), propsSchema, "p", col("event_id"))
+    val out = graft.jsonata.JsonataCompiler.compile(
+      """($n := k % 100;
+        | {"ord": $formatInteger(k, '1;o'),
+        |  "words": $formatInteger($n, 'w'),
+        |  "wordo": $formatInteger($n, 'Ww;o'),
+        |  "letter": $formatInteger((k % 26) + 1, 'a'),
+        |  "rt": $parseInteger($formatInteger($n, 'w'), 'w'),
+        |  "ev": $eval('k * 3')})""".stripMargin,
+      col("p"), propsSchema)
+    staged.filter(parseOk(col("p")) && col("p.k").isNotNull)
+      .select(col("event_id"), out.as("o"))
+      .select(col("event_id"), col("o.ord").as("ord"), col("o.words").as("words"),
+        col("o.wordo").as("wordo"), col("o.letter").as("letter"),
+        col("o.rt").as("rt"), col("o.ev").as("ev"))
+      .orderBy("event_id")
+  }
+
+  // oracle-side English word tables for pipe_jsonata_t4 (0..99)
+  private val enFew = Seq("Zero", "One", "Two", "Three", "Four", "Five", "Six",
+    "Seven", "Eight", "Nine", "Ten", "Eleven", "Twelve", "Thirteen", "Fourteen",
+    "Fifteen", "Sixteen", "Seventeen", "Eighteen", "Nineteen")
+  private val enFewOrd = Seq("Zeroth", "First", "Second", "Third", "Fourth",
+    "Fifth", "Sixth", "Seventh", "Eighth", "Ninth", "Tenth", "Eleventh",
+    "Twelfth", "Thirteenth", "Fourteenth", "Fifteenth", "Sixteenth",
+    "Seventeenth", "Eighteenth", "Nineteenth")
+  private val enDecades = Seq("Twenty", "Thirty", "Forty", "Fifty", "Sixty",
+    "Seventy", "Eighty", "Ninety")
+  private def enWords(n: Int): String =
+    if (n <= 19) enFew(n)
+    else if (n % 10 == 0) enDecades(n / 10 - 2)
+    else enDecades(n / 10 - 2) + "-" + enFew(n % 10)
+  private def enOrdWords(n: Int): String =
+    if (n <= 19) enFewOrd(n)
+    else if (n % 10 == 0) enDecades(n / 10 - 2).dropRight(1) + "ieth"
+    else enDecades(n / 10 - 2) + "-" + enFewOrd(n % 10)
+  private def wordsCaseSql(expr: String, render: Int => String): String =
+    (0 to 99).map(i => s"WHEN $i THEN '${render(i)}'")
+      .mkString(s"CASE $expr ", " ", " END")
+
   /** Gap-based sessionization over the event stream (30-min inactivity gap)
     * — the batch analog of stateful stream sessionization; lag + running
     * sum of new-session flags, all window functions (single shuffle on
@@ -543,6 +594,7 @@ object PipelineQueries {
     "pipe_jsonata" -> pipeJsonata,
     "pipe_jsonata_t2" -> pipeJsonataT2,
     "pipe_jsonata_t3" -> pipeJsonataT3,
+    "pipe_jsonata_t4" -> pipeJsonataT4,
     "pipe_asof_join" -> pipeAsofJoin,
     "pipe_interval_join" -> pipeIntervalJoin,
     "pipe_sessionize" -> pipeSessionize,
@@ -613,6 +665,24 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT event_id, 'fixed', CAST(user_id % 100 AS DOUBLE) FROM events)
         |ORDER BY event_id, mkey""".stripMargin,
+    "pipe_jsonata_t4" ->
+      s"""WITH b AS (
+         |  SELECT event_id, CAST(props->>'$$.k' AS BIGINT) AS k
+         |  FROM events
+         |  WHERE json_valid(props) AND (props->>'$$.k') IS NOT NULL)
+         |SELECT event_id,
+         |       CAST(k AS VARCHAR) ||
+         |         CASE WHEN k % 100 IN (11, 12, 13) THEN 'th'
+         |              WHEN k % 10 = 1 THEN 'st'
+         |              WHEN k % 10 = 2 THEN 'nd'
+         |              WHEN k % 10 = 3 THEN 'rd'
+         |              ELSE 'th' END AS ord,
+         |       ${wordsCaseSql("k % 100", n => enWords(n).toLowerCase)} AS words,
+         |       ${wordsCaseSql("k % 100", enOrdWords)} AS wordo,
+         |       chr(97 + CAST(k % 26 AS INT)) AS letter,
+         |       CAST(k % 100 AS BIGINT) AS rt,
+         |       CAST(k * 3 AS BIGINT) AS ev
+         |FROM b ORDER BY event_id""".stripMargin,
     "pipe_cadence" ->
       """WITH g AS (
         |  SELECT user_id, event_type,

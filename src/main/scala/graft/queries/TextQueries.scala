@@ -23,6 +23,7 @@ object TextQueries {
   private val NumHashes = 16
   private val RowsPerBand = 4
   private val ShingleK = 3
+  private val SourceCapK = 10
 
   /** Exact dedup on content hash: first doc_id in each md5 cluster wins. */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -793,6 +794,68 @@ object TextQueries {
         round(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") /
           sum("c").cast("double"), 6).as("dup_frac"))
       .orderBy("doc_id")
+
+  /** First-occurrence shingle novelty: the share of a document's DISTINCT
+    * shingles that no earlier document (by doc_id, the corpus's arrival
+    * order) contains. The statistic behind novelty-ordered ingestion and
+    * "diminishing returns" curves for continued crawling: a feed whose
+    * per-doc novelty decays has been exhausted.
+    *
+    * Scale: distinct (doc, shingle) relation → min(doc_id) per shingle
+    * (vocabulary-sized partial aggregate) → join back on shingle → per-doc
+    * counts. Two shuffles on the open shingle vocabulary plus one on
+    * doc_id — the same open-vocabulary join shape as text_tfidf, so the
+    * join strategy is left to AQE (shuffle join at 100 TB; no broadcast
+    * hint on an unbounded side).
+    */
+  def textNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"), explode(wordShingles(col("toks"), ShingleK)).as("sh"))
+      .distinct()
+    val firstSeen = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel").cast("double") /
+        col("n_shingles").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document cap — the per-domain limit every web-scale
+    * curation stack applies so no single domain dominates the corpus:
+    * rank each source's documents by the blended quality score (ties
+    * broken by doc_id) and keep the top [[SourceCapK]].
+    *
+    * Scale: the quality parts are per-row projections off one staged
+    * scan; the rank is one shuffle on source plus a sort within each
+    * source partition, bounded by the largest domain (domains number in
+    * the millions at 100 TB, so partitions stay small). For a
+    * pathologically dominant domain, the two-phase variant — an
+    * approx-quantile quality threshold at rank K per source, then a
+    * filter — replaces the sort with a scan at the cost of threshold-tie
+    * exactness; a documented dial, unnecessary at these SFs.
+    */
+  def corpusSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = stageBarrier(Tables.documents(s, dir),
+      Seq(col("doc_id"), col("source"), t), "toks" -> tokens(t))
+    val parts = stageBarrier(toks, Seq(col("doc_id"), col("source")),
+      "n_chars" -> length(t),
+      "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")),
+      "n_toks" -> size(col("toks")),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn))
+    val byQuality = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    parts.select(col("doc_id"), col("source"),
+        qualityScoreFromParts(col("n_chars"), col("alpha_len"),
+          col("n_toks"), col("stop_hits")).as("quality"))
+      .withColumn("src_rank", row_number().over(byQuality).cast("long"))
+      .withColumn("kept", col("src_rank") <= SourceCapK)
+      .orderBy("doc_id")
+  }
 
   /** Per-document average unigram log-likelihood under the corpus unigram
     * distribution — the cheap CCNet-style "LM quality" proxy (real
@@ -2216,6 +2279,8 @@ object TextQueries {
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_dup_ngrams" -> textDupNgrams,
+    "text_novelty" -> textNovelty,
+    "corpus_source_cap" -> corpusSourceCap,
     "text_unigram_lp" -> textUnigramLp,
     "text_bigram_lp" -> textBigramLp,
     "text_kl_drift" -> textKlDrift,
@@ -3332,6 +3397,27 @@ object TextQueries {
          |       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE /
          |             sum(c)::DOUBLE, 6) AS dup_frac
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest($shinglesSql) AS sh
+         |  FROM t WHERE len(toks) >= $ShingleK)),
+         |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_novel,
+         |       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE /
+         |             count(*)::DOUBLE, 6) AS novelty
+         |FROM sh JOIN f USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_source_cap" ->
+      s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents),
+         |r AS (SELECT doc_id, source, quality,
+         |             row_number() OVER (PARTITION BY source
+         |                                ORDER BY quality DESC, doc_id) AS src_rank
+         |      FROM q)
+         |SELECT doc_id, source, quality, src_rank, src_rank <= $SourceCapK AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_unigram_lp" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
