@@ -30,6 +30,32 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  // ---- Bloom bitmask (shared: text_bloom batch query + noveltyGate) -----
+  val BloomBits = 1024   // filter size m (positions 0..m-1)
+  val BloomHashes = 4    // k seeded h32 hashes per shingle
+
+  /** The k seeded positions of one shingle hash — universal-hash mixes of
+    * a single h32, so the whole probe costs one md5 per shingle however
+    * many hash functions the filter uses. `bits` sizes the filter
+    * (deployments size m to the corpus; text_bloom's oracle pins the
+    * default geometry).
+    */
+  def bloomPositions(h: Column, bits: Int = BloomBits): Column =
+    array((0 until BloomHashes).map(i =>
+      pmod((lit(i + 1L) * h + lit(i.toLong)) % 1000000007L,
+        lit(bits.toLong))): _*)
+
+  /** 2^(p mod 32) exact as double for bits < 32 (the bitAt idiom). */
+  def bloomBit(p: Column): Column =
+    pow(lit(2.0), pmod(p, lit(32L))).cast("long")
+
+  /** O(1) membership probe: array index + bit test against a dense
+    * 32-bit-word bitmask (BloomBits/32 longs).
+    */
+  def bloomMember(bloomArr: Column, p: Column): Column =
+    element_at(bloomArr, (p / 32).cast("int") + 1)
+      .bitwiseAND(bloomBit(p)) =!= 0L
+
   /** Token count via regex word-ish matching — a cheap BPE-ish proxy:
     * runs of word chars or single non-space punctuation.
     */

@@ -1877,8 +1877,8 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  private val BloomBits = 1024   // filter size m (positions 0..m-1)
-  private val BloomHashes = 4    // k seeded h32 hashes per shingle
+  // Bloom geometry lives in TextFunctions (BloomBits/BloomHashes), shared
+  // with the streaming noveltyGate so batch and stream probe one filter
 
   /** Bloom-filter decontamination — the join→broadcast-filter rewrite of
     * [[textContaminate]] for when the eval set outgrows a comfortable
@@ -1904,29 +1904,22 @@ object TextQueries {
       .select(col("doc_id"),
         explode(array_distinct(wordShingles(col("toks"), ShingleK))).as("sh"))
       .withColumn("h", h32(col("sh")))
-    def positions = array((0 until BloomHashes).map(i =>
-      pmod((lit(i + 1L) * col("h") + lit(i.toLong)) % 1000000007L,
-        lit(BloomBits.toLong))): _*)
-    // 2^(p mod 32) exact as double for bits < 32 (TextFunctions.bitAt idiom)
-    def bitOf(p: Column): Column =
-      pow(lit(2.0), pmod(p, lit(32L))).cast("long")
+    def positions = bloomPositions(col("h"))
     // the filter is a DENSE 32-word bitmask, not a position list: the
     // probe must be an O(1) array index + bit test per hash — a
     // list-membership scan is m× slower per shingle and the list form
     // buys nothing (measured 8× on the whole query at sf0.1)
     val bloom = shingled.filter(col("doc_id") < BenchDocs)
       .select(explode(positions).as("p"))
-      .select((col("p") / 32).cast("int").as("w"), bitOf(col("p")).as("bit"))
+      .select((col("p") / 32).cast("int").as("w"), bloomBit(col("p")).as("bit"))
       .groupBy("w").agg(bit_or(col("bit")).as("bits"))
       .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("m"))
       .select(transform(sequence(lit(0), lit(Words - 1)),
         w => coalesce(element_at(col("m"), w), lit(0L))).as("bloom"))
-    def member(p: Column): Column =
-      element_at(col("bloom"), (p / 32).cast("int") + 1)
-        .bitwiseAND(bitOf(p)) =!= 0L
     shingled.filter(col("doc_id") >= BenchDocs)
       .crossJoin(broadcast(bloom))
-      .select(col("doc_id"), forall(positions, member).as("hit"))
+      .select(col("doc_id"),
+        forall(positions, p => bloomMember(col("bloom"), p)).as("hit"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_shingles"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))

@@ -389,6 +389,68 @@ object GraftPipeline {
           .cast("int")).as("list_id"): _*)
   }
 
+  /** Control-plane builder for [[noveltyGate]]: the distinct k-shingles of
+    * an existing corpus aggregated into a dense Bloom bitmask
+    * (TextFunctions.BloomBits bits as BloomBits/32 longs — the exact
+    * text_bloom filter layout and hash family). The collect is bounded at
+    * 32 longs whatever the corpus size — the same frozen-index
+    * control-plane pattern as kmeansCentroids for [[annAssignGate]].
+    */
+  def noveltyBloom(docs: DataFrame, textCol: String, k: Int = 3,
+      bits: Int = graft.functions.TextFunctions.BloomBits): Seq[Long] = {
+    import graft.functions.TextFunctions._
+    require(bits > 0 && bits % 32 == 0, s"bits must be a positive multiple of 32, got $bits")
+    val words = bits / 32
+    val row = docs
+      .select(tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(explode(array_distinct(wordShingles(col("toks"), k))).as("sh"))
+      .select(explode(bloomPositions(h32(col("sh")), bits)).as("p"))
+      .select((col("p") / 32).cast("int").as("w"), bloomBit(col("p")).as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("m"))
+      .select(transform(sequence(lit(0), lit(words - 1)),
+        w => coalesce(element_at(col("m"), w), lit(0L))).as("bloom"))
+      .collect()(0)
+    row.getSeq[Long](0)
+  }
+
+  /** Streaming shingle-novelty gate — text_novelty's question ("how much
+    * of this document has the corpus not seen?") answered per arriving
+    * record against a FROZEN corpus: the existing corpus's shingles live
+    * in a Bloom bitmask ([[noveltyBloom]]) entering the plan as
+    * literal longs (the filter geometry travels with the mask, so
+    * deployments size m to their corpus), and each record's distinct
+    * shingles probe it with the text_bloom hash family. Appends `n_shingles` and
+    * `novelty` (share of shingles NOT in the filter; null when the text
+    * has fewer than k tokens). Stateless, shuffle-free, watermark-free —
+    * replay scores identically because the filter is frozen literals.
+    * Bloom error is one-sided exactly the safe way round: a false
+    * positive UNDERCOUNTS novelty (a genuinely novel shingle can look
+    * seen), so a novelty-threshold admission gate never admits
+    * duplicates it was told to stop; it can only be slightly
+    * over-conservative (~(n_corpus·k/m)^k per probe).
+    */
+  def noveltyGate(routed: DataFrame, textCol: String, bloom: Seq[Long],
+      k: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions._
+    require(bloom.nonEmpty, "noveltyGate: empty bloom bitmask")
+    val bits = bloom.length * 32 // geometry travels with the mask
+    for (c <- Seq("n_shingles", "novelty", "g_shs"))
+      require(!routed.columns.contains(c),
+        s"noveltyGate: input already has a '$c' column (reserved)")
+    val bloomArr = array(bloom.map(lit): _*)
+    val staged = stageBarrier(routed, routed.columns.map(col).toSeq,
+      "g_shs" -> array_distinct(wordShingles(tokens(col(textCol)), k)))
+    val n = size(col("g_shs"))
+    val nSeen = size(filter(col("g_shs"), sh =>
+      forall(bloomPositions(h32(sh), bits), p => bloomMember(bloomArr, p))))
+    staged.select(routed.columns.map(col) ++ Seq(
+      n.cast("long").as("n_shingles"),
+      when(n > 0, round((n - nSeen).cast("double") / n.cast("double"), 6))
+        .as("novelty")): _*)
+  }
+
   /** Streaming Count-Min build — the batch text_cms as a continuously
     * maintained aggregation: tokens hash into (row, bucket) counters,
     * update-mode emits changed counters per micro-batch. The state store

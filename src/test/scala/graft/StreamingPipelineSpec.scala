@@ -386,6 +386,57 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(spark.table("graft_ann_assign").columns.toSeq == Seq("vec_id", "v", "list_id"))
   }
 
+  test("noveltyGate: stream == batch; corpus docs read zero novelty, new docs positive") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // frozen filter over the EXISTING corpus = even doc_ids; all docs arrive.
+    // m sized to the corpus (the deployment contract): 64 Kbit keeps the
+    // false-positive rate ~1e-6 for this corpus's ~1e3 distinct shingles,
+    // where the 1 Kbit text_bloom default would saturate
+    val old = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val bloom = GraftPipeline.noveltyBloom(old, "text", bits = 65536)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    val batch = toMap(GraftPipeline.noveltyGate(docs, "text", bloom)
+      .select("doc_id", "n_shingles", "novelty").collect())
+    val arriving = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftPipeline.noveltyGate(mem.toDF().toDF("doc_id", "text"), "text", bloom)
+      .writeStream.format("memory").queryName("graft_novelty")
+      .outputMode("append").start()
+    mem.addData(arriving: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = toMap(spark.table("graft_novelty")
+      .select("doc_id", "n_shingles", "novelty").collect())
+    assert(streamed == batch) // frozen literals: no batch/stream divergence
+    // one-sided error, the safe way round: a corpus doc can NEVER read
+    // novel (no false negatives) ...
+    val oldIds = old.select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpusNv = streamed.collect {
+      case (id, (_, Some(nv))) if oldIds(id) => nv.asInstanceOf[Double] }
+    assert(corpusNv.nonEmpty && corpusNv.forall(_ == 0.0))
+    // ... while unseen docs keep positive novelty despite false positives
+    val newNv = streamed.collect {
+      case (id, (_, Some(nv))) if !oldIds(id) => nv.asInstanceOf[Double] }
+    assert(newNv.exists(_ > 0.0))
+    // gate passes the input schema through and appends its two columns
+    assert(spark.table("graft_novelty").columns.toSeq ==
+      Seq("doc_id", "text", "n_shingles", "novelty"))
+  }
+
+  test("noveltyGate rejects reserved-column collisions and bad masks") {
+    import spark.implicits._
+    val bloom = Seq.fill(32)(0L)
+    val clash = Seq((1L, "a b c d", 0.5)).toDF("doc_id", "text", "novelty")
+    intercept[IllegalArgumentException](
+      GraftPipeline.noveltyGate(clash, "text", bloom))
+    val ok = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      GraftPipeline.noveltyGate(ok, "text", Seq.empty))
+  }
+
   test("watermark recommender: smallest profiled delay meeting the target fraction") {
     val sfDir = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, sfDir)
