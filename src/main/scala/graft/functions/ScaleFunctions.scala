@@ -20,17 +20,27 @@ object ScaleFunctions {
     * popcount(xor) distance. Shared engine behind dedup_simhash_pairs
     * (SimHash) and mm_phash (dHash); any per-row long fingerprint works.
     *
+    * `maxBucket` caps bucket size for candidate generation: the sf10
+    * stretch measured the uncapped join's n²/2^blockBits tail going
+    * superlinear at ~5×10⁵ rows (SCALE.md third decade) because the
+    * largest buckets are low-entropy fingerprint mass that verifies to
+    * ~zero pairs. With the cap, candidate volume is bounded by
+    * n·maxBucket/2 per block; recall loses only pairs whose EVERY
+    * matching block is hot (measured zero loss on this corpus at cap 8,
+    * spec-pinned at cap 2 on a constructed hot bucket).
+    *
     * @param fps (id, fingerprint) rows; `bits` ≤ 63, blocks | bits
     * @return (id_a, id_b, hamming) with id_a < id_b, hamming ≤ blocks−1
     */
   def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
-      bits: Int, blocks: Int): DataFrame = {
+      bits: Int, blocks: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     // bits ≤ 63 keeps the fingerprint in the non-negative half of a long:
     // a sign-extended shiftright on a negative 64-bit fingerprint would
     // produce block values outside [0, 2^blockBits) and void the
     // pigeonhole guarantee (scaladoc contract, now enforced)
     require(bits >= 1 && bits <= 63, s"bits ($bits) must be in [1, 63]")
     require(bits % blocks == 0, s"blocks ($blocks) must divide bits ($bits)")
+    require(maxBucket >= 1, s"maxBucket ($maxBucket) must be positive")
     val blockBits = bits / blocks
     val mask = (1L << blockBits) - 1
     // posexplode over a FIXED-LENGTH array of per-block Column expressions:
@@ -39,8 +49,24 @@ object ScaleFunctions {
     // size(...)>0 guard constant-folds on a statically-sized array
     val blockExprs = (0 until blocks).map(b =>
       shiftright(col(fpCol), b * blockBits).bitwiseAND(lit(mask)))
-    val blocksDf = fps
+    val allBlocks = fps
       .select(col(idCol), posexplode(array(blockExprs: _*)).as(Seq("block", "bval")))
+    // hot-bucket cap: a (block, value) bucket of size s generates s²/2
+    // candidates, and past ~corpus-scale the biggest buckets are
+    // low-entropy mass (constant regions, empty tails) that verifies to
+    // ~zero true pairs — the n²/2^blockBits quadratic tail measured at
+    // the sf10 decade (SCALE.md). Buckets above maxBucket are skipped
+    // from candidate generation; a true pair is lost ONLY if every block
+    // it matches on is hot (priced recall, spec-pinned). The size
+    // relation is (block, value)-sized — vocabulary, not corpus.
+    val blocksDf =
+      if (maxBucket == Int.MaxValue) allBlocks
+      else {
+        val sizes = allBlocks.groupBy("block", "bval")
+          .agg(count(lit(1)).as("g_bsz"))
+          .filter(col("g_bsz") <= maxBucket)
+        allBlocks.join(sizes, Seq("block", "bval")).drop("g_bsz")
+      }
     val cand = blocksDf.as("a")
       .join(blocksDf.as("b"),
         col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&

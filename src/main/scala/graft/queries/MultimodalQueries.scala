@@ -48,6 +48,13 @@ object MultimodalQueries {
   private val PhashCells = PhashDim + 1
   private val PhashBlocks = 4      // 4 x 15-bit blocks, Hamming<=3 pigeonhole
   private val PhashBlockBits = PhashDim / PhashBlocks
+  // hot-bucket cap (ScaleFunctions.hammingPairs): the sf10 stretch put
+  // mm_dedup_cc at 4.15×/row because low-entropy fingerprint mass (empty
+  // payload tails → constant gradient blocks) collides quadratically;
+  // capping skips those buckets with measured-zero pair loss (every true
+  // pair on this corpus also matches a content-bearing block — the
+  // cap-8 sweep found all 20 pairs; 64 leaves wide margin)
+  private val HotBucketCap = 64
 
   /** Perceptual-hash (dHash, difference hash) near-dup over the MEDIA
     * plane — the multimodal analog of dedup_simhash_pairs: decode each
@@ -81,7 +88,8 @@ object MultimodalQueries {
             pow(lit(2.0), i).cast("long")).otherwise(0L)),
         lit(0L), (a, x) => a + x).as("ph"))
     graft.functions.ScaleFunctions
-      .hammingPairs(hashed, "media_id", "ph", PhashDim, PhashBlocks)
+      .hammingPairs(hashed, "media_id", "ph", PhashDim, PhashBlocks,
+        maxBucket = HotBucketCap)
   }
 
   /** Partial-copy detection across media assets: two assets sharing at
@@ -178,8 +186,11 @@ object MultimodalQueries {
        |blv AS (SELECT media_id, block,
        |        (ph >> CAST(block * $PhashBlockBits AS INT)) & ${(1 << PhashBlockBits) - 1} AS bval
        |        FROM bl),
+       |blsz AS (SELECT block, bval, count(*) AS sz FROM blv GROUP BY block, bval),
+       |blvc AS (SELECT v.media_id, v.block, v.bval FROM blv v
+       |         JOIN blsz USING (block, bval) WHERE sz <= $HotBucketCap),
        |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
-       |         FROM blv a JOIN blv b
+       |         FROM blvc a JOIN blvc b
        |         ON a.block = b.block AND a.bval = b.bval AND a.media_id < b.media_id),
        |prs AS (
        |  SELECT c.id_a, c.id_b,

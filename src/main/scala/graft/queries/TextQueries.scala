@@ -312,6 +312,11 @@ object TextQueries {
 
   private val SimhashBits = 60      // Manku web-scale width (64-class; 60 = 15 md5 hex chars)
   private val SimhashBlocks = 4     // 4 blocks x 15 bits
+  // hot-bucket cap for the pigeonhole block join (see ScaleFunctions
+  // .hammingPairs): bounds candidate volume at n·cap/2 per block against
+  // the low-entropy-fingerprint quadratic tail measured at the sf10
+  // decade; recall loss only when EVERY matching block is hot
+  private val HotBucketCap = 64
   private val SimhashBlockBits = SimhashBits / SimhashBlocks
   private val SimhashMaxHamming = SimhashBlocks - 1  // pigeonhole guarantee
 
@@ -344,7 +349,8 @@ object TextQueries {
       Seq(col("doc_id")),
       "simhash" -> simhashFromHashesBits(col("hs"), SimhashBits))
     graft.functions.ScaleFunctions
-      .hammingPairs(sims, "doc_id", "simhash", SimhashBits, SimhashBlocks)
+      .hammingPairs(sims, "doc_id", "simhash", SimhashBits, SimhashBlocks,
+        maxBucket = HotBucketCap)
       .orderBy("id_a", "id_b")
   }
 
@@ -2995,8 +3001,11 @@ object TextQueries {
          |bl AS (SELECT doc_id, simhash, unnest(range(0, $SimhashBlocks)) AS block FROM sh),
          |blv AS (SELECT doc_id, block,
          |        (simhash >> CAST(block * $SimhashBlockBits AS INT)) & ${(1 << SimhashBlockBits) - 1} AS bval FROM bl),
+         |blsz AS (SELECT block, bval, count(*) AS sz FROM blv GROUP BY block, bval),
+         |blvc AS (SELECT v.doc_id, v.block, v.bval FROM blv v
+         |         JOIN blsz USING (block, bval) WHERE sz <= $HotBucketCap),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM blv a JOIN blv b
+         |         FROM blvc a JOIN blvc b
          |         ON a.block = b.block AND a.bval = b.bval AND a.doc_id < b.doc_id)
          |SELECT c.id_a, c.id_b,
          |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming

@@ -95,10 +95,13 @@ class PlanSpec extends SparkTestBase {
     val p = physical("dedup_simhash_pairs")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
-    // candidate generation + two verify joins re-derive the signature, but
-    // each derivation runs the kernel exactly once (no md5 fan-out)
+    // candidate generation (both sides of the capped block join, each with
+    // its bucket-size branch) + two verify joins re-derive the signature,
+    // but each derivation runs the kernel exactly once (no md5 fan-out);
+    // the twin bucket-size aggregates hash-partition on the same
+    // (block, bval) keys, so AQE reuses the exchange at run time
     val o = optimized("dedup_simhash_pairs")
-    assert("graft_simhash".r.findAllIn(o).length == 4, o.take(2000))
+    assert("graft_simhash".r.findAllIn(o).length == 6, o.take(2000))
   }
 
   test("knn_lsh: band and rerank joins are key-based, never nested-loop") {

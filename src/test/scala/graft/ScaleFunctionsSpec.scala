@@ -37,6 +37,30 @@ class ScaleFunctionsSpec extends SparkTestBase {
     assert(!got.exists { case (a, b, _) => (a, b) == (3L, 103L) })
   }
 
+  test("hammingPairs hot-bucket cap skips hot mass but keeps cross-block pairs") {
+    // 40 IDENTICAL fingerprints — the low-entropy mass (constant regions,
+    // empty payload tails) that drives the quadratic candidate tail —
+    // plus one planted near-dup pair that shares the hot block-0 value
+    // but also matches on its own cold block-2/3 buckets (size 2)
+    val hotFp = (0x0BL << 18) | (0x0AL << 12)  // blocks [0, 0, 0x0A, 0x0B]
+    val hot = (0L until 40L).map(i => i -> hotFp)
+    val pairA = 200L -> 0x9A0000L              // blocks [0, 0, 0x20, 0x26]
+    val pairB = 201L -> 0x9A0040L              // hamming 1; block 1 differs
+    val rows = hot ++ Seq(pairA, pairB)
+    val fps = rows.toDF("id", "fp")
+    val uncapped = ScaleFunctions.hammingPairs(fps, "id", "fp", bits = 24, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = ScaleFunctions.hammingPairs(fps, "id", "fp", bits = 24, blocks = 4,
+      maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: all 780 hot-hot pairs + the planted pair
+    assert(uncapped.size == 40 * 39 / 2 + 1 && uncapped.contains((200L, 201L)))
+    // capped: the hot mass (whose every matching bucket exceeds the cap)
+    // is skipped — the priced recall trade — while the planted pair
+    // survives via its cold block-2/3 buckets
+    assert(capped == Set((200L, 201L)))
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     val plain = skewed.join(dim, "k").groupBy("label")
       .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
