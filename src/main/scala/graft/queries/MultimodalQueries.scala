@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.multimodal.Multimodal
 
 /** Multimodal feature-extraction surface over binary payload columns
@@ -138,12 +139,68 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  // sits at the sf0.01 transition-magnitude median (27.7), so the flag
+  // discriminates rather than fires on every frame pair of iid content
+  private val SceneCutThreshold = 28.0
+
+  /** Scene-boundary detection on the sampled-frame plane — the shot
+    * segmentation a video pipeline runs before per-scene dedup, captioning
+    * or sampling (mm_shared_frames finds IDENTICAL frames across assets;
+    * this reads CHANGE between consecutive frames within one): per
+    * adjacent sampled-frame pair the mean absolute per-byte difference
+    * over the shared prefix, a cut where it exceeds
+    * [[SceneCutThreshold]], per asset the cut count / scene count /
+    * mean / max transition magnitude. Everything after the frame
+    * Generate is per-asset local: the lag window partitions by
+    * media_id (an asset's ≤ MaxFrames frames colocate on one
+    * partition — state bounded by frames-per-asset, never corpus), the
+    * byte plane is staged hex behind the Generate barrier so the decode
+    * evaluates once per frame (not once per lambda element — the
+    * CollapseProject trap), and the diff itself is an exact
+    * integer-sum ÷ length projection so the threshold compares
+    * identically cross-engine. A real decoder swaps luma planes in for
+    * byte blocks at the same seam; the difference metric and plumbing
+    * are unchanged.
+    */
+  def mmSceneCut(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PipelineFunctions.stageBarrier
+    val media = Multimodal.mediaFromDocuments(s, dir)
+    val fr = Multimodal.sampleFrames(media, FrameSize, FrameStride, MaxFrames)
+    val staged = stageBarrier(fr, Seq(col("media_id"), col("frame_index")),
+      "fhex" -> lower(hex(col("frame_bytes"))))
+    val bytes = staged.select(col("media_id"), col("frame_index"),
+      transform(sequence(lit(0), (length(col("fhex")) / 2).cast("int") - 1),
+        j => conv(col("fhex").substr(j * 2 + 1, lit(2)), 16, 10).cast("long")).as("bv"))
+    val w = Window.partitionBy("media_id").orderBy("frame_index")
+    val minLen = least(size(col("bv")), size(col("pv")))
+    val diffs = bytes.withColumn("pv", lag(col("bv"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .select(col("media_id"),
+        (aggregate(
+          zip_with(slice(col("bv"), lit(1), minLen), slice(col("pv"), lit(1), minLen),
+            (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).cast("double") / minLen).as("d"))
+    val counts = bytes.groupBy("media_id").agg(count(lit(1)).cast("int").as("n_frames"))
+    val agg = diffs.groupBy("media_id").agg(
+      sum(when(col("d") > SceneCutThreshold, 1L).otherwise(0L)).as("nc"),
+      round(avg("d"), 6).as("md"),
+      round(max("d"), 6).as("xd"))
+    counts.join(agg, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("nc"), lit(0L)).as("n_cuts"),
+        (coalesce(col("nc"), lit(0L)) + 1L).as("n_scenes"),
+        coalesce(col("md"), lit(0.0)).as("mean_diff"),
+        coalesce(col("xd"), lit(0.0)).as("max_diff"))
+      .orderBy("media_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
     "mm_phash" -> mmPhash,
     "mm_dedup_cc" -> mmDedupCc,
-    "mm_shared_frames" -> mmSharedFrames)
+    "mm_shared_frames" -> mmSharedFrames,
+    "mm_scene_cut" -> mmSceneCut)
 
   private def fSql(i: Int): String =
     s"round(CAST('0x' || substr(md5(text || '#f$i'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS f$i"
@@ -232,6 +289,37 @@ object MultimodalQueries {
       s"""WITH $phashPairsCte
          |SELECT id_a, id_b, hamming FROM prs
          |ORDER BY id_a, id_b""".stripMargin,
+    // the frames CTE feeding per-byte arrays, a lag over frame order, and
+    // the exact integer-sum / length mean-abs-diff; single-frame assets
+    // keep zero cuts via the left join
+    "mm_scene_cut" ->
+      s"""WITH $framesCte,
+         |fb AS (SELECT media_id, bi, lower(fhex) AS fx,
+         |              CAST(len(fhex) // 2 AS INT) AS nb FROM f),
+         |bv AS (SELECT media_id, bi,
+         |              [CAST('0x' || substr(fx, j * 2 + 1, 2) AS BIGINT)
+         |               for j in range(nb)] AS bv
+         |       FROM fb),
+         |lg AS (SELECT media_id, bi, bv,
+         |              lag(bv) OVER (PARTITION BY media_id ORDER BY bi) AS pv
+         |       FROM bv),
+         |dd AS (SELECT media_id,
+         |              list_sum(list_transform(range(least(len(bv), len(pv))),
+         |                j -> abs(bv[CAST(j AS INT) + 1] - pv[CAST(j AS INT) + 1]))) * 1.0
+         |                / least(len(bv), len(pv)) AS d
+         |       FROM lg WHERE pv IS NOT NULL),
+         |cnt AS (SELECT media_id, CAST(count(*) AS INT) AS n_frames FROM f GROUP BY media_id),
+         |ag AS (SELECT media_id,
+         |              sum(CASE WHEN d > $SceneCutThreshold THEN 1 ELSE 0 END) AS nc,
+         |              round(avg(d), 6) AS md, round(max(d), 6) AS xd
+         |       FROM dd GROUP BY media_id)
+         |SELECT cnt.media_id, n_frames,
+         |       CAST(coalesce(nc, 0) AS BIGINT) AS n_cuts,
+         |       CAST(coalesce(nc, 0) + 1 AS BIGINT) AS n_scenes,
+         |       coalesce(md, 0.0) AS mean_diff,
+         |       coalesce(xd, 0.0) AS max_diff
+         |FROM cnt LEFT JOIN ag USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     // the mm_phash pair CTEs feeding a recursive transitive closure
     // seeded from ALL media ids (assets in no pair are singletons) —
     // dedup_cc's oracle shape on the media plane

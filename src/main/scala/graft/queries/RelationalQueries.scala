@@ -738,7 +738,60 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Incremental JOIN-view maintenance identity — [[qAggMerge]]'s
+    * counterpart for the join-then-aggregate views a 100 TB pipeline
+    * materializes (revenue per priority over orders ⋈ lineitem). With
+    * both inputs split into standing + delta partitions
+    * (A ∪ ΔA) ⋈ (B ∪ ΔB) decomposes into four disjoint terms, so the
+    * maintained view only ever adds the three delta terms
+    * ΔA⋈B + A⋈ΔB + ΔA⋈ΔB to yesterday's aggregate state — history is
+    * never re-joined. The three delta joins each carry a delta on one
+    * side, so at scale they run as broadcast/semi-join-pruned probes of
+    * the standing side (a day's ingest vs 100 TB standing: the delta
+    * side broadcasts or prunes the standing scan by join key), and
+    * every term partial-aggregates to |priorities| rows before the
+    * merge. `delta_exact` pins the identity per group on the
+    * integer-valued count/quantity sums (bitwise, order-independent);
+    * revenue is float and emitted unrounded under the gate's rtol like
+    * q_salted_join, since the incremental path legitimately adds the
+    * same doubles in a different order.
+    */
+  def qJoinDelta(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    // disjoint "standing vs today's ingest" splits, independent per side
+    val oOld = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 9)
+    val oNew = o.filter(pmod(col("o_orderkey"), lit(10)) === 9)
+    val lOld = l.filter(pmod(col("l_orderkey"), lit(7)) =!= 6)
+    val lNew = l.filter(pmod(col("l_orderkey"), lit(7)) === 6)
+    def joined(os: DataFrame, ls: DataFrame): DataFrame =
+      os.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"), col("l_quantity"), col("rev"))
+    def viewAgg(j: DataFrame, sfx: String): DataFrame =
+      j.groupBy("o_orderpriority").agg(
+        count(lit(1)).as(s"n$sfx"),
+        sum("l_quantity").as(s"sq$sfx"),
+        sum("rev").as(s"rv$sfx"))
+    val direct = viewAgg(joined(o, l), "_d")
+    val standing = viewAgg(joined(oOld, lOld), "_o")
+    val deltas = viewAgg(
+      joined(oNew, lOld).unionByName(joined(oOld, lNew)).unionByName(joined(oNew, lNew)),
+      "_n")
+    val merged = standing.join(deltas, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n_o"), lit(0L)) + coalesce(col("n_n"), lit(0L))).as("n_m"),
+        (coalesce(col("sq_o"), lit(0.0)) + coalesce(col("sq_n"), lit(0.0))).as("sq_m"),
+        (coalesce(col("rv_o"), lit(0.0)) + coalesce(col("rv_n"), lit(0.0))).as("rv_m"))
+    direct.join(merged, "o_orderpriority")
+      .select(col("o_orderpriority"),
+        col("n_m").as("n_rows"), col("sq_m").as("sum_qty"), col("rv_m").as("revenue"),
+        (col("n_m") === col("n_d") && col("sq_m") === col("sq_d")).as("delta_exact"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_delta" -> qJoinDelta,
     "q_agg_merge" -> qAggMerge,
     "q1_agg" -> q1Agg,
     "q_bootstrap_ci" -> qBootstrapCi,
@@ -769,6 +822,38 @@ object RelationalQueries {
     "q_histogram" -> qHistogram)
 
   val oracles: Map[String, String] = Map(
+    // (A∪ΔA)⋈(B∪ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, the join-view IVM
+    // identity; delta_exact pins count/quantity (integer-exact), revenue
+    // rides the gate's rtol since addition order differs by design
+    "q_join_delta" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders),
+        |l AS (SELECT l_orderkey, l_quantity,
+        |             l_extendedprice * (1.0 - l_discount) AS rev
+        |      FROM lineitem),
+        |d AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_d,
+        |             sum(l_quantity) AS sq_d
+        |      FROM o JOIN l ON o_orderkey = l_orderkey
+        |      GROUP BY o_orderpriority),
+        |st AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_o,
+        |              sum(l_quantity) AS sq_o, sum(rev) AS rv_o
+        |       FROM o JOIN l ON o_orderkey = l_orderkey
+        |       WHERE o_orderkey % 10 <> 9 AND l_orderkey % 7 <> 6
+        |       GROUP BY o_orderpriority),
+        |de AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_n,
+        |              sum(l_quantity) AS sq_n, sum(rev) AS rv_n
+        |       FROM o JOIN l ON o_orderkey = l_orderkey
+        |       WHERE o_orderkey % 10 = 9 OR l_orderkey % 7 = 6
+        |       GROUP BY o_orderpriority),
+        |m AS (SELECT o_orderpriority,
+        |             coalesce(n_o, 0) + coalesce(n_n, 0) AS n_m,
+        |             coalesce(sq_o, 0.0) + coalesce(sq_n, 0.0) AS sq_m,
+        |             coalesce(rv_o, 0.0) + coalesce(rv_n, 0.0) AS rv_m
+        |      FROM st FULL OUTER JOIN de USING (o_orderpriority))
+        |SELECT m.o_orderpriority, CAST(n_m AS BIGINT) AS n_rows,
+        |       sq_m AS sum_qty, rv_m AS revenue,
+        |       (n_m = n_d AND sq_m = sq_d) AS delta_exact
+        |FROM m JOIN d ON m.o_orderpriority = d.o_orderpriority
+        |ORDER BY m.o_orderpriority""".stripMargin,
     // old/delta partials merged with the algebraic merge fns, compared
     // against the direct aggregate; quantities are integer-valued
     // doubles so the sums are exact and merge_exact is a bitwise pin

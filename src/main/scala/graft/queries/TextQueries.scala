@@ -719,6 +719,40 @@ object TextQueries {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Deterministic corpus shuffle into training shards — the step between
+    * curation and the trainer: a 100 TB corpus must be (a) globally
+    * shuffled so no shard carries source/time locality (crawls arrive
+    * clustered and a data-parallel trainer reads shards independently),
+    * (b) reproducibly, so a re-run or a resumed job produces the SAME
+    * byte layout. A seeded hash rank gives both: shard = h32 mod
+    * NShards spreads documents uniformly, position and byte offset
+    * within the shard follow (rank, doc_id) order. There is NO global
+    * sort — the only shuffle is the window's partition-by-shard
+    * exchange, and each shard's window sorts 1/NShards of the corpus
+    * (at real scale NShards is thousands, sized so a shard fits one
+    * writer task; the hash rank also makes the layout stable under
+    * corpus APPEND for the already-present prefix of each shard ordered
+    * by rank). `byte_start` is the running n_chars offset the shard
+    * writer would place each document at — integer-exact, so the whole
+    * layout is oracle-pinned.
+    */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val NShards = 8
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        h32(concat(lit("shuf#"), col("doc_id").cast("string"))).as("r"))
+      .select(col("doc_id"), col("n_chars"), col("r"),
+        pmod(col("r"), lit(NShards)).cast("int").as("shard"))
+    val w = Window.partitionBy("shard").orderBy(col("r"), col("doc_id"))
+    ranked
+      .withColumn("pos", row_number().over(w))
+      .withColumn("byte_start",
+        coalesce(sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("shard"), col("pos"), col("byte_start"))
+      .orderBy("doc_id")
+  }
+
   /** Token counts + order-sensitive fingerprint per document. */
   def textStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2262,6 +2296,7 @@ object TextQueries {
     "text_cdc_chunks" -> textCdcChunks,
     "cdc_dedup_ratio" -> cdcDedupRatio,
     "split_assign" -> splitAssign,
+    "corpus_shuffle" -> corpusShuffle,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
@@ -3146,6 +3181,19 @@ object TextQueries {
          |FROM (SELECT doc_id, lang,
          |             ${hx("'split#' || CAST(doc_id AS VARCHAR)")} % 1000000 AS u
          |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    // hash-ranked shard + position + running byte offset; integer-exact
+    "corpus_shuffle" ->
+      s"""SELECT doc_id, shard,
+         |       CAST(row_number() OVER w AS INT) AS pos,
+         |       CAST(coalesce(sum(n_chars) OVER (PARTITION BY shard ORDER BY r, doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |         AS byte_start
+         |FROM (SELECT doc_id, n_chars,
+         |             ${hx("'shuf#' || CAST(doc_id AS VARCHAR)")} AS r,
+         |             CAST(${hx("'shuf#' || CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+         |      FROM documents)
+         |WINDOW w AS (PARTITION BY shard ORDER BY r, doc_id)
          |ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id, n_chars,

@@ -86,6 +86,49 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Simplified (centroid-based) silhouette per cluster — the clustering
+    * QUALITY number an IVF/SemDeDup deployment reads before trusting a
+    * partition of the corpus: per vector a = cosine distance to its OWN
+    * centroid, b = min distance to any OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1]; emitted per label as
+    * mean silhouette + the count of negative-silhouette (likely
+    * mis-clustered) vectors. The classic silhouette is O(n²) pairwise —
+    * the centroid form is the one that exists at 100 TB: the |labels|-row
+    * centroid relation collapses to ONE broadcast row of (label, cv)
+    * structs, per-vector distances to all centroids are a `transform`
+    * HOF over that array (pure projection, corpus never shuffles, no ×k
+    * row fan-out), and the only aggregates are the |labels|-sized
+    * centroid build and the |labels|-row result. Companions:
+    * emb_ivf_balance reads list SIZES, this reads list SEPARATION.
+    */
+  def embSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("m"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s0 => s0.getField("m")).as("cv"))
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(col("label").as("cl"), col("cv")))).as("cents"))
+    val dists = e.join(broadcast(centArr), lit(true))
+      .select(col("vec_id"), col("label"),
+        transform(col("cents"), c => struct(
+          c.getField("cl").as("cl"),
+          (lit(1.0) - cosine(col("v"), c.getField("cv"))).as("d"))).as("ds"))
+    val ab = dists.select(col("vec_id"), col("label"),
+      element_at(filter(col("ds"), d => d.getField("cl") === col("label")), 1)
+        .getField("d").as("a"),
+      array_min(transform(filter(col("ds"), d => d.getField("cl") =!= col("label")),
+        d => d.getField("d"))).as("b"))
+    ab.select(col("label"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        avg("sil").as("mean_sil"),
+        sum(when(col("sil") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .orderBy("label")
+  }
+
   /** Int8 scalar quantization per vector — the memory-side lever for ANN
     * at 100 TB (4x-8x smaller vectors; IVF lists of int8 codes instead of
     * float). Pure projection, shuffle-free. Buckets use floor() (no
@@ -677,6 +720,72 @@ object VectorQueries {
       }
       import s.implicits._
       rows.toDF("nprobe", "recall")
+    } finally e.unpersist(false)
+  }
+
+  private val FilterMod = 3
+
+  /** FILTERED ANN — the production search shape nothing else in the
+    * recall family measures: real vector queries carry a metadata
+    * predicate ("only docs from this source / this license / after this
+    * date"), and an IVF index built on geometry alone interacts with
+    * that filter in one of two ways — post-filter the probed lists (what
+    * this measures) or pre-filter into per-predicate indexes (a storage
+    * multiplier). Per nprobe ∈ {1,2,4}: candidates = allowed vectors
+    * (vec_id ≡ 0 mod [[FilterMod]], a predicate deliberately orthogonal
+    * to the list geometry) inside the probed lists, exact-cosine top-K,
+    * recall vs the FILTERED brute-force ground truth plus the candidate
+    * volume actually scanned. The reading at sf0.01 — filtered recall
+    * tracks the unfiltered sweep at each probe depth while candidates
+    * shrink ~3× — is the evidence that post-filtering keeps the
+    * geometry's recall when the predicate is independent of it; a
+    * CORRELATED predicate is exactly when this table would sag and tell
+    * a deployment to shard its index instead. Same scale discipline as
+    * knn_recall_sweep: one persisted corpus feeds ground truth and every
+    * sweep point, queries broadcast, corpus never shuffles, per-point
+    * counts are bounded control-plane actions; ranks use cos rounded to
+    * 6 with id tiebreak so cross-engine order is exact.
+    */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).persist()
+    try {
+      val allowed = e.filter(pmod(col("vec_id"), lit(FilterMod)) === 0)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("label"))
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      val gt = allowed.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= K)
+        .select(col("query_id"), col("neighbor_id"))
+      val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(avg("x").as("m"))
+        .groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("i"), col("m")))),
+            s0 => s0.getField("m")).as("ccv"))
+      val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("label"))
+      val probeRank = queries.join(broadcast(centroids), lit(true))
+        .select(col("query_id"), col("qv"), col("label"),
+          round(cosine(col("qv"), col("ccv")), 6).as("ccos"))
+        .withColumn("prnk", row_number().over(wProbe))
+        .select(col("query_id"), col("qv"), col("label"), col("prnk"))
+      val rows = Seq(1, 2, 4).map { p =>
+        val cand = probeRank.filter(col("prnk") <= p)
+          .join(allowed, "label")
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        val nCand = cand.count()
+        val topk = cand.withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= K)
+          .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+        val hits = gt.join(topk,
+          col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
+          .count()
+        (p, nCand, hits.toDouble / (NumQueries * K))
+      }
+      import s.implicits._
+      rows.toDF("nprobe", "n_cand", "recall")
     } finally e.unpersist(false)
   }
 
@@ -1359,6 +1468,7 @@ object VectorQueries {
     "knn_recall" -> knnRecall,
     "emb_centroid_dist" -> embCentroidDist,
     "emb_outliers" -> embOutliers,
+    "emb_silhouette" -> embSilhouette,
     "emb_neardup" -> embNeardup,
     "emb_lsh_buckets" -> embLshBuckets,
     "knn_lsh" -> knnLsh,
@@ -1372,6 +1482,7 @@ object VectorQueries {
     "knn_recall_trunc" -> knnRecallTrunc,
     "knn_trunc_rerank" -> knnTruncRerank,
     "knn_recall_sweep" -> knnRecallSweep,
+    "knn_filtered" -> knnFiltered,
     "knn_recall_binary" -> knnRecallBinary,
     "knn_binary_rerank" -> knnBinaryRerank,
     "emb_ivf_balance" -> embIvfBalance,
@@ -1575,6 +1686,67 @@ object VectorQueries {
          |FROM d JOIN st ON d.label = st.label
          |WHERE (cos_to_centroid - m) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) <= -3.0
          |ORDER BY vec_id""".stripMargin,
+    // centroid-based silhouette: a = dist to own centroid, b = min dist
+    // to other centroids, s = (b-a)/max(a,b); mean_sil unrounded under
+    // the gate's rtol (addition order differs across engines)
+    "emb_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
+         |       FROM e CROSS JOIN range(1, 65) r(i)),
+         |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+         |cent AS (SELECT label AS clabel, list(m ORDER BY i) AS cv FROM cm GROUP BY clabel),
+         |d AS (SELECT e.vec_id, e.label, clabel,
+         |             1.0 - ${cosSql.format("v", "cv", "v", "v", "cv", "cv")} AS dist
+         |      FROM e CROSS JOIN cent),
+         |p AS (SELECT vec_id, label,
+         |             min(CASE WHEN clabel = label THEN dist END) AS a,
+         |             min(CASE WHEN clabel <> label THEN dist END) AS b
+         |      FROM d GROUP BY vec_id, label),
+         |sil AS (SELECT label, (b - a) / greatest(a, b) AS sil FROM p)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, avg(sil) AS mean_sil,
+         |       CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+         |FROM sil GROUP BY label
+         |ORDER BY label""".stripMargin,
+    // post-filtered IVF probe vs filtered brute ground truth per nprobe;
+    // ranks on round(cos, 6) + id tiebreak on both engines, recall and
+    // candidate counts are exact integers
+    "knn_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
+         |       FROM e CROSS JOIN range(1, 65) r(i)),
+         |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cm GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |allowed AS (SELECT vec_id, label, v FROM e WHERE vec_id % $FilterMod = 0),
+         |gt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY round(${cosSql.format("q.qv", "a.v", "q.qv", "q.qv", "a.v", "a.v")}, 6) DESC,
+         |                    a.vec_id) AS rnk
+         |  FROM q CROSS JOIN allowed a WHERE a.vec_id <> q.query_id) WHERE rnk <= $K),
+         |probe AS (SELECT query_id, label,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY round(${cosSql.format("qv", "cv", "qv", "qv", "cv", "cv")}, 6) DESC,
+         |                    label) AS prnk
+         |  FROM q CROSS JOIN cent),
+         |ps AS (SELECT CAST(p AS INT) AS p FROM (VALUES (1), (2), (4)) t(p)),
+         |cand AS (SELECT ps.p, pr.query_id, a.vec_id AS neighbor_id,
+         |                round(${cosSql.format("q.qv", "a.v", "q.qv", "q.qv", "a.v", "a.v")}, 6) AS c
+         |  FROM ps JOIN probe pr ON pr.prnk <= ps.p
+         |  JOIN allowed a ON a.label = pr.label
+         |  JOIN q ON q.query_id = pr.query_id
+         |  WHERE a.vec_id <> pr.query_id),
+         |ranked AS (SELECT p, query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY p, query_id ORDER BY c DESC, neighbor_id) AS rnk
+         |  FROM cand),
+         |topk AS (SELECT p, query_id, neighbor_id FROM ranked WHERE rnk <= $K),
+         |hits AS (SELECT p, count(*) AS n_hit FROM topk
+         |         JOIN gt USING (query_id, neighbor_id) GROUP BY p),
+         |nc AS (SELECT p, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY p)
+         |SELECT ps.p AS nprobe, coalesce(nc.n_cand, 0) AS n_cand,
+         |       coalesce(hits.n_hit, 0) / ${NumQueries * K}.0 AS recall
+         |FROM ps LEFT JOIN nc ON nc.p = ps.p LEFT JOIN hits ON hits.p = ps.p
+         |ORDER BY nprobe""".stripMargin,
     "knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
