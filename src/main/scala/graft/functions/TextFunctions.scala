@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Text-analysis scalar functions for the LLM-data-pipeline extension
   * surface: tokenization, shingling, MinHash, SimHash, language ID,
@@ -24,6 +24,17 @@ object TextFunctions {
   /** Seeded variant for minhash permutations. */
   def h32(c: Column, seed: Column): Column =
     h32(concat(c, lit("#"), seed.cast("string")))
+
+  /** Shuffle rank for training-shard layout — shared by the batch
+    * corpus_shuffle query and GraftPipeline.shardGate so the batch
+    * layout and streaming assignment cannot diverge.
+    */
+  def shardRank(key: Column): Column =
+    h32(concat(lit("shuf#"), key.cast("string")))
+
+  /** Deterministic training-shard id: [[shardRank]] mod nShards. */
+  def shardId(key: Column, nShards: Int): Column =
+    pmod(shardRank(key), lit(nShards)).cast(IntegerType)
 
   /** Whitespace tokenization (single-space corpus; keep it exact so the
     * oracle's string_split matches 1:1).

@@ -219,6 +219,56 @@ object PipelineQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning number a
+    * serving deployment reads (simultaneous active users, not event
+    * volume), via the classic SWEEP LINE: each 30-min-gap session
+    * ([[pipeSessionize]]'s construction) emits +1 at its start and −1
+    * at its end (inclusive ends: +1 sorts before −1 at an equal
+    * instant, so touching sessions and point sessions count as
+    * concurrent), and concurrency is the running sum over boundaries in
+    * time order. The naive form is ONE global sort — the anti-pattern —
+    * so this is the two-phase PARALLEL PREFIX SUM: boundaries partition
+    * by hour bucket (corpus-sized work is per-hour windows), per-hour
+    * deltas aggregate to an |hours|-row relation whose running sum is
+    * the carry-in, and concurrency at any boundary = carry(hour) +
+    * within-hour running sum. The only global window orders the
+    * BOUNDED hours relation — the emb_ivf_balance discipline. The
+    * per-day MAX is tie-order invariant (within an instant the max is
+    * reached after the +1 block regardless of permutation), so the
+    * result is deterministic cross-engine with no float anywhere.
+    */
+  def pipeConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(unix_micros(min("ts")).as("st"), unix_micros(max("ts")).as("en"))
+    val bounds = sess.select(col("st").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("en").as("t"), lit(-1L).as("delta")))
+      .withColumn("hr", expr("t DIV 3600000000"))
+    val wIn = Window.partitionBy("hr").orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bounds.withColumn("run_in", sum("delta").over(wIn))
+    val wHr = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bounds.groupBy("hr").agg(sum("delta").as("hd"))
+      .withColumn("carry", coalesce(sum("hd").over(wHr), lit(0L)))
+      .select("hr", "carry")
+    run.join(carry, "hr")
+      .select(date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("day"),
+        (col("carry") + col("run_in")).as("conc"), col("delta"))
+      .groupBy("day")
+      .agg(max("conc").as("peak_concurrent"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions_started"))
+      .orderBy("day")
+  }
+
   /** Funnel conversion: per user, the strictly-ordered view -> click ->
     * purchase progression (first view, first click AFTER that view, first
     * purchase AFTER that click) and the stage reached — the sequential-
@@ -598,6 +648,7 @@ object PipelineQueries {
     "pipe_asof_join" -> pipeAsofJoin,
     "pipe_interval_join" -> pipeIntervalJoin,
     "pipe_sessionize" -> pipeSessionize,
+    "pipe_concurrency" -> pipeConcurrency,
     "pipe_funnel" -> pipeFunnel,
     "pipe_retention" -> pipeRetention,
     "pipe_resample" -> pipeResample,
@@ -888,6 +939,41 @@ object PipelineQueries {
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // sweep line over session boundaries with the two-phase prefix sum
+    // mirrored (per-hour running sum + hours-relation carry); day max is
+    // tie-order invariant, all-integer
+    "pipe_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+        |  FROM flagged),
+        |sp AS (SELECT user_id, seq, epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en
+        |       FROM sess GROUP BY user_id, seq),
+        |bounds AS (SELECT st AS t, CAST(1 AS BIGINT) AS delta FROM sp
+        |           UNION ALL SELECT en, -1 FROM sp),
+        |hb AS (SELECT t, delta, t // 3600000000 AS hr FROM bounds),
+        |run AS (SELECT t, delta, hr,
+        |               sum(delta) OVER (PARTITION BY hr ORDER BY t, delta DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_in
+        |        FROM hb),
+        |ht AS (SELECT hr, sum(delta) AS hd FROM hb GROUP BY hr),
+        |cr AS (SELECT hr, CAST(coalesce(sum(hd) OVER (ORDER BY hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry
+        |       FROM ht)
+        |SELECT strftime(make_timestamp(run.t), '%Y-%m-%d') AS day,
+        |       CAST(max(cr.carry + run.run_in) AS BIGINT) AS peak_concurrent,
+        |       CAST(sum(CASE WHEN run.delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sessions_started
+        |FROM run JOIN cr ON cr.hr = run.hr
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "pipe_stats_cube" ->
       """SELECT coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
         |       coalesce(event_type, 'ALL') AS event_type,

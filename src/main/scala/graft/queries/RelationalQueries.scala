@@ -200,6 +200,32 @@ object RelationalQueries {
         |ORDER BY gid, prio, status, month""".stripMargin)
   }
 
+  /** CUBE — the full 2^d grouping lattice in one scan, completing the
+    * multi-grouping trio (q_rollup: hierarchy prefixes, q_grouping_sets:
+    * arbitrary sets, here: ALL subsets): one Expand ×2^d feeding ONE
+    * partial-aggregated exchange, so the eight groupings over
+    * (priority, status, year) cost one shuffle of 8× the GROUP-sized
+    * partials, never eight scans. The 100 TB caveat is the lattice
+    * itself: 2^d output cells over high-cardinality dims explode, so a
+    * production cube picks GROUPING SETS of the cells a dashboard
+    * actually reads — which is exactly why all three operators ship.
+    * Integer grouping_id disambiguates cells; sums round at 2 like the
+    * sibling queries.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy").as("yr"), col("o_totalprice"))
+      .createOrReplaceTempView("cube_src")
+    s.sql(
+      """SELECT coalesce(prio, 'ALL') AS prio, coalesce(status, 'ALL') AS status,
+        |       coalesce(yr, 'ALL') AS yr,
+        |       CAST(grouping_id(prio, status, yr) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM cube_src GROUP BY CUBE(prio, status, yr)
+        |ORDER BY gid, prio, status, yr""".stripMargin)
+  }
+
   /** Distinct aggregation: exact distinct customers per order priority. */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -790,8 +816,45 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Top-k MERGE identity — the third panel of the incremental-maintenance
+    * triptych (q_agg_merge: aggregates, q_join_delta: join views, here:
+    * rankings): when the score is row-local, top-k is a monoid —
+    * topk(old ∪ delta) = topk(topk(old) ∪ topk(delta)) — which is both
+    * WHY Spark's TakeOrderedAndProject is correct (per-partition top-k,
+    * driver merge, no global sort) and why a daily "highest-value items"
+    * dashboard over 100 TB merges yesterday's k-row state with the
+    * delta's k rows instead of rescanning history. Both lineages here
+    * compile to TakeOrdered (orderBy.limit); the merge step sorts 2k
+    * rows. The order key (price DESC, orderkey, linenumber) is a total
+    * order, so the identity is row-exact and `rank_match` pins it
+    * positionally; prices are compared, never added, so no float
+    * arithmetic enters.
+    */
+  def qTopkMerge(s: SparkSession, dir: String): DataFrame = {
+    val TopK = 10
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    def topk(df: DataFrame): DataFrame =
+      df.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(TopK)
+    val direct = topk(l)
+    val merged = topk(
+      topk(l.filter(pmod(col("l_orderkey"), lit(10)) =!= 9))
+        .unionByName(topk(l.filter(pmod(col("l_orderkey"), lit(10)) === 9))))
+    val w = Window.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val dr = direct.withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("l_orderkey").as("d_ok"), col("l_linenumber").as("d_ln"))
+    merged.withColumn("rnk", row_number().over(w))
+      .join(dr, "rnk")
+      .select(col("rnk"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        (col("l_orderkey") === col("d_ok") && col("l_linenumber") === col("d_ln"))
+          .as("rank_match"))
+      .orderBy("rnk")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_delta" -> qJoinDelta,
+    "q_topk_merge" -> qTopkMerge,
     "q_agg_merge" -> qAggMerge,
     "q1_agg" -> q1Agg,
     "q_bootstrap_ci" -> qBootstrapCi,
@@ -804,6 +867,7 @@ object RelationalQueries {
     "q_semi_join" -> qSemiJoin,
     "q_rollup" -> qRollup,
     "q_grouping_sets" -> qGroupingSets,
+    "q_cube" -> qCube,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
@@ -822,6 +886,27 @@ object RelationalQueries {
     "q_histogram" -> qHistogram)
 
   val oracles: Map[String, String] = Map(
+    // topk(old ∪ delta) = topk(topk(old) ∪ topk(delta)); total order key
+    // so the identity is row-exact, prices compared never added
+    "q_topk_merge" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem),
+        |d AS (SELECT * FROM l
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10),
+        |o AS (SELECT * FROM l WHERE l_orderkey % 10 <> 9
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10),
+        |n AS (SELECT * FROM l WHERE l_orderkey % 10 = 9
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10),
+        |m AS (SELECT * FROM (SELECT * FROM o UNION ALL SELECT * FROM n)
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10),
+        |dr AS (SELECT CAST(row_number() OVER (ORDER BY l_extendedprice DESC,
+        |         l_orderkey, l_linenumber) AS INT) AS rnk,
+        |         l_orderkey AS d_ok, l_linenumber AS d_ln FROM d),
+        |mr AS (SELECT CAST(row_number() OVER (ORDER BY l_extendedprice DESC,
+        |         l_orderkey, l_linenumber) AS INT) AS rnk, * FROM m)
+        |SELECT mr.rnk AS rnk, mr.l_orderkey, mr.l_linenumber, mr.l_extendedprice,
+        |       (mr.l_orderkey = dr.d_ok AND mr.l_linenumber = dr.d_ln) AS rank_match
+        |FROM mr JOIN dr ON mr.rnk = dr.rnk
+        |ORDER BY mr.rnk""".stripMargin,
     // (A∪ΔA)⋈(B∪ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, the join-view IVM
     // identity; delta_exact pins count/quantity (integer-exact), revenue
     // rides the gate's rtol since addition order differs by design
@@ -987,6 +1072,19 @@ object RelationalQueries {
         |         AS trail30_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    // the full 2^3 lattice; DuckDB's grouping() == Spark's grouping_id()
+    // bit order for the same column list
+    "q_cube" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |         strftime(o_orderdate, '%Y') AS yr, o_totalprice
+        |  FROM orders)
+        |SELECT coalesce(prio, 'ALL') AS prio, coalesce(status, 'ALL') AS status,
+        |       coalesce(yr, 'ALL') AS yr,
+        |       CAST(grouping(prio, status, yr) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM src GROUP BY CUBE(prio, status, yr)
+        |ORDER BY gid, prio, status, yr""".stripMargin,
     "q_grouping_sets" ->
       """WITH src AS (
         |  SELECT o_orderpriority AS prio, o_orderstatus AS status,

@@ -740,9 +740,8 @@ object TextQueries {
     val NShards = 8
     val ranked = Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"),
-        h32(concat(lit("shuf#"), col("doc_id").cast("string"))).as("r"))
-      .select(col("doc_id"), col("n_chars"), col("r"),
-        pmod(col("r"), lit(NShards)).cast("int").as("shard"))
+        shardRank(col("doc_id")).as("r"),
+        shardId(col("doc_id"), NShards).as("shard"))
     val w = Window.partitionBy("shard").orderBy(col("r"), col("doc_id"))
     ranked
       .withColumn("pos", row_number().over(w))
@@ -952,6 +951,49 @@ object TextQueries {
         |JOIN c2 USING (bg)
         |JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
         |CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Interpolated Kneser–Ney bigram fluency score (Kneser & Ney '95,
+    * Chen & Goodman '98 — the smoothing that n-gram LMs actually ship):
+    * P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁) + D·N₁₊(w₁,·)/c(w₁) ·
+    * N₁₊(·,w₂)/|bigram types|, D = 0.75. Versus [[textBigramLp]]'s
+    * add-0.5 smoothing this backs off to CONTINUATION counts — "how
+    * many contexts does w₂ complete" — so a token frequent in one
+    * context only (the "San Francisco" effect) stops inflating unseen-
+    * bigram probability; the two scores side by side are the smoothing
+    * ablation a curation pass reads before trusting a perplexity cut
+    * (text_perplexity_buckets). Scale shape identical to the add-0.5
+    * form: one bigram explode, then EVERY relation is vocabulary-sized —
+    * c2 (bigram types), c1/N₁₊fwd (contexts), N₁₊back (continuations),
+    * one scalar type count — and the score join keys on the bigram, AQE
+    * choosing broadcast vs shuffle (the text_tfidf regime). Per-row
+    * terms are exact-integer ratios through ln, engine-identical; the
+    * per-doc avg's summation-order drift is ~1e-15, inside the gate's
+    * rtol (text_bigram_lp precedent).
+    */
+  def textBigramKn(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("bg"))
+      .createOrReplaceTempView("graft_kn_bg")
+    s.sql(
+      """WITH c2 AS (SELECT bg, count(1) AS n2 FROM graft_kn_bg GROUP BY bg),
+        |sp AS (SELECT bg, n2, split_part(bg, ' ', 1) AS w1,
+        |              split_part(bg, ' ', 2) AS w2 FROM c2),
+        |c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1,
+        |              CAST(count(1) AS BIGINT) AS nf FROM sp GROUP BY w1),
+        |cb AS (SELECT w2, CAST(count(1) AS BIGINT) AS nb FROM sp GROUP BY w2),
+        |bt AS (SELECT CAST(count(1) AS DOUBLE) AS bt FROM c2)
+        |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
+        |       avg(ln(greatest(n2 - 0.75, 0.0) / n1 + (0.75 * nf / n1) * (nb / bt)))
+        |         AS avg_logp_kn
+        |FROM graft_kn_bg g
+        |JOIN sp ON sp.bg = g.bg
+        |JOIN c1 ON c1.w1 = sp.w1
+        |JOIN cb ON cb.w2 = sp.w2
+        |CROSS JOIN bt
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
@@ -2201,6 +2243,32 @@ object TextQueries {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** SOFT deduplication — reweight instead of drop: every member of a
+    * near-dup cluster stays in the corpus at sampling weight
+    * 1/cluster_size, so the cluster contributes ONE document's worth of
+    * expected training mass while keeping its internal variation
+    * (paraphrases, near-copies with corrections) available — the
+    * down-weighting alternative the hard keep/drop queries (dedup_cc,
+    * dedup_keep) trade against, and the shape recent soft-dedup work
+    * lands on when hard dropping measurably hurts diversity. Rides the
+    * dedup_cc component lineage unchanged (banded LSH pairs →
+    * incident-only CC), adds one component-sized count and a
+    * broadcast-sized join back; weight and effective chars are exact
+    * small-integer ratios, engine-identical. At 100 TB the weight
+    * column feeds the trainer's sampler directly — no corpus rewrite,
+    * which is the operational argument for soft over hard dedup.
+    */
+  def textSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val cc = dedupCC(s, dir).select(col("doc_id"), col("component"))
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("weight"),
+        (col("n_chars") / col("cluster_size").cast("double")).as("eff_chars"))
+      .orderBy("doc_id")
+  }
+
   /** The dedup-funnel accounting table every curation run reports: how
     * many documents (and how much text) survive each stage — raw →
     * exact dedup (md5 keep-first) → near-dup removal (verified LSH
@@ -2261,6 +2329,7 @@ object TextQueries {
     "corpus_dedup_funnel" -> corpusDedupFunnel,
     "dedup_cc" -> dedupCC,
     "dedup_cluster_stats" -> dedupClusterStats,
+    "text_softdedup" -> textSoftDedup,
     "sample_balanced" -> sampleBalanced,
     "corpus_mix" -> corpusMix,
     "text_contaminate" -> textContaminate,
@@ -2297,6 +2366,7 @@ object TextQueries {
     "cdc_dedup_ratio" -> cdcDedupRatio,
     "split_assign" -> splitAssign,
     "corpus_shuffle" -> corpusShuffle,
+    "text_bigram_kn" -> textBigramKn,
     "text_stats" -> textStats,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
@@ -3001,6 +3071,26 @@ object TextQueries {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component,
          |       a = min(b) AS keep
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // the dedup_cc closure + a component-size join; weight and eff_chars
+    // are exact small-integer ratios (identical doubles cross-engine)
+    "text_softdedup" ->
+      s"""${pairsCore.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+         |         FROM reach GROUP BY a),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM comp GROUP BY component)
+         |SELECT comp.doc_id, comp.component, sz.cluster_size,
+         |       CAST(1 AS DOUBLE) / sz.cluster_size AS weight,
+         |       d.n_chars / CAST(sz.cluster_size AS DOUBLE) AS eff_chars
+         |FROM comp JOIN sz USING (component)
+         |JOIN documents d ON d.doc_id = comp.doc_id
+         |ORDER BY comp.doc_id""".stripMargin,
     "dedup_cluster_stats" ->
       s"""${pairsCore.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -3476,6 +3566,31 @@ object TextQueries {
         |FROM tok JOIN v USING (tok) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_bigram_lp" -> s"$bigramLpSql ORDER BY doc_id",
+    // interpolated Kneser-Ney: same bigram explode, continuation counts
+    // from the bigram-type relation, identical arithmetic expression so
+    // per-row terms match bit-for-bit; avg rides the gate's rtol
+    "text_bigram_kn" ->
+      """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+        |                 for i in range(1, len(toks))]) AS bg
+        |       FROM toksrc WHERE len(toks) >= 2),
+        |c2 AS (SELECT bg, count(1) AS n2 FROM bg GROUP BY bg),
+        |sp AS (SELECT bg, n2, split_part(bg, ' ', 1) AS w1,
+        |              split_part(bg, ' ', 2) AS w2 FROM c2),
+        |c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1,
+        |              CAST(count(1) AS BIGINT) AS nf FROM sp GROUP BY w1),
+        |cb AS (SELECT w2, CAST(count(1) AS BIGINT) AS nb FROM sp GROUP BY w2),
+        |bt AS (SELECT CAST(count(1) AS DOUBLE) AS bt FROM c2)
+        |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
+        |       avg(ln(greatest(n2 - 0.75, 0.0) / n1 + (0.75 * nf / n1) * (nb / bt)))
+        |         AS avg_logp_kn
+        |FROM bg g
+        |JOIN sp ON sp.bg = g.bg
+        |JOIN c1 ON c1.w1 = sp.w1
+        |JOIN cb ON cb.w2 = sp.w2
+        |CROSS JOIN bt
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the bigram-LM score as a CTE, then an exact per-language tercile —
     // both engines implement SQL-standard ntile (remainder rows to the
     // leading buckets), and the ORDER BY key is avg_logp rounded to 9

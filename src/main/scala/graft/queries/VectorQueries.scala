@@ -129,6 +129,42 @@ object VectorQueries {
       .orderBy("label")
   }
 
+  /** k-means ELBOW curve — the nLists dial for the learned IVF quantizer,
+    * measured instead of guessed: for k ∈ {2,4,8}, train the same
+    * deterministic Lloyd chain the index uses ([[kmeansCentroids]],
+    * seeds = first k vectors, two mean updates), assign the corpus
+    * shuffle-free against the centroid literals, and emit the cosine
+    * inertia Σ(1 − cos(v, centroid)) plus the largest-list share (the
+    * skew companion — an elbow read alone can pick a k whose biggest
+    * list still holds half the corpus). Where the elbow flattens is
+    * where extra lists stop buying scan reduction (emb_ivf_balance then
+    * reads the chosen k's balance, emb_silhouette its separation). Per
+    * k the corpus cost is exactly the index-build cost: shuffle-free
+    * assignment projections + one elementwise-mean aggregate per
+    * iteration, centroids bounded control-plane literals throughout —
+    * the sweep is 3× an index build, never a new shuffle shape. The
+    * per-list partial inertia sums ride the gate's rtol; list counts
+    * and shares are exact integers/ratios.
+    */
+  def embKmeansElbow(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).persist()
+    try {
+      val rows = Seq(2, 4, 8).map { k =>
+        val cent = kmeansCentroids(e, k, iters = 2)
+        val stats = assignListsProjection(e, cent)
+          .join(broadcast(centRelation(e, cent)), "list_id")
+          .select(col("list_id"), (lit(1.0) - cosine(col("v"), col("cv"))).as("d"))
+          .groupBy("list_id").agg(sum("d").as("di"), count(lit(1)).as("ni"))
+          .agg(sum("di").as("inertia"),
+            (max("ni").cast("double") / sum("ni")).as("max_list_frac"))
+          .collect()(0)
+        (k, stats.getDouble(0), stats.getDouble(1))
+      }
+      import s.implicits._
+      rows.toDF("k", "inertia", "max_list_frac")
+    } finally e.unpersist(false)
+  }
+
   /** Int8 scalar quantization per vector — the memory-side lever for ANN
     * at 100 TB (4x-8x smaller vectors; IVF lists of int8 codes instead of
     * float). Pure projection, shuffle-free. Buckets use floor() (no
@@ -1469,6 +1505,7 @@ object VectorQueries {
     "emb_centroid_dist" -> embCentroidDist,
     "emb_outliers" -> embOutliers,
     "emb_silhouette" -> embSilhouette,
+    "emb_kmeans_elbow" -> embKmeansElbow,
     "emb_neardup" -> embNeardup,
     "emb_lsh_buckets" -> embLshBuckets,
     "knn_lsh" -> knnLsh,
@@ -1564,7 +1601,50 @@ object VectorQueries {
        |        FROM terms GROUP BY query_id, neighbor_id)""".stripMargin
   }
 
+  /** Per-k Lloyd chain for the elbow oracle — the ivfPqCteSql coarse-
+    * quantizer chain (seeds → assign → mean → assign → mean → final
+    * assign) with k-suffixed CTE names so three k values coexist in one
+    * WITH clause.
+    */
+  private def elbowChain(k: Int): String = {
+    val x = s"_$k"
+    def assignCte(centCte: String): String =
+      s"""SELECT vec_id, v, list_id FROM (
+         |    SELECT e.vec_id, e.v, c.list_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} DESC, c.list_id) AS rnk
+         |    FROM e CROSS JOIN $centCte c) WHERE rnk = 1""".stripMargin
+    def meanCte(aCte: String): String =
+      s"""SELECT list_id, list(m ORDER BY i) AS cv FROM (
+         |    SELECT list_id, CAST(i AS INT) AS i, avg(v[i]) AS m
+         |    FROM $aCte CROSS JOIN range(1, 65) r(i)
+         |    GROUP BY list_id, i) GROUP BY list_id""".stripMargin
+    s"""c0$x AS (SELECT CAST(vec_id AS INT) AS list_id, v AS cv FROM e WHERE vec_id < $k),
+       |a1$x AS (${assignCte(s"c0$x")}),
+       |c1$x AS (${meanCte(s"a1$x")}),
+       |a2$x AS (${assignCte(s"c1$x")}),
+       |c2$x AS (${meanCte(s"a2$x")}),
+       |af$x AS (${assignCte(s"c2$x")}),
+       |b$x AS (SELECT af.list_id,
+       |               sum(1.0 - ${cosSql.format("af.v", "c.cv", "af.v", "af.v", "c.cv", "c.cv")}) AS di,
+       |               CAST(count(*) AS BIGINT) AS ni
+       |        FROM af$x af JOIN c2$x c ON c.list_id = af.list_id
+       |        GROUP BY af.list_id),
+       |s$x AS (SELECT CAST($k AS INT) AS k, sum(di) AS inertia,
+       |               CAST(max(ni) AS DOUBLE) / sum(ni) AS max_list_frac FROM b$x)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // the same deterministic Lloyd chain as knn_ivf_kmeans replayed at
+    // k=2/4/8; per-list inertia partials ride the gate's rtol, shares
+    // are exact integer ratios
+    "emb_kmeans_elbow" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${elbowChain(2)},
+         |${elbowChain(4)},
+         |${elbowChain(8)}
+         |SELECT * FROM s_2 UNION ALL SELECT * FROM s_4 UNION ALL SELECT * FROM s_8
+         |ORDER BY k""".stripMargin,
     // mirrors embPq exactly: 8 subspaces × 16 codes, seeds = first 16
     // vectors' subvectors, one Lloyd step (argmin L2 via the dot
     // identity — same accumulation order as the Spark kernel — ties to

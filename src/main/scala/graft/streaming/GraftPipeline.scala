@@ -312,6 +312,29 @@ object GraftPipeline {
     staged.select((routed.columns :+ "pii_hits").map(col).toSeq: _*)
   }
 
+  /** Shard-assignment gate — the streaming form of corpus_shuffle's
+    * shard id: append the deterministic training-shard assignment
+    * (`TextFunctions.shardId`, shared with the batch query so a record
+    * ingested through the stream lands in the SAME shard the batch
+    * layout would place it in) for shard-homed routing — e.g.
+    * `partitionBy(shardCol)` at the sink, so each shard's files grow
+    * append-only and a trainer reads them independently. A stateless
+    * pure projection: hash of the key, replay-stable under
+    * at-least-once delivery, no state, no shuffle (the co-location
+    * happens at the SINK's partitioning, not via an exchange here).
+    * Position/byte offset within a shard remain the batch layout pass's
+    * job (they need the shard's full rank order); the gate guarantees
+    * only — but exactly — that stream and batch agree on WHICH shard.
+    */
+  def shardGate(routed: DataFrame, keyCol: String, nShards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!routed.columns.contains(shardCol),
+      s"input already has a '$shardCol' column — pass a different shardCol")
+    routed.withColumn(shardCol,
+      graft.functions.TextFunctions.shardId(col(keyCol), nShards))
+  }
+
   /** Watermark-delay recommender — the hand-off from the batch disorder
     * profile ([[graft.queries.PipelineQueries.pipeLateness]] /
     * `pipe_watermark_fit`) to the `withWatermark` lateness budget a

@@ -356,6 +356,36 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.size < docs.size)
   }
 
+  test("shardGate: stream shard ids == batch corpus_shuffle layout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftPipeline.shardGate(mem.toDF().toDF("doc_id", "text"), "doc_id", 8)
+      .writeStream.format("memory").queryName("graft_shard_gate")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_shard_gate")
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.queries.TextQueries.corpusShuffle(spark, sfDir)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch) // shared TextFunctions.shardId: no divergence
+    assert(streamed.values.toSet.size == 8) // every shard populated
+    // collision guard + validation
+    intercept[IllegalArgumentException] {
+      GraftPipeline.shardGate(Seq((1L, 2)).toDF("doc_id", "shard"), "doc_id", 8)
+    }
+    intercept[IllegalArgumentException] {
+      GraftPipeline.shardGate(Seq(Tuple1(1L)).toDF("doc_id"), "doc_id", 0)
+    }
+  }
+
   test("annAssignGate: stream list assignments == batch frozen-quantizer argmax") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sfDir = "/root/testdata/sf0.001"
