@@ -173,24 +173,22 @@ object MultimodalQueries {
         j => conv(col("fhex").substr(j * 2 + 1, lit(2)), 16, 10).cast("long")).as("bv"))
     val w = Window.partitionBy("media_id").orderBy("frame_index")
     val minLen = least(size(col("bv")), size(col("pv")))
+    // ONE pass: lag first, aggregate nulls-aware — each asset's first
+    // frame carries a null diff and contributes only to n_frames, so no
+    // second lineage (and no second decode) exists for the frame counts
     val diffs = bytes.withColumn("pv", lag(col("bv"), 1).over(w))
-      .filter(col("pv").isNotNull)
       .select(col("media_id"),
-        (aggregate(
-          zip_with(slice(col("bv"), lit(1), minLen), slice(col("pv"), lit(1), minLen),
-            (a, b) => abs(a - b)),
-          lit(0L), (acc, x) => acc + x).cast("double") / minLen).as("d"))
-    val counts = bytes.groupBy("media_id").agg(count(lit(1)).cast("int").as("n_frames"))
-    val agg = diffs.groupBy("media_id").agg(
-      sum(when(col("d") > SceneCutThreshold, 1L).otherwise(0L)).as("nc"),
-      round(avg("d"), 6).as("md"),
-      round(max("d"), 6).as("xd"))
-    counts.join(agg, Seq("media_id"), "left_outer")
-      .select(col("media_id"), col("n_frames"),
-        coalesce(col("nc"), lit(0L)).as("n_cuts"),
-        (coalesce(col("nc"), lit(0L)) + 1L).as("n_scenes"),
-        coalesce(col("md"), lit(0.0)).as("mean_diff"),
-        coalesce(col("xd"), lit(0.0)).as("max_diff"))
+        when(col("pv").isNotNull,
+          aggregate(
+            zip_with(slice(col("bv"), lit(1), minLen), slice(col("pv"), lit(1), minLen),
+              (a, b) => abs(a - b)),
+            lit(0L), (acc, x) => acc + x).cast("double") / minLen).as("d"))
+    diffs.groupBy("media_id").agg(
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(when(col("d") > SceneCutThreshold, 1L).otherwise(0L)).as("n_cuts"),
+        (sum(when(col("d") > SceneCutThreshold, 1L).otherwise(0L)) + 1L).as("n_scenes"),
+        coalesce(round(avg("d"), 6), lit(0.0)).as("mean_diff"),
+        coalesce(round(max("d"), 6), lit(0.0)).as("max_diff"))
       .orderBy("media_id")
   }
 
@@ -304,21 +302,19 @@ object MultimodalQueries {
          |              lag(bv) OVER (PARTITION BY media_id ORDER BY bi) AS pv
          |       FROM bv),
          |dd AS (SELECT media_id,
-         |              list_sum(list_transform(range(least(len(bv), len(pv))),
-         |                j -> abs(bv[CAST(j AS INT) + 1] - pv[CAST(j AS INT) + 1]))) * 1.0
-         |                / least(len(bv), len(pv)) AS d
-         |       FROM lg WHERE pv IS NOT NULL),
-         |cnt AS (SELECT media_id, CAST(count(*) AS INT) AS n_frames FROM f GROUP BY media_id),
-         |ag AS (SELECT media_id,
-         |              sum(CASE WHEN d > $SceneCutThreshold THEN 1 ELSE 0 END) AS nc,
-         |              round(avg(d), 6) AS md, round(max(d), 6) AS xd
-         |       FROM dd GROUP BY media_id)
-         |SELECT cnt.media_id, n_frames,
-         |       CAST(coalesce(nc, 0) AS BIGINT) AS n_cuts,
-         |       CAST(coalesce(nc, 0) + 1 AS BIGINT) AS n_scenes,
-         |       coalesce(md, 0.0) AS mean_diff,
-         |       coalesce(xd, 0.0) AS max_diff
-         |FROM cnt LEFT JOIN ag USING (media_id)
+         |              CASE WHEN pv IS NOT NULL THEN
+         |                list_sum(list_transform(range(least(len(bv), len(pv))),
+         |                  j -> abs(bv[CAST(j AS INT) + 1] - pv[CAST(j AS INT) + 1]))) * 1.0
+         |                  / least(len(bv), len(pv)) END AS d
+         |       FROM lg)
+         |SELECT media_id, CAST(count(*) AS INT) AS n_frames,
+         |       CAST(sum(CASE WHEN d > $SceneCutThreshold THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_cuts,
+         |       CAST(sum(CASE WHEN d > $SceneCutThreshold THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         |         AS n_scenes,
+         |       coalesce(round(avg(d), 6), 0.0) AS mean_diff,
+         |       coalesce(round(max(d), 6), 0.0) AS max_diff
+         |FROM dd GROUP BY media_id
          |ORDER BY media_id""".stripMargin,
     // the mm_phash pair CTEs feeding a recursive transitive closure
     // seeded from ALL media ids (assets in no pair are singletons) —

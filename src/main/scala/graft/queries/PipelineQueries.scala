@@ -219,6 +219,35 @@ object PipelineQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Gap sessionization via Spark's NATIVE `session_window` aggregate —
+    * the Spark-first form of [[pipeSessionize]]'s manual lag/running-sum
+    * construction, and the one that carries over to Structured Streaming
+    * verbatim (GraftPipeline.sessionStats uses exactly this operator
+    * with a watermark). One groupBy(user, session_window(ts, gap)):
+    * Catalyst plans a single exchange on user_id and merges windows
+    * within partitions — same shuffle count as the manual form with two
+    * window passes fused away. Boundary semantics differ from the
+    * manual rule in ONE case, pinned here on purpose: session_window
+    * merges while the next event starts STRICTLY inside [last, last +
+    * gap), so a gap of exactly 30 min starts a NEW session, where the
+    * lag rule's `> 30 min` keeps it — the oracle mirrors the native
+    * (`>=`) semantics, making the difference a documented contract
+    * rather than a silent off-by-one.
+    */
+  def pipeSessionNative(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(min("ts").as("st"), count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+    val w = Window.partitionBy("user_id").orderBy("st")
+    sess.withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"),
+        date_format(col("st"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Peak concurrent sessions per day — the capacity-planning number a
     * serving deployment reads (simultaneous active users, not event
     * volume), via the classic SWEEP LINE: each 30-min-gap session
@@ -648,6 +677,7 @@ object PipelineQueries {
     "pipe_asof_join" -> pipeAsofJoin,
     "pipe_interval_join" -> pipeIntervalJoin,
     "pipe_sessionize" -> pipeSessionize,
+    "pipe_session_native" -> pipeSessionNative,
     "pipe_concurrency" -> pipeConcurrency,
     "pipe_funnel" -> pipeFunnel,
     "pipe_retention" -> pipeRetention,
@@ -927,6 +957,25 @@ object PipelineQueries {
         |  SELECT user_id, ts, value,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // the native session_window semantics: a gap of exactly the window
+    // length starts a NEW session (>=), unlike pipe_sessionize's strict >
+    "pipe_session_native" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

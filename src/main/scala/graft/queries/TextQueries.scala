@@ -779,6 +779,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Language-ID CONFUSION MATRIX — the quality read on the langid
+    * heuristic itself: per (labeled lang, predicted lang) cell, document
+    * count, cell share of the label's row, and the per-label recall on
+    * the diagonal. Before a curation pass trusts `lang_pred` to gate a
+    * corpus (sample_balanced, corpus_alpha_mix and text_curate all key
+    * on language), this table says WHERE the classifier fails — which
+    * labels leak into 'und', which pairs confuse — at |langs|² cost:
+    * the textLangid lineage unchanged (tokenize once, count each
+    * language's stopword hits once behind barriers), then one
+    * cell-sized aggregate; the row-share window runs over the bounded
+    * cells relation, never documents. Integer counts and exact integer
+    * ratios throughout.
+    */
+  def textLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = textLangid(s, dir).select(col("lang"), col("lang_pred"))
+    val cells = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang")
+    cells
+      .withColumn("row_share", col("n").cast("double") / sum("n").over(w))
+      .withColumn("is_correct", col("lang") === col("lang_pred"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** Corpus heavy hitters: top-50 tokens by document frequency — the
     * vocabulary profile of a training corpus. explode → two-level agg
     * (distinct doc_id per token, then count) → TakeOrdered top-k; the
@@ -2269,6 +2292,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware dedup keep — per near-dup cluster keep the HIGHEST-
+    * QUALITY member, not the lowest id: dedup_cc's min-id rule is
+    * arbitrary among near-copies, but near-dup clusters on a real crawl
+    * contain the clean original alongside boilerplate-wrapped or
+    * truncated variants, and keeping by blended quality score
+    * (doc_id tiebreak) retains the best surviving text — the refinement
+    * production dedup passes actually ship. Composition: the dedup_cc
+    * component lineage + the text_quality staged score (shared
+    * qualityScoreFromParts, so the keep criterion cannot diverge from
+    * the quality queries), one rank window whose partitions are
+    * CLUSTER-sized (bounded by the largest near-dup cluster, never
+    * corpus-partitioned). The rank key is the score rounded to 6 —
+    * drift-proof grain — with doc_id tiebreak, so the kept set is
+    * deterministic cross-engine.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val cc = dedupCC(s, dir).select(col("doc_id"), col("component"))
+    val t = col("text")
+    val toks = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id"), t),
+      "toks" -> tokens(t))
+    val q = stageBarrier(toks, Seq(col("doc_id")),
+      "n_chars" -> length(t),
+      "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")),
+      "n_toks" -> size(col("toks")),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn))
+      .select(col("doc_id"),
+        qualityScoreFromParts(col("n_chars"), col("alpha_len"),
+          col("n_toks"), col("stop_hits")).as("quality"))
+    val w = Window.partitionBy("component").orderBy(col("quality").desc, col("doc_id"))
+    cc.join(q, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("quality"),
+        (col("rnk") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The dedup-funnel accounting table every curation run reports: how
     * many documents (and how much text) survive each stage — raw →
     * exact dedup (md5 keep-first) → near-dup removal (verified LSH
@@ -2330,6 +2389,8 @@ object TextQueries {
     "dedup_cc" -> dedupCC,
     "dedup_cluster_stats" -> dedupClusterStats,
     "text_softdedup" -> textSoftDedup,
+    "dedup_keep_best" -> dedupKeepBest,
+    "text_lang_confusion" -> textLangConfusion,
     "sample_balanced" -> sampleBalanced,
     "corpus_mix" -> corpusMix,
     "text_contaminate" -> textContaminate,
@@ -3071,6 +3132,25 @@ object TextQueries {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component,
          |       a = min(b) AS keep
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // the dedup_cc closure + the shared blended quality score; rank key
+    // is the 6-decimal-rounded score with doc_id tiebreak
+    "dedup_keep_best" ->
+      s"""${pairsCore.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+         |         FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+         |rk AS (SELECT comp.doc_id, comp.component, q.quality,
+         |              row_number() OVER (PARTITION BY comp.component
+         |                ORDER BY q.quality DESC, comp.doc_id) AS rnk
+         |       FROM comp JOIN q ON q.doc_id = comp.doc_id)
+         |SELECT doc_id, component, quality, rnk = 1 AS keep
+         |FROM rk ORDER BY doc_id""".stripMargin,
     // the dedup_cc closure + a component-size join; weight and eff_chars
     // are exact small-integer ratios (identical doubles cross-engine)
     "text_softdedup" ->
@@ -3312,6 +3392,29 @@ object TextQueries {
          |         len(list_filter(string_split(lower(text), ' '), t -> t IN ($esList))) AS es
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // the text_langid prediction CTE folded to |langs|^2 cells + a
+    // row-share window over the bounded cells relation
+    "text_lang_confusion" ->
+      s"""WITH pred AS (
+         |  SELECT lang,
+         |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |         WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |         WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |         ELSE 'es' END AS lang_pred
+         |  FROM (
+         |    SELECT lang,
+         |           len(list_filter(string_split(lower(text), ' '), t -> t IN ($enList))) AS en,
+         |           len(list_filter(string_split(lower(text), ' '), t -> t IN ($deList))) AS de,
+         |           len(list_filter(string_split(lower(text), ' '), t -> t IN ($frList))) AS fr,
+         |           len(list_filter(string_split(lower(text), ' '), t -> t IN ($esList))) AS es
+         |    FROM documents)),
+         |cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |          FROM pred GROUP BY lang, lang_pred)
+         |SELECT lang, lang_pred, n,
+         |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS row_share,
+         |       lang = lang_pred AS is_correct
+         |FROM cells ORDER BY lang, lang_pred""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
         |SELECT doc_id,

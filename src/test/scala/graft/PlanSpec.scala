@@ -201,6 +201,42 @@ class PlanSpec extends SparkTestBase {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(2500))
   }
 
+  test("corpus_shuffle: exactly one hash exchange (the shard window), no global sort before it") {
+    // the layout's only data shuffle is partition-by-shard; the final
+    // orderBy is the harness output sort (range exchange), not a plan cost
+    val p = physical("corpus_shuffle")
+    assert("hashpartitioning".r.findAllIn(p).length == 1, p.take(2500))
+  }
+
+  test("emb_silhouette: centroids broadcast; corpus side never cross-joins") {
+    val p = physical("emb_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("pipe_concurrency: exactly one single-partition window (the bounded hours carry)") {
+    // corpus-sized work stays in per-hour/per-user partitions; only the
+    // |hours|-row carry relation ever funnels to one partition
+    val p = physical("pipe_concurrency")
+    assert("SinglePartition".r.findAllIn(p).length == 1, p.take(3000))
+  }
+
+  test("q_topk_merge: every lineage runs as TakeOrdered, no full sort") {
+    val p = physical("q_topk_merge")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 3, p.take(2500))
+  }
+
+  test("mm_scene_cut: frame hex staged once behind the barrier") {
+    // the byte-array transform references the staged hex attribute; an
+    // inlined hex() would re-encode the frame once per lambda element
+    val p = optimized("mm_scene_cut")
+    assert("hex\\(".r.findAllIn(p).length == 1, p.take(2500))
+  }
+
+  test("pipe_session_native: the native session_window operator plans") {
+    assert(optimized("pipe_session_native").contains("session_window"))
+  }
+
   test("PLANS.md is fresh: every registered query has a plan section") {
     // PLANS.md went stale once (r4) when queries were added without
     // regenerating it; `sbt "runMain graft.Explain"` rebuilds it
