@@ -1468,7 +1468,11 @@ object VectorQueries {
     * Lloyd/codebook collects read `e`; persist around this call when the
     * corpus feeds other lineages too, e.g. [[knnRecallPq]]).
     */
-  private def knnIvfPqFrom(e: DataFrame): DataFrame = {
+  /** The full ADC candidate relation (query, neighbor, asymmetric
+    * distance) of the IVF-PQ search — shared by [[knnIvfPqFrom]] (top-K
+    * cut) and [[knnPqRerank]] (depth-d candidate generator).
+    */
+  private def ivfPqAdcFrom(e: DataFrame): DataFrame = {
     val NProbe = 2
     val lists = kmeansCentroids(e, nLists = 8, iters = 2)
     val codebook = pqCodebook(e)
@@ -1484,15 +1488,44 @@ object VectorQueries {
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= NProbe)
       .select(col("query_id"), col("qv"), col("list_id"))
-    val wK = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
     broadcast(probed).join(corpus, "list_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         adcDist(col("qv"), col("codes"), codebook).as("adist"))
+  }
+
+  private def knnIvfPqFrom(e: DataFrame): DataFrame = {
+    val wK = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+    ivfPqAdcFrom(e)
       .withColumn("rnk", row_number().over(wK))
       .filter(col("rnk") <= K)
       .select(col("query_id"), col("neighbor_id"), round(col("adist"), 6).as("adist"), col("rnk"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** IVF-PQ two-stage search — the rerank closure the PQ recall dial
+    * (knn_recall_pq) prescribes, completing the family with the trunc
+    * and binary closures: stage 1 ranks candidates by 8-byte ADC codes
+    * (the compressed index IS the candidate generator), stage 2 reranks
+    * the top-d with exact full-precision cosine, recall@K per candidate
+    * depth d. Because the rerank uses the ground truth's own rank key,
+    * recall@K(d) equals candidate-set recall exactly — each curve point
+    * measures how well ADC ordering concentrates true neighbors. Stage
+    * shape: candidates come from the probed lists only (the IVF scan
+    * bound), the rerank is candidate-sized, and the raw-vector corpus is
+    * touched only to fetch the ≤d rerank rows per query — the
+    * memory-hierarchy story of a PQ deployment (codes in RAM, raw
+    * vectors fetched per candidate).
+    */
+  def knnPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v")).persist()
+    try {
+      val wA = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))
+      val cand = ivfPqAdcFrom(e).withColumn("rnk", row_number().over(wA))
+      val out = rerankRecallCurve(s, e, cand)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally e.unpersist(false)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1516,6 +1549,7 @@ object VectorQueries {
     "emb_pq" -> embPq,
     "knn_ivf_pq" -> knnIvfPq,
     "knn_recall_pq" -> knnRecallPq,
+    "knn_pq_rerank" -> knnPqRerank,
     "knn_recall_trunc" -> knnRecallTrunc,
     "knn_trunc_rerank" -> knnTruncRerank,
     "knn_recall_sweep" -> knnRecallSweep,
@@ -1684,6 +1718,43 @@ object VectorQueries {
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY adist, neighbor_id) AS rnk
          |  FROM adc) WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // the adc relation ranked to depth d, exact-cosine rerank points —
+    // knn_trunc_rerank's oracle shape on the PQ candidate generator
+    "knn_pq_rerank" -> {
+      def point(d: Int): String =
+        s"""SELECT $d AS cand_k,
+           |       CAST((SELECT count(*)
+           |             FROM brute b JOIN (
+           |               SELECT query_id, neighbor_id FROM (
+           |                 SELECT c.query_id, c.neighbor_id,
+           |                        row_number() OVER (PARTITION BY c.query_id
+           |                          ORDER BY round(${cosSql.format("q.qv", "e.v", "q.qv", "q.qv", "e.v", "e.v")}, 6) DESC,
+           |                                   c.neighbor_id) AS rnk
+           |                 FROM cnd c JOIN e ON e.vec_id = c.neighbor_id
+           |                            JOIN q ON q.query_id = c.query_id
+           |                 WHERE c.rnk <= $d) WHERE rnk <= $K) i
+           |               ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+           |            AS DOUBLE) / ${NumQueries * K}.0 AS recall""".stripMargin
+      s"""WITH $ivfPqCteSql,
+         |cnd AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adist, neighbor_id) AS rnk
+         |  FROM adc),
+         |bpairs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bpairs)
+         |  WHERE rnk <= $K)
+         |${Seq(50, 100, 200).map(point).mkString("\nUNION ALL\n")}
+         |ORDER BY cand_k""".stripMargin
+    },
     // the IVF-PQ top-k as a CTE vs the exact brute top-k (knn_recall's
     // composition shape)
     "knn_recall_pq" ->
