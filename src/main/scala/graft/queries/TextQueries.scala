@@ -1503,6 +1503,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** WEIGHTED fixed-k sampling per group — Efraimidis–Spirakis A-ES
+    * (IPL'06), the weighted-reservoir primitive behind quality-weighted
+    * corpus subsampling ("sample 20 docs per language ∝ quality"):
+    * item i wins with key uᵢ^(1/wᵢ) — equivalently, ranked by
+    * ln(uᵢ)/wᵢ (the monotone form that avoids cross-engine pow) — which
+    * realizes inclusion probability proportional to weight without any
+    * global pass over the weights. u is the seeded h32 uniform (so the
+    * draw is deterministic, replay-stable and append-stable like
+    * sample_fixed_k), w is the shared blended quality score (+0.01
+    * floor so zero-quality docs keep a positive weight), and the rank
+    * key rounds at 1e-12 with doc_id tiebreak — drift-proof. Same
+    * 100 TB shape as sample_fixed_k: a per-group rank cut that executes
+    * as WindowGroupLimit (map-side top-k per group), state bounded by
+    * k per group per partition.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = stageBarrier(Tables.documents(s, dir),
+      Seq(col("doc_id"), col("lang"), t), "toks" -> tokens(t))
+    val q = stageBarrier(toks, Seq(col("doc_id"), col("lang")),
+      "n_chars" -> length(t),
+      "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")),
+      "n_toks" -> size(col("toks")),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn))
+      .select(col("doc_id"), col("lang"),
+        qualityScoreFromParts(col("n_chars"), col("alpha_len"),
+          col("n_toks"), col("stop_hits")).as("wq"))
+    val u = (h32(concat(lit("wsamp#"), col("doc_id").cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val keyed = q.withColumn("k", round(log(u) / (col("wq") + lit(0.01)), 12))
+    val w = Window.partitionBy("lang").orderBy(col("k").desc, col("doc_id"))
+    keyed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= FixedKPerLang)
+      .select(col("doc_id"), col("lang"), col("wq").as("weight"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("doc_id")
+  }
+
   private val AgreementQualityMin = 0.5 // textCurate's quality threshold
 
   /** Filter-ensemble agreement table — the 8-cell diagnostic a curation
@@ -2441,6 +2479,7 @@ object TextQueries {
     "corpus_source_profile" -> corpusSourceProfile,
     "corpus_alpha_mix" -> corpusAlphaMix,
     "sample_fixed_k" -> sampleFixedK,
+    "sample_weighted" -> sampleWeighted,
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_dup_ngrams" -> textDupNgrams,
@@ -3618,6 +3657,19 @@ object TextQueries {
          |         row_number() OVER (PARTITION BY lang
          |           ORDER BY ${hx("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id) AS rnk
          |  FROM documents)
+         |WHERE rnk <= $FixedKPerLang ORDER BY doc_id""".stripMargin,
+    // A-ES weighted sampling: rank by ln(u)/w (the pow-free monotone
+    // form), key rounded at 1e-12, shared quality score as the weight
+    "sample_weighted" ->
+      s"""WITH q AS (SELECT doc_id, lang, $qualitySql AS wq FROM documents),
+         |kd AS (SELECT doc_id, lang, wq,
+         |         round(ln((${hx("'wsamp#' || CAST(doc_id AS VARCHAR)")} + 1) / 4294967296.0)
+         |               / (wq + 0.01), 12) AS k
+         |       FROM q)
+         |SELECT doc_id, lang, wq AS weight, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT doc_id, lang, wq,
+         |         row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rnk
+         |  FROM kd)
          |WHERE rnk <= $FixedKPerLang ORDER BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH ch AS (

@@ -522,6 +522,19 @@ object GraftPipeline {
         col(idCol).cast("long").as("id")).as[FixedKStream.Rec], k)
   }
 
+  /** Streaming WEIGHTED fixed-k per-group sample — [[WeightedKStream]]
+    * (the batch sample_weighted's A-ES criterion as maintained state)
+    * over an arbitrary (group, id, weight) projection of the stream.
+    */
+  def weightedKStream(input: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int = 50): Dataset[WeightedKStream.Sample] = {
+    import input.sparkSession.implicits._
+    WeightedKStream(
+      input.select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("weight")).as[WeightedKStream.Rec], k)
+  }
+
   /** Content-keyed streaming exact dedup — the batch dedup_exact as a
     * stream, layered on [[dedupStream]]: the dedup key is the md5
     * FINGERPRINT of the payload text, not the text itself, so a state row
