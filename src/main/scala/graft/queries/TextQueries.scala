@@ -2020,6 +2020,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark n-gram COVERAGE — [[textContaminate]]'s question asked in
+    * the other direction: per EVAL document, what fraction of its
+    * distinct 3-gram shingles occurs anywhere in the training side?
+    * Contamination flags training docs that leak eval text; coverage
+    * grades the eval set itself — an item near 1.0 is answerable from
+    * memorized training n-grams (weak benchmark signal even if no
+    * single training doc crossed the contamination threshold), an item
+    * near 0 probes genuinely unseen text. The pre-registration read on
+    * an eval suite against a frozen corpus. Same lineage as
+    * contaminate with the roles swapped: the train side collapses to a
+    * distinct shingle relation (vocabulary-sized), the join keys on
+    * the shingle (AQE regime), and the per-eval-doc fraction is an
+    * exact integer ratio; at 100 TB the train relation swaps for the
+    * text_bloom broadcast bitmask with one-sided error (coverage then
+    * reads as an upper bound — the safe direction for this decision).
+    */
+  def textNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"),
+        explode(array_distinct(wordShingles(col("toks"), ShingleK))).as("sh"))
+    val trainSh = shingled.filter(col("doc_id") >= BenchDocs).select("sh").distinct()
+    val bench = shingled.filter(col("doc_id") < BenchDocs)
+    val nsh = bench.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = bench.join(trainSh, "sh").groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    nsh.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 6).as("coverage"))
+      .orderBy("doc_id")
+  }
+
   // Bloom geometry lives in TextFunctions (BloomBits/BloomHashes), shared
   // with the streaming noveltyGate so batch and stream probe one filter
 
@@ -2432,6 +2466,7 @@ object TextQueries {
     "sample_balanced" -> sampleBalanced,
     "corpus_mix" -> corpusMix,
     "text_contaminate" -> textContaminate,
+    "text_ngram_coverage" -> textNgramCoverage,
     "text_bloom" -> textBloom,
     "text_pmi" -> textPmi,
     "text_bpe_merges" -> textBpeMerges,
@@ -3004,6 +3039,21 @@ object TextQueries {
          |SELECT nsh.doc_id, n_shingles, coalesce(n_hits, 0) AS n_hits,
          |       round(coalesce(n_hits, 0)::DOUBLE / n_shingles::DOUBLE, 6) AS overlap_ratio,
          |       coalesce(n_hits, 0)::DOUBLE / n_shingles::DOUBLE >= $ContamRatio AS flagged
+         |FROM nsh LEFT JOIN hits ON nsh.doc_id = hits.doc_id
+         |ORDER BY nsh.doc_id""".stripMargin,
+    // text_contaminate's lineage with the roles swapped: per EVAL doc the
+    // fraction of its distinct shingles present anywhere in the train side
+    "text_ngram_coverage" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |shs AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |        FROM t WHERE len(toks) >= $ShingleK),
+         |trainsh AS (SELECT DISTINCT sh FROM shs WHERE doc_id >= $BenchDocs),
+         |bench AS (SELECT * FROM shs WHERE doc_id < $BenchDocs),
+         |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM bench GROUP BY doc_id),
+         |hits AS (SELECT doc_id, count(*) AS n_covered
+         |         FROM bench JOIN trainsh USING (sh) GROUP BY doc_id)
+         |SELECT nsh.doc_id, n_shingles, coalesce(n_covered, 0) AS n_covered,
+         |       round(coalesce(n_covered, 0)::DOUBLE / n_shingles::DOUBLE, 6) AS coverage
          |FROM nsh LEFT JOIN hits ON nsh.doc_id = hits.doc_id
          |ORDER BY nsh.doc_id""".stripMargin,
     // mirrors textBloom: one h32 per shingle mixed into k positions mod m

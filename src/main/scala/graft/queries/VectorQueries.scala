@@ -759,6 +759,38 @@ object VectorQueries {
     } finally e.unpersist(false)
   }
 
+  /** Recall@K along the K AXIS — every other recall dial in the family
+    * (nprobe, width, bits, tables, candidate depth) fixes K=10 and
+    * varies the index; this fixes the index (IVF, nprobe=2) and varies
+    * what the caller actually asks for: K ∈ {1, 5, 10}. The shape of
+    * this curve is a deployment decision input — recall@1 ≪ recall@10
+    * says the index finds the neighborhood but not the nearest point
+    * (rerank before answering top-1); flat-in-K says errors are
+    * misses of whole lists, not rank noise. ONE pass: both ranked
+    * lineages (brute ground truth, IVF) join on (query, neighbor) and
+    * every K point is a conditional count over that ≤ NumQueries·K-row
+    * relation — no per-K jobs.
+    */
+  def knnRecallVsK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).persist()
+    try {
+      val brute = knnBruteFrom(e)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("brnk"))
+      val ivf = knnIvfFrom(e)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("irnk"))
+      val j = brute.join(ivf, Seq("query_id", "neighbor_id"))
+      val row = j.agg(
+        sum(when(col("brnk") <= 1 && col("irnk") <= 1, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("brnk") <= 5 && col("irnk") <= 5, 1L).otherwise(0L)).as("h5"),
+        sum(when(col("brnk") <= 10 && col("irnk") <= 10, 1L).otherwise(0L)).as("h10"))
+        .collect()(0)
+      import s.implicits._
+      Seq(1, 5, 10).zip(Seq(row.getLong(0), row.getLong(1), row.getLong(2)))
+        .map { case (k, h) => (k, h.toDouble / (NumQueries * k)) }
+        .toDF("k", "recall")
+    } finally e.unpersist(false)
+  }
+
   private val FilterMod = 3
 
   /** FILTERED ANN — the production search shape nothing else in the
@@ -1553,6 +1585,7 @@ object VectorQueries {
     "knn_recall_trunc" -> knnRecallTrunc,
     "knn_trunc_rerank" -> knnTruncRerank,
     "knn_recall_sweep" -> knnRecallSweep,
+    "knn_recall_vs_k" -> knnRecallVsK,
     "knn_filtered" -> knnFiltered,
     "knn_recall_binary" -> knnRecallBinary,
     "knn_binary_rerank" -> knnBinaryRerank,
@@ -1858,6 +1891,45 @@ object VectorQueries {
          |       CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
          |FROM sil GROUP BY label
          |ORDER BY label""".stripMargin,
+    // brute and IVF top-10 joined once, each K point a conditional count
+    "knn_recall_vs_k" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
+         |       FROM e CROSS JOIN range(1, 65) r(i)),
+         |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cm GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |bp AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |              round(${cosSql.format("qv", "e.v", "qv", "qv", "e.v", "e.v")}, 6) AS cos
+         |       FROM q JOIN e ON e.vec_id <> q.query_id),
+         |brute AS (SELECT query_id, neighbor_id, rnk AS brnk FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM bp) WHERE rnk <= $K),
+         |probe AS (
+         |  SELECT query_id, qv, label,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql.format("qv", "cv", "qv", "qv", "cv", "cv")} DESC, label) AS prnk
+         |  FROM q CROSS JOIN cent),
+         |sel AS (SELECT query_id, qv, label FROM probe WHERE prnk <= 2),
+         |ip AS (SELECT sel.query_id, e.vec_id AS neighbor_id,
+         |              round(${cosSql.format("qv", "e.v", "qv", "qv", "e.v", "e.v")}, 6) AS cos
+         |       FROM sel JOIN e ON e.label = sel.label AND e.vec_id <> sel.query_id),
+         |ivf AS (SELECT query_id, neighbor_id, rnk AS irnk FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM ip) WHERE rnk <= $K),
+         |j AS (SELECT brnk, irnk FROM brute JOIN ivf USING (query_id, neighbor_id))
+         |SELECT 1 AS k,
+         |       coalesce(sum(CASE WHEN brnk <= 1 AND irnk <= 1 THEN 1 END), 0)
+         |         / ${NumQueries * 1}.0 AS recall FROM j
+         |UNION ALL
+         |SELECT 5, coalesce(sum(CASE WHEN brnk <= 5 AND irnk <= 5 THEN 1 END), 0)
+         |          / ${NumQueries * 5}.0 FROM j
+         |UNION ALL
+         |SELECT 10, coalesce(sum(CASE WHEN brnk <= 10 AND irnk <= 10 THEN 1 END), 0)
+         |           / ${NumQueries * 10}.0 FROM j
+         |ORDER BY k""".stripMargin,
     // post-filtered IVF probe vs filtered brute ground truth per nprobe;
     // ranks on round(cos, 6) + id tiebreak on both engines, recall and
     // candidate counts are exact integers
