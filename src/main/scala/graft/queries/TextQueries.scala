@@ -2020,6 +2020,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary GROWTH curve (Heaps' law, measured) — cumulative
+    * distinct 3-gram shingle types vs cumulative shingles ingested, in
+    * doc_id ingestion order split into ten equal-width id deciles: the
+    * corpus-health read behind every "vocabulary grows sublinearly"
+    * scale claim this repo's own SCALE.md makes for the token- and
+    * shingle-keyed query families (tfidf, pmi, bigram LMs, the dedup
+    * shingle joins), and the curve that says when a vocabulary budget
+    * saturates. The type unit is the 3-gram shingle (the dedup
+    * family's key) because this corpus's UNIGRAM vocabulary saturates
+    * in the first decile — itself a finding, visible here as
+    * shingle growth flattening instead. Scale-true construction with
+    * NO corpus-order window: a type's first occurrence is min(doc_id)
+    * — a vocabulary-sized aggregate — the decile bucketing needs only
+    * the 1-row max-id aggregate broadcast back, and every decile
+    * emits a row (left join from the token side; a decile with no new
+    * types reads 0). Both cumulative sums run over the 10-row decile
+    * relation. All-integer, exact.
+    */
+  def corpusHeaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(col("doc_id"), explode(wordShingles(col("toks"), ShingleK)).as("sh"))
+    val mx = docs.agg(max("doc_id").as("mx"))
+    def decile(c: Column) = floor(c * 10 / (col("mx") + 1)).cast("int")
+    val types = sh.groupBy("sh").agg(min("doc_id").as("fo"))
+      .crossJoin(broadcast(mx))
+      .groupBy(decile(col("fo")).as("decile")).agg(count(lit(1)).as("new_types"))
+    val shingles = sh.crossJoin(broadcast(mx))
+      .groupBy(decile(col("doc_id")).as("decile")).agg(count(lit(1)).as("new_shingles"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shingles.join(types, Seq("decile"), "left_outer")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_shingles", sum("new_shingles").over(w))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .select(col("decile"), col("new_shingles"), col("cum_shingles"),
+        col("new_types"), col("cum_types"))
+      .orderBy("decile")
+  }
+
   /** Benchmark n-gram COVERAGE — [[textContaminate]]'s question asked in
     * the other direction: per EVAL document, what fraction of its
     * distinct 3-gram shingles occurs anywhere in the training side?
@@ -2467,6 +2508,7 @@ object TextQueries {
     "corpus_mix" -> corpusMix,
     "text_contaminate" -> textContaminate,
     "text_ngram_coverage" -> textNgramCoverage,
+    "corpus_heaps" -> corpusHeaps,
     "text_bloom" -> textBloom,
     "text_pmi" -> textPmi,
     "text_bpe_merges" -> textBpeMerges,
@@ -3041,6 +3083,28 @@ object TextQueries {
          |       coalesce(n_hits, 0)::DOUBLE / n_shingles::DOUBLE >= $ContamRatio AS flagged
          |FROM nsh LEFT JOIN hits ON nsh.doc_id = hits.doc_id
          |ORDER BY nsh.doc_id""".stripMargin,
+    // first-occurrence = min(doc_id) per token; deciles via the 1-row
+    // max-id relation; cumulative sums over the 10-row decile relation
+    "corpus_heaps" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |shs AS (SELECT doc_id, unnest($shinglesSql) AS sh
+         |        FROM t WHERE len(toks) >= $ShingleK),
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |ty AS (SELECT CAST(fo * 10 // (mx + 1) AS INT) AS decile,
+         |              CAST(count(*) AS BIGINT) AS new_types
+         |       FROM (SELECT sh, min(doc_id) AS fo FROM shs GROUP BY sh)
+         |       CROSS JOIN mx GROUP BY 1),
+         |tk AS (SELECT CAST(doc_id * 10 // (mx + 1) AS INT) AS decile,
+         |              CAST(count(*) AS BIGINT) AS new_shingles
+         |       FROM shs CROSS JOIN mx GROUP BY 1)
+         |SELECT tk.decile, new_shingles,
+         |       CAST(sum(new_shingles) OVER (ORDER BY tk.decile
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_shingles,
+         |       coalesce(new_types, 0) AS new_types,
+         |       CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY tk.decile
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+         |FROM tk LEFT JOIN ty ON ty.decile = tk.decile
+         |ORDER BY tk.decile""".stripMargin,
     // text_contaminate's lineage with the roles swapped: per EVAL doc the
     // fraction of its distinct shingles present anywhere in the train side
     "text_ngram_coverage" ->
