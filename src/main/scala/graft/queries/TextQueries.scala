@@ -2327,6 +2327,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY per language — BPE tokens per word under the
+    * learned merge vocabulary, the multilingual-fairness number the
+    * tokenizer literature reads (a language with 2× the fertility pays
+    * ~2× the compute and context budget per unit of content, and that
+    * asymmetry feeds straight into the corpus_alpha_mix upweighting
+    * decision): per labeled language, words encoded, BPE tokens
+    * produced, fertility = tokens/word, and tokens-per-char (the
+    * length-bias-free variant). Rides [[textBpeEncode]]'s lineage —
+    * the segmentation lives on the vocabulary-sized merge table, the
+    * corpus pass is one explode + a vocabulary-keyed join — collapsed
+    * to a |langs|-row aggregate; ratios are exact-integer quotients,
+    * engine-identical unrounded.
+    */
+  def textFertility(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = bpeTrain(s, dir)
+    val wl = vocab.select(col("w"), size(col("s")).cast("long").as("n_sym"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(wl, "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_bpe_tokens"),
+        (sum("n_sym").cast("double") / count(lit(1))).as("fertility"),
+        (sum("n_sym").cast("double") /
+          sum(length(col("w"))).cast("double")).as("tokens_per_char"))
+      .orderBy("lang")
+  }
+
   /** The corpus mixing report: per ingestion source, how many documents
     * and tokens it contributes, its token share of the whole corpus, its
     * mean quality, and its near-dup rate — the table a data-mixing
@@ -2513,6 +2542,7 @@ object TextQueries {
     "text_pmi" -> textPmi,
     "text_bpe_merges" -> textBpeMerges,
     "text_bpe_encode" -> textBpeEncode,
+    "text_fertility" -> textFertility,
     "dedup_incremental" -> dedupIncremental,
     "dedup_recall" -> dedupRecall,
     "text_cms" -> textCms,
@@ -3213,6 +3243,18 @@ object TextQueries {
          |         AS tokens_per_char
          |FROM tok JOIN wl USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the bpe_encode chain aggregated per language; exact-integer ratios
+    "text_fertility" ->
+      s"""WITH $bpeVocabCte,
+         |wl AS (SELECT w, CAST(len(s) AS BIGINT) AS n_sym FROM v$BpeMergeRounds),
+         |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(sum(n_sym) AS DOUBLE) / count(*) AS fertility,
+         |       CAST(sum(n_sym) AS DOUBLE) / CAST(sum(length(w)) AS DOUBLE)
+         |         AS tokens_per_char
+         |FROM tok JOIN wl USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_mix" ->
       s"""$pairsCore,
          |dup AS (SELECT DISTINCT id_b FROM pairs),
