@@ -28,6 +28,10 @@ object Stretch {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Bench/Verify/Explain: Tables.events' TIMESTAMP_NTZ
+      // branch casts through the session TZ, so a non-UTC host would
+      // otherwise materialize shifted instants into the stretch tables
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -40,10 +44,22 @@ object Stretch {
 
     // SPARK_GRAFT_STRETCH_REUSE=1 skips re-materialization when the
     // stretched tables already exist (re-measuring solo after a
-    // contaminated window, or measuring a second query batch)
-    val reuse = sys.env.get("SPARK_GRAFT_STRETCH_REUSE").contains("1") &&
-      Seq("events", "lineitem", "orders", "documents", "embeddings")
+    // contaminated window, or measuring a second query batch). The
+    // factor marker guards the two silent-reuse failure modes: a dir
+    // materialized at a DIFFERENT factor (per-row growth would divide
+    // by the wrong n) and a run killed mid-write (marker is written
+    // last, after every table).
+    val marker = new java.io.File(s"$workDir/_stretch_factor")
+    val reuse = sys.env.get("SPARK_GRAFT_STRETCH_REUSE").contains("1") && {
+      val tablesExist = Seq("events", "lineitem", "orders", "documents", "embeddings")
         .forall(t => new java.io.File(s"$workDir/$t.parquet").exists())
+      val markerOk = marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath).trim == factor.toString
+      if (tablesExist && !markerOk)
+        println(s"[stretch] REUSE requested but $workDir has no matching " +
+          s"factor=$factor marker (stale or partial tables) — re-materializing")
+      tablesExist && markerOk
+    }
     if (reuse) println(s"[stretch] reusing ${factor}x tables in $workDir")
     else {
       // events: new event ids per copy; payload content per row unchanged
@@ -73,6 +89,7 @@ object Stretch {
       copies(Tables.embeddings(spark, srcDir), (df, i) =>
         df.withColumn("vec_id", col("vec_id") + lit(i * KeyStride)))
         .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+      java.nio.file.Files.writeString(marker.toPath, factor.toString)
       println(s"[stretch] wrote ${factor}x tables to $workDir")
     }
 

@@ -641,6 +641,36 @@ object JsonataCompiler {
         for ((k, v) <- opts if charOpts.contains(k) && v.length != 1)
           throw new JsonataCompileError(
             s"$$formatNumber: option '$k' must be a single character, got '$v'")
+        // XPath decimal-format constraints, enforced at COMPILE time so a
+        // bad config never becomes a per-row runtime throw. zero-digit:
+        // XPath requires a digit with value 0; this compiler's documented
+        // extension also accepts a NON-digit base char whose contiguous
+        // +0..+9 range forms the family (the circled-digit case, U+245F)
+        // — but a real digit with a NONZERO value is always an error
+        // (its family would straddle the actual digits).
+        for (z <- opts.get("zero-digit").map(_.head))
+          if (Character.digit(z, 10) > 0)
+            throw new JsonataCompileError(
+              s"$$formatNumber: zero-digit must have digit value 0 (or be a " +
+                s"non-digit family base), got '$z'")
+        val effectiveChar: Map[String, Char] = charOpts.map { case (k, d) =>
+          k -> opts.get(k).map(_.head).getOrElse(d)
+        }
+        val zeroDigit = effectiveChar("zero-digit")
+        val digitFamily = (zeroDigit to (zeroDigit + 9).toChar).toSet
+        val distinctProps = Seq("decimal-separator", "grouping-separator",
+          "percent", "per-mille", "digit", "pattern-separator",
+          "exponent-separator").map(k => k -> effectiveChar(k))
+        distinctProps.groupBy(_._2).collectFirst {
+          case (c, ps) if ps.size > 1 =>
+            throw new JsonataCompileError(
+              s"$$formatNumber: formatting characters must be distinct — " +
+                s"${ps.map(_._1).mkString(" and ")} both resolve to '$c'")
+        }
+        for ((k, c) <- distinctProps if digitFamily.contains(c))
+          throw new JsonataCompileError(
+            s"$$formatNumber: '$k' ('$c') collides with the digit family " +
+              s"of zero-digit '$zeroDigit'")
         def digitRange(z: Char): Seq[(Char, Char)] =
           (0 to 9).map(i => (z + i).toChar -> ('0' + i).toChar)
         // picture: custom chars -> standard, so DecimalFormat parses it
@@ -1212,7 +1242,12 @@ object JsonataCompiler {
     * places cover the full Long range.
     */
   private def lettersColumn(n0: Column, base: Char): Column = {
-    val v = abs(n0)
+    // Column `/` is double division: exact only below 2^53, so place
+    // extraction past that would silently garble a letter — fail loudly
+    // like the word pictures' 10^15 bound instead
+    val v = when(abs(n0) >= 9007199254740992L,
+      raise_error(lit("$formatInteger letter pictures support |n| < 2^53")))
+      .otherwise(abs(n0))
     val places =
       Iterator.iterate(v)(m => floor((m - 1L) / 26L).cast(LongType)).take(14).toSeq
     val chars = places.map(m =>

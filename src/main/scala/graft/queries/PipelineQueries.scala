@@ -166,7 +166,10 @@ object PipelineQueries {
         |  "rt": $parseInteger($formatInteger($n, 'w'), 'w'),
         |  "ev": $eval('k * 3')})""".stripMargin,
       col("p"), propsSchema)
-    staged.filter(parseOk(col("p")) && col("p.k").isNotNull)
+    // k >= 0 on BOTH sides: the oracle's 0..99 word CASE and chr() letter
+    // arithmetic are defined for non-negative k only, so the contract is
+    // pinned in the filter rather than left to fixture luck
+    staged.filter(parseOk(col("p")) && col("p.k").isNotNull && col("p.k") >= 0)
       .select(col("event_id"), out.as("o"))
       .select(col("event_id"), col("o.ord").as("ord"), col("o.words").as("words"),
         col("o.wordo").as("wordo"), col("o.letter").as("letter"),
@@ -750,7 +753,8 @@ object PipelineQueries {
       s"""WITH b AS (
          |  SELECT event_id, CAST(props->>'$$.k' AS BIGINT) AS k
          |  FROM events
-         |  WHERE json_valid(props) AND (props->>'$$.k') IS NOT NULL)
+         |  WHERE json_valid(props) AND (props->>'$$.k') IS NOT NULL
+         |    AND CAST(props->>'$$.k' AS BIGINT) >= 0)
          |SELECT event_id,
          |       CAST(k AS VARCHAR) ||
          |         CASE WHEN k % 100 IN (11, 12, 13) THEN 'th'

@@ -584,9 +584,12 @@ object TextQueries {
     val exact = textDupRangesExact(s, dir)
       .agg(count(lit(1)).as("exact_ranges"),
         coalesce(sum(col("span_end") - col("span_start")), lit(0L)).as("exact_bytes"))
+    // the sampled plane IS the exact shard relation cut to fp ≡ 0 mod p —
+    // derive it that way (one hashing lineage, structurally the oracle's
+    // own definition) instead of re-running the rolling hash via
+    // rollingFpRows and re-filtering to the shard
     val sampled = mergeDupIntervals(markCrossDocDups(
-      rollingFpRows(s, dir).filter(col("doc_id") < SpanRecallSample)
-        .select(col("doc_id"), col("pos"), col("fp"))))
+      shardAllWindowFps(s, dir).filter(pmod(col("fp"), lit(RollP)) === 0)))
       .agg(count(lit(1)).as("sampled_ranges"),
         coalesce(sum(col("span_end") - col("span_start")), lit(0L)).as("sampled_bytes"))
     exact.crossJoin(sampled)

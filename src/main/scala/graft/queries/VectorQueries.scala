@@ -27,6 +27,19 @@ object VectorQueries {
   /** Test access to the corpus projection (plan-regression specs). */
   private[graft] def embProjection(s: SparkSession, dir: String): DataFrame = emb(s, dir)
 
+  /** Per-label mean centroid relation (label, cv) — the label coarse
+    * quantizer shared by the centroid-dist/silhouette/IVF/filtered
+    * family: one shuffle on label, |labels| × dim output. A single
+    * definition so tie/ordering semantics cannot drift between the
+    * queries that must agree on it.
+    */
+  private def labelCentroids(e: DataFrame, out: String = "cv"): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("m"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s0 => s0.getField("m")).as(out))
+
   /** Brute-force exact top-k cosine neighbors for the first NumQueries ids. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = knnBruteFrom(emb(s, dir))
 
@@ -52,11 +65,8 @@ object VectorQueries {
 
   private def centroidDistCore(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    // mean per dimension: aggregate arrays elementwise via posexplode
-    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("m"))
-      .groupBy("label").agg(
-        transform(array_sort(collect_list(struct(col("i"), col("m")))), s0 => s0.getField("m")).as("cv"))
+    // mean per dimension: aggregate arrays elementwise (labelCentroids)
+    val centroids = labelCentroids(e)
     e.join(broadcast(centroids), "label")
       .select(col("vec_id"), col("label"),
         round(cosine(col("v"), col("cv")), 6).as("cos_to_centroid"))
@@ -103,12 +113,7 @@ object VectorQueries {
     */
   def embSilhouette(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("m"))
-      .groupBy("label").agg(
-        transform(array_sort(collect_list(struct(col("i"), col("m")))),
-          s0 => s0.getField("m")).as("cv"))
-    val centArr = centroids.agg(
+    val centArr = labelCentroids(e).agg(
       array_sort(collect_list(struct(col("label").as("cl"), col("cv")))).as("cents"))
     val dists = e.join(broadcast(centArr), lit(true))
       .select(col("vec_id"), col("label"),
@@ -251,10 +256,7 @@ object VectorQueries {
   private def knnIvfFrom(e: DataFrame, nProbe: Int = 2): DataFrame = {
     val NProbe = nProbe
     // centroids: one shuffle on label, tiny output (nlists x dim)
-    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("m"))
-      .groupBy("label").agg(
-        transform(array_sort(collect_list(struct(col("i"), col("m")))), s0 => s0.getField("m")).as("cv"))
+    val centroids = labelCentroids(e)
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // probe assignment: |queries| x nlists rows, rank centroids per query
@@ -827,11 +829,7 @@ object VectorQueries {
           round(cosine(col("qv"), col("cv")), 6).as("cos"))
         .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= K)
         .select(col("query_id"), col("neighbor_id"))
-      val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("label", "i").agg(avg("x").as("m"))
-        .groupBy("label").agg(
-          transform(array_sort(collect_list(struct(col("i"), col("m")))),
-            s0 => s0.getField("m")).as("ccv"))
+      val centroids = labelCentroids(e, out = "ccv")
       val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("label"))
       val probeRank = queries.join(broadcast(centroids), lit(true))
         .select(col("query_id"), col("qv"), col("label"),

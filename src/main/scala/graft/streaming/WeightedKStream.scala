@@ -52,10 +52,16 @@ object WeightedKStream {
   // natural (key, -id) ordering makes `min` the eviction candidate
   private type Entry = (Double, Long, Double) // (key, -id, weight)
 
-  /** The pure fold for one group — exposed for property testing. */
+  /** The pure fold for one group — exposed for property testing. A
+    * re-arriving id REPLACES its entry (latest weight wins) rather than
+    * occupying a second slot: replay with an unchanged weight inserts an
+    * identical entry (benign), and an upstream re-score updates the
+    * sample instead of double-counting the doc.
+    */
   private[graft] def fold(
       set: scala.collection.mutable.TreeSet[Entry], id: Long, weight: Double,
       k: Int): Unit = {
+    set.find(_._2 == -id).foreach(set -= _)
     set += ((aesKey(id, weight), -id, weight))
     if (set.size > k) set -= set.min
   }

@@ -441,6 +441,16 @@ class JsonataSpec extends SparkTestBase {
       "$formatNumber(1, '0', {'decimal-separator': value})"))
     intercept[Exception](evalOn(sensorJson, sensorSchema,
       "$formatNumber(1, '0', {'decimal-separator': '::'})"))
+    // XPath distinctness/zero-digit constraints fail at COMPILE time,
+    // never as a per-row runtime throw: a decimal-separator colliding
+    // with the (default) grouping-separator, a separator inside the
+    // digit family, and a nonzero-valued digit as zero-digit
+    intercept[Exception](evalOn(sensorJson, sensorSchema,
+      "$formatNumber(1, '0', {'decimal-separator': ','})"))
+    intercept[Exception](evalOn(sensorJson, sensorSchema,
+      "$formatNumber(1, '0', {'decimal-separator': '3'})"))
+    intercept[Exception](evalOn(sensorJson, sensorSchema,
+      "$formatNumber(1, '0', {'zero-digit': '5'})"))
   }
 
   test("$formatInteger / $parseInteger: digit and roman pictures") {

@@ -65,4 +65,14 @@ class WeightedKStreamSpec extends SparkTestBase {
     (0L until 1000L).foreach(id => WeightedKStream.fold(set, id, 0.25 + (id % 4) * 0.2, 50))
     assert(set.toSeq == snapshot)
   }
+
+  test("a re-scored id replaces its entry — never two slots for one doc") {
+    val set = scala.collection.mutable.TreeSet[(Double, Long, Double)]()
+    (0L until 10L).foreach(id => WeightedKStream.fold(set, id, 0.5, 50))
+    assert(set.size == 10)
+    WeightedKStream.fold(set, 3L, 0.9, 50) // upstream re-score
+    assert(set.size == 10)
+    assert(set.count(_._2 == -3L) == 1)
+    assert(set.find(_._2 == -3L).get._3 == 0.9) // latest weight wins
+  }
 }
