@@ -356,6 +356,43 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.size < docs.size)
   }
 
+  test("composed curation chain: gopher → classifier → shard in ONE stateless plan == batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    // the production ingest shape: quality gates then shard-homed routing,
+    // all composed into one streaming plan
+    val chained = GraftPipeline.shardGate(
+      GraftPipeline.classifierGate(
+        GraftPipeline.gopherGate(mem.toDF().toDF("doc_id", "text"), "text"),
+        "text"),
+      "doc_id", 8)
+    val q = chained.writeStream.format("memory").queryName("graft_curation_chain")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    // the whole chain is stateless projections/filters — no state store
+    // operator anywhere, so replay is benign and state is zero at any rate
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    val streamed = spark.table("graft_curation_chain")
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gopherKeep = graft.queries.TextQueries.textGopherRules(spark, sfDir)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val clfKeep = graft.queries.TextQueries.textClassifierScore(spark, sfDir)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val shards = graft.queries.TextQueries.corpusShuffle(spark, sfDir)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = (gopherKeep intersect clfKeep).map(id => id -> shards(id)).toMap
+    assert(streamed == expect) // keeps AND shard homes match batch exactly
+    assert(streamed.nonEmpty && streamed.size < docs.size)
+  }
+
   test("shardGate: stream shard ids == batch corpus_shuffle layout") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sfDir = "/root/testdata/sf0.001"
