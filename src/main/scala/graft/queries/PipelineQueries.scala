@@ -251,6 +251,27 @@ object PipelineQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Hour-of-day × day-of-week activity heatmap — the calendar-shaped
+    * load profile every ops dashboard opens with (when do users act,
+    * when can maintenance run): counts and mean value per (dow, hour)
+    * cell. One scan into a ≤168-cell partial-aggregated groupBy — the
+    * bounded-aggregation property sketches have, from plain calendar
+    * projections; the cell share window runs over the cells relation.
+    * Extraction uses ISO dayofweek and UTC hours so both engines read
+    * identical integers from the same instants.
+    */
+  def pipeHeatmap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"), col("value"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+    cells
+      .withColumn("share", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy(lit(1))), 6))
+      .orderBy("dow", "hod")
+  }
+
   /** Peak concurrent sessions per day — the capacity-planning number a
     * serving deployment reads (simultaneous active users, not event
     * volume), via the classic SWEEP LINE: each 30-min-gap session
@@ -682,6 +703,7 @@ object PipelineQueries {
     "pipe_sessionize" -> pipeSessionize,
     "pipe_session_native" -> pipeSessionNative,
     "pipe_concurrency" -> pipeConcurrency,
+    "pipe_heatmap" -> pipeHeatmap,
     "pipe_funnel" -> pipeFunnel,
     "pipe_retention" -> pipeRetention,
     "pipe_resample" -> pipeResample,
@@ -992,6 +1014,18 @@ object PipelineQueries {
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // ≤168-cell calendar aggregate; DuckDB dayofweek is 0=Sunday where
+    // Spark's is 1=Sunday, aligned with +1
+    "pipe_heatmap" ->
+      """WITH cells AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |         CAST(hour(ts) AS INT) AS hod,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         round(avg(value), 6) AS avg_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hod, n, avg_value,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+        |FROM cells ORDER BY dow, hod""".stripMargin,
     // sweep line over session boundaries with the two-phase prefix sum
     // mirrored (per-hour running sum + hours-relation carry); day max is
     // tie-order invariant, all-integer

@@ -226,6 +226,28 @@ object RelationalQueries {
         |ORDER BY gid, prio, status, yr""".stripMargin)
   }
 
+  /** EXACT decimal money aggregation — the correctness capability every
+    * revenue query in this file deliberately avoids needing: all other
+    * monetary sums are doubles emitted under the gate's rtol because
+    * float addition is order-dependent, but a finance-grade pipeline
+    * sums fixed-point DECIMAL, where addition is exact and associative,
+    * so the total is BITWISE identical on any engine, any partitioning,
+    * any retry — no tolerance, no rounding discipline, just equality.
+    * Spark's decimal aggregation carries widened intermediate precision
+    * (DECIMAL(28,2) for a DECIMAL(18,2) sum) so 100 TB of cents cannot
+    * overflow silently; the plan is the plain partial-aggregated
+    * groupBy. The avg is re-derived as sum/count kept in decimal.
+    */
+  def qDecimalSum(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price_d"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("price_d").as("total_exact"),
+        (sum("price_d") / count(lit(1))).cast("decimal(18,6)").as("avg_exact"))
+      .orderBy("o_orderpriority")
+
   /** Distinct aggregation: exact distinct customers per order priority. */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -868,6 +890,7 @@ object RelationalQueries {
     "q_rollup" -> qRollup,
     "q_grouping_sets" -> qGroupingSets,
     "q_cube" -> qCube,
+    "q_decimal_sum" -> qDecimalSum,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
@@ -1072,6 +1095,15 @@ object RelationalQueries {
         |         AS trail30_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    // DECIMAL sums are exact and associative: bitwise equality, no rtol
+    "q_decimal_sum" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |         AS total_exact,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*)
+        |            AS DECIMAL(18,6)) AS avg_exact
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // the full 2^3 lattice; DuckDB's grouping() == Spark's grouping_id()
     // bit order for the same column list
     "q_cube" ->
