@@ -115,6 +115,29 @@ object RelationalQueries {
     oBuyers.except(fBuyers).intersect(posCust).orderBy("k")
   }
 
+  /** BAG-semantics set operations — EXCEPT ALL / INTERSECT ALL, the
+    * multiset counterpart [[qSetOps]]' distinct forms cannot express:
+    * when both sides carry legitimate duplicates (per-line shipment
+    * lines per return class here), reconciliation needs MULTIPLICITY arithmetic —
+    * except-all keeps max(m₁−m₂, 0) copies, intersect-all min(m₁, m₂) —
+    * which is exactly the at-least-once stream-vs-stream reconciliation
+    * shape (how many deliveries has A seen that B hasn't, counting
+    * repeats). Spark plans both as a single shuffle on the key with
+    * signed-count aggregation + a Generate replicating survivors — no
+    * join, no distinct. Output collapses to (op, key, multiplicity) so
+    * the multiset is explicit and compact.
+    */
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ret = li.filter(col("l_returnflag") === "R").select(col("l_orderkey").as("k"))
+    val acc = li.filter(col("l_returnflag") === "A").select(col("l_orderkey").as("k"))
+    val ea = ret.exceptAll(acc).groupBy("k").agg(count(lit(1)).as("mult"))
+      .withColumn("op", lit("except_all"))
+    val ia = ret.intersectAll(acc).groupBy("k").agg(count(lit(1)).as("mult"))
+      .withColumn("op", lit("intersect_all"))
+    ea.unionByName(ia).select(col("op"), col("k"), col("mult")).orderBy("op", "k")
+  }
+
   /** Anti join: customers with no orders at all. */
   def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -885,6 +908,7 @@ object RelationalQueries {
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_set_ops" -> qSetOps,
+    "q_set_ops_all" -> qSetOpsAll,
     "q_anti_join" -> qAntiJoin,
     "q_semi_join" -> qSemiJoin,
     "q_rollup" -> qRollup,
@@ -1095,6 +1119,17 @@ object RelationalQueries {
         |         AS trail30_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    // bag semantics: multiplicities max(m1-m2,0) / min(m1,m2) per key
+    "q_set_ops_all" ->
+      """WITH ret AS (SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        |acc AS (SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+        |ea AS (SELECT k FROM ret EXCEPT ALL SELECT k FROM acc),
+        |ia AS (SELECT k FROM ret INTERSECT ALL SELECT k FROM acc)
+        |SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS mult
+        |FROM ea GROUP BY k
+        |UNION ALL
+        |SELECT 'intersect_all', k, CAST(count(*) AS BIGINT) FROM ia GROUP BY k
+        |ORDER BY op, k""".stripMargin,
     // DECIMAL sums are exact and associative: bitwise equality, no rtol
     "q_decimal_sum" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
