@@ -237,6 +237,24 @@ class PlanSpec extends SparkTestBase {
     assert(optimized("pipe_session_native").contains("session_window"))
   }
 
+  test("q_set_ops_all: bag semantics plan as aggregation + generate, never a join") {
+    // Spark compiles exceptAll/intersectAll to signed-count aggregation
+    // with a replicate Generate — a join appearing here would mean the
+    // multiset rewrite regressed to something quadratic-prone
+    val p = physical("q_set_ops_all")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(p.contains("Generate"), p.take(2500))
+  }
+
+  test("q_decimal_sum: decimal totals partial-aggregate; sum type widened") {
+    val df = SparkEntry.queries("q_decimal_sum")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2500))
+    // overflow-safe widening: DECIMAL(18,2) sums to DECIMAL(28,2)
+    assert(df.schema("total_exact").dataType ==
+      org.apache.spark.sql.types.DecimalType(28, 2))
+  }
+
   test("PLANS.md is fresh: every registered query has a plan section") {
     // PLANS.md went stale once (r4) when queries were added without
     // regenerating it; `sbt "runMain graft.Explain"` rebuilds it
