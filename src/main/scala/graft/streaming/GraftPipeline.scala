@@ -522,6 +522,29 @@ object GraftPipeline {
         col(idCol).cast("long").as("id")).as[FixedKStream.Rec], k)
   }
 
+  /** Trending top-k — [[TopKWindowedStream]] over an arbitrary
+    * (event-time, token) projection: tumbling `windowSecs` windows,
+    * `shards` SpaceSaving summaries of `k` counters each per window,
+    * watermark `delay` driving per-window finalization. Tokens shard by
+    * the portable h32 so a token always lands in the same summary.
+    */
+  def trendingTopkStream(input: DataFrame, tsCol: String, tokenCol: String,
+      windowSecs: Int, shards: Int = 4, k: Int = 10,
+      delay: String = "10 minutes"): Dataset[TopKWindowedStream.WHit] = {
+    import input.sparkSession.implicits._
+    require(windowSecs > 0 && shards > 0 && k > 0,
+      s"windowSecs/shards/k must be positive, got $windowSecs/$shards/$k")
+    input.withWatermark(tsCol, delay)
+      .withColumn("w", window(col(tsCol), s"$windowSecs seconds"))
+      .select(col(tsCol).as("ts"),
+        unix_millis(col("w.start")).as("windowStart"),
+        pmod(graft.functions.TextFunctions.h32(col(tokenCol).cast("string")),
+          lit(shards)).cast("int").as("shard"),
+        col(tokenCol).cast("string").as("token"))
+      .as[TopKWindowedStream.WTok]
+      .transform(TopKWindowedStream(_, windowSecs * 1000L, k))
+  }
+
   /** Streaming WEIGHTED fixed-k per-group sample — [[WeightedKStream]]
     * (the batch sample_weighted's A-ES criterion as maintained state)
     * over an arbitrary (group, id, weight) projection of the stream.

@@ -660,6 +660,40 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(lastBatch.nonEmpty)
   }
 
+  test("trendingTopkStream: per-window exact counts, watermark finalization, no resurrection") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = GraftPipeline.trendingTopkStream(
+        mem.toDF().toDF("ts", "token"), "ts", "token",
+        windowSecs = 60, shards = 2, k = 10, delay = "0 seconds")
+      .writeStream.format("memory").queryName("graft_trending")
+      .outputMode("update").start()
+    // window [0, 60): a×3, b×1; window [60, 120): c×1
+    mem.addData((ts(10), "a"), (ts(11), "a"), (ts(20), "b"), (ts(30), "a"), (ts(70), "c"))
+    q.processAllAvailable()
+    val interim = spark.table("graft_trending")
+      .filter(col("windowStart") === 0L && !col("fin")).collect()
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(interim == Map("a" -> 3L, "b" -> 1L)) // exact below capacity
+    // advance the watermark far past window 0's end -> final emission
+    mem.addData((ts(500), "z"))
+    q.processAllAvailable()
+    mem.addData((ts(510), "z")) // extra batch so the due timeout fires
+    q.processAllAvailable()
+    val fin0 = spark.table("graft_trending")
+      .filter(col("windowStart") === 0L && col("fin")).collect()
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(fin0 == Map("a" -> 3L, "b" -> 1L)) // one final snapshot, exact
+    // a late row for the finalized window is dropped, never resurrected
+    val before = spark.table("graft_trending").filter(col("windowStart") === 0L).count()
+    mem.addData((ts(15), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("graft_trending").filter(col("windowStart") === 0L).count()
+    assert(after == before) // no new window-0 emissions of any kind
+  }
+
   test("cmsStream: constant-state counters accumulate; estimates never undercount") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[String]
