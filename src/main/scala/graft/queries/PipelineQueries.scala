@@ -359,6 +359,48 @@ object PipelineQueries {
         |ORDER BY u.user_id""".stripMargin)
   }
 
+  /** Funnel conversion LATENCY — the time dimension [[pipeFunnel]]'s
+    * stage counts leave out: per transition (view→click,
+    * click→purchase), how many users converted and the median / p90
+    * time-to-convert — the numbers that distinguish a funnel users
+    * glide through from one they stall in, and the input to choosing
+    * the funnel's attribution horizon (a p90 near the 24 h cutoff says
+    * the window is clipping real conversions). Same user-keyed
+    * first-event CTEs as the funnel (co-partitioned aggregates +
+    * equi-joins), gaps are exact integer microseconds, and the output
+    * is a 2-row relation of exact interpolated percentiles — the
+    * pipe_cadence discipline, so cross-engine parity is the
+    * quantile_cont contract, not float luck.
+    */
+  def pipeFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_ftime_events")
+    s.sql(
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM graft_ftime_events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM graft_ftime_events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |        AND e.ts <= v.first_view + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM graft_ftime_events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |        AND e.ts <= c.first_click + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id),
+        |g AS (
+        |  SELECT 'view_to_click' AS stage,
+        |         unix_micros(c.first_click) - unix_micros(v.first_view) AS gap_us
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |         unix_micros(p.first_purchase) - unix_micros(c.first_click)
+        |  FROM p JOIN c ON p.user_id = c.user_id)
+        |SELECT stage, CAST(count(1) AS BIGINT) AS n_converted,
+        |       round(percentile(gap_us, 0.5) / 1e6, 6) AS median_secs,
+        |       round(percentile(gap_us, 0.9) / 1e6, 6) AS p90_secs
+        |FROM g GROUP BY stage ORDER BY stage""".stripMargin)
+  }
+
   /** Sensor-series resampling: each user's event stream downsampled to
     * 6-hour buckets — count, mean, min/max, and LAST value in the bucket
     * (max_by on event time; the value a dashboard or feature store keeps).
@@ -704,6 +746,7 @@ object PipelineQueries {
     "pipe_session_native" -> pipeSessionNative,
     "pipe_concurrency" -> pipeConcurrency,
     "pipe_heatmap" -> pipeHeatmap,
+    "pipe_funnel_time" -> pipeFunnelTime,
     "pipe_funnel" -> pipeFunnel,
     "pipe_retention" -> pipeRetention,
     "pipe_resample" -> pipeResample,
@@ -958,6 +1001,33 @@ object PipelineQueries {
         |       LEFT JOIN c ON u.user_id = c.user_id
         |       LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin,
+    // the funnel CTEs feeding per-transition exact percentiles over
+    // integer-microsecond gaps (quantile_cont == Spark percentile)
+    "pipe_funnel_time" ->
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |        AND e.ts <= v.first_view + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |        AND e.ts <= c.first_click + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id),
+        |g AS (
+        |  SELECT 'view_to_click' AS stage,
+        |         epoch_us(c.first_click) - epoch_us(v.first_view) AS gap_us
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |         epoch_us(p.first_purchase) - epoch_us(c.first_click)
+        |  FROM p JOIN c ON p.user_id = c.user_id)
+        |SELECT stage, CAST(count(1) AS BIGINT) AS n_converted,
+        |       round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS median_secs,
+        |       round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_secs
+        |FROM g GROUP BY stage ORDER BY stage""".stripMargin,
     "pipe_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
         |           FROM events WHERE event_type = 'purchase'),
