@@ -12,13 +12,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize any TIMESTAMP_NTZ column to µs TimestampType — the events
+    * lesson applied to EVERY timestamp the generator writes: the session
+    * TZ is pinned UTC, so the cast is value-identical to DuckDB's naive
+    * read, and downstream `unix_micros`/interval arithmetic can never hit
+    * the r11 DATATYPE_MISMATCH class on a regenerated table again.
+    */
+  private def normTs(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d0, f) =>
+      if (f.dataType == TimestampNTZType)
+        d0.withColumn(f.name, col(f.name).cast(TimestampType))
+      else d0
+    }
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = normTs(load(s, d, "orders"))
+  def lineitem(s: SparkSession, d: String): DataFrame = normTs(load(s, d, "lineitem"))
   /** `events.ts` has shipped in three physical parquet encodings over the
     * life of the generator; normalize all of them to a µs `TimestampType`
     * so every consumer (incl. `unix_micros`) sees one logical type:
