@@ -1592,6 +1592,42 @@ object TextQueries {
         col("n_words"), col("stop_hits")) >= AgreementQualityMin).as("quality_keep"))
   }
 
+  /** Curation ORDER ablation — dedup-then-filter vs filter-then-dedup,
+    * the pipeline-ordering debate every corpus paper touches, measured
+    * instead of argued: order A drops near-dups on the full corpus then
+    * quality-filters the survivors; order B filters first, so a pair
+    * only fires when BOTH endpoints survived the filter. B keeps ≥ A
+    * (pairs whose partner was filtered no longer drop their survivor —
+    * the 'reintroduced_neardups' row counts exactly those), and whether
+    * those reintroduced docs are wanted (their duplicate was the
+    * low-quality copy) or not (boilerplate that survived the filter
+    * twice) is the policy decision this table feeds. One corpus scan
+    * for the flags, the SAME banded-LSH verified pair set for both
+    * orders (the order only changes which pairs COUNT, never re-runs
+    * the join), and three bounded aggregates.
+    */
+  def corpusFilterOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val keptF = filterFlags(s, dir).filter(col("gopher_keep")).select("doc_id")
+    val pairs = dedupMinhashPairs(s, dir).select("id_a", "id_b")
+    val dropA = pairs.select(col("id_b").as("doc_id")).distinct()
+    val keepA = docs.join(keptF, "doc_id").join(dropA, Seq("doc_id"), "left_anti")
+    val dropB = pairs
+      .join(keptF.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(keptF.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .select(col("id_b").as("doc_id")).distinct()
+    val keepB = docs.join(keptF, "doc_id").join(dropB, Seq("doc_id"), "left_anti")
+    val reintro = keepB.join(dropA, "doc_id")
+    def summarize(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_final"),
+          coalesce(sum("n_chars"), lit(0L)).as("chars_final"))
+        .select(lit(label).as("ord"), col("n_final"), col("chars_final"))
+    summarize(keepA, "dedup_then_filter")
+      .unionByName(summarize(keepB, "filter_then_dedup"))
+      .unionByName(summarize(reintro, "reintroduced_neardups"))
+      .orderBy("ord")
+  }
+
   def textFilterAgreement(s: SparkSession, dir: String): DataFrame = {
     val flags = filterFlags(s, dir)
     val w = Window.partitionBy() // the 8-row cells relation
@@ -2585,6 +2621,7 @@ object TextQueries {
     "text_classifier_score" -> textClassifierScore,
     "text_pii" -> textPii,
     "text_filter_agreement" -> textFilterAgreement,
+    "corpus_filter_order" -> corpusFilterOrder,
     "text_filter_ppl" -> textFilterPpl,
     "corpus_source_profile" -> corpusSourceProfile,
     "corpus_alpha_mix" -> corpusAlphaMix,
@@ -3755,6 +3792,33 @@ object TextQueries {
     // the three filter families' shared-scan flags, an 8-cell GROUP BY,
     // corpus fraction from a scalar total (== Spark's unbounded window
     // over the cells relation)
+    // both orders read the SAME verified pair set; the order only changes
+    // which pairs count (both-endpoints-kept for filter-first)
+    "corpus_filter_order" ->
+      s"""$pairsCore,
+         |$filterFlagsCteSql,
+         |dropa AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+         |keptf AS (SELECT doc_id FROM f WHERE gopher_keep),
+         |keepa AS (SELECT d.doc_id, d.n_chars FROM documents d
+         |          JOIN keptf k ON k.doc_id = d.doc_id
+         |          WHERE d.doc_id NOT IN (SELECT doc_id FROM dropa)),
+         |dropb AS (SELECT DISTINCT p.id_b AS doc_id FROM pairs p
+         |          JOIN keptf ka ON ka.doc_id = p.id_a
+         |          JOIN keptf kb ON kb.doc_id = p.id_b),
+         |keepb AS (SELECT d.doc_id, d.n_chars FROM documents d
+         |          JOIN keptf k ON k.doc_id = d.doc_id
+         |          WHERE d.doc_id NOT IN (SELECT doc_id FROM dropb)),
+         |ri AS (SELECT b.doc_id, b.n_chars FROM keepb b
+         |       JOIN dropa a ON a.doc_id = b.doc_id)
+         |SELECT 'dedup_then_filter' AS ord, CAST(count(*) AS BIGINT) AS n_final,
+         |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_final FROM keepa
+         |UNION ALL
+         |SELECT 'filter_then_dedup', CAST(count(*) AS BIGINT),
+         |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM keepb
+         |UNION ALL
+         |SELECT 'reintroduced_neardups', CAST(count(*) AS BIGINT),
+         |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM ri
+         |ORDER BY ord""".stripMargin,
     "text_filter_agreement" ->
       s"""WITH $filterFlagsCteSql
          |SELECT gopher_keep, clf_keep, quality_keep,
