@@ -634,6 +634,94 @@ object PipelineQueries {
         |ORDER BY c.cohort_d, c.day_offset""".stripMargin)
   }
 
+  /** Retention HALF-LIFE — the one-number summary of [[pipeRetention]]'s
+    * matrix: fit ln(retention rate) against day offset with regr_slope
+    * and report −ln 2 / slope, the days until half the remaining users
+    * stop returning — the decay constant growth models and LTV
+    * projections consume. Two details make the number honest: the
+    * denominator at offset o counts only cohorts OBSERVABLE at o
+    * (cohort_d + o ≤ last day — the triangle bias that otherwise
+    * deflates late offsets), including cohorts with zero actives that
+    * day; and the fit runs over per-offset aggregate rates (a
+    * |offsets|-row relation), so the regression input is exact integer
+    * ratios through ln. All relations after the distinct-activity
+    * aggregate are cohort- or offset-sized; the observability join is
+    * |offsets| × |cohorts|, bounded by the time range squared, never
+    * by events.
+    */
+  def pipeHalfLife(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_hl_events")
+    s.sql(
+      """WITH first_seen AS (
+        |  SELECT user_id, min(CAST(dayofyear(ts) AS INT)) AS cohort_d
+        |  FROM graft_hl_events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(dayofyear(ts) AS INT) AS active_d
+        |  FROM graft_hl_events),
+        |cohort_size AS (
+        |  SELECT cohort_d, count(1) AS n_cohort FROM first_seen GROUP BY cohort_d),
+        |cell AS (
+        |  SELECT f.cohort_d, a.active_d - f.cohort_d AS day_offset,
+        |         count(1) AS n_active
+        |  FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        |  GROUP BY f.cohort_d, a.active_d - f.cohort_d),
+        |mx AS (SELECT max(CAST(dayofyear(ts) AS INT)) AS max_d FROM graft_hl_events),
+        |offs AS (SELECT DISTINCT day_offset FROM cell WHERE day_offset >= 1),
+        |den AS (
+        |  SELECT o.day_offset, sum(s.n_cohort) AS n_obs
+        |  FROM offs o CROSS JOIN mx
+        |  JOIN cohort_size s ON s.cohort_d + o.day_offset <= mx.max_d
+        |  GROUP BY o.day_offset),
+        |num AS (
+        |  SELECT c.day_offset, sum(c.n_active) AS n_act
+        |  FROM cell c CROSS JOIN mx
+        |  WHERE c.day_offset >= 1 AND c.cohort_d + c.day_offset <= mx.max_d
+        |  GROUP BY c.day_offset),
+        |obs AS (
+        |  SELECT d.day_offset,
+        |         CAST(coalesce(n.n_act, 0) AS DOUBLE) / CAST(d.n_obs AS DOUBLE) AS rate
+        |  FROM den d LEFT JOIN num n ON n.day_offset = d.day_offset)
+        |SELECT CAST(count(1) AS BIGINT) AS n_offsets,
+        |       round(regr_slope(ln(rate), CAST(day_offset AS DOUBLE)), 6) AS slope,
+        |       round(-ln(2) / regr_slope(ln(rate), CAST(day_offset AS DOUBLE)), 6)
+        |         AS half_life_days
+        |FROM obs WHERE rate > 0""".stripMargin)
+  }
+
+  /** Rolling 7-day active users (WAU) per day, with same-day DAU and the
+    * DAU/WAU stickiness ratio — the standard engagement read a product
+    * dashboard derives from an event stream, and the one rolling-DISTINCT
+    * shape Spark's window functions cannot express directly (no
+    * COUNT(DISTINCT) over a RANGE frame). The scalable decomposition:
+    * collapse events to the distinct (day, user) grain FIRST — the only
+    * event-scale shuffle — then expand each day-grain row into the ≤7
+    * window anchors it serves via a bounded range join against the
+    * |days|-row day list, and count distinct users per anchor. Every
+    * relation after the first aggregate is bounded by |days| × DAU, never
+    * by raw events; the day list broadcasts. At 100 TB the sketch-based
+    * alternative (per-day HLL sketches union-merged across the window,
+    * proven in text_hll_union) replaces the exact recount when DAU itself
+    * is too large to re-distinct per anchor.
+    */
+  def pipeRollingActive(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_ra_events")
+    s.sql(
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(dayofyear(ts) AS INT) AS d, user_id
+        |  FROM graft_ra_events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |wau AS (
+        |  SELECT days.d, count(DISTINCT du.user_id) AS n_wau
+        |  FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        |  GROUP BY days.d),
+        |dau AS (SELECT d, count(1) AS n_dau FROM du GROUP BY d)
+        |SELECT w.d AS day, CAST(w.n_wau AS BIGINT) AS wau,
+        |       CAST(a.n_dau AS BIGINT) AS dau,
+        |       round(a.n_dau / CAST(w.n_wau AS DOUBLE), 6) AS stickiness
+        |FROM wau w JOIN dau a ON w.d = a.d
+        |ORDER BY day""".stripMargin)
+  }
+
   /** As-of join — an operator Spark lacks natively, composed Spark-first
     * from a tagged union + running last-non-null window (single shuffle
     * on the join key, sort within partitions — the scalable layout; a
@@ -747,6 +835,8 @@ object PipelineQueries {
     "pipe_concurrency" -> pipeConcurrency,
     "pipe_heatmap" -> pipeHeatmap,
     "pipe_funnel_time" -> pipeFunnelTime,
+    "pipe_half_life" -> pipeHalfLife,
+    "pipe_rolling_active" -> pipeRollingActive,
     "pipe_funnel" -> pipeFunnel,
     "pipe_retention" -> pipeRetention,
     "pipe_resample" -> pipeResample,
@@ -976,6 +1066,58 @@ object PipelineQueries {
         |       round(c.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
         |FROM cell c JOIN cohort_size s ON c.cohort_d = s.cohort_d
         |ORDER BY c.cohort_d, c.day_offset""".stripMargin,
+    // the retention chain folded to per-offset observable rates, then
+    // regr_slope over the |offsets|-row relation (text_zipf precedent)
+    "pipe_half_life" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, min(CAST(dayofyear(ts) AS INT)) AS cohort_d
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(dayofyear(ts) AS INT) AS active_d FROM events),
+        |cohort_size AS (
+        |  SELECT cohort_d, count(1) AS n_cohort FROM first_seen GROUP BY cohort_d),
+        |cell AS (
+        |  SELECT f.cohort_d, a.active_d - f.cohort_d AS day_offset,
+        |         count(1) AS n_active
+        |  FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        |  GROUP BY f.cohort_d, a.active_d - f.cohort_d),
+        |mx AS (SELECT max(CAST(dayofyear(ts) AS INT)) AS max_d FROM events),
+        |offs AS (SELECT DISTINCT day_offset FROM cell WHERE day_offset >= 1),
+        |den AS (
+        |  SELECT o.day_offset, sum(s.n_cohort) AS n_obs
+        |  FROM offs o CROSS JOIN mx
+        |  JOIN cohort_size s ON s.cohort_d + o.day_offset <= mx.max_d
+        |  GROUP BY o.day_offset),
+        |num AS (
+        |  SELECT c.day_offset, sum(c.n_active) AS n_act
+        |  FROM cell c CROSS JOIN mx
+        |  WHERE c.day_offset >= 1 AND c.cohort_d + c.day_offset <= mx.max_d
+        |  GROUP BY c.day_offset),
+        |obs AS (
+        |  SELECT d.day_offset,
+        |         CAST(coalesce(n.n_act, 0) AS DOUBLE) / CAST(d.n_obs AS DOUBLE) AS rate
+        |  FROM den d LEFT JOIN num n ON n.day_offset = d.day_offset)
+        |SELECT CAST(count(1) AS BIGINT) AS n_offsets,
+        |       round(regr_slope(ln(rate), CAST(day_offset AS DOUBLE)), 6) AS slope,
+        |       round(-ln(2) / regr_slope(ln(rate), CAST(day_offset AS DOUBLE)), 6)
+        |         AS half_life_days
+        |FROM obs WHERE rate > 0""".stripMargin,
+    // day-grain distinct first, then the bounded 7-day range join —
+    // the same decomposition the Spark side uses
+    "pipe_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(dayofyear(ts) AS INT) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |wau AS (
+        |  SELECT days.d, count(DISTINCT du.user_id) AS n_wau
+        |  FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        |  GROUP BY days.d),
+        |dau AS (SELECT d, count(1) AS n_dau FROM du GROUP BY d)
+        |SELECT w.d AS day, CAST(w.n_wau AS BIGINT) AS wau,
+        |       CAST(a.n_dau AS BIGINT) AS dau,
+        |       round(a.n_dau / CAST(w.n_wau AS DOUBLE), 6) AS stickiness
+        |FROM wau w JOIN dau a ON w.d = a.d
+        |ORDER BY day""".stripMargin,
     "pipe_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v AS (SELECT user_id, min(ts) AS first_view FROM events
