@@ -1558,8 +1558,71 @@ object VectorQueries {
     } finally e.unpersist(false)
   }
 
+  /** Maximal marginal relevance (MMR) — diversity-aware top-k selection
+    * over the embedding column: greedily pick k=8 vectors maximizing
+    * λ·sim(query, c) − (1−λ)·max_{s∈selected} sim(c, s) with λ=0.7, the
+    * Carbonell–Goldstein re-ranking a retrieval or training-data
+    * selection pass runs so the kept set COVERS the neighborhood instead
+    * of stacking near-duplicates of the single best match. Architecture
+    * for scale: the only corpus-sized work is the candidate-pool
+    * extraction — a broadcast-query cosine projection into
+    * TakeOrderedAndProject (top-N=32 by relevance; at 100 TB this is the
+    * same one-pass scan shape as knn_brute, or any ANN variant's output
+    * plugs in unchanged). The greedy itself is control-plane by
+    * construction: the pool is ≤N rows BY THE PLAN (a user dial, like
+    * nprobe), so its pairwise-sim matrix and the k passes are O(N²+kN)
+    * on N-bounded data — collected once, like the k-means centroid and
+    * PQ codebook control planes. Pairwise sims are computed by the same
+    * native cosine kernel as the relevance leg (a self-join of the
+    * collected pool re-parallelized locally), so both engines' greedy
+    * walks identical 1e-6-quantized scores; ties break on vec_id.
+    */
+  def embMmr(s: SparkSession, dir: String): DataFrame = {
+    val n = 32; val k = 8; val lam = 0.7
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val pool = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"), round(cosine(col("qv"), col("v")), 6).as("rel"),
+        col("v"))
+      .orderBy(col("rel").desc, col("id")).limit(n)
+    // one corpus-side job: the N-bounded pool (ids, relevances, vectors)
+    val rows = pool.collect()
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pairwise sims via the SAME codegen kernel, over a local N-row frame
+    import s.implicits._
+    val local = s.createDataset(rows.map(r =>
+      (r.getLong(0), r.getSeq[Double](2))).toSeq).toDF("id", "v")
+    val sims = local.select(col("id").as("ia"), col("v").as("va"))
+      .join(local.select(col("id").as("ib"), col("v").as("vb")), col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // greedy over the N-bounded pool: k passes, O(kN) score updates
+    val selected = collection.mutable.ArrayBuffer[(Long, Double, Double, Double)]()
+    val remaining = collection.mutable.LinkedHashSet(ids: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.iterator.map { c =>
+        val red =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(sl => sims((c, sl._1))).max
+        (c, rel(c), red, lam * rel(c) - (1 - lam) * red)
+      }
+      val pick = scored.minBy { case (id0, _, _, sc) => (-sc, id0) }
+      selected += pick
+      remaining -= pick._1
+    }
+    val round6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    selected.zipWithIndex.map { case ((id0, r0, red0, sc0), i) =>
+      ((i + 1).toLong, id0, r0, round6(red0), round6(sc0))
+    }.toSeq.toDF("step", "vec_id", "rel", "redundancy", "mmr_score")
+      .orderBy("step")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> knnBrute,
+    "emb_mmr" -> embMmr,
     "knn_ivf" -> knnIvf,
     "knn_ivf_kmeans" -> knnIvfKmeans,
     "knn_ivf_incremental" -> knnIvfIncremental,
@@ -1839,6 +1902,39 @@ object VectorQueries {
          |                            ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM pairs)
          |WHERE rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // the same greedy, as a recursive CTE carrying the selected-id list;
+    // argmax per step via LATERAL ORDER BY sc DESC, id LIMIT 1 over the
+    // pool minus selected — identical 1e-6-quantized scores, same id
+    // tie-break. CAST(0.0 AS DOUBLE) in the base case: a bare 0.0 types
+    // the recursive column DECIMAL(2,1) and silently quantizes every
+    // later redundancy.
+    "emb_mmr" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |rel AS (SELECT e.vec_id AS id, round(${cosSql.format("qv", "v", "qv", "qv", "v", "v")}, 6) AS rel, v
+         |        FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |        ORDER BY rel DESC, id LIMIT 32),
+         |sims AS (SELECT a.id AS ia, b.id AS ib, round(${cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 6) AS sim
+         |         FROM rel a JOIN rel b ON a.id <> b.id),
+         |base AS (SELECT id, rel FROM rel ORDER BY rel DESC, id LIMIT 1),
+         |sel(step, id, rel, redundancy, mmr_score, sel_list) AS (
+         |  SELECT 1, id, rel, CAST(0.0 AS DOUBLE), 0.7 * rel, [id] FROM base
+         |  UNION ALL
+         |  SELECT s.step + 1, p.id, p.rel, p.red, p.sc, list_append(s.sel_list, p.id)
+         |  FROM sel s, LATERAL (
+         |    SELECT id, rel, red, 0.7 * rel - 0.3 * red AS sc FROM (
+         |      SELECT r.id, r.rel,
+         |             coalesce((SELECT max(sim) FROM sims
+         |                       WHERE sims.ia = r.id AND list_contains(s.sel_list, sims.ib)),
+         |                      CAST(0.0 AS DOUBLE)) AS red
+         |      FROM rel r WHERE NOT list_contains(s.sel_list, r.id))
+         |    ORDER BY sc DESC, id LIMIT 1) p
+         |  WHERE s.step < 8
+         |)
+         |SELECT CAST(step AS BIGINT) AS step, id AS vec_id, rel,
+         |       round(redundancy, 6) AS redundancy, round(mmr_score, 6) AS mmr_score
+         |FROM sel ORDER BY step""".stripMargin,
     "emb_centroid_dist" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i, v[i] AS x
