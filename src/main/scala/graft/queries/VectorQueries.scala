@@ -1620,9 +1620,52 @@ object VectorQueries {
       .orderBy("step")
   }
 
+  /** Greedy k-center / farthest-point sampling — the coreset selector:
+    * starting from a deterministic seed (vec_id 0), repeatedly pick the
+    * vector FARTHEST (cosine distance, 1e-6-quantized) from everything
+    * already selected. Each pick's min-distance IS the k-center coverage
+    * radius before that pick, so the output is the radius-vs-k
+    * convergence curve a coreset budget decision reads. Where
+    * [[embMmr]] diversifies WITHIN a query's neighborhood (pool-bounded
+    * control plane), this spans the WHOLE corpus, so the greedy stays
+    * distributed: each of the k−1 rounds is one corpus scan — the
+    * selected vectors enter the plan as k×dim literal arrays (the IVF
+    * centroid pattern), min-distance is a `least` projection, and the
+    * argmax is TakeOrderedAndProject — no shuffle, no corpus collect,
+    * one row back per round (the BPE-argmax control-plane shape). At
+    * 100 TB: k linear passes, each embarrassingly parallel; the known
+    * refinement (carrying each row's running min-distance in a
+    * persisted column to make rounds O(1) in k) trades a cache for the
+    * recompute and keeps the same scan bound.
+    */
+  def embKcenter(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = emb(s, dir).select(col("vec_id"), col("v"))
+    val seedV = e.filter(col("vec_id") === 0).select("v")
+      .collect()(0).getSeq[Double](0)
+    val selected = collection.mutable.ArrayBuffer[(Long, Seq[Double], Double)](
+      (0L, seedV, 0.0))
+    while (selected.size < k) {
+      val dcols = selected.map { case (_, sv, _) =>
+        round(lit(1.0) - cosine(col("v"), array(sv.map(lit): _*)), 6)
+      }.toSeq
+      val mind = if (dcols.size == 1) dcols.head else least(dcols: _*)
+      val pick = e.filter(!col("vec_id").isin(selected.map(_._1).toSeq: _*))
+        .select(col("vec_id"), col("v"), mind.as("min_dist"))
+        .orderBy(col("min_dist").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      selected += ((pick.getLong(0), pick.getSeq[Double](1), pick.getDouble(2)))
+    }
+    import s.implicits._
+    selected.zipWithIndex.map { case ((id0, _, d0), i) =>
+      ((i + 1).toLong, id0, d0)
+    }.toSeq.toDF("step", "vec_id", "min_dist").orderBy("step")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> knnBrute,
     "emb_mmr" -> embMmr,
+    "emb_kcenter" -> embKcenter,
     "knn_ivf" -> knnIvf,
     "knn_ivf_kmeans" -> knnIvfKmeans,
     "knn_ivf_incremental" -> knnIvfIncremental,
@@ -1934,6 +1977,25 @@ object VectorQueries {
          |)
          |SELECT CAST(step AS BIGINT) AS step, id AS vec_id, rel,
          |       round(redundancy, 6) AS redundancy, round(mmr_score, 6) AS mmr_score
+         |FROM sel ORDER BY step""".stripMargin,
+    // the same greedy FPS walk; min-dist per candidate computed on the
+    // fly against the selected-id list's vectors (corpus × |selected|
+    // cosines per step — bounded at sf, and the Spark side's scan shape)
+    "emb_kcenter" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sel(step, id, min_dist, sel_ids) AS (
+         |  SELECT 1, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), [CAST(0 AS BIGINT)]
+         |  UNION ALL
+         |  SELECT s.step + 1, p.id, p.md, list_append(s.sel_ids, p.id)
+         |  FROM sel s, LATERAL (
+         |    SELECT r.vec_id AS id,
+         |           (SELECT min(round(1 - ${cosSql.format("r.v", "t.v", "r.v", "r.v", "t.v", "t.v")}, 6)) FROM e t
+         |            WHERE list_contains(s.sel_ids, t.vec_id)) AS md
+         |    FROM e r WHERE NOT list_contains(s.sel_ids, r.vec_id)
+         |    ORDER BY md DESC, r.vec_id LIMIT 1) p
+         |  WHERE s.step < 8)
+         |SELECT CAST(step AS BIGINT) AS step, id AS vec_id, min_dist
          |FROM sel ORDER BY step""".stripMargin,
     "emb_centroid_dist" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -596,6 +596,36 @@ object GraftPipeline {
       .groupBy("k", "idx").agg(max("rho").as("mr"))
   }
 
+  /** Exact windowed distinct-user counts — the streaming form of the
+    * batch pipe_rolling_active's DAU leg: tumbling event-time windows,
+    * COUNT(DISTINCT user) per window, exact. Two chained stateful
+    * operators (Spark's multiple-stateful-operator support): a
+    * streaming dedup on (window, user) — state is one row per distinct
+    * user per un-finalized window, expired by the watermark — followed
+    * by a windowed count over the deduped rows, finalized in append
+    * mode when the watermark passes window end. That state bound is the
+    * scale contract: per-window DAU rows, not events; a day window at
+    * 100 TB holds |DAU| keys across the cluster's state stores, the
+    * same cardinality the batch day-grain aggregate shuffles — when
+    * even that is too large, [[hllStream]]'s register maintenance is
+    * the constant-state fallback. Works identically on a batch frame
+    * (dedup + aggregate), which is what the spec pins stream output
+    * against.
+    */
+  def dauStream(input: DataFrame, tsCol: String, userCol: String,
+      windowSecs: Int, delay: String = "10 minutes"): DataFrame = {
+    require(windowSecs > 0, s"windowSecs must be positive, got $windowSecs")
+    input
+      .withWatermark(tsCol, delay)
+      .select(window(col(tsCol), s"$windowSecs seconds").as("w"),
+        col(userCol).as("u"))
+      .dropDuplicates("w", "u")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n_distinct"))
+  }
+
   /** Gap-based sessions per stream over event time — the streaming form of
     * the batch pipe_sessionize query, via the built-in session_window
     * (state store managed by Spark; watermark bounds state growth).

@@ -660,6 +660,39 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(lastBatch.nonEmpty)
   }
 
+  test("dauStream: exact per-window distinct users, append finalization, batch==stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = GraftPipeline.dauStream(
+        mem.toDF().toDF("ts", "user_id"), "ts", "user_id",
+        windowSecs = 60, delay = "0 seconds")
+      .writeStream.format("memory").queryName("graft_dau")
+      .outputMode("append").start()
+    // window [0,60): user 1 twice + user 2 -> 2 distinct; [60,120): users 2,3 -> 2
+    val data = Seq((ts(10), 1L), (ts(11), 1L), (ts(20), 2L), (ts(70), 2L), (ts(80), 3L))
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    // advance the watermark far past both windows -> append-mode finalization
+    mem.addData((ts(500), 9L))
+    q.processAllAvailable()
+    mem.addData((ts(510), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_dau")
+      .filter(col("window_start") < ts(120)).collect()
+      .map(r => r.getTimestamp(0).toInstant.getEpochSecond -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 2L, 60L -> 2L))
+    // the SAME plan over the same rows as a batch frame agrees
+    val batch = GraftPipeline.dauStream(
+        spark.createDataFrame(data ++ Seq((ts(500), 9L), (ts(510), 9L)))
+          .toDF("ts", "user_id"), "ts", "user_id",
+        windowSecs = 60, delay = "0 seconds")
+      .filter(col("window_start") < ts(120)).collect()
+      .map(r => r.getTimestamp(0).toInstant.getEpochSecond -> r.getLong(2)).toMap
+    assert(batch == out)
+  }
+
   test("trendingTopkStream: per-window exact counts, watermark finalization, no resurrection") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
