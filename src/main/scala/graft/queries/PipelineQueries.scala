@@ -644,19 +644,24 @@ object PipelineQueries {
     * deflates late offsets), including cohorts with zero actives that
     * day; and the fit runs over per-offset aggregate rates (a
     * |offsets|-row relation), so the regression input is exact integer
-    * ratios through ln. All relations after the distinct-activity
-    * aggregate are cohort- or offset-sized; the observability join is
-    * |offsets| × |cohorts|, bounded by the time range squared, never
-    * by events.
+    * ratios through ln. Days are EPOCH days (datediff from 1970-01-01),
+    * not dayofyear, so spans crossing a calendar year stay adjacent.
+    * Invariants the shape leans on rather than re-checking defensively:
+    * every active day is ≤ max_d, so every `cell` row is observable by
+    * construction, and every surviving offset has ≥1 active, so num
+    * inner-joins den and rate is always > 0 before ln. All relations
+    * after the distinct-activity aggregate are cohort- or offset-sized;
+    * the observability join is |offsets| × |cohorts|, bounded by the
+    * time range squared, never by events.
     */
   def pipeHalfLife(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("graft_hl_events")
     s.sql(
       """WITH first_seen AS (
-        |  SELECT user_id, min(CAST(dayofyear(ts) AS INT)) AS cohort_d
+        |  SELECT user_id, min(datediff(CAST(ts AS DATE), DATE '1970-01-01')) AS cohort_d
         |  FROM graft_hl_events GROUP BY user_id),
         |active AS (
-        |  SELECT DISTINCT user_id, CAST(dayofyear(ts) AS INT) AS active_d
+        |  SELECT DISTINCT user_id, datediff(CAST(ts AS DATE), DATE '1970-01-01') AS active_d
         |  FROM graft_hl_events),
         |cohort_size AS (
         |  SELECT cohort_d, count(1) AS n_cohort FROM first_seen GROUP BY cohort_d),
@@ -665,7 +670,8 @@ object PipelineQueries {
         |         count(1) AS n_active
         |  FROM active a JOIN first_seen f ON a.user_id = f.user_id
         |  GROUP BY f.cohort_d, a.active_d - f.cohort_d),
-        |mx AS (SELECT max(CAST(dayofyear(ts) AS INT)) AS max_d FROM graft_hl_events),
+        |mx AS (SELECT max(datediff(CAST(ts AS DATE), DATE '1970-01-01')) AS max_d
+        |       FROM graft_hl_events),
         |offs AS (SELECT DISTINCT day_offset FROM cell WHERE day_offset >= 1),
         |den AS (
         |  SELECT o.day_offset, sum(s.n_cohort) AS n_obs
@@ -673,19 +679,17 @@ object PipelineQueries {
         |  JOIN cohort_size s ON s.cohort_d + o.day_offset <= mx.max_d
         |  GROUP BY o.day_offset),
         |num AS (
-        |  SELECT c.day_offset, sum(c.n_active) AS n_act
-        |  FROM cell c CROSS JOIN mx
-        |  WHERE c.day_offset >= 1 AND c.cohort_d + c.day_offset <= mx.max_d
-        |  GROUP BY c.day_offset),
+        |  SELECT day_offset, sum(n_active) AS n_act
+        |  FROM cell WHERE day_offset >= 1 GROUP BY day_offset),
         |obs AS (
         |  SELECT d.day_offset,
-        |         CAST(coalesce(n.n_act, 0) AS DOUBLE) / CAST(d.n_obs AS DOUBLE) AS rate
-        |  FROM den d LEFT JOIN num n ON n.day_offset = d.day_offset)
+        |         CAST(n.n_act AS DOUBLE) / CAST(d.n_obs AS DOUBLE) AS rate
+        |  FROM den d JOIN num n ON n.day_offset = d.day_offset)
         |SELECT CAST(count(1) AS BIGINT) AS n_offsets,
         |       round(regr_slope(ln(rate), CAST(day_offset AS DOUBLE)), 6) AS slope,
         |       round(-ln(2) / regr_slope(ln(rate), CAST(day_offset AS DOUBLE)), 6)
         |         AS half_life_days
-        |FROM obs WHERE rate > 0""".stripMargin)
+        |FROM obs""".stripMargin)
   }
 
   /** Rolling 7-day active users (WAU) per day, with same-day DAU and the
@@ -696,7 +700,11 @@ object PipelineQueries {
     * collapse events to the distinct (day, user) grain FIRST — the only
     * event-scale shuffle — then expand each day-grain row into the ≤7
     * window anchors it serves via a bounded range join against the
-    * |days|-row day list, and count distinct users per anchor. Every
+    * |days|-row day list (hinted BROADCAST: the non-equi join must
+    * build on the day list — without the hint Catalyst's event-derived
+    * size estimate for the double-aggregate could pick the |days|×DAU
+    * side), and count distinct users per anchor. Days are epoch days,
+    * so windows stay adjacent across a calendar year boundary. Every
     * relation after the first aggregate is bounded by |days| × DAU, never
     * by raw events; the day list broadcasts. At 100 TB the sketch-based
     * alternative (per-day HLL sketches union-merged across the window,
@@ -707,11 +715,11 @@ object PipelineQueries {
     Tables.events(s, dir).createOrReplaceTempView("graft_ra_events")
     s.sql(
       """WITH du AS (
-        |  SELECT DISTINCT CAST(dayofyear(ts) AS INT) AS d, user_id
+        |  SELECT DISTINCT datediff(CAST(ts AS DATE), DATE '1970-01-01') AS d, user_id
         |  FROM graft_ra_events),
         |days AS (SELECT DISTINCT d FROM du),
         |wau AS (
-        |  SELECT days.d, count(DISTINCT du.user_id) AS n_wau
+        |  SELECT /*+ BROADCAST(days) */ days.d, count(DISTINCT du.user_id) AS n_wau
         |  FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
         |  GROUP BY days.d),
         |dau AS (SELECT d, count(1) AS n_dau FROM du GROUP BY d)
@@ -1070,10 +1078,10 @@ object PipelineQueries {
     // regr_slope over the |offsets|-row relation (text_zipf precedent)
     "pipe_half_life" ->
       """WITH first_seen AS (
-        |  SELECT user_id, min(CAST(dayofyear(ts) AS INT)) AS cohort_d
+        |  SELECT user_id, min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS cohort_d
         |  FROM events GROUP BY user_id),
         |active AS (
-        |  SELECT DISTINCT user_id, CAST(dayofyear(ts) AS INT) AS active_d FROM events),
+        |  SELECT DISTINCT user_id, datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS active_d FROM events),
         |cohort_size AS (
         |  SELECT cohort_d, count(1) AS n_cohort FROM first_seen GROUP BY cohort_d),
         |cell AS (
@@ -1081,7 +1089,7 @@ object PipelineQueries {
         |         count(1) AS n_active
         |  FROM active a JOIN first_seen f ON a.user_id = f.user_id
         |  GROUP BY f.cohort_d, a.active_d - f.cohort_d),
-        |mx AS (SELECT max(CAST(dayofyear(ts) AS INT)) AS max_d FROM events),
+        |mx AS (SELECT max(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS max_d FROM events),
         |offs AS (SELECT DISTINCT day_offset FROM cell WHERE day_offset >= 1),
         |den AS (
         |  SELECT o.day_offset, sum(s.n_cohort) AS n_obs
@@ -1089,14 +1097,12 @@ object PipelineQueries {
         |  JOIN cohort_size s ON s.cohort_d + o.day_offset <= mx.max_d
         |  GROUP BY o.day_offset),
         |num AS (
-        |  SELECT c.day_offset, sum(c.n_active) AS n_act
-        |  FROM cell c CROSS JOIN mx
-        |  WHERE c.day_offset >= 1 AND c.cohort_d + c.day_offset <= mx.max_d
-        |  GROUP BY c.day_offset),
+        |  SELECT day_offset, sum(n_active) AS n_act
+        |  FROM cell WHERE day_offset >= 1 GROUP BY day_offset),
         |obs AS (
         |  SELECT d.day_offset,
-        |         CAST(coalesce(n.n_act, 0) AS DOUBLE) / CAST(d.n_obs AS DOUBLE) AS rate
-        |  FROM den d LEFT JOIN num n ON n.day_offset = d.day_offset)
+        |         CAST(n.n_act AS DOUBLE) / CAST(d.n_obs AS DOUBLE) AS rate
+        |  FROM den d JOIN num n ON n.day_offset = d.day_offset)
         |SELECT CAST(count(1) AS BIGINT) AS n_offsets,
         |       round(regr_slope(ln(rate), CAST(day_offset AS DOUBLE)), 6) AS slope,
         |       round(-ln(2) / regr_slope(ln(rate), CAST(day_offset AS DOUBLE)), 6)
@@ -1106,7 +1112,7 @@ object PipelineQueries {
     // the same decomposition the Spark side uses
     "pipe_rolling_active" ->
       """WITH du AS (
-        |  SELECT DISTINCT CAST(dayofyear(ts) AS INT) AS d, user_id FROM events),
+        |  SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d, user_id FROM events),
         |days AS (SELECT DISTINCT d FROM du),
         |wau AS (
         |  SELECT days.d, count(DISTINCT du.user_id) AS n_wau

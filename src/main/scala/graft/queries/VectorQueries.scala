@@ -1578,7 +1578,10 @@ object VectorQueries {
     * walks identical 1e-6-quantized scores; ties break on vec_id.
     */
   def embMmr(s: SparkSession, dir: String): DataFrame = {
-    val n = 32; val k = 8; val lam = 0.7
+    // mu is spelled 0.3, NOT 1-lam: 1-0.7 is 0.30000000000000004 in
+    // binary, and the oracle's literal 0.3 is not — the greedy argmax
+    // must walk bit-identical scores in both engines
+    val n = 32; val k = 8; val lam = 0.7; val mu = 0.3
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val pool = e.filter(col("vec_id") =!= 0)
@@ -1606,7 +1609,7 @@ object VectorQueries {
         val red =
           if (selected.isEmpty) 0.0
           else selected.iterator.map(sl => sims((c, sl._1))).max
-        (c, rel(c), red, lam * rel(c) - (1 - lam) * red)
+        (c, rel(c), red, lam * rel(c) - mu * red)
       }
       val pick = scored.minBy { case (id0, _, _, sc) => (-sc, id0) }
       selected += pick
@@ -1645,16 +1648,20 @@ object VectorQueries {
       .collect()(0).getSeq[Double](0)
     val selected = collection.mutable.ArrayBuffer[(Long, Seq[Double], Double)](
       (0L, seedV, 0.0))
-    while (selected.size < k) {
-      val dcols = selected.map { case (_, sv, _) =>
+    var exhausted = false // corpus smaller than k: stop with the shorter
+    while (selected.size < k && !exhausted) { // curve, like the oracle's
+      val dcols = selected.map { case (_, sv, _) => // CTE running dry
         round(lit(1.0) - cosine(col("v"), array(sv.map(lit): _*)), 6)
       }.toSeq
       val mind = if (dcols.size == 1) dcols.head else least(dcols: _*)
-      val pick = e.filter(!col("vec_id").isin(selected.map(_._1).toSeq: _*))
+      e.filter(!col("vec_id").isin(selected.map(_._1).toSeq: _*))
         .select(col("vec_id"), col("v"), mind.as("min_dist"))
         .orderBy(col("min_dist").desc, col("vec_id")).limit(1)
-        .collect()(0)
-      selected += ((pick.getLong(0), pick.getSeq[Double](1), pick.getDouble(2)))
+        .collect().headOption match {
+          case Some(p) =>
+            selected += ((p.getLong(0), p.getSeq[Double](1), p.getDouble(2)))
+          case None => exhausted = true
+        }
     }
     import s.implicits._
     selected.zipWithIndex.map { case ((id0, _, d0), i) =>

@@ -237,6 +237,15 @@ class PlanSpec extends SparkTestBase {
     assert(optimized("pipe_session_native").contains("session_window"))
   }
 
+  test("pipe_rolling_active: the day list broadcasts into the range join") {
+    // the non-equi ≤7-anchor join must build on the |days|-row side;
+    // without the hint Catalyst's event-derived size estimate for the
+    // double-aggregate could flip the build to the |days|×DAU side
+    val p = physical("pipe_rolling_active")
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q_set_ops_all: bag semantics plan as aggregation + generate, never a join") {
     // Spark compiles exceptAll/intersectAll to signed-count aggregation
     // with a replicate Generate — a join appearing here would mean the
