@@ -730,6 +730,38 @@ object PipelineQueries {
         |ORDER BY day""".stripMargin)
   }
 
+  /** Exponentially-decayed activity weight per event type — recency-
+    * weighted popularity with a 7-day half-life: each event contributes
+    * exp(−ln2/7 · age_days) measured against the corpus max timestamp,
+    * so "what's hot NOW" ranks differently from raw counts when a
+    * type's volume is front- or back-loaded. The mean decay factor
+    * (weight / count) is reported as the recency skew. This is the
+    * ranking signal a feed or trending module uses when tumbling
+    * windows are too coarse and sliding windows too expensive: one scan
+    * into a |types|-row aggregate, the decay a pure projection against
+    * a broadcast 1-row max — no window state at all, and at stream time
+    * the same sum folds incrementally (decay is multiplicative, so a
+    * stored sum re-bases by one multiply per batch). The λ factor is
+    * spelled ln(2)/7 in BOTH engines so the per-row doubles are
+    * bit-identical before the (order-insensitive under rounding) sum.
+    */
+  def pipeRecencyWeight(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_rw_events")
+    s.sql(
+      """WITH mx AS (SELECT max(ts) AS max_ts FROM graft_rw_events)
+        |SELECT event_type,
+        |       CAST(count(1) AS BIGINT) AS n_events,
+        |       round(sum(exp(-(ln(2) / 7.0) *
+        |         ((unix_micros(mx.max_ts) - unix_micros(ts)) / 86400000000.0))), 6)
+        |         AS decayed_weight,
+        |       round(sum(exp(-(ln(2) / 7.0) *
+        |         ((unix_micros(mx.max_ts) - unix_micros(ts)) / 86400000000.0))) /
+        |         count(1), 6) AS mean_decay
+        |FROM graft_rw_events CROSS JOIN mx
+        |GROUP BY event_type
+        |ORDER BY decayed_weight DESC, event_type""".stripMargin)
+  }
+
   /** As-of join — an operator Spark lacks natively, composed Spark-first
     * from a tagged union + running last-non-null window (single shuffle
     * on the join key, sort within partitions — the scalable layout; a
@@ -845,6 +877,7 @@ object PipelineQueries {
     "pipe_funnel_time" -> pipeFunnelTime,
     "pipe_half_life" -> pipeHalfLife,
     "pipe_rolling_active" -> pipeRollingActive,
+    "pipe_recency_weight" -> pipeRecencyWeight,
     "pipe_funnel" -> pipeFunnel,
     "pipe_retention" -> pipeRetention,
     "pipe_resample" -> pipeResample,
@@ -1124,6 +1157,20 @@ object PipelineQueries {
         |       round(a.n_dau / CAST(w.n_wau AS DOUBLE), 6) AS stickiness
         |FROM wau w JOIN dau a ON w.d = a.d
         |ORDER BY day""".stripMargin,
+    // ln(2)/7 spelled identically so the per-row decay doubles match
+    "pipe_recency_weight" ->
+      """WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+        |SELECT event_type,
+        |       CAST(count(1) AS BIGINT) AS n_events,
+        |       round(sum(exp(-(ln(2) / 7.0) *
+        |         ((epoch_us(mx.max_ts) - epoch_us(ts)) / 86400000000.0))), 6)
+        |         AS decayed_weight,
+        |       round(sum(exp(-(ln(2) / 7.0) *
+        |         ((epoch_us(mx.max_ts) - epoch_us(ts)) / 86400000000.0))) /
+        |         count(1), 6) AS mean_decay
+        |FROM events CROSS JOIN mx
+        |GROUP BY event_type
+        |ORDER BY decayed_weight DESC, event_type""".stripMargin,
     "pipe_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v AS (SELECT user_id, min(ts) AS first_view FROM events

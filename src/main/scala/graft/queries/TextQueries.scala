@@ -1368,6 +1368,58 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Classifier CALIBRATION curve — keep-probability deciles vs the
+    * rule-based gopher verdict: for each fixed-width probability bucket
+    * (⌊10·p⌋, capped at 9 — fixed-width, NOT ntile, because ntile is a
+    * single-partition global sort and bucket edges must not depend on
+    * the data), the document count, mean keep-probability, and the
+    * fraction the Gopher rules independently keep. A calibrated
+    * classifier's rule-agreement should rise monotonically with its own
+    * confidence; flat or inverted segments of this curve are how a
+    * curation pass discovers the classifier drifted from the rulebook
+    * before trusting its threshold at 100 TB. One lineage computes both
+    * signals from a single documents scan (the classifier's
+    * feature-hash fold and the gopher stats share the tokenize), then
+    * collapses to a ≤10-row aggregate — nothing after the scan is
+    * corpus-sized. Bucketing happens on the 1e-6-ROUNDED probability so
+    * both engines bucket identical doubles (the argmax-determinism
+    * discipline from the greedy selectors, applied to bin edges).
+    */
+  def textCalibration(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val staged = stageBarrier(Tables.documents(s, dir), Seq(col("doc_id"), t),
+      "toks" -> tokens(t))
+    val feats = stageBarrier(staged, Seq(col("doc_id"), t, col("toks")),
+      "feats" -> concat(col("toks"), wordShingles(col("toks"), 2)))
+    val hashed = stageBarrier(feats,
+      Seq(col("doc_id"), t, col("toks"), size(col("feats")).cast("long").as("n_feats")),
+      "hs" -> hashArray(col("feats")))
+    val parts = stageBarrier(hashed,
+      Seq(col("doc_id"),
+        classifierScoreFromHashes(col("hs"), col("n_feats")).as("score")),
+      "n_words" -> size(col("toks")).cast("long"),
+      "word_chars" -> aggregate(transform(col("toks"), w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x),
+      "n_chars" -> length(t).cast("long"),
+      "sym_chars" -> length(regexp_replace(t, "[A-Za-z0-9 .,]", "")).cast("long"),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn).cast("long"))
+    val perDoc = parts.select(
+      round(lit(1.0) / (lit(1.0) + exp(-lit(ClfScale) * col("score"))), 6)
+        .as("keep_prob"),
+      gopherKeepFromParts(col("n_words"),
+        col("word_chars").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"),
+        col("sym_chars").cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double"),
+        col("stop_hits")).as("rule_keep"))
+    perDoc
+      .groupBy(least(floor(col("keep_prob") * 10).cast("int"), lit(9)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("keep_prob")), 6).as("avg_keep_prob"),
+        round(avg(col("rule_keep").cast("double")), 6).as("frac_rule_keep"))
+      .orderBy("bucket")
+  }
+
   /** PII scan + redaction — the compliance pass every production corpus
     * runs before training: per document, counts of email / IPv4 / phone /
     * api-key-shaped spans and the text with each span replaced by a
@@ -2619,6 +2671,7 @@ object TextQueries {
     "text_boilerplate" -> textBoilerplate,
     "text_boilerplate_clean" -> textBoilerplateClean,
     "text_classifier_score" -> textClassifierScore,
+    "text_calibration" -> textCalibration,
     "text_pii" -> textPii,
     "text_filter_agreement" -> textFilterAgreement,
     "corpus_filter_order" -> corpusFilterOrder,
@@ -3750,6 +3803,39 @@ object TextQueries {
          |       1.0 / (1.0 + exp(-$ClfScale * score)) AS keep_prob,
          |       score >= 0 AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // classifier chain + gopher stats composed over one toks CTE, then
+    // fixed-width buckets on the 1e-6-rounded probability (both engines
+    // bucket identical doubles; same discipline as the greedy argmaxes)
+    "text_calibration" ->
+      s"""WITH wv AS (SELECT $wvListSql AS w),
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |ft AS (SELECT doc_id,
+         |              list_concat(toks,
+         |                [array_to_string(list_slice(toks, i, i + 1), ' ')
+         |                 for i in range(1, len(toks))]) AS feats
+         |       FROM t),
+         |sc AS (SELECT doc_id,
+         |              list_sum([w[CAST(${hx("f")} % $ClfBuckets AS INT) + 1]
+         |                        for f in feats]) / len(feats) AS score
+         |       FROM ft CROSS JOIN wv),
+         |g AS (SELECT doc_id,
+         |             CAST(len(toks) AS BIGINT) AS n_words,
+         |             CAST(list_sum(list_transform(toks, w2 -> len(w2))) AS BIGINT) AS word_chars,
+         |             CAST(len(text) AS BIGINT) AS n_chars,
+         |             CAST(len(regexp_replace(text, '[A-Za-z0-9 .,]', '', 'g')) AS BIGINT) AS sym_chars,
+         |             CAST(len(list_filter(toks, t2 -> t2 IN ($enList))) AS BIGINT) AS stop_hits
+         |      FROM t),
+         |d AS (SELECT round(1.0 / (1.0 + exp(-$ClfScale * sc.score)), 6) AS keep_prob,
+         |             (g.n_words BETWEEN 50 AND 100000 AND
+         |              CAST(g.word_chars AS DOUBLE) / CAST(greatest(g.n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 AND
+         |              CAST(g.sym_chars AS DOUBLE) / CAST(greatest(g.n_chars, 1) AS DOUBLE) <= 0.1 AND
+         |              g.stop_hits >= 2) AS rule_keep
+         |      FROM sc JOIN g ON sc.doc_id = g.doc_id)
+         |SELECT least(CAST(floor(keep_prob * 10) AS INT), 9) AS bucket,
+         |       CAST(count(1) AS BIGINT) AS n_docs,
+         |       round(avg(keep_prob), 6) AS avg_keep_prob,
+         |       round(avg(CASE WHEN rule_keep THEN 1.0 ELSE 0.0 END), 6) AS frac_rule_keep
+         |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
     // decorated text = the same pure doc_id fixture; counts on the
     // decorated text, redaction chain in the same order with 'g' flags
     "text_pii" -> {
