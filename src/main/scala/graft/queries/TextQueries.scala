@@ -1514,6 +1514,62 @@ object TextQueries {
     * scan is a |langs|-row relation; the normalizations are windows
     * over it, never the corpus.
     */
+  /** Water-filling mixture allocation — the supply-constrained form of
+    * the mixing problem [[corpusAlphaMix]] prices: given per-source
+    * token SUPPLY, target weights w (share^3, normalized — the
+    * prefer-larger-sources prior; superlinear so the constraint
+    * actually binds on this near-uniform corpus) and a token budget
+    * B = 0.8·total, allocate min(supply_i, t·w_i) with the water level
+    * t set so allocations sum to B. Computed in CLOSED FORM, no
+    * iteration: sort sources by supply/w ascending, take running sums,
+    * and a source is saturated iff its ratio clears the level implied
+    * by the prefix before it — the crossing point fixes t in one pass.
+    * The entire computation after the per-source token aggregate (the
+    * only corpus-scale work) runs on the |sources|-row relation:
+    * windows, prefix sums, and three scalar subqueries. Window sums are
+    * ROWS-framed over a total order (ratio, source), so both engines
+    * fold identical doubles in identical sequence; at sf0.01 two
+    * sources saturate and eighteen sit at the level — both branches of
+    * the allocator are exercised by the oracle gate.
+    */
+  def corpusWaterfill(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("graft_wf_docs")
+    s.sql(
+      """WITH s AS (
+        |  SELECT source, CAST(sum(size(split(text, ' '))) AS BIGINT) AS supply
+        |  FROM graft_wf_docs GROUP BY source),
+        |tot AS (SELECT sum(supply) AS total FROM s),
+        |wgt AS (
+        |  SELECT source, supply,
+        |         pow(CAST(supply AS DOUBLE) / CAST(total AS DOUBLE), 3.0) /
+        |         sum(pow(CAST(supply AS DOUBLE) / CAST(total AS DOUBLE), 3.0)) OVER () AS w
+        |  FROM s CROSS JOIN tot),
+        |r AS (SELECT *, CAST(supply AS DOUBLE) / w AS ratio FROM wgt),
+        |o AS (SELECT *,
+        |             row_number() OVER (ORDER BY ratio, source) AS k,
+        |             sum(supply) OVER (ORDER BY ratio, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum,
+        |             sum(w) OVER (ORDER BY ratio, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_cum
+        |      FROM r),
+        |b AS (SELECT 0.8 * CAST(total AS DOUBLE) AS budget FROM tot),
+        |flags AS (
+        |  SELECT o.*, budget,
+        |         ratio * (1 - (w_cum - w)) <= budget - (s_cum - supply) AS sat
+        |  FROM o CROSS JOIN b),
+        |krow AS (SELECT s_cum, w_cum FROM flags WHERE sat ORDER BY k DESC LIMIT 1),
+        |tl AS (
+        |  SELECT coalesce(
+        |    ((SELECT budget FROM b) - (SELECT s_cum FROM krow)) /
+        |      (1 - (SELECT w_cum FROM krow)),
+        |    (SELECT budget FROM b)) AS t)
+        |SELECT source, supply, round(w, 6) AS target_w, sat AS saturated,
+        |       round(CASE WHEN sat THEN CAST(supply AS DOUBLE) ELSE t * w END, 6)
+        |         AS allocation,
+        |       round(t, 6) AS water_level
+        |FROM flags CROSS JOIN tl ORDER BY source""".stripMargin)
+  }
+
   def corpusAlphaMix(s: SparkSession, dir: String): DataFrame = {
     val staged = stageBarrier(Tables.documents(s, dir), Seq(col("lang")),
       "nt" -> size(tokens(col("text"))).cast("long"))
@@ -2678,6 +2734,7 @@ object TextQueries {
     "text_filter_ppl" -> textFilterPpl,
     "corpus_source_profile" -> corpusSourceProfile,
     "corpus_alpha_mix" -> corpusAlphaMix,
+    "corpus_waterfill" -> corpusWaterfill,
     "sample_fixed_k" -> sampleFixedK,
     "sample_weighted" -> sampleWeighted,
     "text_entropy" -> textEntropy,
@@ -3945,6 +4002,42 @@ object TextQueries {
          |             CAST(count(*) AS DOUBLE), 6) AS en_frac
          |FROM p GROUP BY source ORDER BY source""".stripMargin,
     // |langs|-row relation after one scan; α-weights and normalizations
+    // the same closed-form crossing-point arithmetic, ROWS-framed running
+    // sums over the identical (ratio, source) total order
+    "corpus_waterfill" ->
+      """WITH s AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(supply) AS total FROM s),
+        |wgt AS (
+        |  SELECT source, supply,
+        |         pow(CAST(supply AS DOUBLE) / CAST(total AS DOUBLE), 3.0) /
+        |         sum(pow(CAST(supply AS DOUBLE) / CAST(total AS DOUBLE), 3.0)) OVER () AS w
+        |  FROM s CROSS JOIN tot),
+        |r AS (SELECT *, CAST(supply AS DOUBLE) / w AS ratio FROM wgt),
+        |o AS (SELECT *,
+        |             row_number() OVER (ORDER BY ratio, source) AS k,
+        |             sum(supply) OVER (ORDER BY ratio, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum,
+        |             sum(w) OVER (ORDER BY ratio, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_cum
+        |      FROM r),
+        |b AS (SELECT 0.8 * CAST(total AS DOUBLE) AS budget FROM tot),
+        |flags AS (
+        |  SELECT o.*, budget,
+        |         ratio * (1 - (w_cum - w)) <= budget - (s_cum - supply) AS sat
+        |  FROM o CROSS JOIN b),
+        |krow AS (SELECT s_cum, w_cum FROM flags WHERE sat ORDER BY k DESC LIMIT 1),
+        |tl AS (
+        |  SELECT coalesce(
+        |    ((SELECT budget FROM b) - (SELECT s_cum FROM krow)) /
+        |      (1 - (SELECT w_cum FROM krow)),
+        |    (SELECT budget FROM b)) AS t)
+        |SELECT source, supply, round(w, 6) AS target_w, sat AS saturated,
+        |       round(CASE WHEN sat THEN CAST(supply AS DOUBLE) ELSE t * w END, 6)
+        |         AS allocation,
+        |       round(t, 6) AS water_level
+        |FROM flags CROSS JOIN tl ORDER BY source""".stripMargin,
     // as scalar CTEs (== Spark's unbounded windows over the tiny relation)
     "corpus_alpha_mix" ->
       """WITH t AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
