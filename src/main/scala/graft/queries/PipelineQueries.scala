@@ -741,7 +741,9 @@ object PipelineQueries {
     * into a |types|-row aggregate, the decay a pure projection against
     * a broadcast 1-row max — no window state at all, and at stream time
     * the same sum folds incrementally (decay is multiplicative, so a
-    * stored sum re-bases by one multiply per batch). The λ factor is
+    * stored sum re-bases by one multiply per batch —
+    * [[graft.streaming.DecayStream]] is that fold, spec-pinned against
+    * this closed form). The λ factor is
     * spelled ln(2)/7 in BOTH engines so the per-row doubles are
     * bit-identical before the (order-insensitive under rounding) sum.
     */

@@ -596,6 +596,21 @@ object GraftPipeline {
       .groupBy("k", "idx").agg(max("rho").as("mr"))
   }
 
+  /** Streaming exponentially-decayed activity counter per key — the
+    * batch pipe_recency_weight folded incrementally (see [[DecayStream]]
+    * for the re-basing algebra and state bound). Input: any (key,
+    * event-time) projection; emits per key the decayed weight AT the
+    * key's newest seen event time — one multiply re-bases it to any
+    * later "now".
+    */
+  def decayStream(input: DataFrame, keyCol: String,
+      tsCol: String): Dataset[DecayStream.Decayed] = {
+    import input.sparkSession.implicits._
+    DecayStream(
+      input.select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("tsUs")).as[DecayStream.Ev])
+  }
+
   /** Exact windowed distinct-user counts — the streaming form of the
     * batch pipe_rolling_active's DAU leg: tumbling event-time windows,
     * COUNT(DISTINCT user) per window, exact. Two chained stateful

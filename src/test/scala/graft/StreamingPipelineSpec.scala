@@ -660,6 +660,43 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(lastBatch.nonEmpty)
   }
 
+  test("decayStream: incremental fold equals the closed form under any batch split") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val lam = DecayStream.LambdaPerUs
+    // one key, five events across ~3 days; closed form at the max ts
+    val secs = Seq(0L, 3600L, 90000L, 180000L, 259200L)
+    val usAtMax = secs.map(t => (259200L - t) * 1000000L)
+    val closedForm = usAtMax.map(d => math.exp(-lam * d)).sum
+    // split A: 2 + 3
+    val memA = MemoryStream[(String, java.sql.Timestamp)]
+    val qA = GraftPipeline.decayStream(memA.toDF().toDF("k", "ts"), "k", "ts")
+      .writeStream.format("memory").queryName("graft_decay_a")
+      .outputMode("update").start()
+    memA.addData(("view", ts(0)), ("view", ts(3600)))
+    qA.processAllAvailable()
+    memA.addData(("view", ts(90000)), ("view", ts(180000)), ("view", ts(259200)))
+    qA.processAllAvailable(); qA.stop()
+    // split B: 4 + 1 late row (older than the base — no re-base needed)
+    val memB = MemoryStream[(String, java.sql.Timestamp)]
+    val qB = GraftPipeline.decayStream(memB.toDF().toDF("k", "ts"), "k", "ts")
+      .writeStream.format("memory").queryName("graft_decay_b")
+      .outputMode("update").start()
+    memB.addData(("view", ts(3600)), ("view", ts(90000)), ("view", ts(180000)),
+      ("view", ts(259200)))
+    qB.processAllAvailable()
+    memB.addData(("view", ts(0))) // late
+    qB.processAllAvailable(); qB.stop()
+    for (tbl <- Seq("graft_decay_a", "graft_decay_b")) {
+      val last = spark.table(tbl).filter(col("n") === 5L).collect()
+      assert(last.length == 1, s"$tbl missing the n=5 snapshot")
+      val r = last(0)
+      assert(r.getLong(1) == 259200L * 1000000L) // base = max event time
+      assert(math.abs(r.getDouble(3) - closedForm) < 1e-9,
+        s"$tbl weight ${r.getDouble(3)} != closed form $closedForm")
+    }
+  }
+
   test("dauStream: exact per-window distinct users, append finalization, batch==stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
