@@ -2549,6 +2549,51 @@ object TextQueries {
     * aggregations (per-component count, then per-size count); nothing
     * here adds shuffle shape beyond dedup_cc's.
     */
+  /** Triangle count + global clustering coefficient of the near-dup
+    * graph — the density read that distinguishes a CHAIN of borderline
+    * pairs (a CC component that transitive closure glues together but
+    * whose members barely resemble each other) from a CLIQUE of true
+    * mutual duplicates: high clustering means components are tight and
+    * keep-one-per-component is safe; low clustering warns the Jaccard
+    * cut is chaining. Algorithm is the degree-oriented wedge join
+    * (Suri–Vassilvitskii MR triangle counting): orient every edge from
+    * its (lower-degree, then lower-id) endpoint — out-degrees are then
+    * bounded by O(√m) — join out-neighbor pairs per source into wedges
+    * (Σ outdeg², the bound the orientation exists to enforce; an
+    * unoriented wedge join squares the max DEGREE instead, the
+    * power-law killer), and close each wedge against the canonical edge
+    * list. The pairs lineage is computed once and cached ([[knnPqRerank]]
+    * precedent); everything else is edge-relation-sized.
+    */
+  def dedupTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = dedupMinhashPairs(s, dir)
+      .select(col("id_a").as("a"), col("id_b").as("b")).persist()
+    try {
+      val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val fwd = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val adj = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(when(fwd, col("a")).otherwise(col("b")).as("src"),
+          when(fwd, col("b")).otherwise(col("a")).as("dst"))
+      val tri = adj.as("x")
+        .join(adj.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.dst").as("u"), col("y.dst").as("v"))
+        .join(e, least(col("u"), col("v")) === col("a") &&
+          greatest(col("u"), col("v")) === col("b"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_triangles"))
+      val st = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      st.crossJoin(ne).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
+    } finally e.unpersist(false)
+  }
+
   def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
     dedupCC(s, dir)
       .groupBy("component").agg(count(lit(1)).as("cluster_size"))
@@ -2677,6 +2722,7 @@ object TextQueries {
     "corpus_dedup_funnel" -> corpusDedupFunnel,
     "dedup_cc" -> dedupCC,
     "dedup_cluster_stats" -> dedupClusterStats,
+    "dedup_triangles" -> dedupTriangles,
     "text_softdedup" -> textSoftDedup,
     "dedup_keep_best" -> dedupKeepBest,
     "text_lang_confusion" -> textLangConfusion,
@@ -3021,6 +3067,30 @@ object TextQueries {
     "dedup_minhash_pairs" ->
       s"""$pairsCore
          |SELECT id_a, id_b, j_word, j_shingle FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // the same degree orientation and wedge close over pairsCore's edges
+    "dedup_triangles" ->
+      s"""$pairsCore,
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+         |deg AS (SELECT node, count(1) AS deg
+         |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |        GROUP BY node),
+         |ad AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+         |                   THEN a ELSE b END AS src,
+         |              CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+         |                   THEN b ELSE a END AS dst
+         |       FROM e JOIN deg d1 ON e.a = d1.node JOIN deg d2 ON e.b = d2.node),
+         |w2 AS (SELECT x.dst AS u, y.dst AS v
+         |       FROM ad x JOIN ad y ON x.src = y.src AND x.dst < y.dst),
+         |tri AS (SELECT count(1) AS n_triangles
+         |        FROM w2 JOIN e ON least(u, v) = e.a AND greatest(u, v) = e.b),
+         |st AS (SELECT count(1) AS n_nodes,
+         |              CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+         |       FROM deg),
+         |ne AS (SELECT count(1) AS n_edges FROM e)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+         |       n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+         |       round(3.0 * n_triangles / n_wedges, 6) AS clustering
+         |FROM st CROSS JOIN ne CROSS JOIN tri""".stripMargin,
     // brute-force all-pairs Jaccard — a DIFFERENT algorithm from the
     // prefix-filtered Spark side, so green == cross-algorithm proof of
     // the no-false-negatives property

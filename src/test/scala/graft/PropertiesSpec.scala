@@ -327,4 +327,24 @@ class PropertiesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("DecayStream.fold: any batch split equals the closed form at the max ts") {
+    import graft.streaming.DecayStream
+    val lam = DecayStream.LambdaPerUs
+    val tsGen = Gen.listOfN(12, Gen.choose(0L, 30L * 86400000000L)) // ≤30 days in µs
+    val cutGen = Gen.listOfN(3, Gen.choose(0, 12))
+    samples(Gen.zip(tsGen, cutGen), 60).foreach { case (ts, cuts) =>
+      val sorted = (cuts :+ 0 :+ ts.length).distinct.sorted
+      val batches = sorted.zip(sorted.tail).map { case (a, b) => ts.slice(a, b) }
+      val folded = batches.foldLeft(DecayStream.DecayState(Long.MinValue, 0.0, 0L))(
+        DecayStream.fold)
+      if (ts.nonEmpty) {
+        val base = ts.max
+        val exact = ts.map(t => math.exp(-lam * (base - t))).sum
+        assert(folded.baseUs == base && folded.n == ts.length)
+        assert(math.abs(folded.sum - exact) < 1e-9,
+          s"split $sorted: ${folded.sum} != $exact")
+      } else assert(folded.n == 0L)
+    }
+  }
 }
