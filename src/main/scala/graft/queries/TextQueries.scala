@@ -67,6 +67,29 @@ object TextQueries {
 
   private val SsjT = 0.5 // Jaccard threshold (matches the LSH verify cut)
 
+  /** Hot-bucket cap for the LSH band self-join — the minhash analog of
+    * [[graft.functions.ScaleFunctions.hammingPairs]]' maxBucket (the
+    * round-12 pigeonhole fix): a (band, bucket) group of size B yields
+    * B²/2 candidates, and at the 100× stretch decade the biggest LSH
+    * buckets are near-identical copy clusters whose quadratic candidate
+    * mass OOMed the raw join (measured before this cap: exit-52 at
+    * sf10). Buckets above the cap are excluded from candidate
+    * generation, bounding candidates at n·cap/2 per band; a true pair
+    * is lost only if EVERY band it collides on is hot — and a pair
+    * sharing only hot buckets is, by construction, inside a ≥cap-sized
+    * mutual-duplicate cluster that exact dedup already collapses. At
+    * sf0.01 the largest bucket is 4, so the oracle gate is unchanged;
+    * the cap exists for the decade where the quadratic tail lives.
+    */
+  private val MinhashMaxBucket = 64
+
+  private[graft] def cappedBands(bands: DataFrame): DataFrame = {
+    val hot = bands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > MinhashMaxBucket)
+      .select("band", "bucket")
+    bands.join(hot, Seq("band", "bucket"), "left_anti")
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (the
     * Chaudhuri/Bayardo/Xiao PPJoin-family primitive): every pair with
     * shingle-Jaccard >= [[SsjT]], with NO false negatives — the exact
@@ -229,7 +252,7 @@ object TextQueries {
     */
   def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val base = minhashStages(s, dir)
-    val bands = explodeBands(base)
+    val bands = cappedBands(explodeBands(base))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -266,7 +289,7 @@ object TextQueries {
     */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     val base = minhashStages(s, dir)
-    val bands = explodeBands(base)
+    val bands = cappedBands(explodeBands(base))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -2308,7 +2331,7 @@ object TextQueries {
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val base = minhashStages(s, dir)
-    val bands = explodeBands(base)
+    val bands = cappedBands(explodeBands(base))
     val cand = bands.filter(col("doc_id") % 5 === 0).as("a")
       .join(bands.filter(col("doc_id") % 5 =!= 0).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
@@ -2898,9 +2921,13 @@ object TextQueries {
     */
   private lazy val pairsCore =
     s"""$bandsCte,
+       |bhot AS (SELECT band, bucket FROM bands
+       |         GROUP BY band, bucket HAVING count(1) > $MinhashMaxBucket),
+       |bc AS (SELECT b.* FROM bands b LEFT JOIN bhot h
+       |       ON b.band = h.band AND b.bucket = h.bucket WHERE h.band IS NULL),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM bc a JOIN bc b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |sets AS (
        |  SELECT doc_id, list_distinct(toks) AS ws, list_distinct(shingles) AS ss FROM sh),
@@ -3397,9 +3424,13 @@ object TextQueries {
     // shared bandsCte, word-Jaccard verify from the pairsCore formulas
     "dedup_incremental" ->
       s"""$bandsCte,
+         |bhot AS (SELECT band, bucket FROM bands
+         |         GROUP BY band, bucket HAVING count(1) > $MinhashMaxBucket),
+         |bc AS (SELECT b.* FROM bands b LEFT JOIN bhot h
+         |       ON b.band = h.band AND b.bucket = h.bucket WHERE h.band IS NULL),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
-         |  FROM bands a JOIN bands b
+         |  FROM bc a JOIN bc b
          |    ON a.band = b.band AND a.bucket = b.bucket
          |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
          |sets AS (SELECT doc_id, list_distinct(toks) AS ws FROM sh),

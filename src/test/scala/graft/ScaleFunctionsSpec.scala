@@ -121,6 +121,23 @@ class ScaleFunctionsSpec extends SparkTestBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("cappedBands: a hot LSH bucket is excluded, cold buckets survive intact") {
+    import spark.implicits._
+    // band 0 / bucket 7 holds 65 docs (> cap 64) — must vanish; the
+    // 2-doc bucket and the 64-doc (== cap) bucket must survive untouched
+    val rows =
+      (1L to 65L).map(i => (i, 0, 7L)) ++
+        Seq((100L, 1, 7L), (101L, 1, 7L)) ++
+        (200L until 264L).map(i => (i, 2, 9L))
+    val bands = rows.toDF("doc_id", "band", "bucket")
+    val kept = graft.queries.TextQueries.cappedBands(bands)
+      .groupBy("band", "bucket").count().as[(Int, Long, Long)].collect()
+      .map { case (b, bk, n) => (b, bk) -> n }.toMap
+    assert(!kept.contains((0, 7L)))      // hot bucket excluded
+    assert(kept((1, 7L)) == 2L)          // same bucket VALUE in another band survives
+    assert(kept((2, 9L)) == 64L)         // at-cap bucket survives
+  }
+
   test("salt spreads the hot key across distinct salt values") {
     val saltCount = skewed
       .withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(8)))
