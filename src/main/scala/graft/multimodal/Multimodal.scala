@@ -94,13 +94,31 @@ object Multimodal {
   /** Per-partition batch feature extraction. Records with failed decodes
     * are KEPT with decode_ok=false and empty features (drop-and-count is
     * the pipeline's decision, mirroring the malformed-JSON path F1).
+    *
+    * Seam error contract (r13, MultimodalSpec-pinned): a REAL codec is
+    * native code that throws — truncated JPEG, unsupported codec id,
+    * OOM inside the library — and one poisoned asset must never fail a
+    * 100 TB job (Spark would retry the task 4× and kill the app). So
+    * the seam catches NonFatal per RECORD and routes it to the same
+    * decode_ok=false accounting as a clean None; and because a codec
+    * can also return malformed output rather than throw, callers pass
+    * `expectDim` so a wrong-dimension feature vector is demoted to a
+    * failed decode instead of corrupting downstream fixed-dim ops
+    * (cosine/pHash assume the dim; a ragged row would throw deep in a
+    * later stage, far from the asset that caused it). Fatal errors
+    * (JVM-level: OutOfMemoryError etc.) still propagate — retrying
+    * those IS the right behavior.
     */
-  def extractFeatures(ds: Dataset[MediaRecord], decoder: Decoder): Dataset[MediaFeatures] = {
+  def extractFeatures(ds: Dataset[MediaRecord], decoder: Decoder,
+      expectDim: Option[Int] = None): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       decoder.init() // once per partition, not per record
       it.map { r =>
-        decoder.decode(r.kind, r.bytes) match {
+        val decoded =
+          try decoder.decode(r.kind, r.bytes)
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded.filter(f => expectDim.forall(_ == f.length)) match {
           case Some(f) => MediaFeatures(r.media_id, r.kind, r.bytes.length, decode_ok = true, f)
           case None => MediaFeatures(r.media_id, r.kind, r.bytes.length, decode_ok = false, Array.empty)
         }

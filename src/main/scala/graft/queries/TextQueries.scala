@@ -921,10 +921,10 @@ object TextQueries {
     * scan; the rank is one shuffle on source plus a sort within each
     * source partition, bounded by the largest domain (domains number in
     * the millions at 100 TB, so partitions stay small). For a
-    * pathologically dominant domain, the two-phase variant — an
-    * approx-quantile quality threshold at rank K per source, then a
-    * filter — replaces the sort with a scan at the cost of threshold-tie
-    * exactness; a documented dial, unnecessary at these SFs.
+    * pathologically dominant domain, use [[corpusSourceCap2]] (r13):
+    * the two-phase partition-pruned form whose sort partitions are
+    * bounded by input-split size instead of domain size, exact and
+    * oracle-gated equal to this cap's kept set.
     */
   def corpusSourceCap(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -942,6 +942,59 @@ object TextQueries {
           col("n_toks"), col("stop_hits")).as("quality"))
       .withColumn("src_rank", row_number().over(byQuality).cast("long"))
       .withColumn("kept", col("src_rank") <= SourceCapK)
+      .orderBy("doc_id")
+  }
+
+  /** TWO-PHASE per-source cap — [[corpusSourceCap]]'s documented scale
+    * dial, shipped (r13): the single-window form shuffles EVERY document
+    * of a source into one partition and sorts it, which a pathologically
+    * dominant mega-domain (half the crawl from one host) turns into one
+    * straggler partition. This variant never materializes a
+    * source-sized partition:
+    *
+    *   phase 1 — candidate pruning: rank documents within
+    *   (source, input-partition) — any global top-K document is
+    *   necessarily in the top-K of its own partition (the grouped
+    *   TakeOrderedAndProject argument), so keeping rank ≤ K per
+    *   (source, pid) yields an exact superset of ≤ K × P rows per
+    *   source while every sort partition is bounded by ONE input
+    *   split's share of the source (maxPartitionBytes), not the
+    *   source's total;
+    *   phase 2 — exact top-K: the full (quality DESC, doc_id) window
+    *   runs over candidates only, K×P rows per source max.
+    *
+    * Dropping sub-threshold rows cannot change ranks ≤ K, so the kept
+    * set and ranks equal the single-window form EXACTLY — the oracle
+    * pins this by computing the cap the one-window way and filtering to
+    * kept. spark_partition_id() is plan-dependent but correctness is
+    * partitioning-invariant (any split yields a superset), so the
+    * oracle equality is stable. Emits only kept rows (the cap's real
+    * product — the two-phase trade gives up the full ranking tail).
+    */
+  def corpusSourceCap2(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = stageBarrier(Tables.documents(s, dir),
+      Seq(col("doc_id"), col("source"), t), "toks" -> tokens(t))
+    val parts = stageBarrier(toks, Seq(col("doc_id"), col("source")),
+      "n_chars" -> length(t),
+      "alpha_len" -> length(regexp_replace(t, "[^A-Za-z ]", "")),
+      "n_toks" -> size(col("toks")),
+      "stop_hits" -> stopwordHits(col("toks"), StopwordsEn))
+    val scored = parts.select(col("doc_id"), col("source"),
+      qualityScoreFromParts(col("n_chars"), col("alpha_len"),
+        col("n_toks"), col("stop_hits")).as("quality"))
+      .withColumn("pid", spark_partition_id())
+    val byQualityLocal = Window.partitionBy("source", "pid")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val candidates = scored
+      .withColumn("local_rank", row_number().over(byQualityLocal))
+      .filter(col("local_rank") <= SourceCapK)
+      .drop("pid", "local_rank")
+    val byQuality = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    candidates
+      .withColumn("src_rank", row_number().over(byQuality).cast("long"))
+      .filter(col("src_rank") <= SourceCapK)
       .orderBy("doc_id")
   }
 
@@ -2811,6 +2864,7 @@ object TextQueries {
     "text_dup_ngrams" -> textDupNgrams,
     "text_novelty" -> textNovelty,
     "corpus_source_cap" -> corpusSourceCap,
+    "corpus_source_cap2" -> corpusSourceCap2,
     "text_unigram_lp" -> textUnigramLp,
     "text_bigram_lp" -> textBigramLp,
     "text_kl_drift" -> textKlDrift,
@@ -4216,6 +4270,16 @@ object TextQueries {
          |      FROM q)
          |SELECT doc_id, source, quality, src_rank, src_rank <= $SourceCapK AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
+    // the two-phase form must EXACTLY equal the kept set of the
+    // single-window cap (partition pruning preserves ranks <= K)
+    "corpus_source_cap2" ->
+      s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents),
+         |r AS (SELECT doc_id, source, quality,
+         |             row_number() OVER (PARTITION BY source
+         |                                ORDER BY quality DESC, doc_id) AS src_rank
+         |      FROM q)
+         |SELECT doc_id, source, quality, src_rank
+         |FROM r WHERE src_rank <= $SourceCapK ORDER BY doc_id""".stripMargin,
     "text_unigram_lp" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),

@@ -54,11 +54,23 @@ object TopKWindowedStream {
             val m = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
             state.getOption.foreach(_.counters.foreach(c => m(c.token) = (c.count, c.err)))
             rows.foreach(r => TopKStream.foldToken(m, r.token, k))
-            state.update(WSummary(m.iterator.map {
-              case (t, (c, e)) => TopKStream.Counter(t, c, e)
-            }.toSeq))
-            state.setTimeoutTimestamp(windowEnd)
-            m.iterator.map { case (t, (c, e)) => WHit(ws, shard, t, c, e, fin = false) }
+            if (state.getCurrentWatermarkMs() >= windowEnd) {
+              // live state but the watermark already passed the window
+              // end (e.g. the operator fed input whose event-time column
+              // lost its watermark metadata in a projection, so Spark's
+              // older-than-watermark row filter no longer protects us):
+              // setTimeoutTimestamp(windowEnd) would throw
+              // (timeout < watermark) and fail the query — finalize NOW
+              // instead, same emission contract as the timeout branch
+              state.remove()
+              m.iterator.map { case (t, (c, e)) => WHit(ws, shard, t, c, e, fin = true) }
+            } else {
+              state.update(WSummary(m.iterator.map {
+                case (t, (c, e)) => TopKStream.Counter(t, c, e)
+              }.toSeq))
+              state.setTimeoutTimestamp(windowEnd)
+              m.iterator.map { case (t, (c, e)) => WHit(ws, shard, t, c, e, fin = false) }
+            }
           }
       }
   }

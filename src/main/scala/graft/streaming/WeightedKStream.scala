@@ -8,9 +8,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * maintained state: per group keep the k records with the LARGEST
   * A-ES key ln(u)/w (u = seeded h32 uniform of the id, w = the
   * record's weight), the SAME criterion as the batch query down to the
-  * 1e-12 key rounding — so once the stream has seen the same weighted
-  * records its winner set equals the batch sample tuple-for-tuple
-  * (WeightedKStreamSpec pins it). The streaming form of
+  * 1e-12 key rounding — so for INSERT-ONLY input (and replay with
+  * unchanged weights) the winner set equals the batch sample
+  * tuple-for-tuple once the stream has seen the same weighted records
+  * (WeightedKStreamSpec pins exactly this case). Re-scores that RAISE
+  * a weight also converge (the id's key only improves). The one
+  * best-effort edge: a re-score that LOWERS a current winner's key
+  * below that of a candidate evicted earlier cannot resurrect the
+  * evicted candidate (its entry is gone from the k-row state), so
+  * after down-weight re-scores the maintained sample may diverge from
+  * the batch recomputation by up to the number of such displaced ids —
+  * the price of strict ≤k-per-group state; if exact post-rescore
+  * parity matters, recompute in batch or widen state with an eviction
+  * buffer. The streaming form of
   * quality-weighted corpus subsampling: records arrive with a weight
   * (e.g. the blended quality score) and the maintained sample is
   * weight-proportional without ever seeing the weight distribution.

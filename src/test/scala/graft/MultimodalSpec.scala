@@ -29,6 +29,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).features.isEmpty)
   }
 
+  test("real-codec seam contract: throwing/garbage decodes land in the " +
+      "decode_ok=false accounting, job completes, healthy rows unchanged") {
+    val ds = media(
+      (1L, "image", "healthy-one"), (2L, "image", "CORRUPT-jpeg"),
+      (3L, "image", "healthy-two"), (4L, "image", "RAGGED-dims"),
+      (5L, "image", "CORRUPT-trailer")).repartition(2)
+    val out = Multimodal.extractFeatures(ds, new FlakyNativeCodec(8), expectDim = Some(8))
+      .collect().sortBy(_.media_id)
+    // the job completed and every record is accounted for exactly once
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.filter(!_.decode_ok).map(_.media_id).toSeq == Seq(2L, 4L, 5L))
+    assert(out.filter(!_.decode_ok).forall(_.features.isEmpty))
+    // per-partition failure accounting == the per-record truth (the
+    // drop-count read a curation pipeline does downstream)
+    val failCount = Multimodal.extractFeatures(ds, new FlakyNativeCodec(8), Some(8))
+      .filter(!_.decode_ok).count()
+    assert(failCount == 3L)
+    // healthy rows decode exactly as the clean decoder would
+    val clean = Multimodal.extractFeatures(
+      media((1L, "image", "healthy-one"), (3L, "image", "healthy-two")),
+      new StubDecoder(8)).collect().sortBy(_.media_id)
+    val healthy = out.filter(_.decode_ok)
+    assert(healthy.map(_.features.toSeq).toSeq == clean.map(_.features.toSeq).toSeq)
+  }
+
   test("sampleFrames: strided fixed-size blocks, bounded count") {
     val payload = (0 until 100).map(i => ('a' + i % 26).toChar).mkString // 100 bytes
     val ds = media((7L, "video", payload))
@@ -43,5 +68,24 @@ class MultimodalSpec extends SparkTestBase {
     val rows = df.collect()
     assert(rows.length > 0)
     assert(rows.forall(_.getBoolean(3))) // all documents non-empty
+  }
+}
+
+/** A real-codec stand-in behaving like native media libraries under
+  * corrupt input: THROWS (not Option-clean) on a deterministic subset of
+  * assets, returns a wrong-dimension vector on another subset, and
+  * decodes the rest. Top-level so the closure serializes without
+  * capturing the suite. The seam must finish the job, demote both
+  * failure shapes to decode_ok=false, and leave healthy assets untouched
+  * — one poisoned asset never costs more than itself.
+  */
+private[graft] class FlakyNativeCodec(dim: Int) extends Multimodal.Decoder {
+  private val inner = new StubDecoder(dim)
+  override def init(): Unit = inner.init()
+  override def decode(kind: String, bytes: Array[Byte]): Option[Array[Double]] = {
+    val s = new String(bytes, "UTF-8")
+    if (s.contains("CORRUPT")) throw new RuntimeException(s"native decode error: $s")
+    if (s.contains("RAGGED")) Some(Array(0.5)) // wrong dim
+    else inner.decode(kind, bytes)
   }
 }

@@ -259,9 +259,21 @@ class PlanSpec extends SparkTestBase {
     val df = SparkEntry.queries("q_decimal_sum")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2500))
-    // overflow-safe widening: DECIMAL(18,2) sums to DECIMAL(28,2)
+    // overflow-safe widening INSIDE the agg: DECIMAL(18,2) sums to
+    // DECIMAL(28,2) (pinned on the same aggregate shape — plan strings
+    // don't print attribute types); the OUTPUT column is the r13
+    // driver-stable string rendering of that exact total
+    import org.apache.spark.sql.functions.{col, sum => sqlSum}
+    val widened = Tables.orders(spark, sf())
+      .select(col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .agg(sqlSum("p")).schema.head.dataType
+    assert(widened == org.apache.spark.sql.types.DecimalType(28, 2))
+    assert(p.contains("sum(price_d"), p.take(2500))
     assert(df.schema("total_exact").dataType ==
-      org.apache.spark.sql.types.DecimalType(28, 2))
+      org.apache.spark.sql.types.StringType)
+    // the ratio column stays a double derived from the exact total
+    assert(df.schema("avg_exact").dataType ==
+      org.apache.spark.sql.types.DoubleType)
   }
 
   test("PLANS.md is fresh: every registered query has a plan section") {

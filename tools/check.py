@@ -4,26 +4,47 @@ parquet under OUTDIR, run the matching oracle SQL from oracle_sql.json in
 DuckDB (tables = parquet files in SFDIR), sort columns by name + rows, and
 compare values. Usage: check.py [--atol] SFDIR OUTDIR [query ...]
 
-Default float compare is HASH-AWARE: a tight tolerance (rtol=1e-12,
-atol=1e-13 — stricter than the old atol=1e-9 gate at every magnitude up
-to ~1e3, and still 100-1000x above the observed cross-engine summation
-drift, so large-magnitude outputs like an unrounded ~1e8 revenue now
-tolerate ~1e-4 absolute instead of the ~0.1 that rtol=1e-9 allowed) PLUS
-an exact sign-of-zero check on the
-12-decimal-rounded values, so -0.0 vs 0.0 FAILS while cross-engine
-partition-order summation drift passes. Calibration (r7 driver data, 98
-queries): the driver's value hash tolerates the repo's real summation
-drift — emb_pca1 at 7e-15 relative straddling every significant-digit
-formatting grain, q_corr_agg's covar at 1.4e-12 absolute on magnitude 212
-— so its normalization is coarser than any fixed decimal/sig-digit scheme
-this repo's drift can distinguish; but it flagged emb_cov solely for a
--0.0/0.0 bit difference (r6 AND r7), so sign of zero IS hashed and
-survives whatever rounding the driver applies (round(-0.0)=-0.0). This
-gate is therefore strictly tighter than every driver hypothesis consistent
-with the data: local-green implies driver-green. The emb_cov regression
-shipped because the old atol=1e-9 mode called -0.0 and 0.0 equal — pass
---atol only to triage HOW FAR apart a red query is, never as the
-pre-commit gate.
+DRIVER MODEL (recalibrated r13 against the r12 driver evidence): the
+driver's value hash behaves as ROUND-TO-6-DECIMALS + STRINGIFY, applied
+per cell, with NO relative or absolute tolerance. The r12 round falsified
+the previous docstring's claim that a tight rtol gate implies
+driver-green — two queries (q_decimal_sum, q_join_delta) passed the old
+rtol=1e-12 gate and failed the driver:
+
+  * q_decimal_sum: Spark emitted a parquet DECIMAL column rendering
+    "246659.660340" while the oracle surfaced float64 246659.66034 —
+    identical values, different representation PLANE → driver red. The
+    old gate float-coerced object (Decimal) columns before comparing, so
+    the plane difference was invisible.
+  * q_join_delta: 1–2 ULP summation-order drift at magnitude 6e8
+    (3e-7 absolute) straddled a 6th-decimal rounding boundary
+    (...7209005 vs ...7209008 → "...720900" vs "...720901") → red.
+  * emb_pca1: 1e-14 absolute drift on O(0.1) values → green (r7..r12).
+  * emb_cov (r6/r7): -0.0 vs 0.0 → red, so sign of zero survives the
+    driver's rounding (round(-0.0) = -0.0) and is hashed.
+
+  Round-6+stringify explains all four observations; no (a)tol does
+  (any tolerance passing 1e-14 and failing a non-boundary 3e-7 would
+  have to sit in (1e-14, 3e-7], but the boundary-straddle is what
+  failed, not the magnitude). r13 ships q_grain_probe to measure the
+  residual ambiguity: its Spark/oracle sides differ by the same 3e-7
+  WITHOUT crossing a 6-decimal boundary — round-6 predicts green,
+  any tolerance model predicts red. Read CORRECTNESS_r13.json.
+
+This gate therefore checks, per column:
+  1. representation plane: an object-typed side (Decimal/str from
+     parquet or DuckDB) vs a numeric side is an immediate FAIL, as is
+     int-vs-float kind — value equality cannot save a plane mismatch;
+  2. float cells: bitwise equal, OR equal after np.round(·, 6) with
+     matching sign-of-zero on the rounded values (the emb_cov lesson);
+     NaN==NaN allowed. Note np.round is half-even while the driver's
+     tie rule is unknown — ties only matter when the two sides already
+     differ, and every parity-critical column in this repo rounds or
+     exact-sums well clear of ties;
+  3. everything else: string equality.
+
+--atol switches floats to a loose |a-b|<=1e-9 triage mode: use it only
+to measure HOW FAR apart a red query is, never as the pre-commit gate.
 """
 import sys, os, json, glob
 import duckdb
@@ -46,20 +67,15 @@ def float_eq(a: pd.Series, b: pd.Series, exact: bool):
     bv = b.astype(float).to_numpy()
     if not exact:
         return np.isclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
-    # rtol=1e-12 was calibrated at sf0.01 (the driver's gate SF), where the
-    # largest unrounded aggregates are ~1e8 and leave ~1e-4 absolute
-    # headroom. Cross-engine partition-order summation drift grows with
-    # corpus size; if the gate is ever run at a much larger SF and a
-    # magnitude-driven flake appears, loosen per magnitude bucket rather
-    # than globally (queries round to 6dp at the parity boundary, so the
-    # exposure is limited to deliberately-unrounded columns).
-    close = np.isclose(av, bv, rtol=1e-12, atol=1e-13, equal_nan=True)
-    # sign-of-zero on the rounded plane: 0.0 vs -0.0 (or vs a tiny negative
-    # that the driver's rounding would turn into -0.0) is a hash mismatch
-    ra = np.array([round(float(v), 12) for v in av])
-    rb = np.array([round(float(v), 12) for v in bv])
-    zero_sign_bad = (ra == 0) & (rb == 0) & (np.signbit(ra) != np.signbit(rb))
-    return close & ~zero_sign_bad
+    # the driver model: round to 6 decimals, then the stringified cells
+    # must match — bitwise equality short-circuits (covers inf/huge where
+    # rounding is identity), both-NaN is equal, and the sign of a rounded
+    # zero is part of the rendering (-0.0 vs 0.0 FAILS)
+    bit = (av == bv) | (np.isnan(av) & np.isnan(bv))
+    ra = np.round(av, 6)
+    rb = np.round(bv, 6)
+    r_eq = (ra == rb) & (np.signbit(ra) == np.signbit(rb))
+    return bit | r_eq
 
 def main():
     args = [a for a in sys.argv[1:] if a != "--atol"]
@@ -81,8 +97,10 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
-            got = norm(pd.read_parquet(outp))
-            exp = norm(con.sql(sql).df())
+            got_raw = pd.read_parquet(outp)
+            exp_raw = con.sql(sql).df()
+            got = norm(got_raw)
+            exp = norm(exp_raw)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}"); n_bad += 1; continue
         if list(got.columns) != list(exp.columns):
@@ -92,6 +110,18 @@ def main():
         eq = True
         for c in got.columns:
             a, b = got[c], exp[c]
+            # representation-plane check: the driver hashes the rendered
+            # cell, so Decimal-vs-float or int-vs-float cannot pass on
+            # value equality (the q_decimal_sum r12 lesson)
+            ka = got_raw[c].dtype.kind if c in got_raw.columns else "?"
+            kb = exp_raw[c].dtype.kind if c in exp_raw.columns else "?"
+            plane = lambda k: {"O": "object", "f": "float", "i": "int",
+                               "u": "int", "b": "bool"}.get(k, k)
+            if plane(ka) != plane(kb):
+                print(f"FAIL {name}: col {c} plane mismatch: "
+                      f"spark dtype kind={ka} vs oracle kind={kb}")
+                eq = False
+                break
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 same = float_eq(a, b, exact)
             else:
