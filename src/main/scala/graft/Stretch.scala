@@ -51,8 +51,9 @@ object Stretch {
     // last, after every table).
     val marker = new java.io.File(s"$workDir/_stretch_factor")
     val reuse = sys.env.get("SPARK_GRAFT_STRETCH_REUSE").contains("1") && {
-      val tablesExist = Seq("events", "lineitem", "orders", "documents", "embeddings")
-        .forall(t => new java.io.File(s"$workDir/$t.parquet").exists())
+      val tablesExist =
+        Seq("events", "lineitem", "orders", "customer", "documents", "embeddings")
+          .forall(t => new java.io.File(s"$workDir/$t.parquet").exists())
       val markerOk = marker.exists() &&
         java.nio.file.Files.readString(marker.toPath).trim == factor.toString
       if (tablesExist && !markerOk)
@@ -77,6 +78,11 @@ object Stretch {
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyStride))
           .withColumn("o_custkey", col("o_custkey") + lit(i * KeyStride)))
         .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
+      // customer: new customer keys per copy (dimension grows with scale —
+      // q_scd2's change batch stays a fixed FRACTION of the dimension)
+      copies(Tables.customer(spark, srcDir), (df, i) =>
+        df.withColumn("c_custkey", col("c_custkey") + lit(i * KeyStride)))
+        .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
       // documents: new doc ids AND a per-copy token appended to the text so
       // minhash signatures differ across copies (same dup RATE as source)
       copies(Tables.documents(spark, srcDir), (df, i) =>

@@ -287,6 +287,52 @@ object RelationalQueries {
         (col("t").cast("double") / col("n_orders")).as("avg_exact"))
       .orderBy("o_orderpriority")
 
+  /** SCD TYPE-2 dimension maintenance — the MERGE INTO every warehouse
+    * runs nightly, as a checked query: a change batch (updates to
+    * existing keys + brand-new keys) lands on a versioned dimension;
+    * changed keys close their current row (is_current=false) and open a
+    * new version, unchanged keys carry, inserts open at the new
+    * version. The change batch here is derived deterministically from
+    * the dimension itself (keys ≡7 mod 10 get +100 balance; keys ≡3
+    * mod 100 re-insert shifted by 100000) so the oracle reproduces it
+    * exactly.
+    *
+    * Plan shape (the part that matters at 100 TB): ONE full-outer join
+    * on the dimension key — the delta side is a day's changes, so AQE
+    * broadcasts it against the standing dimension — then a Generate
+    * (explode of a per-row 1-or-2-element version array) emits close +
+    * open rows in a SINGLE pass; the naive two-branch union would scan
+    * the join output twice. No other shuffle: versioning is row-local
+    * arithmetic. This is the relational core a Delta/Iceberg MERGE
+    * compiles to; writing it as a plain query keeps the mechanism
+    * visible and oracle-checkable.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val upd = dim.filter(col("k") % 10 === 7)
+      .select(col("k"), (col("bal") + 100.0).as("bal_new"), lit("update").as("op"))
+    val ins = dim.filter(col("k") % 100 === 3)
+      .select((col("k") + 100000L).as("k"), col("bal").as("bal_new"),
+        lit("insert").as("op"))
+    val versions = when(col("op").isNull, array(
+        struct(col("bal").as("acctbal"), lit(1).as("ver"),
+          lit(true).as("is_current"), lit("carry").as("o"))))
+      .when(col("op") === "update", array(
+        struct(col("bal").as("acctbal"), lit(1).as("ver"),
+          lit(false).as("is_current"), lit("close").as("o")),
+        struct(col("bal_new").as("acctbal"), lit(2).as("ver"),
+          lit(true).as("is_current"), lit("update").as("o"))))
+      .otherwise(array(
+        struct(col("bal_new").as("acctbal"), lit(2).as("ver"),
+          lit(true).as("is_current"), lit("insert").as("o"))))
+    dim.join(upd.unionByName(ins), Seq("k"), "full_outer")
+      .select(col("k").as("custkey"), explode(versions).as("v"))
+      .select(col("custkey"), col("v.acctbal").as("acctbal"), col("v.ver").as("ver"),
+        col("v.is_current").as("is_current"), col("v.o").as("op"))
+      .orderBy("custkey", "ver")
+  }
+
   /** Driver hash-grain PROBE (r13 — diagnostic, deliberately drifted):
     * the r12 round established the driver's value hash passes 1e-14
     * absolute drift (emb_pca1) and fails 3e-7 absolute drift when it
@@ -981,6 +1027,7 @@ object RelationalQueries {
     "q_cube" -> qCube,
     "q_decimal_sum" -> qDecimalSum,
     "q_grain_probe" -> qGrainProbe,
+    "q_scd2" -> qScd2,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
@@ -1204,6 +1251,19 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'intersect_all', k, CAST(count(*) AS BIGINT) FROM ia GROUP BY k
         |ORDER BY op, k""".stripMargin,
+    // the same change batch re-derived from the dimension; branch union
+    // mirrors the Spark side's single-pass Generate row-for-row
+    "q_scd2" ->
+      """WITH dim AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |upd AS (SELECT k, bal + 100.0 AS bal_new FROM dim WHERE k % 10 = 7),
+        |ins AS (SELECT k + 100000 AS k, bal AS bal_new FROM dim WHERE k % 100 = 3)
+        |SELECT k AS custkey, bal AS acctbal, 1 AS ver,
+        |       (k % 10 <> 7) AS is_current,
+        |       CASE WHEN k % 10 = 7 THEN 'close' ELSE 'carry' END AS op
+        |FROM dim
+        |UNION ALL SELECT k, bal_new, 2, true, 'update' FROM upd
+        |UNION ALL SELECT k, bal_new, 2, true, 'insert' FROM ins
+        |ORDER BY custkey, ver""".stripMargin,
     // DELIBERATE sub-grain drift: rows b/c differ from the Spark side by
     // 3e-7 absolute WITHOUT crossing a 6-decimal rounding boundary —
     // green here measures the driver as round-6dp+stringify, red means

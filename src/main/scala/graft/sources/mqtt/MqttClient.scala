@@ -9,22 +9,35 @@ import MqttCodec._
 /** Received message envelope (the reference's `message` event payload,
   * bin/mqtt-streamr.js:144, plus arrival time).
   */
-case class MqttMessage(topic: String, payload: Array[Byte], arrivalMillis: Long)
+case class MqttMessage(topic: String, payload: Array[Byte], arrivalMillis: Long,
+    qos: Int = 0, packetId: Int = 0)
 
 /** Driver-side MQTT subscriber with the reference's connection behavior:
   * connect → subscribe N topic filters (wildcards allowed) → push received
   * messages to an in-memory queue; a resettable inactivity watchdog
   * force-reconnects after `dataTimeoutMillis` of silence
   * (src/DataTimeoutUtil.js:1-18, wiring bin/mqtt-streamr.js:86-97), and a
-  * broken socket triggers reconnect with backoff. At-most-once (QoS 0) —
-  * the same guarantee the reference has.
+  * broken socket triggers reconnect with backoff.
+  *
+  * Delivery guarantee is the SUBSCRIBE QoS (r13): at `subscribeQos = 0`
+  * (default) this is the reference's fire-and-forget at-most-once. At
+  * `subscribeQos = 1` the broker holds each message until PUBACK; with
+  * `autoAck = true` the client acks on receipt (loss window = client
+  * memory), with `autoAck = false` the CONSUMER calls [[ack]] after it
+  * has persisted the message (ack-after-persist — the WAL-backed source
+  * acks only after the segment is on disk, closing the window
+  * entirely). Unacked messages are redelivered by the broker with the
+  * DUP flag after reconnect, so QoS 1 is at-LEAST-once: duplicates are
+  * possible by design and are the dedup operators' job downstream.
   */
 class MqttClient(
     url: String,
     topics: Seq[String],
     clientId: String = s"graft-${java.util.UUID.randomUUID()}",
     dataTimeoutMillis: Long = 900000L,
-    reconnectBackoffMillis: Long = 200L) extends AutoCloseable {
+    reconnectBackoffMillis: Long = 200L,
+    subscribeQos: Int = 0,
+    autoAck: Boolean = true) extends AutoCloseable {
 
   private val queue = new ConcurrentLinkedQueue[MqttMessage]()
   private val running = new AtomicBoolean(true)
@@ -75,14 +88,15 @@ class MqttClient(
           case ConnAck(0) => ()
           case other => throw new java.io.IOException(s"connect refused: $other")
         }
-        write(out, Subscribe(1, topics))
+        write(out, Subscribe(1, topics, subscribeQos))
         connected.countDown()
         lastData.set(System.currentTimeMillis())
         while (running.get() && !s.isClosed) {
           read(s.getInputStream) match {
-            case Publish(topic, payload) =>
+            case Publish(topic, payload, qos, pid, _) =>
               lastData.set(System.currentTimeMillis()) // watchdog reset (js:145-147)
-              queue.add(MqttMessage(topic, payload, System.currentTimeMillis()))
+              queue.add(MqttMessage(topic, payload, System.currentTimeMillis(), qos, pid))
+              if (qos > 0 && autoAck) write(out, PubAck(pid))
             case PingReq => write(out, PingResp)
             case _ => () // SubAck, PingResp, ...
           }
@@ -93,6 +107,18 @@ class MqttClient(
           Thread.sleep(reconnectBackoffMillis)
       }
     }
+  }
+
+  /** Acknowledge QoS 1 packet ids (manual-ack mode) — called by the
+    * consumer AFTER it has durably persisted the messages. A broken
+    * socket here is benign: the broker redelivers the unacked messages
+    * (DUP) on reconnect, which at-least-once explicitly permits.
+    */
+  def ack(packetIds: Seq[Int]): Unit = {
+    val s = socket
+    if (s != null && !s.isClosed)
+      try packetIds.foreach(pid => write(s.getOutputStream, PubAck(pid)))
+      catch { case NonFatal(_) => () }
   }
 
   private def watchdogLoop(): Unit = {

@@ -21,13 +21,39 @@ import scala.jdk.CollectionConverters._
   *
   * Mirrors the reference's subscription surface (bin/mqtt-streamr.js:
   * 119-139: connect, per-topic subscribe incl. +/# wildcards) with its
-  * delivery guarantee (QoS 0 / at-most-once, fire-and-forget): messages
-  * buffer on the driver between micro-batches and ship to executors
-  * inside the planned partitions (the MemoryStream/rate-source pattern —
-  * MQTT has no replayable log, so there is nothing an executor could
-  * re-read; a durable deployment puts a log in front, and the
-  * reconnect-on-idle watchdog lives INSIDE the client, SURVEY §7.4#4).
-  * Offsets are cumulative received counts; commit() trims the buffer.
+  * delivery guarantee BY DEFAULT (QoS 0 / at-most-once, fire-and-forget):
+  * messages buffer on the driver between micro-batches and ship to
+  * executors inside the planned partitions (the MemoryStream/rate-source
+  * pattern — MQTT has no replayable log, so there is nothing an executor
+  * could re-read; the reconnect-on-idle watchdog lives INSIDE the
+  * client, SURVEY §7.4#4). Offsets are cumulative received counts;
+  * commit() trims the buffer.
+  *
+  * AT-LEAST-ONCE upgrade (r13, SURVEY §7.4#3 — beyond the reference,
+  * which is fire-and-forget by design): two independent options close
+  * the two loss windows:
+  *
+  *   .option("qos", "1")      // broker→driver leg: QoS 1 subscribe;
+  *                            // broker holds messages until PUBACK and
+  *                            // redelivers (DUP) after reconnect
+  *   .option("waldir", path)  // driver→checkpoint leg: every drained
+  *                            // message is appended to an offset-
+  *                            // stamped write-ahead segment BEFORE its
+  *                            // offset is exposed to Spark; PUBACK is
+  *                            // sent only AFTER the segment is on disk
+  *                            // (ack-after-persist), and restart
+  *                            // recovery reloads [committed, received)
+  *                            // from the segments instead of re-basing
+  *                            // past the lost messages
+  *
+  * With both set, a message is either still unacked at the broker or
+  * durable in the WAL at every instant — at-least-once end to end.
+  * Duplicates (broker redelivery, replayed micro-batches) are possible
+  * by contract; the pipeline's dedup operators own them downstream.
+  * commit(end) prunes fully-committed segments, so WAL size is bounded
+  * by the uncommitted horizon (~one trigger's admission), not stream
+  * length. Segments are written to a temp file and atomically renamed;
+  * a torn write from a crash mid-append is invisible to recovery.
   */
 class MqttSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mqtt"
@@ -76,6 +102,8 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
   // into a single task
   private val targetPerPartition =
     math.max(1, options.get("targetrecordsperpartition").map(_.toInt).getOrElse(2000))
+  private val qos = options.get("qos").map(_.toInt).getOrElse(0)
+  private val walDir = options.get("waldir")
 
   // driver-side state: total received count = offset; buffer holds
   // [committedBase, received) pending messages
@@ -84,20 +112,109 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
   private var committedBase = 0L
   private var received = 0L
 
+  // AT-LEAST-ONCE restart recovery (construction time, before any drain):
+  // adopt the WAL's surviving state as if the messages had just been
+  // received — buffer holds [firstSegmentStart, lastSegmentEnd) at their
+  // ORIGINAL offsets, so the checkpoint's restart batch re-reads the very
+  // rows the crashed incarnation lost from memory. Segments are written
+  // tmp-then-rename, so every listed segment is complete, and drains
+  // write start=received, so concatenation in start order is contiguous.
+  // If the checkpoint is somehow AHEAD of the WAL (crash between offset
+  // commit and prune has the opposite, overlapping shape), rebase's
+  // renumber turns the stale entries into replays — duplicates, never
+  // loss, which is exactly the at-least-once contract.
+  locally {
+    val files = walFiles()
+    if (files.nonEmpty) {
+      committedBase = files.head._1
+      files.foreach { case (_, _, f) => buffer ++= walReadSegment(f) }
+      received = committedBase + buffer.length
+    }
+  }
+
   private def ensureClient(): MqttClient = synchronized {
     if (client == null) {
-      client = new MqttClient(url, topics, dataTimeoutMillis = timeoutMs).start()
+      // ack-after-persist only makes sense with a WAL; without one, the
+      // client acks on receipt (the loss window shrinks to driver memory)
+      client = new MqttClient(url, topics, dataTimeoutMillis = timeoutMs,
+        subscribeQos = qos, autoAck = walDir.isEmpty).start()
       client.awaitConnected()
     }
     client
   }
 
+  // ---- write-ahead segments (at-least-once, option "waldir") ------------
+  // one file per drain: wal-<start offset, 20 digits>-<count>; contents:
+  //   int count, then per message: UTF topic, int len, payload bytes,
+  //   long arrivalMillis. Temp-write + atomic rename => no torn reads;
+  //   count in the name lets commit-time pruning skip reading segments.
+
+  private def walFiles(): Seq[(Long, Int, java.io.File)] =
+    walDir.toSeq.flatMap { d =>
+      val dir = new java.io.File(d)
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.startsWith("wal-"))
+        .map { f =>
+          val parts = f.getName.stripPrefix("wal-").split("-")
+          (parts(0).toLong, parts(1).toInt, f)
+        }
+        .sortBy(_._1)
+    }
+
+  private def walWrite(start: Long, msgs: Seq[MqttMessage]): Unit =
+    walDir.foreach { d =>
+      val dir = new java.io.File(d)
+      dir.mkdirs()
+      val tmp = new java.io.File(dir, f".wal-$start%020d.tmp")
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp)))
+      try {
+        out.writeInt(msgs.length)
+        msgs.foreach { m =>
+          out.writeUTF(m.topic)
+          out.writeInt(m.payload.length)
+          out.write(m.payload)
+          out.writeLong(m.arrivalMillis)
+        }
+        out.flush()
+      } finally out.close()
+      val fin = new java.io.File(dir, f"wal-$start%020d-${msgs.length}%d")
+      if (!tmp.renameTo(fin)) throw new java.io.IOException(s"wal rename failed: $fin")
+    }
+
+  private def walReadSegment(f: java.io.File): Seq[MqttMessage] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+    try {
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        val topic = in.readUTF()
+        val len = in.readInt()
+        val payload = new Array[Byte](len)
+        in.readFully(payload)
+        MqttMessage(topic, payload, in.readLong())
+      }
+    } finally in.close()
+  }
+
+  private def walPrune(committed: Long): Unit =
+    walFiles().foreach { case (start, n, f) =>
+      if (start + n <= committed) f.delete() // fully below the committed line
+    }
+
   override def initialOffset(): Offset = MqttOffset(0)
 
   override def latestOffset(): Offset = synchronized {
     val drained = ensureClient().poll(maxPerBatch)
-    buffer ++= drained
-    received += drained.length
+    if (drained.nonEmpty) {
+      // WAL first: an offset is exposed to Spark only once its message
+      // is durable; PUBACK only after that (ack-after-persist)
+      walWrite(received, drained)
+      buffer ++= drained
+      received += drained.length
+      if (walDir.isDefined && qos > 0)
+        client.ack(drained.filter(_.qos > 0).map(_.packetId))
+    }
     MqttOffset(received)
   }
 
@@ -160,6 +277,7 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
     if (e > committedBase) {
       buffer.dropInPlace((e - committedBase).toInt)
       committedBase = e
+      walPrune(e)
     }
   }
 

@@ -18,12 +18,16 @@ class MqttSourceSpec extends SparkTestBase {
       Subscribe(7, Seq("a/+/c", "b/#")),
       SubAck(7, Seq(0, 0)),
       Publish("a/b/c", """{"x":1}""".getBytes("UTF-8")),
+      Publish("q/1", "pay".getBytes("UTF-8"), qos = 1, packetId = 42),
+      Publish("q/2", "load".getBytes("UTF-8"), qos = 1, packetId = 7, dup = true),
+      PubAck(42),
       PingReq, PingResp, Disconnect)
     packets.foreach { p =>
       val decoded = read(new java.io.ByteArrayInputStream(encode(p)))
       (p, decoded) match {
-        case (Publish(t1, b1), Publish(t2, b2)) =>
+        case (Publish(t1, b1, q1, p1, d1), Publish(t2, b2, q2, p2, d2)) =>
           assert(t1 == t2 && java.util.Arrays.equals(b1, b2))
+          assert(q1 == q2 && p1 == p2 && d1 == d2)
         case (a, b) => assert(a == b)
       }
     }

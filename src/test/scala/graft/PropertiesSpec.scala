@@ -83,7 +83,7 @@ class PropertiesSpec extends SparkTestBase {
     samples(Gen.zip(topicG, payloadG), 100).foreach { case (topic, payload) =>
       val p = MqttCodec.Publish(topic, payload)
       MqttCodec.read(new java.io.ByteArrayInputStream(MqttCodec.encode(p))) match {
-        case MqttCodec.Publish(t2, b2) =>
+        case MqttCodec.Publish(t2, b2, _, _, _) =>
           assert(t2 == topic)
           assert(java.util.Arrays.equals(b2, payload))
         case other => fail(s"decoded $other")
