@@ -92,8 +92,33 @@ object JsonataCompiler {
   private val inlineDepth: ThreadLocal[Integer] =
     ThreadLocal.withInitial(() => Integer.valueOf(0))
 
-  def compile(src: String, input: Column, schema: DataType): Column =
-    compileNode(JsonataParser.parse(src), Typed(input, schema), Map.empty).col
+  /** Compile memo — the reference compiles its jsonata expression ONCE
+    * per process (`jsonata(expr)` at startup, bin/mqtt-streamr.js) and
+    * evaluates it per message; this cache gives the same cost model to a
+    * long-lived session that re-declares the same transform (every
+    * micro-batch plan, every re-run of a registered query): a large
+    * builtin-heavy expression costs seconds to compile into its Column
+    * tree, and the tree is immutable + unresolved (attributes are bound
+    * per-plan during analysis), so reuse across plans is sound. Keyed on
+    * (source, input expression, schema); bounded — a pathological
+    * generator of distinct transforms degrades to compile-per-call, it
+    * cannot leak.
+    */
+  private val compileCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, DataType), Column]()
+  private val CompileCacheMax = 256
+
+  def compile(src: String, input: Column, schema: DataType): Column = {
+    val key = (src, input.toString, schema)
+    val cached = compileCache.get(key)
+    if (cached != null) cached
+    else {
+      val compiled =
+        compileNode(JsonataParser.parse(src), Typed(input, schema), Map.empty).col
+      if (compileCache.size < CompileCacheMax) compileCache.put(key, compiled)
+      compiled
+    }
+  }
 
   /** Convenience: compiled transform over a raw JSON string column. */
   def transformJson(src: String, payload: Column, schema: StructType): Column =
