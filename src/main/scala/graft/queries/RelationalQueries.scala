@@ -287,6 +287,57 @@ object RelationalQueries {
         (col("t").cast("double") / col("n_orders")).as("avg_exact"))
       .orderBy("o_orderpriority")
 
+  /** Z-ORDER layout clustering + measured min-max pruning win — the
+    * WRITER-side lever that decides how much of 100 TB a filtered scan
+    * actually reads: interleave the bits of two filter dimensions
+    * (price bucket × order month, 4 bits each) into a Morton key, lay
+    * rows out in contiguous key ranges ("files" — at scale,
+    * `repartitionByRange(zkey)` + `sortWithinPartitions(zkey)` so every
+    * parquet row group's min-max footer is tight on BOTH dims), and
+    * emit per-file min-max envelopes plus the read-amplification
+    * metric: the average number of files a single-value predicate on
+    * each dim must touch (a file is touched iff its [min,max] covers
+    * the value — exactly the row-group pruning test). Linear layout
+    * reads 1 file for its sort dim and ALL files for the other;
+    * Z-order balances both at ~√F — the measured numbers make the
+    * trade concrete instead of folklore. All arithmetic is integer
+    * (bit extraction via shifts, exact in both engines); the metric
+    * relations are F×16-sized, nothing beyond the one scan + one
+    * F-row aggregate.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val ZBits = 4
+    val ZFiles = 16
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int") // 0..11, fits 4 bits
+    val z = (0 until ZBits).map { i =>
+      (shiftright(col("d1"), i) % 2) * lit(1 << (2 * i + 1)) +
+        (shiftright(col("d2"), i) % 2) * lit(1 << (2 * i))
+    }.reduce(_ + _)
+    val files = Tables.orders(s, dir)
+      .select(d1.as("d1"), d2.as("d2"))
+      .withColumn("z", z)
+      .withColumn("file_id", floor(col("z") / ((1 << (2 * ZBits)) / ZFiles)).cast("long"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("d1").as("min_d1"), max("d1").as("max_d1"),
+        min("d2").as("min_d2"), max("d2").as("max_d2"))
+    val vals = s.range(16).select(col("id").cast("int").as("v"))
+    def readAmp(lo: String, hi: String, nVals: Int): Column =
+      round(lit(1.0) * sum(when(col(lo) <= col("v") && col("v") <= col(hi), 1L)
+        .otherwise(0L)) / nVals, 4)
+    val amp = files.crossJoin(vals.filter(col("v") < 16))
+      .agg(readAmp("min_d1", "max_d1", 16).as("ramp_d1"))
+      .crossJoin(
+        files.crossJoin(vals.filter(col("v") < 12))
+          .agg(readAmp("min_d2", "max_d2", 12).as("ramp_d2")))
+    files.crossJoin(broadcast(amp))
+      .select(col("file_id"), col("n_rows"),
+        col("min_d1"), col("max_d1"), col("min_d2"), col("max_d2"),
+        col("ramp_d1"), col("ramp_d2"))
+      .orderBy("file_id")
+  }
+
   /** SCD TYPE-2 dimension maintenance — the MERGE INTO every warehouse
     * runs nightly, as a checked query: a change batch (updates to
     * existing keys + brand-new keys) lands on a versioned dimension;
@@ -1028,6 +1079,7 @@ object RelationalQueries {
     "q_decimal_sum" -> qDecimalSum,
     "q_grain_probe" -> qGrainProbe,
     "q_scd2" -> qScd2,
+    "q_zorder" -> qZorder,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
@@ -1251,6 +1303,34 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'intersect_all', k, CAST(count(*) AS BIGINT) FROM ia GROUP BY k
         |ORDER BY op, k""".stripMargin,
+    // identical integer bit-interleave + envelope/pruning arithmetic
+    "q_zorder" ->
+      """WITH src AS (
+        |  SELECT CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2
+        |  FROM orders),
+        |zz AS (SELECT d1, d2,
+        |         ((d1 >> 0) & 1) * 2 + ((d2 >> 0) & 1) * 1 +
+        |         ((d1 >> 1) & 1) * 8 + ((d2 >> 1) & 1) * 4 +
+        |         ((d1 >> 2) & 1) * 32 + ((d2 >> 2) & 1) * 16 +
+        |         ((d1 >> 3) & 1) * 128 + ((d2 >> 3) & 1) * 64 AS z
+        |       FROM src),
+        |f AS (SELECT CAST(z // 16 AS BIGINT) AS file_id,
+        |             CAST(count(1) AS BIGINT) AS n_rows,
+        |             min(d1) AS min_d1, max(d1) AS max_d1,
+        |             min(d2) AS min_d2, max(d2) AS max_d2
+        |      FROM zz GROUP BY 1),
+        |v1 AS (SELECT unnest(range(16)) AS v),
+        |v2 AS (SELECT unnest(range(12)) AS v),
+        |a1 AS (SELECT round(1.0 * sum(CASE WHEN min_d1 <= v AND v <= max_d1
+        |                    THEN 1 ELSE 0 END) / 16, 4) AS ramp_d1
+        |       FROM f CROSS JOIN v1),
+        |a2 AS (SELECT round(1.0 * sum(CASE WHEN min_d2 <= v AND v <= max_d2
+        |                    THEN 1 ELSE 0 END) / 12, 4) AS ramp_d2
+        |       FROM f CROSS JOIN v2)
+        |SELECT file_id, n_rows, min_d1, max_d1, min_d2, max_d2, ramp_d1, ramp_d2
+        |FROM f CROSS JOIN a1 CROSS JOIN a2
+        |ORDER BY file_id""".stripMargin,
     // the same change batch re-derived from the dimension; branch union
     // mirrors the Spark side's single-pass Generate row-for-row
     "q_scd2" ->

@@ -2670,6 +2670,67 @@ object TextQueries {
     } finally e.unpersist(false)
   }
 
+  private val KcoreK = 3
+  private val KcoreRounds = 6
+
+  /** K-CORE membership of the near-dup graph — [[dedupTriangles]]'s
+    * clustering read made actionable per node: the k-core (maximal
+    * subgraph where every node keeps ≥ k neighbors IN the subgraph)
+    * separates the dense heart of a duplicate cluster from the
+    * borderline chain links that transitive CC glues on — core members
+    * are safe hard-drop candidates, peripheral nodes deserve the soft
+    * path (text_softdedup). Algorithm: iterative peeling — drop nodes
+    * whose degree among surviving nodes is < k, recompute, repeat.
+    * Each round is two semi-joins of the edge list against the alive
+    * set plus one degree aggregate — edge-relation-sized, no node ever
+    * sees more than its neighborhood — with `localCheckpoint` per
+    * round truncating the loop lineage (the dedup_cc/BPE discipline).
+    * Rounds are CAPPED at [[KcoreRounds]] (the oracle unrolls the same
+    * cap as chained CTEs — the emb_pca1 precedent); the emitted
+    * `stable` column self-reports whether the cap reached the fixpoint
+    * (last two rounds equal), so a pathological peel depth at some
+    * future corpus is visible in the output rather than silent. At
+    * 100 TB peel depth grows with the graph's degeneracy ordering, not
+    * its size; a production run raises the cap or switches to the
+    * bucketed-degree sequential algorithm per component.
+    */
+  def dedupKcore(s: SparkSession, dir: String): DataFrame = {
+    val e = dedupMinhashPairs(s, dir)
+      .select(col("id_a").as("a"), col("id_b").as("b")).persist()
+    try {
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      val nodes = sym.select(col("a").as("node")).distinct()
+      var alive = nodes
+      var prevAlive = nodes
+      for (_ <- 1 to KcoreRounds) {
+        prevAlive = alive
+        alive = sym
+          .join(alive.select(col("node").as("a")), "a")
+          .join(alive.select(col("node").as("b")), "b")
+          .groupBy("a").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KcoreK)
+          .select(col("a").as("node"))
+          .localCheckpoint()
+      }
+      val coreDeg = sym
+        .join(alive.select(col("node").as("a")), "a")
+        .join(alive.select(col("node").as("b")), "b")
+        .groupBy("a").agg(count(lit(1)).as("core_deg"))
+        .select(col("a").as("node"), col("core_deg"))
+      val stable = alive.agg(count(lit(1)).as("n_last")).crossJoin(
+          prevAlive.agg(count(lit(1)).as("n_prev")))
+        .select((col("n_last") === col("n_prev")).as("stable"))
+      nodes.join(coreDeg, Seq("node"), "left_outer")
+        .crossJoin(broadcast(stable))
+        .select(col("node").as("doc_id"),
+          col("core_deg").isNotNull.as("in_core"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+          col("stable"))
+        .orderBy("doc_id")
+    } finally e.unpersist(false)
+  }
+
   def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
     dedupCC(s, dir)
       .groupBy("component").agg(count(lit(1)).as("cluster_size"))
@@ -2799,6 +2860,7 @@ object TextQueries {
     "dedup_cc" -> dedupCC,
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_triangles" -> dedupTriangles,
+    "dedup_kcore" -> dedupKcore,
     "text_softdedup" -> textSoftDedup,
     "dedup_keep_best" -> dedupKeepBest,
     "text_lang_confusion" -> textLangConfusion,
@@ -3148,6 +3210,33 @@ object TextQueries {
     "dedup_minhash_pairs" ->
       s"""$pairsCore
          |SELECT id_a, id_b, j_word, j_shingle FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // the same capped peeling unrolled as chained CTEs (emb_pca1
+    // precedent); stable compares the last two rounds
+    "dedup_kcore" -> {
+      val rounds = (1 to KcoreRounds).map { r =>
+        val prev = if (r == 1) "n0" else s"a${r - 1}"
+        s"""a$r AS (SELECT a AS node FROM (
+           |  SELECT s.a, count(1) AS c FROM sym s
+           |  JOIN $prev x ON s.a = x.node JOIN $prev y ON s.b = y.node
+           |  GROUP BY s.a) WHERE c >= $KcoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""$pairsCore,
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+         |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |n0 AS (SELECT DISTINCT a AS node FROM sym),
+         |$rounds,
+         |cd AS (SELECT s.a AS node, CAST(count(1) AS BIGINT) AS core_deg
+         |       FROM sym s
+         |       JOIN a$KcoreRounds x ON s.a = x.node
+         |       JOIN a$KcoreRounds y ON s.b = y.node
+         |       GROUP BY s.a),
+         |st AS (SELECT (SELECT count(1) FROM a$KcoreRounds) =
+         |              (SELECT count(1) FROM a${KcoreRounds - 1}) AS stable)
+         |SELECT n0.node AS doc_id, cd.node IS NOT NULL AS in_core,
+         |       coalesce(cd.core_deg, 0) AS core_deg, st.stable
+         |FROM n0 LEFT JOIN cd ON n0.node = cd.node CROSS JOIN st
+         |ORDER BY doc_id""".stripMargin
+    },
     // the same degree orientation and wedge close over pairsCore's edges
     "dedup_triangles" ->
       s"""$pairsCore,
