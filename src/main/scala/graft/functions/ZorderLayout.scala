@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-ORDER clustered parquet WRITER — the layout operator that acts on
+  * the `q_zorder` diagnostic: where `q_zorder` *measures* how much a
+  * Morton-interleaved layout would cut read amplification, this writes
+  * the layout, so a filtered scan can actually skip files.
+  *
+  * Layout strategy: STATIC z-bucketing. Each row's two filter
+  * dimensions (small integer domains, `bits` bits each) interleave into
+  * a Morton key; the key space `[0, 4^bits)` splits into `numFiles`
+  * contiguous ranges; each range becomes one directory partition
+  * (`zfile=K/`), and rows inside every partition are sorted by the full
+  * z-key so parquet row-group min/max footers stay tight on BOTH
+  * dimensions. A box predicate on either dimension then prunes twice:
+  * directory partitions via the catalog (`PartitionFilters`), row
+  * groups inside surviving files via footer stats (`PushedFilters`).
+  *
+  * Why static ranges and not `repartitionByRange(zkey)`: range
+  * partitioning samples boundaries, so two runs over the same data can
+  * produce different file envelopes — fine for a one-off layout, fatal
+  * for a reproducible pipeline (and for an oracle-gated test). Static
+  * bucketing is deterministic: the file a row lands in is a pure
+  * function of the row. The cost is skew tolerance — a hot z-range
+  * becomes a hot bucket. At 100 TB: keep `numFiles` coarse (it bounds
+  * the catalog, not the file count), set
+  * `spark.sql.files.maxRecordsPerFile` so hot buckets split into many
+  * parquet files (each still internally z-sorted, footers still tight),
+  * and let AQE coalesce the cold ones. The within-bucket sort is
+  * per-partition (no global exchange beyond the one hash repartition).
+  */
+object ZorderLayout {
+
+  /** Bit-interleave two `bits`-bit non-negative ints: d1 takes the odd
+    * bit positions (more significant), d2 the even. Integer shifts and
+    * adds only — exact and engine-portable.
+    */
+  def mortonKey(d1: Column, d2: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      (shiftright(d1, i) % 2) * lit(1 << (2 * i + 1)) +
+        (shiftright(d2, i) % 2) * lit(1 << (2 * i))
+    }.reduce(_ + _)
+
+  /** Write `df` z-clustered on the integer dimension columns `d1Col`,
+    * `d2Col` (each in `[0, 2^bits)`) into `numFiles` static z-range
+    * directory partitions at `path`, z-sorted within each partition.
+    * `numFiles` must divide `4^bits`.
+    */
+  def write(df: DataFrame, d1Col: String, d2Col: String, bits: Int,
+            numFiles: Int, path: String): Unit = {
+    val zSpan = (1 << (2 * bits)) / numFiles
+    require(zSpan * numFiles == (1 << (2 * bits)),
+      s"numFiles=$numFiles must divide ${1 << (2 * bits)}")
+    df.withColumn("zkey", mortonKey(col(d1Col), col(d2Col), bits))
+      .withColumn("zfile", (col("zkey") / zSpan).cast("int"))
+      .repartition(numFiles, col("zfile"))
+      .sortWithinPartitions("zfile", "zkey")
+      .write.mode("overwrite").partitionBy("zfile").parquet(path)
+  }
+}

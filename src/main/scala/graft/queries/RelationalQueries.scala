@@ -338,6 +338,65 @@ object RelationalQueries {
       .orderBy("file_id")
   }
 
+  /** Z-ORDER WRITE + MEASURED FILE SKIPPING — the closure of
+    * [[qZorder]]'s diagnostic: actually write the clustered layout
+    * (graft.functions.ZorderLayout — static z-range directory
+    * partitions, z-sorted within each), then run a (price, month) box
+    * predicate through the catalog-pruned path and PROVE the skip lost
+    * nothing. The pruned read keeps only files whose min/max envelope
+    * intersects the box — exactly the parquet row-group / partition
+    * pruning test — and the oracle recomputes the matched rows straight
+    * from the raw table, so a file wrongly skipped would drop rows and
+    * go red. Emits per-file match counts + exact DECIMAL revenue (the
+    * q_decimal_sum string plane) and the skip ratio: files_read of
+    * files_total (~4/16 for this box — the √F win q_zorder predicts,
+    * now observed on a real layout).
+    *
+    * Scale: the write is one hash repartition + per-partition sort; the
+    * envelope "catalog" is a numFiles-row aggregate collected on the
+    * driver (at 100 TB this is the metastore / parquet-footer read —
+    * never data-proportional); the pruned scan shows PartitionFilters
+    * on zfile and PushedFilters on d1/d2 (PlanSpec-pinned), so inside
+    * each surviving file the z-sort makes row-group footers tight on
+    * both dims and the data pages the box misses are never read.
+    */
+  def qZorderWrite(s: SparkSession, dir: String): DataFrame = {
+    val ZBits = 4
+    val ZFiles = 16
+    val (lo1, hi1, lo2, hi2) = (3, 5, 2, 4) // price buckets × Mar–May
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_zorder_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ZorderLayout.write(
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        d1.as("d1"), d2.as("d2")),
+      "d1", "d2", ZBits, ZFiles, path)
+    val clustered = s.read.parquet(path)
+    // The catalog lookup: per-file envelopes. Recomputed here (the layout
+    // is fresh); at scale these are footer/metastore stats. ≤ZFiles rows.
+    val env = clustered.groupBy("zfile")
+      .agg(min("d1").as("mn1"), max("d1").as("mx1"),
+        min("d2").as("mn2"), max("d2").as("mx2"))
+      .collect()
+    val keep = env.filter { r =>
+      r.getAs[Int]("mx1") >= lo1 && r.getAs[Int]("mn1") <= hi1 &&
+        r.getAs[Int]("mx2") >= lo2 && r.getAs[Int]("mn2") <= hi2
+    }.map(_.getAs[Int]("zfile"))
+    clustered
+      .where(col("zfile").isin(keep.toSeq: _*))
+      .where(col("d1").between(lo1, hi1) && col("d2").between(lo2, hi2))
+      .groupBy(col("zfile").cast("long").as("file_id"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("files_total", lit(env.length.toLong))
+      .withColumn("files_read", lit(keep.length.toLong))
+      .orderBy("file_id")
+  }
+
   /** SCD TYPE-2 dimension maintenance — the MERGE INTO every warehouse
     * runs nightly, as a checked query: a change batch (updates to
     * existing keys + brand-new keys) lands on a versioned dimension;
@@ -1080,6 +1139,7 @@ object RelationalQueries {
     "q_grain_probe" -> qGrainProbe,
     "q_scd2" -> qScd2,
     "q_zorder" -> qZorder,
+    "q_zorder_write" -> qZorderWrite,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
@@ -1330,6 +1390,37 @@ object RelationalQueries {
         |       FROM f CROSS JOIN v2)
         |SELECT file_id, n_rows, min_d1, max_d1, min_d2, max_d2, ramp_d1, ramp_d2
         |FROM f CROSS JOIN a1 CROSS JOIN a2
+        |ORDER BY file_id""".stripMargin,
+    // matched rows re-derived straight from the raw table (no layout);
+    // files_read from the same envelope-intersection test the Spark
+    // side prunes with — identical rows proves the skip lost nothing
+    "q_zorder_write" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2
+        |  FROM orders),
+        |zz AS (SELECT *,
+        |         ((d1 >> 0) & 1) * 2 + ((d2 >> 0) & 1) * 1 +
+        |         ((d1 >> 1) & 1) * 8 + ((d2 >> 1) & 1) * 4 +
+        |         ((d1 >> 2) & 1) * 32 + ((d2 >> 2) & 1) * 16 +
+        |         ((d1 >> 3) & 1) * 128 + ((d2 >> 3) & 1) * 64 AS z
+        |       FROM src),
+        |f AS (SELECT *, CAST(z // 16 AS BIGINT) AS file_id FROM zz),
+        |env AS (SELECT file_id, min(d1) AS mn1, max(d1) AS mx1,
+        |               min(d2) AS mn2, max(d2) AS mx2
+        |        FROM f GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |              CAST(sum(CASE WHEN mx1 >= 3 AND mn1 <= 5
+        |                             AND mx2 >= 2 AND mn2 <= 4
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        |       FROM env)
+        |SELECT file_id, CAST(count(*) AS BIGINT) AS n_match,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       files_total, files_read
+        |FROM f CROSS JOIN st
+        |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4
+        |GROUP BY file_id, files_total, files_read
         |ORDER BY file_id""".stripMargin,
     // the same change batch re-derived from the dimension; branch union
     // mirrors the Spark side's single-pass Generate row-for-row

@@ -441,4 +441,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("_salt"), p.take(3000))
     assert("hashpartitioning\\(".r.findAllIn(p).length >= 2, p.take(3000))
   }
+
+  test("q_zorder_write: scan is catalog-pruned on zfile AND pushes the box predicate") {
+    val p = physical("q_zorder_write")
+    // partition pruning: only the envelope-intersecting zfile dirs are listed
+    assert("PartitionFilters: \\[zfile#\\d+ IN \\(".r.findFirstIn(p).isDefined, p.take(3000))
+    // footer pruning: both box dimensions reach the parquet reader
+    // (compact toString elides PushedFilters past ~100 chars; DataFilters
+    // lists the same pushed set in full)
+    assert(p.contains("GreaterThanOrEqual(d1,3)") && p.contains("LessThanOrEqual(d1,5)"), p.take(3000))
+    assert("\\(d2#\\d+ >= 2\\)".r.findFirstIn(p).isDefined &&
+      "\\(d2#\\d+ <= 4\\)".r.findFirstIn(p).isDefined, p.take(3000))
+    // column pruning: the key is projected away before the read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderkey"), readSchema)
+  }
 }
