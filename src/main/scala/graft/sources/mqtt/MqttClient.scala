@@ -47,6 +47,14 @@ class MqttClient(
   /** reconnect counter (tests/metrics) */
   val reconnects = new AtomicLong(0)
 
+  // One lock per connection around every packet write: ack() runs on the
+  // consumer thread while the reader thread can write PingResp (or PubAck
+  // in autoAck mode) on the same OutputStream — interleaved writes would
+  // corrupt the MQTT byte stream. Writes are tiny; contention is nil.
+  private val writeLock = new Object
+  private def send(out: java.io.OutputStream, p: MqttCodec.Packet): Unit =
+    writeLock.synchronized { write(out, p) }
+
   private val uri = new URI(url) // tcp://host:port
   require(uri.getScheme == "tcp", s"only tcp:// URLs supported, got $url")
 
@@ -83,12 +91,12 @@ class MqttClient(
         val s = new Socket(uri.getHost, uri.getPort)
         socket = s
         val out = s.getOutputStream
-        write(out, Connect(clientId))
+        send(out, Connect(clientId))
         read(s.getInputStream) match {
           case ConnAck(0) => ()
           case other => throw new java.io.IOException(s"connect refused: $other")
         }
-        write(out, Subscribe(1, topics, subscribeQos))
+        send(out, Subscribe(1, topics, subscribeQos))
         connected.countDown()
         lastData.set(System.currentTimeMillis())
         while (running.get() && !s.isClosed) {
@@ -96,8 +104,8 @@ class MqttClient(
             case Publish(topic, payload, qos, pid, _) =>
               lastData.set(System.currentTimeMillis()) // watchdog reset (js:145-147)
               queue.add(MqttMessage(topic, payload, System.currentTimeMillis(), qos, pid))
-              if (qos > 0 && autoAck) write(out, PubAck(pid))
-            case PingReq => write(out, PingResp)
+              if (qos > 0 && autoAck) send(out, PubAck(pid))
+            case PingReq => send(out, PingResp)
             case _ => () // SubAck, PingResp, ...
           }
         }
@@ -117,7 +125,7 @@ class MqttClient(
   def ack(packetIds: Seq[Int]): Unit = {
     val s = socket
     if (s != null && !s.isClosed)
-      try packetIds.foreach(pid => write(s.getOutputStream, PubAck(pid)))
+      try packetIds.foreach(pid => send(s.getOutputStream, PubAck(pid)))
       catch { case NonFatal(_) => () }
   }
 
@@ -135,7 +143,7 @@ class MqttClient(
 
   override def close(): Unit = {
     running.set(false)
-    try if (socket != null) { write(socket.getOutputStream, Disconnect); socket.close() }
+    try if (socket != null) { send(socket.getOutputStream, Disconnect); socket.close() }
     catch { case NonFatal(_) => () }
   }
 }

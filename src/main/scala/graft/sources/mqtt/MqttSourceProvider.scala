@@ -47,13 +47,24 @@ import scala.jdk.CollectionConverters._
   *                            // past the lost messages
   *
   * With both set, a message is either still unacked at the broker or
-  * durable in the WAL at every instant — at-least-once end to end.
+  * durable in the WAL at every instant — at-least-once end to end
+  * (segments are fsynced, file and directory, BEFORE the PUBACK, so the
+  * claim covers OS/power crashes, not just process crashes).
   * Duplicates (broker redelivery, replayed micro-batches) are possible
   * by contract; the pipeline's dedup operators own them downstream.
   * commit(end) prunes fully-committed segments, so WAL size is bounded
   * by the uncommitted horizon (~one trigger's admission), not stream
   * length. Segments are written to a temp file and atomically renamed;
   * a torn write from a crash mid-append is invisible to recovery.
+  *
+  * THE COMPOSED EFFECTIVELY-ONCE CONTRACT: this source is deliberately
+  * at-least-once; exactly-once output is the composition
+  * `qos=1 + waldir → dedupStreamByContent → idempotent per-batch-id
+  * publisher (FsStreamPublisher)`. EffectivelyOnceSpec pins it end to
+  * end: DUP redelivery of every in-flight message + a crash before the
+  * checkpoint commit (WAL replay at original offsets) + a sink-visible
+  * foreachBatch replay together produce output identical to a
+  * failure-free run.
   */
 class MqttSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mqtt"
@@ -166,8 +177,8 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
       val dir = new java.io.File(d)
       dir.mkdirs()
       val tmp = new java.io.File(dir, f".wal-$start%020d.tmp")
-      val out = new java.io.DataOutputStream(
-        new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp)))
+      val fos = new java.io.FileOutputStream(tmp)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fos))
       try {
         out.writeInt(msgs.length)
         msgs.foreach { m =>
@@ -177,9 +188,16 @@ class MqttMicroBatchStream(options: Map[String, String]) extends MicroBatchStrea
           out.writeLong(m.arrivalMillis)
         }
         out.flush()
+        // durable BEFORE the PUBACK: an acked message must survive an
+        // OS/power crash, not just a process crash
+        fos.getFD.sync()
       } finally out.close()
       val fin = new java.io.File(dir, f"wal-$start%020d-${msgs.length}%d")
       if (!tmp.renameTo(fin)) throw new java.io.IOException(s"wal rename failed: $fin")
+      // the rename itself lives in the directory entry — fsync it too
+      val dch = java.nio.channels.FileChannel.open(dir.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
     }
 
   private def walReadSegment(f: java.io.File): Seq[MqttMessage] = {
