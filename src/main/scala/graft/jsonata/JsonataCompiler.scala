@@ -100,23 +100,37 @@ object JsonataCompiler {
     * builtin-heavy expression costs seconds to compile into its Column
     * tree, and the tree is immutable + unresolved (attributes are bound
     * per-plan during analysis), so reuse across plans is sound. Keyed on
-    * (source, input expression, schema); bounded — a pathological
-    * generator of distinct transforms degrades to compile-per-call, it
-    * cannot leak.
+    * (source, input expression, schema) and restricted to UNRESOLVED
+    * inputs (see compile); bounded — a pathological generator of
+    * distinct transforms degrades to compile-per-call, it cannot leak.
     */
   private val compileCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, DataType), Column]()
   private val CompileCacheMax = 256
 
   def compile(src: String, input: Column, schema: DataType): Column = {
-    val key = (src, input.toString, schema)
-    val cached = compileCache.get(key)
-    if (cached != null) cached
-    else {
-      val compiled =
-        compileNode(JsonataParser.parse(src), Typed(input, schema), Map.empty).col
-      if (compileCache.size < CompileCacheMax) compileCache.put(key, compiled)
-      compiled
+    // Memoization is sound only for UNRESOLVED inputs: a resolved
+    // AttributeReference carries an exprId bound to one plan, and the
+    // pretty toString the key uses drops it — two distinct resolved
+    // columns (dfA("p") vs dfB("p"), self-join disambiguations) would
+    // collide and the cached Column would smuggle the first plan's
+    // attribute into the second ("resolved attribute missing"). Resolved
+    // inputs compile uncached; all repo callers pass unresolved col("x").
+    val cacheable = org.apache.spark.sql.graftbridge.Bridge.expression(input)
+      .find(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.AttributeReference]).isEmpty
+    if (!cacheable) {
+      compileNode(JsonataParser.parse(src), Typed(input, schema), Map.empty).col
+    } else {
+      val key = (src, input.toString, schema)
+      val cached = compileCache.get(key)
+      if (cached != null) cached
+      else {
+        val compiled =
+          compileNode(JsonataParser.parse(src), Typed(input, schema), Map.empty).col
+        if (compileCache.size < CompileCacheMax) compileCache.put(key, compiled)
+        compiled
+      }
     }
   }
 

@@ -404,8 +404,11 @@ object RelationalQueries {
     * new version, unchanged keys carry, inserts open at the new
     * version. The change batch here is derived deterministically from
     * the dimension itself (keys ≡7 mod 10 get +100 balance; keys ≡3
-    * mod 100 re-insert shifted by 100000) so the oracle reproduces it
-    * exactly.
+    * mod 100 re-insert shifted by max(c_custkey)+1 — derived from the
+    * data, not a constant, so an inserted key can NEVER collide with a
+    * real customer at any SF or stretch stride; a collision would make
+    * the full-outer row take the insert branch and silently drop the
+    * real customer's carry row) so the oracle reproduces it exactly.
     *
     * Plan shape (the part that matters at 100 TB): ONE full-outer join
     * on the dimension key — the delta side is a day's changes, so AQE
@@ -420,10 +423,13 @@ object RelationalQueries {
   def qScd2(s: SparkSession, dir: String): DataFrame = {
     val dim = Tables.customer(s, dir)
       .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    // 1-row bounded collect: the insert-key shift (control plane, like
+    // the recall queries' argmax rows)
+    val shift = dim.agg(max("k")).collect()(0).getLong(0) + 1L
     val upd = dim.filter(col("k") % 10 === 7)
       .select(col("k"), (col("bal") + 100.0).as("bal_new"), lit("update").as("op"))
     val ins = dim.filter(col("k") % 100 === 3)
-      .select((col("k") + 100000L).as("k"), col("bal").as("bal_new"),
+      .select((col("k") + shift).as("k"), col("bal").as("bal_new"),
         lit("insert").as("op"))
     val versions = when(col("op").isNull, array(
         struct(col("bal").as("acctbal"), lit(1).as("ver"),
@@ -1426,8 +1432,10 @@ object RelationalQueries {
     // mirrors the Spark side's single-pass Generate row-for-row
     "q_scd2" ->
       """WITH dim AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |sh AS (SELECT max(k) + 1 AS shift FROM dim),
         |upd AS (SELECT k, bal + 100.0 AS bal_new FROM dim WHERE k % 10 = 7),
-        |ins AS (SELECT k + 100000 AS k, bal AS bal_new FROM dim WHERE k % 100 = 3)
+        |ins AS (SELECT k + (SELECT shift FROM sh) AS k, bal AS bal_new
+        |        FROM dim WHERE k % 100 = 3)
         |SELECT k AS custkey, bal AS acctbal, 1 AS ver,
         |       (k % 10 <> 7) AS is_current,
         |       CASE WHEN k % 10 = 7 THEN 'close' ELSE 'carry' END AS op

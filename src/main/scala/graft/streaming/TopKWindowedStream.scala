@@ -61,7 +61,16 @@ object TopKWindowedStream {
               // older-than-watermark row filter no longer protects us):
               // setTimeoutTimestamp(windowEnd) would throw
               // (timeout < watermark) and fail the query — finalize NOW
-              // instead, same emission contract as the timeout branch
+              // instead, same emission contract as the timeout branch.
+              // AT-MOST-ONCE FINAL even in this degraded mode: rows for
+              // this group arriving in LATER batches find empty state
+              // with the (monotonic) watermark still past windowEnd, so
+              // they take the drop branch above — state is never
+              // recreated and no second fin=true can be emitted. What
+              // the degraded mode trades away is completeness, not
+              // uniqueness: rows after this early final are dropped, so
+              // the final may undercount — the same loss semantics the
+              // normal watermark contract applies to late data.
               state.remove()
               m.iterator.map { case (t, (c, e)) => WHit(ws, shard, t, c, e, fin = true) }
             } else {

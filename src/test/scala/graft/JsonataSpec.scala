@@ -545,4 +545,28 @@ class JsonataSpec extends SparkTestBase {
         graft.functions.PipelineFunctions.safeParseJson(col("p"), schema), schema).as("r"))
     assert(df.collect()(0).isNullAt(0))
   }
+
+  test("compile memo never crosses plans: two RESOLVED columns with the " +
+      "same pretty name stay bound to their own relations") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("watts", DoubleType)))
+    val dfA = Seq(Tuple1(Tuple1(10.0))).toDF("v")
+      .select(col("v").cast(schema).as("v"))
+    val dfB = Seq(Tuple1(Tuple1(100.0))).toDF("v")
+      .select(col("v").cast(schema).as("v"))
+    // dfA("v") and dfB("v") render identically in pretty SQL but carry
+    // different exprIds; a toString-keyed cache would hand dfB the
+    // column resolved against dfA and throw "resolved attribute missing"
+    val ra = dfA.select(JsonataCompiler.compile("watts * 2", dfA("v"), schema).as("r"))
+    val rb = dfB.select(JsonataCompiler.compile("watts * 2", dfB("v"), schema).as("r"))
+    assert(ra.collect()(0).getDouble(0) == 20.0)
+    assert(rb.collect()(0).getDouble(0) == 200.0)
+  }
+
+  test("compile memo still hits for unresolved inputs (one compile, reused)") {
+    val schema = sensorSchema
+    val c1 = JsonataCompiler.compile("watts * 3", col("graft_memo_probe"), schema)
+    val c2 = JsonataCompiler.compile("watts * 3", col("graft_memo_probe"), schema)
+    assert(c1 eq c2, "same (src, unresolved input, schema) must return the cached Column")
+  }
 }

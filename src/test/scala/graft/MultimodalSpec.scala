@@ -54,6 +54,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(healthy.map(_.features.toSeq).toSeq == clean.map(_.features.toSeq).toSeq)
   }
 
+  test("ImageIoDecoder: a REAL library codec through the seam — synthetic " +
+      "PNG/BMP decode, truncated stream throws, garbage returns null") {
+    import java.awt.image.BufferedImage
+    def imageBytes(format: String, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 16, BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(x => (0 until 16).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+      bos.toByteArray
+    }
+    val whitePng = imageBytes("png", 0xffffff)
+    val blackBmp = imageBytes("bmp", 0x000000)
+    // half white / half black: strip means must read the geometry
+    val halfImg = new BufferedImage(32, 16, BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(x => (0 until 16).foreach(y =>
+      halfImg.setRGB(x, y, if (x < 16) 0xffffff else 0x000000)))
+    val halfBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(halfImg, "png", halfBos)
+    val ds = Seq(
+      MediaRecord(1L, "image", whitePng, 32, 16, 0),
+      MediaRecord(2L, "image", blackBmp, 32, 16, 0),
+      MediaRecord(3L, "image", halfBos.toByteArray, 32, 16, 0),
+      // native-boundary failure shapes, for real this time:
+      MediaRecord(4L, "image", whitePng.take(40), 0, 0, 0), // truncated PNG: ImageIO throws
+      MediaRecord(5L, "image", Array.fill[Byte](64)(0x5a), 0, 0, 0) // no container: read() == null
+    ).toDS().repartition(2)
+    val out = Multimodal.extractFeatures(ds, new Multimodal.ImageIoDecoder(4),
+      expectDim = Some(4)).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.filter(!_.decode_ok).map(_.media_id).toSeq == Seq(4L, 5L),
+      "truncated + garbage streams must land in decode_ok=false; the rest decode")
+    val Array(white, black, half) = out.filter(_.decode_ok).map(_.features)
+    assert(white.forall(_ == 255.0) && black.forall(_ == 0.0))
+    assert(half(0) == 255.0 && half(1) == 255.0 && half(2) == 0.0 && half(3) == 0.0)
+  }
+
   test("sampleFrames: strided fixed-size blocks, bounded count") {
     val payload = (0 until 100).map(i => ('a' + i % 26).toChar).mkString // 100 bytes
     val ds = media((7L, "video", payload))

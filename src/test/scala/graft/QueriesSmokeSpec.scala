@@ -28,6 +28,21 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(noOracle.isEmpty, s"queries missing oracleSql: $noOracle")
   }
 
+  test("dedup_kcore reaches its fixpoint within the round cap at sf0.01") {
+    // the cap-vs-convergence contract (TextQueries.dedupKcore scaladoc):
+    // 6 peeling rounds must suffice for the test corpus — every emitted
+    // row self-reports stable=true (last two alive sets equal). On a
+    // corpus where the peel is deeper, stable=false rows surface the cap
+    // in-band; this pin guarantees our oracle-gated result is converged,
+    // not a truncation artifact.
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("dedup_kcore")(spark, sf("sf0.01"))
+    assert(out.filter(!col("stable")).isEmpty, "peeling did not converge within the cap")
+    // and the core is the REAL k-core: every member keeps >= k in-core
+    // neighbors, a property the fixpoint guarantees
+    assert(out.filter(col("in_core") && col("core_deg") < 3).isEmpty)
+  }
+
   test("q_quantiles_approx honors the histogram sketch's rank-error contract") {
     // the honest accuracy contract of a count-histogram quantile: the
     // estimate lands within the bucket containing the count-crossing

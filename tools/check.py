@@ -26,10 +26,13 @@ rtol=1e-12 gate and failed the driver:
   Round-6+stringify explains all four observations; no (a)tol does
   (any tolerance passing 1e-14 and failing a non-boundary 3e-7 would
   have to sit in (1e-14, 3e-7], but the boundary-straddle is what
-  failed, not the magnitude). r13 ships q_grain_probe to measure the
-  residual ambiguity: its Spark/oracle sides differ by the same 3e-7
-  WITHOUT crossing a 6-decimal boundary — round-6 predicts green,
-  any tolerance model predicts red. Read CORRECTNESS_r13.json.
+  failed, not the magnitude). MEASURED FACT as of r13: q_grain_probe
+  — whose Spark/oracle sides differ by the same 3e-7 that failed r12
+  but positioned NOT to cross a 6-decimal boundary — came back GREEN
+  in CORRECTNESS_r13.json (hash_match=true, err=null). Round-6 +
+  stringify predicted green; every tolerance model in (1e-14, 3e-7]
+  predicted red. The model this gate implements is no longer an
+  inference from incidents; it is the experiment's outcome.
 
 This gate therefore checks, per column:
   1. representation plane: an object-typed side (Decimal/str from
