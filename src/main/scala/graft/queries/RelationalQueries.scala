@@ -397,6 +397,67 @@ object RelationalQueries {
       .orderBy("file_id")
   }
 
+  /** CLUSTERED INGEST + OPTIMIZE — [[qZorderWrite]]'s day-two closure
+    * (graft.functions.ClusteredTable): two ingest batches land as plain
+    * deltas, OPTIMIZE folds them into z-ordered base v=0, a third batch
+    * arrives after and stays an unfolded delta — then one snapshot read
+    * serves a (price, month) box predicate with the LSM read bill:
+    * envelope-pruned base partitions + a full scan of only the small
+    * recent tail. Oracle-gated the q_zorder_write way, but through the
+    * whole maintenance lifecycle: DuckDB recomputes matched rows per
+    * layer (fold membership is o_orderkey % 3, engine-portable) straight
+    * from the raw table, so losing rows to pruning, double-counting a
+    * folded delta, or leaking layout columns across the union all go
+    * red. Emits per-layer match counts + exact DECIMAL revenue and the
+    * base's skip ratio.
+    *
+    * Scale: append is a straight write (no sort/shuffle on the ingest
+    * path); optimize costs one fold of base+deltas through
+    * ZorderLayout.write (hash repartition + per-partition sort); the
+    * read unions one catalog-pruned scan with one tail scan — the box
+    * predicate pushes into BOTH branches (constant-folding eliminates
+    * the zfile test on the delta side). The envelope catalog stays a
+    * ≤numFiles-row driver collect.
+    */
+  def qClusterIngest(s: SparkSession, dir: String): DataFrame = {
+    val (lo1, hi1, lo2, hi2) = (3, 5, 2, 4)
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_clustered_" + new java.io.File(dir).getName).getAbsolutePath
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 0), root, "b0")
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 1), root, "b1")
+    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
+    val t = graft.functions.ClusteredTable.read(s, root)
+    val env = t.filter(col("zfile") >= 0).groupBy("zfile")
+      .agg(min("d1").as("mn1"), max("d1").as("mx1"),
+        min("d2").as("mn2"), max("d2").as("mx2"))
+      .collect()
+    val keep = env.filter { r =>
+      r.getAs[Int]("mx1") >= lo1 && r.getAs[Int]("mn1") <= hi1 &&
+        r.getAs[Int]("mx2") >= lo2 && r.getAs[Int]("mn2") <= hi2
+    }.map(_.getAs[Int]("zfile"))
+    t.where(col("zfile") === -1 || col("zfile").isin(keep.toSeq: _*))
+      .where(col("d1").between(lo1, hi1) && col("d2").between(lo2, hi2))
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("files_total", lit(env.length.toLong))
+      .withColumn("files_read", lit(keep.length.toLong))
+      .orderBy("layer")
+  }
+
   /** SCD TYPE-2 dimension maintenance — the MERGE INTO every warehouse
     * runs nightly, as a checked query: a change batch (updates to
     * existing keys + brand-new keys) lands on a versioned dimension;
@@ -1146,6 +1207,7 @@ object RelationalQueries {
     "q_scd2" -> qScd2,
     "q_zorder" -> qZorder,
     "q_zorder_write" -> qZorderWrite,
+    "q_cluster_ingest" -> qClusterIngest,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
@@ -1397,6 +1459,39 @@ object RelationalQueries {
         |SELECT file_id, n_rows, min_d1, max_d1, min_d2, max_d2, ramp_d1, ramp_d2
         |FROM f CROSS JOIN a1 CROSS JOIN a2
         |ORDER BY file_id""".stripMargin,
+    // fold membership (o_orderkey % 3) and the envelope-pruning test
+    // recomputed straight from the raw table: a row lost to pruning, a
+    // double-counted folded delta, or a layer misassignment all go red
+    "q_cluster_ingest" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2,
+        |         o_orderkey % 3 AS chunk
+        |  FROM orders),
+        |zz AS (SELECT *,
+        |         ((d1 >> 0) & 1) * 2 + ((d2 >> 0) & 1) * 1 +
+        |         ((d1 >> 1) & 1) * 8 + ((d2 >> 1) & 1) * 4 +
+        |         ((d1 >> 2) & 1) * 32 + ((d2 >> 2) & 1) * 16 +
+        |         ((d1 >> 3) & 1) * 128 + ((d2 >> 3) & 1) * 64 AS z
+        |       FROM src),
+        |f AS (SELECT *, CAST(z // 16 AS BIGINT) AS file_id FROM zz),
+        |env AS (SELECT file_id, min(d1) AS mn1, max(d1) AS mx1,
+        |               min(d2) AS mn2, max(d2) AS mx2
+        |        FROM f WHERE chunk IN (0, 1) GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |              CAST(sum(CASE WHEN mx1 >= 3 AND mn1 <= 5
+        |                             AND mx2 >= 2 AND mn2 <= 4
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        |       FROM env)
+        |SELECT CASE WHEN chunk IN (0, 1) THEN 'base' ELSE 'delta' END AS layer,
+        |       CAST(count(*) AS BIGINT) AS n_match,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       files_total, files_read
+        |FROM f CROSS JOIN st
+        |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4
+        |GROUP BY layer, files_total, files_read
+        |ORDER BY layer""".stripMargin,
     // matched rows re-derived straight from the raw table (no layout);
     // files_read from the same envelope-intersection test the Spark
     // side prunes with — identical rows proves the skip lost nothing

@@ -456,4 +456,20 @@ class PlanSpec extends SparkTestBase {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("o_orderkey"), readSchema)
   }
+
+  test("q_cluster_ingest: LSM read bill — base scan catalog-pruned, box pushed into BOTH branches") {
+    val p = physical("q_cluster_ingest")
+    // the union reads exactly two relations: clustered base + delta tail
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(3000))
+    // base branch: envelope-selected zfile partitions only (the -1 arm
+    // of the OR can never match a real partition, so it prunes the same)
+    assert("zfile#\\d+ IN \\(".r.findFirstIn(p).isDefined, p.take(3000))
+    // both branches push the box predicate to the parquet reader
+    assert("GreaterThanOrEqual\\(d1,3\\)".r.findAllIn(p).length == 2, p.take(3000))
+    // the delta branch carries no zfile predicate (constant-folded) and
+    // reads only its own 3 data columns
+    val deltaScan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("/delta/")).getOrElse("")
+    assert(deltaScan.contains("PartitionFilters: []"), deltaScan)
+  }
 }
