@@ -131,6 +131,17 @@ object ClusteredTable {
     }
   }
 
+  /** Streaming ingest hand-off: a foreachBatch function landing each
+    * micro-batch as delta `d=b<batchId>`. foreachBatch is
+    * at-least-once; the batch-id-derived name makes a replayed batch
+    * overwrite its own delta (the FsStreamPublisher discipline), so the
+    * table never double-ingests. optimize()/vacuum() run out-of-band on
+    * whatever cadence the operator chooses — ingest never waits on
+    * layout work.
+    */
+  def sink(root: String): (DataFrame, Long) => Unit =
+    (df: DataFrame, batchId: Long) => append(df, root, f"b$batchId%012d")
+
   /** Reclaim storage made redundant by the newest complete base: deltas
     * its manifest names, and superseded base versions. Safe at any
     * time — readers only ever consult the newest complete version.

@@ -458,6 +458,51 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** DYNAMIC PARTITION PRUNING over the z-partitioned layout — the
+    * RUNTIME companion to [[qZorderWrite]]'s static envelope pruning:
+    * there the predicate is known at plan time and the driver prunes
+    * with the catalog; here the interesting file set is only known
+    * after running a query (the distinct z-buckets containing any
+    * top-occupied-price-bucket order), so Catalyst inserts a
+    * `dynamicpruningexpression` on the partition column: the dim side
+    * executes first, its partition-key set broadcasts, and the fact
+    * scan skips every non-matching zfile directory AT RUNTIME — scan
+    * work proportional to the dim's selectivity with zero hand-written
+    * pruning. This is the mechanism that makes star-schema joins
+    * against a 100 TB partitioned fact affordable; the plan pin
+    * asserts the pruning subquery actually landed in PartitionFilters
+    * (DPP silently degrading to a full scan is the classic perf
+    * regression). Oracle: DuckDB recomputes the same semi-join from
+    * the raw table — file assignment is the deterministic Morton
+    * arithmetic, so the pruned join's per-file aggregate must match
+    * row-for-row.
+    */
+  def qDpp(s: SparkSession, dir: String): DataFrame = {
+    val ZBits = 4
+    val ZFiles = 16
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_dpp_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ZorderLayout.write(
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        d1.as("d1"), d2.as("d2")),
+      "d1", "d2", ZBits, ZFiles, path)
+    val fact = s.read.parquet(path)
+    // the dim is itself a query result — unknowable at plan time, which
+    // is exactly what forces the DYNAMIC pruning path
+    val hotFiles = fact.filter(col("d1") === 13)
+      .select(col("zfile").as("hot_zfile")).distinct()
+    fact.join(broadcast(hotFiles), col("zfile") === col("hot_zfile"))
+      .groupBy(col("zfile").cast("long").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .orderBy("file_id")
+  }
+
   /** SCD TYPE-2 dimension maintenance — the MERGE INTO every warehouse
     * runs nightly, as a checked query: a change batch (updates to
     * existing keys + brand-new keys) lands on a versioned dimension;
@@ -1208,6 +1253,7 @@ object RelationalQueries {
     "q_zorder" -> qZorder,
     "q_zorder_write" -> qZorderWrite,
     "q_cluster_ingest" -> qClusterIngest,
+    "q_dpp" -> qDpp,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
     "q_quantiles" -> qQuantiles,
@@ -1459,6 +1505,27 @@ object RelationalQueries {
         |SELECT file_id, n_rows, min_d1, max_d1, min_d2, max_d2, ramp_d1, ramp_d2
         |FROM f CROSS JOIN a1 CROSS JOIN a2
         |ORDER BY file_id""".stripMargin,
+    // the same Morton file assignment; the runtime-pruned semi-join
+    // re-derived as a plain join against the distinct hot-file set
+    "q_dpp" ->
+      """WITH src AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2
+        |  FROM orders),
+        |zz AS (SELECT *,
+        |         ((d1 >> 0) & 1) * 2 + ((d2 >> 0) & 1) * 1 +
+        |         ((d1 >> 1) & 1) * 8 + ((d2 >> 1) & 1) * 4 +
+        |         ((d1 >> 2) & 1) * 32 + ((d2 >> 2) & 1) * 16 +
+        |         ((d1 >> 3) & 1) * 128 + ((d2 >> 3) & 1) * 64 AS z
+        |       FROM src),
+        |f AS (SELECT *, CAST(z // 16 AS BIGINT) AS file_id FROM zz),
+        |hot AS (SELECT DISTINCT file_id FROM f WHERE d1 = 13)
+        |SELECT f.file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+        |FROM f JOIN hot USING (file_id)
+        |GROUP BY f.file_id
+        |ORDER BY f.file_id""".stripMargin,
     // fold membership (o_orderkey % 3) and the envelope-pruning test
     // recomputed straight from the raw table: a row lost to pruning, a
     // double-counted folded delta, or a layer misassignment all go red

@@ -90,4 +90,29 @@ class ClusteredTableSpec extends SparkTestBase {
     ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
     assert(ids(root) == Seq(1L))
   }
+
+  test("streaming ingest via sink(): batches land as deltas, replay is idempotent, " +
+      "out-of-band optimize folds them") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("ct_stream").toString
+    val ck = Files.createTempDirectory("ct_stream_ck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, Int)]
+    val ingest = ClusteredTable.sink(root)
+    val q = mem.toDF().toDF("id", "d1", "d2").writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) => ingest(df, bid))
+      .option("checkpointLocation", ck).start()
+    try {
+      mem.addData((1L, 2, 3), (2L, 9, 9))
+      q.processAllAvailable()
+      mem.addData((3L, 14, 1))
+      q.processAllAvailable()
+      assert(ids(root) == Seq(1L, 2L, 3L))
+      // at-least-once replay of batch 1 through the same sink fn
+      ingest(mk(Seq((3L, 14, 1))), 1L)
+      assert(ids(root) == Seq(1L, 2L, 3L))
+      ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+      assert(ids(root) == Seq(1L, 2L, 3L))
+      assert(ClusteredTable.read(spark, root).filter(col("zfile") < 0).count() == 0)
+    } finally q.stop()
+  }
 }

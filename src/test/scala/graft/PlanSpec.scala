@@ -472,4 +472,16 @@ class PlanSpec extends SparkTestBase {
       l.contains("FileScan parquet") && l.contains("/delta/")).getOrElse("")
     assert(deltaScan.contains("PartitionFilters: []"), deltaScan)
   }
+
+  test("q_dpp: the fact scan carries a runtime pruning subquery on zfile") {
+    val p = physical("q_dpp")
+    // DPP inserted: the partition filter is the dim-side subquery, not a
+    // static list — silently degrading to a full scan is the regression
+    // this pin exists to catch
+    assert(p.contains("dynamicpruningexpression"), p.take(3000))
+    assert("PartitionFilters: \\[.*zfile#\\d+".r.findFirstIn(p).isDefined, p.take(3000))
+    // dim side broadcasts; the fact never shuffles for the join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
