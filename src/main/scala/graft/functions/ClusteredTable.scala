@@ -108,8 +108,23 @@ object ClusteredTable {
     * name. The base arrives with its `zfile` partition column (box
     * predicates prune it); deltas get zfile = -1 so the schema lines up
     * and a zfile filter never accidentally excludes unclustered rows.
+    *
+    * TIME TRAVEL: `asOfVersion = Some(k)` reads "the table as of
+    * optimize #k" — base version k's folded content, with NO delta
+    * tail. That snapshot is exact, deterministic, and stable forever
+    * (a live read's delta tail keeps growing, so including "deltas not
+    * in k's manifest" would make the same time-travel call return
+    * different answers at different times). Old versions are retained
+    * until vacuum, so the travel horizon is the vacuum cadence — the
+    * Delta/Iceberg retention contract, on plain parquet.
     */
-  def read(s: SparkSession, root: String): DataFrame = {
+  def read(s: SparkSession, root: String, asOfVersion: Option[Long] = None): DataFrame = {
+    asOfVersion.foreach { v =>
+      val dir = versions(root).find(_._1 == v).map(_._2)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no complete base version v=$v at $root (vacuumed, torn, or never written)"))
+      return s.read.parquet(dir.getPath)
+    }
     val vs = versions(root)
     val base = vs.lastOption.map { case (_, dir) =>
       s.read.parquet(dir.getPath)

@@ -91,6 +91,28 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(ids(root) == Seq(1L))
   }
 
+  test("time travel: asOfVersion reads optimize #k's folded content, stable " +
+      "under later ingest; vacuum bounds the horizon") {
+    val root = Files.createTempDirectory("ct_tt").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2))), root, "b0")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0: {1,2}
+    ClusteredTable.append(mk(Seq((3L, 3, 3))), root, "b1")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1: {1,2,3}
+    ClusteredTable.append(mk(Seq((4L, 4, 4))), root, "b2")  // live tail
+    def at(v: Long): Seq[Long] = ClusteredTable.read(spark, root, Some(v))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(at(0L) == Seq(1L, 2L))
+    assert(at(1L) == Seq(1L, 2L, 3L))
+    assert(ids(root) == Seq(1L, 2L, 3L, 4L)) // live read sees the tail
+    // later ingest never changes a pinned snapshot
+    ClusteredTable.append(mk(Seq((5L, 5, 5))), root, "b3")
+    assert(at(0L) == Seq(1L, 2L))
+    // vacuum reclaims superseded versions -> the horizon shrinks loudly
+    ClusteredTable.vacuum(root)
+    intercept[IllegalArgumentException] { at(0L) }
+    assert(at(1L) == Seq(1L, 2L, 3L))
+  }
+
   test("streaming ingest via sink(): batches land as deltas, replay is idempotent, " +
       "out-of-band optimize folds them") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -264,6 +264,49 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(sessions == Seq((3L, 2L), (1L, 1L)))
   }
 
+  test("sessionStats on a REAL stream: sessions merge across micro-batches, " +
+      "watermark finalizes, finalized rows == batch form") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + sec))
+    val mem = MemoryStream[(String, Timestamp, Boolean)]
+    val q = GraftPipeline.sessionStats(
+        mem.toDF().toDF("stream_id", "arrival_ts", "valid"),
+        gapSecs = 60, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("graft_sessions_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens a session; batch 2 EXTENDS it (the state-store
+      // session merge a batch groupBy gets for free and a stream must
+      // do across triggers); batch 3 is 300s later, so the watermark
+      // passes the first session's end and finalizes it
+      mem.addData(("s1", ts(0), true), ("s1", ts(20), false))
+      q.processAllAvailable()
+      mem.addData(("s1", ts(40), true))
+      q.processAllAvailable()
+      mem.addData(("s1", ts(300), true))
+      q.processAllAvailable()
+      mem.addData(("s1", ts(310), true)) // extra trigger to flush the final
+      q.processAllAvailable()
+      val streamed = spark.table("graft_sessions_stream")
+        .select("session_start", "session_end", "stream_id", "n_events", "n_valid")
+        .collect().map(_.toSeq).toSeq
+      // exactly one finalized session: [0, 40+60), 3 events, 2 valid
+      assert(streamed == Seq(Seq(ts(0), ts(100), "s1", 3L, 2L)), streamed.toString)
+      // the same operator over the same rows as a BATCH frame agrees on
+      // every finalized session (the batch also emits the open one)
+      val batch = GraftPipeline.sessionStats(
+          Seq(("s1", ts(0), true), ("s1", ts(20), false), ("s1", ts(40), true),
+            ("s1", ts(300), true), ("s1", ts(310), true))
+            .toDF("stream_id", "arrival_ts", "valid"),
+          gapSecs = 60, watermark = "0 seconds")
+        .orderBy("session_start")
+        .collect().map(_.toSeq).toSeq
+      assert(batch.head == streamed.head)
+      assert(batch == Seq(Seq(ts(0), ts(100), "s1", 3L, 2L),
+        Seq(ts(300), ts(370), "s1", 2L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(String, String, Timestamp)]
