@@ -283,6 +283,40 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("hilbertKey == the classic xy2d transform on every cell; bijective; unit steps") {
+    // independent reference: Wikipedia's xy2d, straight imperative port
+    def xy2d(n: Int, x0: Int, y0: Int): Int = {
+      var (x, y, d) = (x0, y0, 0)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val cells = for (x <- 0 until 16; y <- 0 until 16) yield (x, y)
+    val got = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.ZorderLayout.hilbertKey(col("x"), col("y"), 4).as("h"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    cells.foreach { case (x, y) =>
+      assert(got((x, y)) == xy2d(16, x, y), s"cell ($x,$y)")
+    }
+    // bijection onto [0, 256) and the defining unit-step property:
+    // consecutive indexes are grid-adjacent (Manhattan distance 1)
+    val byD = got.toSeq.map { case ((x, y), h) => h -> (x, y) }.sortBy(_._1)
+    assert(byD.map(_._1) == (0 until 256))
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
   test("fingerprint stays in [0, 1e9+7) for arbitrary token lists") {
     val tokG = Gen.listOfN(6, Gen.identifier.map(_.take(4)))
     val cases = samples(tokG, 40).map(_.mkString(" "))
