@@ -34,6 +34,31 @@ import org.apache.spark.sql.functions._
   * version and the same un-folded delta set, and rewrites the same
   * next version. Readers are never wrong, only (pre-vacuum) redundant
   * on disk, never in results.
+  *
+  * MERGE-ON-READ DELETES (`delete()`): an equality-delete file — the
+  * key set to remove, landed under `dv/x=<name>` as a plain parquet
+  * write, no rewrite of any data file (at 100 TB a delete that
+  * rewrites data files couples delete latency to table size; the
+  * merge-on-read bill is an anti-join at read time, bounded by the
+  * fold cadence). SEQUENCE SEMANTICS: artifact names must be
+  * lexicographically monotonic across appends AND deletes (zero-padded
+  * batch ids / ingest timestamps); a delete applies to the base and to
+  * every delta with a SMALLER name — data appended after the delete is
+  * untouched, so re-inserting a deleted key resurrects it (the Iceberg
+  * v2 equality-delete sequence-number rule, on directory names).
+  * `optimize()` applies pending deletes physically and retires them via
+  * the same manifest; the unfolded-DV key sets stay small (bounded by
+  * the fold cadence), so every read-side anti-join broadcasts. All
+  * deletes on one table use the same key column set.
+  *
+  * CHANGEFEED (`changes(from, to)`): the net row-level diff between two
+  * optimize versions, recomputed from the delta/DV artifacts the two
+  * manifests disagree on — never a full-snapshot diff. Inserts are the
+  * window's deltas minus the window deletes that outrank them; deletes
+  * are the window DV keys that actually existed at `from`, emitted as
+  * pre-image rows. Exact reconstruction holds (spec-pinned):
+  * read(to) == read(from) ∪ inserts ∖ deletes. Like Delta CDF, the
+  * feed reads retained artifacts — `vacuum()` bounds the horizon.
   */
 object ClusteredTable {
 
@@ -63,6 +88,29 @@ object ClusteredTable {
         new java.io.File(f, "_SUCCESS").exists())
       .sortBy(_.getName)
 
+  private def dvRoot(root: String) = new java.io.File(root, "dv")
+
+  private def dvDirs(root: String): Seq[java.io.File] =
+    Option(dvRoot(root).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("x=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName)
+
+  /** The sequence rank of an artifact: its name with the `d=` / `x=`
+    * namespace prefix stripped, compared lexicographically. The caller
+    * contract (scaladoc above) makes these monotonic across both kinds.
+    */
+  private def seqOf(dirName: String): String = dirName.dropWhile(_ != '=').drop(1)
+
+  /** Anti-join `df` against each delete file's (small, broadcast) key
+    * set. The key columns are the DV parquet's own schema.
+    */
+  private def applyDvs(s: SparkSession, df: DataFrame, dvs: Seq[java.io.File]): DataFrame =
+    dvs.foldLeft(df) { (acc, dv) =>
+      val keys = s.read.parquet(dv.getPath)
+      acc.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+    }
+
   /** Land one ingest batch as delta `d=<name>` — a plain parquet write,
     * no clustering. `name` must be unique per batch (a batch id, an
     * ingest timestamp); re-writing the same name overwrites, which makes
@@ -71,6 +119,17 @@ object ClusteredTable {
   def append(df: DataFrame, root: String, name: String): Unit =
     df.write.mode("overwrite")
       .parquet(new java.io.File(deltaRoot(root), s"d=$name").getPath)
+
+  /** Land an equality-delete file `x=<name>`: `keys` is the key set to
+    * remove (one or more columns; the same key columns for every delete
+    * on a table). Applies to the base and to deltas named BEFORE
+    * `name`; later appends of the same key resurrect it. Re-writing the
+    * same name overwrites — replayed deletes are idempotent like
+    * replayed appends.
+    */
+  def delete(keys: DataFrame, root: String, name: String): Unit =
+    keys.dropDuplicates().write.mode("overwrite")
+      .parquet(new java.io.File(dvRoot(root), s"x=$name").getPath)
 
   /** Fold newest base + all un-folded deltas into the next z-ordered
     * base version. Returns the new version id (or the current one if
@@ -82,19 +141,25 @@ object ClusteredTable {
     val current = vs.lastOption
     val folded = current.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
     val pending = deltaDirs(root).filter(d => !folded.contains(d.getName))
-    if (pending.isEmpty && current.isDefined) return current.get._1
+    val pendingDv = dvDirs(root).filter(x => !folded.contains(x.getName))
+    if (pending.isEmpty && pendingDv.isEmpty && current.isDefined) return current.get._1
+    // sequence-aware fold: every pending delete outranks the base; a
+    // delta is trimmed only by deletes named after it
     val parts = current.map { case (_, dir) =>
         // drop the layout's own columns: the fold recomputes them
-        s.read.parquet(dir.getPath).drop("zkey", "zfile")
+        applyDvs(s, s.read.parquet(dir.getPath).drop("zkey", "zfile"), pendingDv)
       }.toSeq ++
-      pending.map(d => s.read.parquet(d.getPath))
+      pending.map(d => applyDvs(s, s.read.parquet(d.getPath),
+        pendingDv.filter(x => seqOf(x.getName) > seqOf(d.getName))))
+    if (parts.isEmpty) throw new IllegalStateException(
+      s"optimize on an empty clustered table at $root (deletes but no data)")
     val all = parts.reduce(_ unionByName _)
     val next = current.map(_._1 + 1).getOrElse(0L)
     val nextDir = new java.io.File(baseRoot(root), s"v=$next")
     ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, nextDir.getPath)
-    // visibility point: the manifest names every delta this version
-    // absorbed; written last, atomically (tmp + rename)
-    val names = (folded ++ pending.map(_.getName)).toSeq.sorted
+    // visibility point: the manifest names every delta AND delete file
+    // this version absorbed; written last, atomically (tmp + rename)
+    val names = (folded ++ pending.map(_.getName) ++ pendingDv.map(_.getName)).toSeq.sorted
     val tmp = new java.io.File(baseRoot(root), s".manifest-$next.tmp")
     val w = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(tmp), "UTF-8")
@@ -126,13 +191,16 @@ object ClusteredTable {
       return s.read.parquet(dir.getPath)
     }
     val vs = versions(root)
-    val base = vs.lastOption.map { case (_, dir) =>
-      s.read.parquet(dir.getPath)
-    }
     val folded = vs.lastOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
+    val pendingDv = dvDirs(root).filter(x => !folded.contains(x.getName))
+    val base = vs.lastOption.map { case (_, dir) =>
+      // every unfolded delete outranks the folded base content
+      applyDvs(s, s.read.parquet(dir.getPath), pendingDv)
+    }
     val pending = deltaDirs(root).filter(d => !folded.contains(d.getName))
     val deltas = pending.map { d =>
-      val df = s.read.parquet(d.getPath)
+      val df = applyDvs(s, s.read.parquet(d.getPath),
+        pendingDv.filter(x => seqOf(x.getName) > seqOf(d.getName)))
       base match {
         case Some(b) =>
           df.withColumn("zkey", lit(null).cast(b.schema("zkey").dataType))
@@ -170,8 +238,58 @@ object ClusteredTable {
     val vs = versions(root)
     val folded = vs.lastOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
     val staleDeltas = deltaDirs(root).filter(d => folded.contains(d.getName))
+    val staleDvs = dvDirs(root).filter(x => folded.contains(x.getName))
     val staleBases = vs.dropRight(1).map(_._2)
-    (staleDeltas ++ staleBases).foreach(rmTree)
-    staleDeltas.size + staleBases.size
+    (staleDeltas ++ staleDvs ++ staleBases).foreach(rmTree)
+    staleDeltas.size + staleDvs.size + staleBases.size
+  }
+
+  /** Net row-level changefeed between optimize versions `fromV` → `toV`
+    * (both complete, artifacts retained — pre-vacuum): the table's
+    * columns plus `_change` ∈ {insert, delete}. Inserts are the deltas
+    * the two manifests disagree on, each trimmed by the window deletes
+    * that outrank it; deletes are the window DV keys that existed at
+    * `fromV`, emitted as PRE-IMAGE rows from the `fromV` snapshot. A
+    * key inserted and deleted inside the window nets to nothing; a key
+    * deleted and re-appended inside the window emits both rows.
+    * Exact: read(toV) == read(fromV) ∪ inserts ∖ deletes (spec-pinned).
+    *
+    * Scale: reads ONLY the window's delta/DV artifacts plus the
+    * `fromV` base for delete pre-images — never a two-snapshot diff
+    * join; DV key sets broadcast. This is what an incremental view
+    * maintainer (MaterializedViewStream) consumes instead of rescanning
+    * the table.
+    */
+  def changes(s: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    val vmap = versions(root).toMap
+    def man(v: Long): Set[String] = vmap.get(v).map(manifest)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no complete base version v=$v at $root (vacuumed, torn, or never written)"))
+    val window = (man(toV) -- man(fromV)).toSeq.sorted
+    def artifact(name: String): java.io.File = {
+      val f = if (name.startsWith("d=")) new java.io.File(deltaRoot(root), name)
+        else new java.io.File(dvRoot(root), name)
+      if (!new java.io.File(f, "_SUCCESS").exists()) throw new IllegalStateException(
+        s"changefeed artifact $name is gone (vacuumed) — changes($fromV, $toV) is past the retention horizon")
+      f
+    }
+    val winD = window.filter(_.startsWith("d=")).map(artifact)
+    val winX = window.filter(_.startsWith("x=")).map(artifact)
+    val inserts = winD.map { d =>
+      applyDvs(s, s.read.parquet(d.getPath),
+        winX.filter(x => seqOf(x.getName) > seqOf(d.getName)))
+        .withColumn("_change", lit("insert"))
+    }
+    val deletes = if (winX.isEmpty) Seq.empty else {
+      val pre = read(s, root, Some(fromV)).drop("zkey", "zfile")
+      val keys = winX.map(x => s.read.parquet(x.getPath)).reduce(_ unionByName _)
+      Seq(pre.join(broadcast(keys.dropDuplicates()), keys.columns.toSeq, "left_semi")
+        .withColumn("_change", lit("delete")))
+    }
+    (inserts ++ deletes) match {
+      case Seq() => read(s, root, Some(toV)).drop("zkey", "zfile")
+        .withColumn("_change", lit("insert")).limit(0)
+      case parts => parts.reduce(_ unionByName _)
+    }
   }
 }

@@ -458,6 +458,109 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** MERGE-ON-READ EQUALITY DELETES — the clustered table's DELETE
+    * lifecycle (graft.functions.ClusteredTable.delete), oracle-gated
+    * end to end: two appends land, a delete file removes every d1=7
+    * row WITHOUT rewriting any data file, OPTIMIZE applies it
+    * physically (and retires the DV via the manifest), a post-optimize
+    * append RE-INSERTS d1=7 rows (they must survive — the Iceberg
+    * sequence rule: a delete outranks only OLDER data), and a second,
+    * still-unfolded delete of every o_orderkey%10=0 key is served
+    * merge-on-read across BOTH layers. The per-layer read emits row
+    * counts, resurrected-row counts (base MUST show 0 — physical
+    * removal happened; delta MUST show >0 — resurrection happened) and
+    * exact DECIMAL revenue; DuckDB re-derives every visibility rule
+    * from the raw table, so a delete leaking across the sequence
+    * boundary, a double-applied DV, or a lost resurrection all go red.
+    *
+    * Scale: delete() writes only the key set (no data-file rewrite —
+    * at 100 TB that is the entire point of merge-on-read); the read
+    * pays one broadcast anti-join per unfolded DV, bounded by the fold
+    * cadence; optimize folds the DVs into the next z-ordered version
+    * so the anti-join bill never accumulates.
+    */
+  def qMergeOnRead(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_mor_" + new java.io.File(dir).getName).getAbsolutePath
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 0), root, "00")
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 1), root, "01")
+    graft.functions.ClusteredTable.delete(
+      src.filter(col("d1") === 7).select("o_orderkey"), root, "02")
+    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 2), root, "03")
+    graft.functions.ClusteredTable.delete(
+      src.filter(col("o_orderkey") % 10 === 0).select("o_orderkey"), root, "04")
+    graft.functions.ClusteredTable.read(s, root)
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_vis"),
+        sum(when(col("d1") === 7, 1L).otherwise(0L)).as("n_resurrected"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .orderBy("layer")
+  }
+
+  /** CHANGEFEED — net row-level CDC between two optimize versions
+    * (graft.functions.ClusteredTable.changes), the primitive an
+    * incremental consumer (a MaterializedViewStream maintainer, a
+    * downstream sync) reads INSTEAD of diffing snapshots: v=0 holds the
+    * even keys; the window then appends the odd early-month rows,
+    * deletes every o_orderkey%7=0 key, appends the odd late-month rows
+    * (AFTER the delete), and optimizes into v=1. The feed must net the
+    * window: early-month %7=0 inserts cancel against the delete, the
+    * late-month %7=0 rows survive as inserts (sequence rule — n_k7
+    * pins it observably), and the deletes emit PRE-IMAGE rows for
+    * exactly the %7=0 keys that existed at v=0. DuckDB re-derives the
+    * net diff from the raw table; a feed that double-emits, misses a
+    * cancellation, or leaks the delete across the sequence boundary
+    * goes red.
+    *
+    * Scale: changes() reads ONLY the window's delta/DV artifacts plus
+    * the from-version for pre-images — feed cost scales with the
+    * window's churn, not the table; the DV key set broadcasts.
+    */
+  def qChangefeed(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_cf_" + new java.io.File(dir).getName).getAbsolutePath
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(root))
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 2 === 0), root, "00")
+    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16) // v=0
+    graft.functions.ClusteredTable.append(
+      src.filter(col("o_orderkey") % 2 === 1 && col("d2") < 6), root, "01")
+    graft.functions.ClusteredTable.delete(
+      src.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"), root, "02")
+    graft.functions.ClusteredTable.append(
+      src.filter(col("o_orderkey") % 2 === 1 && col("d2") >= 6), root, "03")
+    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16) // v=1
+    graft.functions.ClusteredTable.changes(s, root, 0L, 1L)
+      .groupBy(col("_change").as("chg"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey") % 7 === 0, 1L).otherwise(0L)).as("n_k7"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .orderBy("chg")
+  }
+
   /** HILBERT vs MORTON vs LINEAR — the layout-diagnostic family's
     * completion: the same 16-file assignment measured under all three
     * orderings on the same (price-bucket × month) grid, emitting each
@@ -1308,6 +1411,8 @@ object RelationalQueries {
     "q_zorder_write" -> qZorderWrite,
     "q_cluster_ingest" -> qClusterIngest,
     "q_dpp" -> qDpp,
+    "q_merge_on_read" -> qMergeOnRead,
+    "q_changefeed" -> qChangefeed,
     "q_hilbert" -> qHilbert,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
@@ -1680,6 +1785,45 @@ object RelationalQueries {
         |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4
         |GROUP BY layer, files_total, files_read
         |ORDER BY layer""".stripMargin,
+    // every visibility rule of the delete lifecycle re-derived from the
+    // raw table: base = first two appends minus the folded d1=7 delete
+    // minus the pending %10 delete; delta = the post-optimize append
+    // (d1=7 resurrected) minus the pending %10 delete
+    "q_merge_on_read" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1
+        |  FROM orders),
+        |vis AS (
+        |  SELECT 'base' AS layer, price, d1 FROM src
+        |  WHERE k % 3 IN (0, 1) AND d1 <> 7 AND k % 10 <> 0
+        |  UNION ALL
+        |  SELECT 'delta', price, d1 FROM src
+        |  WHERE k % 3 = 2 AND k % 10 <> 0)
+        |SELECT layer, CAST(count(*) AS BIGINT) AS n_vis,
+        |       CAST(sum(CASE WHEN d1 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+        |FROM vis GROUP BY layer ORDER BY layer""".stripMargin,
+    // the net window diff re-derived from the raw table: inserts are
+    // the window appends minus the delete keys that outrank them
+    // (early-month only — the late-month append postdates the delete);
+    // deletes are the %7=0 keys that existed at v=0 (the even keys)
+    "q_changefeed" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2
+        |  FROM orders),
+        |ch AS (
+        |  SELECT 'insert' AS chg, price, k FROM src
+        |  WHERE k % 2 = 1 AND d2 < 6 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', price, k FROM src WHERE k % 2 = 1 AND d2 >= 6
+        |  UNION ALL
+        |  SELECT 'delete', price, k FROM src WHERE k % 2 = 0 AND k % 7 = 0)
+        |SELECT chg, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k7,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+        |FROM ch GROUP BY chg ORDER BY chg""".stripMargin,
     // matched rows re-derived straight from the raw table (no layout);
     // files_read from the same envelope-intersection test the Spark
     // side prunes with — identical rows proves the skip lost nothing

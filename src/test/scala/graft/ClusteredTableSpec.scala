@@ -113,6 +113,83 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(at(1L) == Seq(1L, 2L, 3L))
   }
 
+  test("equality deletes: merge-on-read, sequence-aware resurrection, physical fold") {
+    val root = Files.createTempDirectory("ct_dv").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2), (3L, 3, 3))), root, "00")
+    ClusteredTable.delete(Seq(2L, 9L).toDF("id"), root, "01") // 9 never existed: no-op
+    // merge-on-read: no optimize yet, the delete already hides id=2
+    assert(ids(root) == Seq(1L, 3L))
+    // a later append of the deleted key RESURRECTS it (delete outranks
+    // only older data)
+    ClusteredTable.append(mk(Seq((2L, 2, 2), (4L, 4, 4))), root, "02")
+    assert(ids(root) == Seq(1L, 2L, 3L, 4L))
+    // optimize applies the delete physically and retires the DV file
+    val v0 = ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    assert(v0 == 0L)
+    assert(ids(root) == Seq(1L, 2L, 3L, 4L))
+    // the folded base must contain the resurrected 2 exactly once and
+    // the DV file must no longer be consulted (still on disk pre-vacuum)
+    assert(new java.io.File(root, "dv/x=01").exists())
+    assert(ClusteredTable.read(spark, root).filter(col("id") === 2L).count() == 1)
+    // replayed delete (same name) is an overwrite, not a second delete
+    ClusteredTable.delete(Seq(4L).toDF("id"), root, "03")
+    ClusteredTable.delete(Seq(4L).toDF("id"), root, "03")
+    assert(ids(root) == Seq(1L, 2L, 3L))
+    // vacuum reclaims the folded DV, never the pending one
+    ClusteredTable.vacuum(root)
+    assert(!new java.io.File(root, "dv/x=01").exists())
+    assert(new java.io.File(root, "dv/x=03").exists())
+    assert(ids(root) == Seq(1L, 2L, 3L))
+  }
+
+  test("delete-only optimize folds: a pending DV with no pending delta still " +
+      "produces a new physical version") {
+    val root = Files.createTempDirectory("ct_dvonly").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2))), root, "00")
+    assert(ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) == 0L)
+    ClusteredTable.delete(Seq(1L).toDF("id"), root, "01")
+    assert(ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) == 1L)
+    assert(ids(root) == Seq(2L))
+    // time travel still sees the pre-delete snapshot
+    assert(ClusteredTable.read(spark, root, Some(0L))
+      .select("id").as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+    // nothing left pending: optimize is a no-op again
+    assert(ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) == 1L)
+  }
+
+  test("changefeed: net window diff with pre-image deletes; reconstruction " +
+      "read(to) == read(from) + inserts - deletes; vacuum bounds the horizon") {
+    val root = Files.createTempDirectory("ct_cf").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2), (7L, 7, 7))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    ClusteredTable.append(mk(Seq((3L, 3, 3), (14L, 9, 9))), root, "01")
+    ClusteredTable.delete(Seq(7L, 14L, 99L).toDF("id"), root, "02")
+    ClusteredTable.append(mk(Seq((14L, 9, 9), (4L, 4, 4))), root, "03") // 14 re-appended
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    val ch = ClusteredTable.changes(spark, root, 0L, 1L).cache()
+    // inserts: 3 (b01, survives), 14+4 (b03, delete is older); b01's 14
+    // nets out against x=02; 99 never existed -> no delete row
+    assert(ch.filter(col("_change") === "insert")
+      .select("id").as[Long].collect().toSeq.sorted == Seq(3L, 4L, 14L))
+    // deletes: pre-image row of 7 from v=0 (full row, not just the key)
+    val del = ch.filter(col("_change") === "delete").collect()
+    assert(del.map(_.getAs[Long]("id")).toSeq == Seq(7L))
+    assert(del.head.getAs[Int]("d1") == 7) // pre-image columns intact
+    // reconstruction: read(0) + inserts - delete keys == read(1), rowwise
+    val from = ClusteredTable.read(spark, root, Some(0L)).select("id", "d1", "d2")
+    val ins = ch.filter(col("_change") === "insert").select("id", "d1", "d2")
+    val delKeys = ch.filter(col("_change") === "delete").select("id")
+    val rebuilt = from.join(delKeys, Seq("id"), "left_anti").unionByName(ins)
+    val to = ClusteredTable.read(spark, root, Some(1L)).select("id", "d1", "d2")
+    assert(rebuilt.exceptAll(to).count() == 0 && to.exceptAll(rebuilt).count() == 0)
+    // same-version window is empty
+    assert(ClusteredTable.changes(spark, root, 1L, 1L).count() == 0)
+    // vacuum reclaims the superseded from-version (and the window
+    // artifacts) -> the feed fails loudly, never returns a partial diff
+    ClusteredTable.vacuum(root)
+    intercept[IllegalArgumentException] { ClusteredTable.changes(spark, root, 0L, 1L).count() }
+  }
+
   test("streaming ingest via sink(): batches land as deltas, replay is idempotent, " +
       "out-of-band optimize folds them") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
