@@ -1262,6 +1262,130 @@ object TextQueries {
          |WHERE rnk = 1 ORDER BY doc_id""".stripMargin)
   }
 
+  /** BM25 RETRIEVAL — the Okapi ranking function (Robertson et al.;
+    * k1=1.2, b=0.75, the Lucene-style always-positive idf
+    * ln(1+(N−df+0.5)/(df+0.5))) over the corpus, scoring a 3-term query
+    * chosen BY the query itself (the tokens whose document frequency is
+    * closest to N/10 — discriminative mid-frequency terms, the same
+    * deterministic selection in both engines, no corpus-specific
+    * literals). Per-term contributions are 1e-6-quantized BEFORE the
+    * sum (the cosSql discipline: the cross-engine sum of three
+    * quantized doubles is order-stable), ranking is on the quantized
+    * score with doc_id tie-break. Emits the top-10 (rnk, doc_id,
+    * score).
+    *
+    * Scale: tf/df/dl are the tf-idf aggregations (one shuffle on
+    * (doc_id, tok), one on tok); the 3-term query relation broadcasts
+    * onto tf, so scoring touches only postings of the query terms —
+    * the inverted-index access pattern, as a broadcast semi-join. The
+    * final top-10 is a single-reducer sort over |matching docs|, the
+    * standard top-k tail.
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .createOrReplaceTempView("graft_bm25_toks")
+    s.sql(
+      """WITH tf AS (SELECT doc_id, tok, count(1) AS tf
+        |           FROM graft_bm25_toks GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(1) AS dl FROM graft_bm25_toks GROUP BY doc_id),
+        |stats AS (SELECT avg(dl) AS avgdl, count(1) AS n FROM dl),
+        |df AS (SELECT tok, count(1) AS df FROM tf GROUP BY tok),
+        |qterms AS (SELECT tok, df FROM df CROSS JOIN stats
+        |           ORDER BY abs(df - n / 10.0), tok LIMIT 3),
+        |contrib AS (
+        |  SELECT doc_id,
+        |         round(ln(1.0 + (nd - dfd + 0.5) / (dfd + 0.5)) *
+        |               tfd * 2.2 /
+        |               (tfd + 1.2 * (0.25 + 0.75 * dld / avgdl)), 6) AS c
+        |  FROM (SELECT t.doc_id, CAST(t.tf AS DOUBLE) AS tfd,
+        |               CAST(q.df AS DOUBLE) AS dfd, CAST(d.dl AS DOUBLE) AS dld,
+        |               CAST(n AS DOUBLE) AS nd, avgdl
+        |        FROM tf t JOIN qterms q ON q.tok = t.tok
+        |                  JOIN dl d ON d.doc_id = t.doc_id
+        |                  CROSS JOIN stats)),
+        |scored AS (SELECT doc_id, round(sum(c), 6) AS score
+        |           FROM contrib GROUP BY doc_id)
+        |SELECT rnk, doc_id, score FROM (
+        |  SELECT doc_id, score,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10 ORDER BY rnk""".stripMargin)
+  }
+
+  /** HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION (Cormack et al. '09)
+    * — the two-tower search shape every RAG / decontamination pipeline
+    * runs: "find documents like doc 0" answered lexically (BM25 over
+    * doc 0's top-3 tf·idf-free terms, [[textBm25]]'s formula) AND
+    * semantically (cosine of doc 0's embedding against the corpus,
+    * doc_id ≡ vec_id), then fused rank-wise: rrf = 1/(60+rank_lex) +
+    * 1/(60+rank_vec). RRF operates on RANKS, not scores — the fusion is
+    * exact integer-derived arithmetic, bit-identical across engines, so
+    * the only cross-engine plane is each side's 1e-6-quantized ordering
+    * (doc_id tie-breaks). Docs matching no query term rank after all
+    * matches (score 0, id order) so every doc holds a lexical rank.
+    * Emits the top-10 with both constituent ranks pinned.
+    *
+    * Scale: the lexical side is the BM25 broadcast-postings plan; the
+    * vector side broadcasts ONE query row onto the embedding scan. The
+    * full-corpus global ranks here are the exactness baseline (one
+    * single-reducer sort each); the production path fuses per-side
+    * top-K candidate lists instead (RRF only needs ranks of docs that
+    * appear in some list — the standard top-k fusion shortcut), which
+    * this query's output is the oracle for.
+    */
+  def textHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .createOrReplaceTempView("graft_rrf_toks")
+    val lex = s.sql(
+      """WITH tf AS (SELECT doc_id, tok, count(1) AS tf
+        |           FROM graft_rrf_toks GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(1) AS dl FROM graft_rrf_toks GROUP BY doc_id),
+        |stats AS (SELECT avg(dl) AS avgdl, count(1) AS n FROM dl),
+        |df AS (SELECT tok, count(1) AS df FROM tf GROUP BY tok),
+        |qterms AS (SELECT tok FROM tf WHERE doc_id = 0
+        |           ORDER BY tf DESC, tok LIMIT 3),
+        |contrib AS (
+        |  SELECT doc_id,
+        |         round(ln(1.0 + (nd - dfd + 0.5) / (dfd + 0.5)) *
+        |               tfd * 2.2 /
+        |               (tfd + 1.2 * (0.25 + 0.75 * dld / avgdl)), 6) AS c
+        |  FROM (SELECT t.doc_id, CAST(t.tf AS DOUBLE) AS tfd,
+        |               CAST(f.df AS DOUBLE) AS dfd, CAST(d.dl AS DOUBLE) AS dld,
+        |               CAST(n AS DOUBLE) AS nd, avgdl
+        |        FROM tf t JOIN qterms q ON q.tok = t.tok
+        |                  JOIN df f ON f.tok = t.tok
+        |                  JOIN dl d ON d.doc_id = t.doc_id
+        |                  CROSS JOIN stats
+        |        WHERE t.doc_id <> 0)),
+        |scored AS (SELECT doc_id, round(sum(c), 6) AS score
+        |           FROM contrib GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       row_number() OVER (ORDER BY coalesce(s.score, 0.0) DESC, d.doc_id)
+        |         AS rank_lex
+        |FROM dl d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        |WHERE d.doc_id <> 0""".stripMargin)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorFunctions.cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select("doc_id", "rank_vec")
+    lex.join(vec, "doc_id")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        round(lit(1.0) / (lit(60) + col("rank_lex")) +
+          lit(1.0) / (lit(60) + col("rank_vec")), 6).as("rrf"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .select("rnk", "doc_id", "rank_lex", "rank_vec", "rrf")
+      .orderBy("rnk")
+  }
+
   /** Quality-score components per document. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
@@ -2882,6 +3006,8 @@ object TextQueries {
     "text_chunks" -> textChunks,
     "text_pack" -> textPack,
     "text_tfidf" -> textTfidf,
+    "text_bm25" -> textBm25,
+    "text_hybrid_rrf" -> textHybridRrf,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -3694,6 +3820,86 @@ object TextQueries {
         |           tf.tf * ln((SELECT n FROM n) / df.df) DESC, tf.tok) AS rnk
         |  FROM tf JOIN df USING (tok))
         |WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+    // identical BM25 arithmetic on pre-cast doubles (decimal literals
+    // only ever combine with doubles — both engines' parsers type bare
+    // 0.5/2.2 as DECIMAL, and a decimal division would quantize on
+    // engine-specific scales before ln/round)
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |qterms AS (SELECT tok, df FROM df CROSS JOIN stats
+        |           ORDER BY abs(df - n / 10.0), tok LIMIT 3),
+        |pre AS (SELECT t.doc_id, CAST(t.tf AS DOUBLE) AS tfd,
+        |               CAST(q.df AS DOUBLE) AS dfd, CAST(d.dl AS DOUBLE) AS dld,
+        |               CAST(n AS DOUBLE) AS nd, avgdl
+        |        FROM tf t JOIN qterms q ON q.tok = t.tok
+        |                  JOIN dl d ON d.doc_id = t.doc_id
+        |                  CROSS JOIN stats),
+        |contrib AS (
+        |  SELECT doc_id,
+        |         round(ln(1.0 + (nd - dfd + 0.5) / (dfd + 0.5)) *
+        |               tfd * 2.2 /
+        |               (tfd + 1.2 * (0.25 + 0.75 * dld / avgdl)), 6) AS c
+        |  FROM pre),
+        |scored AS (SELECT doc_id, round(sum(c), 6) AS score
+        |           FROM contrib GROUP BY doc_id)
+        |SELECT rnk, doc_id, score FROM (
+        |  SELECT doc_id, score,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    // the fusion is exact integer-rank arithmetic; each side's ranking
+    // is on the 1e-6-quantized score with doc_id tie-break, the same
+    // plane the Spark side ranks on
+    "text_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |qterms AS (SELECT tok FROM tf WHERE doc_id = 0
+        |           ORDER BY tf DESC, tok LIMIT 3),
+        |pre AS (SELECT t.doc_id, CAST(t.tf AS DOUBLE) AS tfd,
+        |               CAST(f.df AS DOUBLE) AS dfd, CAST(d.dl AS DOUBLE) AS dld,
+        |               CAST(n AS DOUBLE) AS nd, avgdl
+        |        FROM tf t JOIN qterms q ON q.tok = t.tok
+        |                  JOIN df f ON f.tok = t.tok
+        |                  JOIN dl d ON d.doc_id = t.doc_id
+        |                  CROSS JOIN stats
+        |        WHERE t.doc_id <> 0),
+        |contrib AS (
+        |  SELECT doc_id,
+        |         round(ln(1.0 + (nd - dfd + 0.5) / (dfd + 0.5)) *
+        |               tfd * 2.2 /
+        |               (tfd + 1.2 * (0.25 + 0.75 * dld / avgdl)), 6) AS c
+        |  FROM pre),
+        |scored AS (SELECT doc_id, round(sum(c), 6) AS score
+        |           FROM contrib GROUP BY doc_id),
+        |lex AS (SELECT d.doc_id,
+        |               row_number() OVER (ORDER BY coalesce(s.score, CAST(0.0 AS DOUBLE)) DESC,
+        |                                  d.doc_id) AS rank_lex
+        |        FROM dl d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        |        WHERE d.doc_id <> 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |vec AS (SELECT e.vec_id AS doc_id,
+        |               row_number() OVER (ORDER BY
+        |                 round(list_dot_product(qv, v) /
+        |                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+        |                 DESC, e.vec_id) AS rank_vec
+        |        FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+        |fused AS (SELECT l.doc_id, rank_lex, rank_vec,
+        |                 round(CAST(1.0 AS DOUBLE) / (60 + rank_lex) +
+        |                       CAST(1.0 AS DOUBLE) / (60 + rank_vec), 6) AS rrf
+        |          FROM lex l JOIN vec ON vec.doc_id = l.doc_id)
+        |SELECT rnk, doc_id, rank_lex, rank_vec, rrf FROM (
+        |  SELECT doc_id, rank_lex, rank_vec, rrf,
+        |         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+        |  FROM fused)
+        |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     "text_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents),
          |c AS (SELECT doc_id, lang, n,
