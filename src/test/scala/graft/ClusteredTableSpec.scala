@@ -190,6 +190,33 @@ class ClusteredTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { ClusteredTable.changes(spark, root, 0L, 1L).count() }
   }
 
+  test("changefeed drives incremental view maintenance: signed partials over " +
+      "changes(v0,v1) roll the v0 view forward to the v1 view without a rescan") {
+    // the composition changes()'s contract promises: a per-key
+    // count/sum view (the RETRACTABLE aggregates — min/max would need
+    // a rescan on delete, the classic IVM boundary) maintained from
+    // the feed alone
+    val root = Files.createTempDirectory("ct_ivm").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 10), (2L, 1, 20), (3L, 2, 30))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    ClusteredTable.append(mk(Seq((4L, 1, 40), (5L, 3, 50))), root, "01")
+    ClusteredTable.delete(Seq(2L, 5L).toDF("id"), root, "02") // one base, one window row
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    def viewAt(v: Long) = ClusteredTable.read(spark, root, Some(v))
+      .groupBy("d1").agg(count(lit(1)).as("n"), sum("d2").as("sq"))
+    val signed = ClusteredTable.changes(spark, root, 0L, 1L)
+      .groupBy("d1").agg(
+        sum(when(col("_change") === "insert", 1L).otherwise(-1L)).as("dn"),
+        sum(when(col("_change") === "insert", col("d2")).otherwise(-col("d2"))).as("dsq"))
+    val rolled = viewAt(0L).join(signed, Seq("d1"), "full_outer")
+      .select(col("d1"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sq"), lit(0L)) + coalesce(col("dsq"), lit(0L))).as("sq"))
+      .filter(col("n") > 0)
+    val direct = viewAt(1L)
+    assert(rolled.exceptAll(direct).count() == 0 && direct.exceptAll(rolled).count() == 0)
+  }
+
   test("streaming ingest via sink(): batches land as deltas, replay is idempotent, " +
       "out-of-band optimize folds them") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
