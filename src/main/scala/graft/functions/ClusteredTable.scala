@@ -225,6 +225,27 @@ object ClusteredTable {
   def sink(root: String): (DataFrame, Long) => Unit =
     (df: DataFrame, batchId: Long) => append(df, root, f"b$batchId%012d")
 
+  /** The table as a STREAM SOURCE: tail the append feed. A structured-
+    * streaming file source globbed to the delta namespace — each
+    * `append()`/`sink()` batch surfaces exactly once as its files land,
+    * because optimize folds into `base/` (outside the glob) and vacuum
+    * only ever REMOVES delta files, which a file source's seen-file log
+    * ignores. So the maintenance lifecycle can run at any cadence under
+    * a live tail without duplicating or dropping a row — the
+    * exactly-once-per-append contract ClusteredTableSpec pins across
+    * append → optimize → vacuum → append.
+    *
+    * This is the append feed only: equality deletes land under `dv/`
+    * (outside the glob, invisible here) — a consumer that must also
+    * retract reads `changes()` between optimize versions instead. At
+    * scale the file listing is the only per-trigger cost; it scans the
+    * UN-VACUUMED delta namespace, so the listing bill is bounded by the
+    * vacuum cadence, not table size.
+    */
+  def tail(s: SparkSession, root: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema).format("parquet")
+      .load(new java.io.File(deltaRoot(root), "d=*").getPath)
+
   /** Reclaim storage made redundant by the newest complete base: deltas
     * its manifest names, and superseded base versions. Safe at any
     * time — readers only ever consult the newest complete version.

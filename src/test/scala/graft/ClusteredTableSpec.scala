@@ -190,6 +190,61 @@ class ClusteredTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { ClusteredTable.changes(spark, root, 0L, 1L).count() }
   }
 
+  test("tail(): each append surfaces exactly once; optimize + vacuum under a " +
+      "live tail never duplicate or drop a row") {
+    val root = Files.createTempDirectory("ct_tail").toString
+    val ck = Files.createTempDirectory("ct_tail_ck").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2))), root, "00") // pre-start
+    val q = ClusteredTable.tail(spark, root, mk(Seq((0L, 0, 0))).schema)
+      .writeStream.format("memory").queryName("ct_tail_mem")
+      .option("checkpointLocation", ck.toString).start()
+    try {
+      def seen: Seq[Long] = spark.sql("SELECT id FROM ct_tail_mem")
+        .as[Long].collect().toSeq.sorted
+      q.processAllAvailable()
+      assert(seen == Seq(1L, 2L))
+      ClusteredTable.append(mk(Seq((3L, 3, 3))), root, "01")
+      q.processAllAvailable()
+      assert(seen == Seq(1L, 2L, 3L))
+      // fold everything into base/ and reclaim the delta files UNDER the
+      // live tail: the glob never covers base/, the seen-file log covers
+      // the removals — nothing re-surfaces, nothing is lost
+      ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+      ClusteredTable.vacuum(root)
+      ClusteredTable.append(mk(Seq((4L, 4, 4))), root, "02")
+      q.processAllAvailable()
+      assert(seen == Seq(1L, 2L, 3L, 4L))
+      // the batch read still serves the folded + tail union unchanged
+      assert(ids(root) == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("full loop: streaming ingest sink -> clustered table -> tail() -> " +
+      "materialized view equals a direct aggregate of the batch read") {
+    val root = Files.createTempDirectory("ct_loop").toString
+    val vroot = Files.createTempDirectory("ct_loop_view").toString
+    val ck = Files.createTempDirectory("ct_loop_ck").toString
+    // the view keys on d1 (as string) and aggregates d2
+    val tailed = ClusteredTable.tail(spark, root, mk(Seq((0L, 0, 0))).schema)
+      .selectExpr("CAST(d1 AS STRING) AS k", "CAST(d2 AS DOUBLE) AS v")
+    val q = graft.streaming.MaterializedViewStream.attach(
+      tailed.writeStream.option("checkpointLocation", ck.toString),
+      vroot, "k", "v").start()
+    try {
+      ClusteredTable.append(mk(Seq((1L, 1, 10), (2L, 1, 20), (3L, 2, 30))), root, "00")
+      q.processAllAvailable()
+      ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // maintenance mid-stream
+      ClusteredTable.append(mk(Seq((4L, 2, 40), (5L, 3, 50))), root, "01")
+      q.processAllAvailable()
+      val view = graft.streaming.MaterializedViewStream.readView(spark, vroot)
+        .select(col("key"), col("n"), col("sum_qty"))
+      val direct = ClusteredTable.read(spark, root)
+        .groupBy(col("d1").cast("string").as("key"))
+        .agg(count(lit(1)).as("n"), sum(col("d2").cast("double")).as("sum_qty"))
+      assert(view.exceptAll(direct).count() == 0 && direct.exceptAll(view).count() == 0)
+    } finally q.stop()
+  }
+
   test("changefeed drives incremental view maintenance: signed partials over " +
       "changes(v0,v1) roll the v0 view forward to the v1 view without a rescan") {
     // the composition changes()'s contract promises: a per-key
