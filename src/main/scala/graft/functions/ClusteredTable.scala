@@ -59,6 +59,26 @@ import org.apache.spark.sql.functions._
   * pre-image rows. Exact reconstruction holds (spec-pinned):
   * read(to) == read(from) ∪ inserts ∖ deletes. Like Delta CDF, the
   * feed reads retained artifacts — `vacuum()` bounds the horizon.
+  *
+  * SCHEMA EVOLUTION (add-column only): an append may carry a SUPERSET
+  * of the table's columns; every union in read/optimize/changes is
+  * `unionByName(allowMissingColumns = true)`, so pre-evolution rows
+  * surface NULL in the new columns and the next optimize folds the
+  * widened schema into the base permanently. Time travel returns each
+  * version's own schema (a v=K read is exactly what K folded). Columns
+  * are never dropped or retyped this way — rename/retype is a
+  * rewrite, not an evolution. Delete-key columns must not evolve.
+  *
+  * PHYSICAL PURGE (the compliance contract merge-on-read defers): a
+  * `delete()` hides rows immediately but the BYTES persist until
+  * `optimize()` rewrites the base without them and `vacuum()` removes
+  * the pre-delete artifacts — after that pair, no file under the table
+  * root contains the purged rows (spec-pinned by byte-scan). At 100 TB
+  * the purge bill is the optimize fold the table was paying anyway;
+  * retention-driven purge = run delete, then fold on the compliance
+  * deadline cadence. NOTE: time-travel versions and changefeed
+  * pre-images are part of what vacuum must reclaim for a purge to be
+  * total — vacuum already removes all superseded versions.
   */
 object ClusteredTable {
 
@@ -153,7 +173,12 @@ object ClusteredTable {
         pendingDv.filter(x => seqOf(x.getName) > seqOf(d.getName))))
     if (parts.isEmpty) throw new IllegalStateException(
       s"optimize on an empty clustered table at $root (deletes but no data)")
-    val all = parts.reduce(_ unionByName _)
+    // allowMissingColumns = SCHEMA EVOLUTION: a delta appended with new
+    // columns folds cleanly — pre-evolution rows take NULL in the new
+    // columns (the Delta/Iceberg add-column rule). Columns are only ever
+    // ADDED this way, never dropped: every part contributes its full
+    // column set and the fold's schema is their union.
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     val next = current.map(_._1 + 1).getOrElse(0L)
     val nextDir = new java.io.File(baseRoot(root), s"v=$next")
     ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, nextDir.getPath)
@@ -210,7 +235,9 @@ object ClusteredTable {
     }
     (base.toSeq ++ deltas) match {
       case Seq() => throw new IllegalStateException(s"empty clustered table at $root")
-      case parts => parts.reduce(_ unionByName _)
+      // allowMissingColumns: a post-evolution delta tail reads alongside
+      // a pre-evolution base — rows missing a column surface it as NULL
+      case parts => parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
@@ -245,6 +272,98 @@ object ClusteredTable {
   def tail(s: SparkSession, root: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     s.readStream.schema(schema).format("parquet")
       .load(new java.io.File(deltaRoot(root), "d=*").getPath)
+
+  private def indexDir(vdir: java.io.File, keyCol: String) =
+    new java.io.File(vdir, s"_index/$keyCol")
+
+  /** PER-FILE BLOOM SECONDARY INDEX — point-lookup file skipping on a
+    * key the layout does NOT cluster. Z-order envelope pruning serves
+    * box predicates on the two clustered dimensions; a point predicate
+    * on a high-cardinality foreign key (o_orderkey in a table clustered
+    * on price × month) touches every file under min/max pruning,
+    * because every file's envelope spans essentially the whole key
+    * domain. A small Bloom filter PER z-bucket answers "might this
+    * bucket contain key k" with false-positive rate `fpp`, so a point
+    * lookup reads only the buckets that (probably) hold the key — the
+    * parquet-bloom / Iceberg-puffin idea, as a table-level artifact.
+    *
+    * Mechanics: one pass over the newest base, projected to
+    * (zfile, key) — a NARROW shuffle of just those two columns — builds
+    * one `org.apache.spark.util.sketch.BloomFilter` per z-bucket
+    * (streamed via mapGroups: no per-group buffering), sized by an
+    * exact per-bucket count from a preceding ≤numFiles-row aggregate.
+    * The serialized filters land as one tiny parquet under the version
+    * directory's `_index/<col>/` (underscore-prefixed: invisible to
+    * data reads), so the index VERSIONS WITH THE TABLE — vacuum of a
+    * superseded base reclaims its index with it, and a fresh optimize
+    * simply has no index until `buildIndex` runs again (lookup then
+    * degrades to the unpruned scan, never to a wrong answer).
+    *
+    * Scale: the index is numFiles rows × O(1.2·n/file · ln(1/fpp)/8)
+    * bytes; lookup's driver cost is a ≤numFiles-row collect and a
+    * bitset probe per (key, bucket); expected false-positive read
+    * amplification for a k-key batch is ≤ files · (1-(1-fpp)^k).
+    * Bloom bits are an OR over per-key bit sets (Murmur3, fixed seed):
+    * insertion-order-independent, hence deterministic across runs and
+    * partitionings. Long-typed keys only (putLong) — the common join-key
+    * case; strings hash through their own putString plane and would
+    * need a sibling index column.
+    */
+  def buildIndex(s: SparkSession, root: String, keyCol: String, fpp: Double = 0.01): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val (_, dir) = versions(root).lastOption.getOrElse(throw new IllegalStateException(
+      s"buildIndex before the first optimize at $root — nothing to index"))
+    val base = s.read.parquet(dir.getPath)
+      .select(col("zfile").cast("int").as("zf"), col(keyCol).cast("long").as("k"))
+    val counts: Map[Int, Long] = base.groupBy("zf").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ numFiles entries
+    import s.implicits._
+    val rows = base.as[(Int, Long)].groupByKey(_._1).mapGroups { (zf, it) =>
+      val bf = BloomFilter.create(math.max(1L, counts.getOrElse(zf, 1L)), fpp)
+      it.foreach(kv => bf.putLong(kv._2))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      (zf, counts.getOrElse(zf, 0L), bos.toByteArray)
+    }.toDF("zfile_id", "n_rows", "bloom")
+    rows.coalesce(1).write.mode("overwrite").parquet(indexDir(dir, keyCol).getPath)
+  }
+
+  /** The z-buckets a batch of point-lookup keys might live in, per the
+    * newest base version's Bloom index: None if that version has no
+    * index for `keyCol` (not built, or built for a superseded version
+    * and folded away) — the caller must then scan unpruned.
+    */
+  def indexCandidates(s: SparkSession, root: String, keyCol: String,
+      keys: Seq[Long]): Option[Seq[Int]] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    versions(root).lastOption.flatMap { case (_, dir) =>
+      val idx = indexDir(dir, keyCol)
+      if (!new java.io.File(idx, "_SUCCESS").exists()) None
+      else Some(
+        s.read.parquet(idx.getPath).select("zfile_id", "bloom").collect() // ≤ numFiles rows
+          .filter { r =>
+            val bf = BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+            keys.exists(bf.mightContainLong)
+          }.map(_.getInt(0)).toSeq.sorted)
+    }
+  }
+
+  /** Point lookup through the Bloom index: the full merge-on-read
+    * semantics of [[read]] (delta tail, unfolded deletes, schema
+    * evolution), scanning only the index's candidate z-buckets plus the
+    * always-scanned delta tail. A Bloom false positive costs a wasted
+    * bucket scan, never a wrong row — the key equality filter runs
+    * regardless; with no index this is exactly `read` + filter.
+    */
+  def lookup(s: SparkSession, root: String, keyCol: String, keys: Seq[Long]): DataFrame = {
+    val t = read(s, root)
+    val pruned = indexCandidates(s, root, keyCol, keys) match {
+      case Some(cand) => t.where(col("zfile") === -1 || col("zfile").isin(cand: _*))
+      case None => t
+    }
+    pruned.where(col(keyCol).isin(keys: _*))
+  }
 
   /** Reclaim storage made redundant by the newest complete base: deltas
     * its manifest names, and superseded base versions. Safe at any
@@ -304,13 +423,16 @@ object ClusteredTable {
     val deletes = if (winX.isEmpty) Seq.empty else {
       val pre = read(s, root, Some(fromV)).drop("zkey", "zfile")
       val keys = winX.map(x => s.read.parquet(x.getPath)).reduce(_ unionByName _)
+      // (delete keys never evolve — same key column set for every delete)
       Seq(pre.join(broadcast(keys.dropDuplicates()), keys.columns.toSeq, "left_semi")
         .withColumn("_change", lit("delete")))
     }
     (inserts ++ deletes) match {
       case Seq() => read(s, root, Some(toV)).drop("zkey", "zfile")
         .withColumn("_change", lit("insert")).limit(0)
-      case parts => parts.reduce(_ unionByName _)
+      // allowMissingColumns: an evolution window's inserts carry the new
+      // columns; pre-image delete rows from the old snapshot take NULL
+      case parts => parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 }

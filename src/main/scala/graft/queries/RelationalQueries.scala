@@ -561,6 +561,108 @@ object RelationalQueries {
       .orderBy("chg")
   }
 
+  /** PARQUET AGGREGATE PUSHDOWN — the metadata-only scan: COUNT/MIN/MAX
+    * with no filter answered entirely from parquet FOOTER STATISTICS,
+    * zero data pages read. At 100 TB this is the difference between a
+    * row-count that costs one footer read per file (thousands of small
+    * RPCs, seconds) and one that scans the table (hours): the
+    * file-skipping family's limit case — skip EVERY page, not just
+    * non-matching ones. Spark only does this through the DSv2 parquet
+    * reader (`spark.sql.parquet.aggregatePushdown`, v2 scan required),
+    * so the read + execution happen inside a save/restore conf window
+    * (the session otherwise keeps the v1 file source and its plan pins)
+    * and the pushed plan is REQUIRED in-query: every run — Verify, the
+    * bench, the driver — re-asserts `PushedAggregation: [COUNT(*), ...]`
+    * before returning, so a Spark upgrade or conf drift that silently
+    * de-optimizes to a full scan fails the gate rather than just the
+    * benchmark. (PLANS.md shows the returned local relation; the real
+    * scan plan is pinned by that in-query require.)
+    *
+    * Restrictions this leans on (and documents): no WHERE (stats can't
+    * subtract filtered rows), no GROUP BY except partition columns,
+    * MIN/MAX only on footer-stat types — int64 keys here.
+    */
+  def qAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val prevV1 = s.conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = s.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try {
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_okey"), max("l_orderkey").as("max_okey"),
+          min("l_partkey").as("min_pkey"), max("l_partkey").as("max_pkey"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT"),
+        s"parquet aggregate pushdown did not engage — stats-only scan lost:\n$plan")
+      // execute WHILE the v2 confs are in force (pushdown binds at
+      // optimization time, per action), then hand back a local relation
+      val rows = agg.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      s.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      s.conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
+    }
+  }
+
+  /** BLOOM-INDEX POINT LOOKUP — file skipping on the key the layout
+    * does NOT cluster (graft.functions.ClusteredTable.buildIndex /
+    * lookup): the table clusters on (price-bucket × month), so a point
+    * predicate on o_orderkey defeats envelope pruning (every z-bucket's
+    * key envelope spans the whole domain) — the per-bucket Bloom index
+    * answers it instead. Lifecycle: two appends fold into base v=0, the
+    * index builds on v=0, a third append stays an unfolded tail; a
+    * small key batch (o_orderkey ≡ 1 mod 5000 — the lookup workload,
+    * ~3 keys at sf0.01) then reads ONLY the index's candidate buckets
+    * plus the tail. Emits per-layer match counts + exact DECIMAL
+    * revenue (DuckDB re-derives both straight from the raw table — a
+    * row lost to a wrong bucket set goes red) and `pruned`, the 1-bit
+    * observable pinned TRUE by the oracle: the candidate set must be a
+    * STRICT subset of the occupied buckets, so an index that stops
+    * skipping fails the gate, not just the benchmark.
+    *
+    * Scale: index build is one (zfile, key) projected scan + narrow
+    * shuffle; the lookup's driver cost is a ≤numFiles-row collect and
+    * bitset probes; false positives cost a wasted bucket scan, never a
+    * wrong row (the equality filter runs regardless). The key batch is
+    * data-derived here for SF-portability — its size is the lookup
+    * workload, not operator state.
+    */
+  def qBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_bloom_" + new java.io.File(dir).getName).getAbsolutePath
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 0), root, "b0")
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 1), root, "b1")
+    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
+    graft.functions.ClusteredTable.buildIndex(s, root, "o_orderkey")
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
+    val keys = src.filter(col("o_orderkey") % 5000 === 1)
+      .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0)).toSeq.sorted
+    val occupied = graft.functions.ClusteredTable.read(s, root)
+      .filter(col("zfile") >= 0).select("zfile").distinct().count()
+    val cand = graft.functions.ClusteredTable
+      .indexCandidates(s, root, "o_orderkey", keys).get
+    graft.functions.ClusteredTable.lookup(s, root, "o_orderkey", keys)
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("pruned", lit(cand.size < occupied))
+      .orderBy("layer")
+  }
+
   /** HILBERT vs MORTON vs LINEAR — the layout-diagnostic family's
     * completion: the same 16-file assignment measured under all three
     * orderings on the same (price-bucket × month) grid, emitting each
@@ -1413,6 +1515,8 @@ object RelationalQueries {
     "q_dpp" -> qDpp,
     "q_merge_on_read" -> qMergeOnRead,
     "q_changefeed" -> qChangefeed,
+    "q_bloom_skip" -> qBloomSkip,
+    "q_agg_pushdown" -> qAggPushdown,
     "q_hilbert" -> qHilbert,
     "q_window_range" -> qWindowRange,
     "q_distinct_agg" -> qDistinctAgg,
@@ -1784,6 +1888,28 @@ object RelationalQueries {
         |FROM f CROSS JOIN st
         |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4
         |GROUP BY layer, files_total, files_read
+        |ORDER BY layer""".stripMargin,
+    // the lookup's semantics re-derived from the raw table (layer from
+    // fold membership, counts + exact revenue over the key batch); the
+    // bloom index's skipping itself is pinned as the 1-bit `pruned`
+    // observable the oracle asserts TRUE — an index that stops skipping
+    // (or a candidate set that loses a row) goes red, not just slow
+    // the stats-only scan's VALUES are ordinary aggregates — DuckDB
+    // computes them the direct way; the metadata-only execution plane is
+    // pinned by the in-query require (see qAggPushdown scaladoc)
+    "q_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |       min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey
+        |FROM lineitem""".stripMargin,
+    "q_bloom_skip" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 2 THEN 'delta' ELSE 'base' END AS layer,
+        |       CAST(count(*) AS BIGINT) AS n_match,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       TRUE AS pruned
+        |FROM orders
+        |WHERE o_orderkey % 5000 = 1
+        |GROUP BY 1
         |ORDER BY layer""".stripMargin,
     // every visibility rule of the delete lifecycle re-derived from the
     // raw table: base = first two appends minus the folded d1=7 delete

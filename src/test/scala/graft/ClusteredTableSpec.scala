@@ -190,6 +190,104 @@ class ClusteredTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { ClusteredTable.changes(spark, root, 0L, 1L).count() }
   }
 
+  test("bloom index: point lookup prunes z-buckets, never loses a row, " +
+      "absent keys return empty, and a stale index degrades to unpruned") {
+    val root = Files.createTempDirectory("ct_bloom").toString
+    // 64 rows spread over the full 16x12 grid -> 16 occupied z-buckets
+    val rows = (0L until 64L).map(i => (i, (i % 16).toInt, (i % 12).toInt))
+    ClusteredTable.append(mk(rows), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    ClusteredTable.buildIndex(spark, root, "id")
+    ClusteredTable.append(mk(Seq((100L, 5, 5))), root, "01") // unfolded tail
+    val total = ClusteredTable.read(spark, root)
+      .filter(col("zfile") >= 0).select("zfile").distinct().count()
+    val keys = Seq(7L, 100L)
+    val cand = ClusteredTable.indexCandidates(spark, root, "id", keys)
+    assert(cand.isDefined && cand.get.size < total,
+      s"index must skip buckets: candidates=${cand} of $total")
+    // exact results through the pruned path (tail key 100 rides the delta)
+    assert(ClusteredTable.lookup(spark, root, "id", keys)
+      .select("id").as[Long].collect().toSeq.sorted == Seq(7L, 100L))
+    // a key that exists nowhere: bloom may false-positive a bucket, the
+    // equality filter still returns empty
+    assert(ClusteredTable.lookup(spark, root, "id", Seq(9999L)).count() == 0)
+    // optimize folds the tail into v=1 -> the v=0 index does not apply;
+    // lookup silently degrades to the unpruned (still correct) scan
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    assert(ClusteredTable.indexCandidates(spark, root, "id", keys).isEmpty)
+    assert(ClusteredTable.lookup(spark, root, "id", keys)
+      .select("id").as[Long].collect().toSeq.sorted == Seq(7L, 100L))
+    // rebuild on v=1: the folded key 100 is now index-served
+    ClusteredTable.buildIndex(spark, root, "id")
+    val c2 = ClusteredTable.indexCandidates(spark, root, "id", Seq(100L))
+    assert(c2.isDefined && c2.get.nonEmpty)
+    assert(ClusteredTable.lookup(spark, root, "id", Seq(100L))
+      .select("id").as[Long].collect().toSeq == Seq(100L))
+    // deletes compose: a deleted key stops appearing through the index path
+    ClusteredTable.delete(Seq(Tuple1(7L)).toDF("id"), root, "02")
+    assert(ClusteredTable.lookup(spark, root, "id", keys)
+      .select("id").as[Long].collect().toSeq == Seq(100L))
+  }
+
+  test("schema evolution: a widened append reads with NULL back-fill, folds " +
+      "permanently, and time travel keeps each version's own schema") {
+    val root = Files.createTempDirectory("ct_evo").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0, old schema
+    // the evolved batch carries a NEW column `lang`
+    ClusteredTable.append(
+      Seq((3L, 3, 3, "en"), (4L, 4, 4, "de")).toDF("id", "d1", "d2", "lang"), root, "01")
+    // merge-on-read across the evolution boundary: old rows NULL-backfill
+    val t = ClusteredTable.read(spark, root)
+    assert(t.columns.contains("lang"))
+    assert(t.filter(col("lang").isNull).select("id").as[Long].collect().toSeq.sorted
+      == Seq(1L, 2L))
+    assert(t.filter(col("lang") === "en").select("id").as[Long].collect().toSeq == Seq(3L))
+    // optimize folds the widened schema into base v=1 for good
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    val v1 = ClusteredTable.read(spark, root)
+    assert(v1.filter(col("zfile") < 0).count() == 0 && v1.columns.contains("lang"))
+    assert(v1.filter(col("lang").isNotNull).count() == 2)
+    // the changefeed window spans the evolution: inserts carry lang
+    val cf = ClusteredTable.changes(spark, root, 0L, 1L)
+    assert(cf.filter(col("_change") === "insert").select("lang").as[String]
+      .collect().toSeq.sorted == Seq("de", "en"))
+    // time travel: v=0 is pre-evolution and keeps its own (narrow) schema
+    assert(!ClusteredTable.read(spark, root, Some(0L)).columns.contains("lang"))
+    // deletes still apply across the boundary (key column never evolved)
+    ClusteredTable.delete(Seq(Tuple1(1L)).toDF("id"), root, "02")
+    assert(ids(root) == Seq(2L, 3L, 4L))
+  }
+
+  test("physical purge: delete + optimize + vacuum leaves no byte of the " +
+      "purged rows anywhere under the table root") {
+    val root = Files.createTempDirectory("ct_purge").toString
+    val sentinel = "PURGEME-7f3a9c"
+    def mkp(rows: Seq[(Long, Int, Int, String)]) = rows.toDF("id", "d1", "d2", "payload")
+    ClusteredTable.append(mkp(Seq((1L, 1, 1, "keep-a"), (2L, 2, 2, sentinel))), root, "00")
+    ClusteredTable.append(mkp(Seq((3L, 3, 3, sentinel + "-again"), (4L, 4, 4, "keep-b"))), root, "01")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // sentinel now in base v=0
+    ClusteredTable.delete(Seq(Tuple1(2L), Tuple1(3L)).toDF("id"), root, "02")
+    // hidden immediately, but bytes persist until fold + vacuum
+    assert(ids(root) == Seq(1L, 4L))
+    def bytesContain(needle: String): Boolean = {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).iterator.flatMap(walk)
+        else Iterator(f)
+      val pat = needle.getBytes("UTF-8")
+      walk(new java.io.File(root)).exists { f =>
+        val bs = java.nio.file.Files.readAllBytes(f.toPath)
+        bs.indexOfSlice(pat) >= 0
+      }
+    }
+    assert(bytesContain(sentinel), "pre-purge: bytes must still be on disk (MOR)")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1 rewrites without them
+    ClusteredTable.vacuum(root) // reclaims v=0, folded deltas, the DV
+    assert(!bytesContain(sentinel),
+      "post-purge: no file under the root may contain the purged payload")
+    assert(ids(root) == Seq(1L, 4L)) // purge never disturbs surviving rows
+  }
+
   test("tail(): each append surfaces exactly once; optimize + vacuum under a " +
       "live tail never duplicate or drop a row") {
     val root = Files.createTempDirectory("ct_tail").toString
