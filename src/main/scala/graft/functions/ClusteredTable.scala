@@ -24,16 +24,28 @@ import org.apache.spark.sql.functions._
   *     (small, recent) unfolded tail — the classic LSM read bill.
   *
   * Crash safety without a transaction log, the MaterializedViewStream
-  * discipline: a version is visible only when its `_MANIFEST` exists
-  * (written AFTER the parquet `_SUCCESS`), so a crash mid-optimize
-  * leaves a torn, invisible version that the next optimize simply
-  * overwrites; deltas are never deleted by optimize itself — they
-  * become garbage the moment a complete manifest names them, and
-  * `vacuum()` reclaims them at leisure. Re-running optimize after any
-  * crash point is idempotent: it re-reads the same newest-complete
+  * discipline: a version is visible only when its `_MANIFEST` exists,
+  * and since the fold writes parquet + manifest into a hidden staging
+  * directory and publishes both through ONE atomic claim rename (see
+  * `optimize`'s OCC contract), a crash at any point leaves either a
+  * never-visible staging orphan or a complete version — nothing torn
+  * is ever visible. The same claim rename is the table's optimistic-
+  * concurrency point: racing maintainers fold in parallel, exactly one
+  * claims `v=<next>`, the loser re-folds against the winner's state.
+  * Deltas are never deleted by optimize itself — they become garbage
+  * the moment a complete manifest names them, and `vacuum()` reclaims
+  * them (plus staging orphans) at leisure. Re-running optimize after
+  * any crash point is idempotent: it re-reads the same newest-complete
   * version and the same un-folded delta set, and rewrites the same
   * next version. Readers are never wrong, only (pre-vacuum) redundant
   * on disk, never in results.
+  *
+  * MERGE (`upsert()`): WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT as
+  * one paired artifact — the source lands as delta `d=<name>` and its
+  * key set as delete `x=<name>`; equal sequence rank means the delete
+  * retires every OLDER image of the keys but not its own new images.
+  * An upsert costs two source-sized writes, rewrites nothing, and is
+  * the write shape a changefeed consumer replays (see `changes`).
   *
   * MERGE-ON-READ DELETES (`delete()`): an equality-delete file — the
   * key set to remove, landed under `dv/x=<name>` as a plain parquet
@@ -84,6 +96,11 @@ object ClusteredTable {
 
   private def baseRoot(root: String) = new java.io.File(root, "base")
   private def deltaRoot(root: String) = new java.io.File(root, "delta")
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
 
   /** Complete base versions (have both parquet _SUCCESS and _MANIFEST),
     * ascending.
@@ -154,44 +171,141 @@ object ClusteredTable {
   /** Fold newest base + all un-folded deltas into the next z-ordered
     * base version. Returns the new version id (or the current one if
     * there was nothing to fold). Idempotent from any crash point.
+    *
+    * OPTIMISTIC CONCURRENCY (the Delta/Iceberg commit-protocol shape on
+    * a filesystem): the fold writes into a HIDDEN staging directory —
+    * parquet first, then the manifest INSIDE it — and the version
+    * becomes visible only through one atomic directory rename that
+    * CLAIMS `v=<next>`. rename(2) onto an existing directory fails, so
+    * when two maintainers race, exactly one claim wins; the loser
+    * discards its staging and RE-FOLDS against the winner's table state
+    * (the winner may have absorbed a different artifact set, so a blind
+    * re-claim at v+1 would be wrong — the retry re-reads manifests, the
+    * "rebase" step of optimistic commit). Concurrent `append`/`delete`
+    * during a fold are always safe: the manifest names exactly what was
+    * folded, so an artifact that landed mid-fold simply stays pending.
+    * A crash at any point leaves either a hidden staging orphan (never
+    * visible; reclaimed by `vacuum`) or a completed version — torn
+    * VISIBLE versions cannot occur. A vacuum racing a live fold can at
+    * worst delete its staging mid-write, which surfaces as a failed
+    * claim and a clean retry — self-healing, never wrong.
+    *
+    * NOTE: claim atomicity is the POSIX rename guarantee — on an object
+    * store without atomic rename this step needs a conditional-put
+    * (if-none-match) or a lock service instead, the same caveat every
+    * filesystem-ledger lakehouse carries.
     */
   def optimize(s: SparkSession, root: String, d1Col: String, d2Col: String,
-      bits: Int, numFiles: Int): Long = {
-    val vs = versions(root)
-    val current = vs.lastOption
-    val folded = current.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
-    val pending = deltaDirs(root).filter(d => !folded.contains(d.getName))
-    val pendingDv = dvDirs(root).filter(x => !folded.contains(x.getName))
-    if (pending.isEmpty && pendingDv.isEmpty && current.isDefined) return current.get._1
-    // sequence-aware fold: every pending delete outranks the base; a
-    // delta is trimmed only by deletes named after it
-    val parts = current.map { case (_, dir) =>
-        // drop the layout's own columns: the fold recomputes them
-        applyDvs(s, s.read.parquet(dir.getPath).drop("zkey", "zfile"), pendingDv)
-      }.toSeq ++
-      pending.map(d => applyDvs(s, s.read.parquet(d.getPath),
-        pendingDv.filter(x => seqOf(x.getName) > seqOf(d.getName))))
-    if (parts.isEmpty) throw new IllegalStateException(
-      s"optimize on an empty clustered table at $root (deletes but no data)")
-    // allowMissingColumns = SCHEMA EVOLUTION: a delta appended with new
-    // columns folds cleanly — pre-evolution rows take NULL in the new
-    // columns (the Delta/Iceberg add-column rule). Columns are only ever
-    // ADDED this way, never dropped: every part contributes its full
-    // column set and the fold's schema is their union.
-    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    val next = current.map(_._1 + 1).getOrElse(0L)
-    val nextDir = new java.io.File(baseRoot(root), s"v=$next")
-    ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, nextDir.getPath)
-    // visibility point: the manifest names every delta AND delete file
-    // this version absorbed; written last, atomically (tmp + rename)
-    val names = (folded ++ pending.map(_.getName) ++ pendingDv.map(_.getName)).toSeq.sorted
-    val tmp = new java.io.File(baseRoot(root), s".manifest-$next.tmp")
-    val w = new java.io.OutputStreamWriter(
-      new java.io.FileOutputStream(tmp), "UTF-8")
-    try w.write(names.mkString("\n")) finally w.close()
-    val fin = new java.io.File(nextDir, "_MANIFEST")
-    if (!tmp.renameTo(fin)) throw new java.io.IOException(s"manifest rename failed: $fin")
-    next
+      bits: Int, numFiles: Int, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val vs = versions(root)
+      val current = vs.lastOption
+      val folded = current.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
+      val pending = deltaDirs(root).filter(d => !folded.contains(d.getName))
+      val pendingDv = dvDirs(root).filter(x => !folded.contains(x.getName))
+      if (pending.isEmpty && pendingDv.isEmpty && current.isDefined) return current.get._1
+      // sequence-aware fold: every pending delete outranks the base; a
+      // delta is trimmed only by deletes named after it
+      val parts = current.map { case (_, dir) =>
+          // drop the layout's own columns: the fold recomputes them
+          applyDvs(s, s.read.parquet(dir.getPath).drop("zkey", "zfile"), pendingDv)
+        }.toSeq ++
+        pending.map(d => applyDvs(s, s.read.parquet(d.getPath),
+          pendingDv.filter(x => seqOf(x.getName) > seqOf(d.getName))))
+      if (parts.isEmpty) throw new IllegalStateException(
+        s"optimize on an empty clustered table at $root (deletes but no data)")
+      // allowMissingColumns = SCHEMA EVOLUTION: a delta appended with new
+      // columns folds cleanly — pre-evolution rows take NULL in the new
+      // columns (the Delta/Iceberg add-column rule). Columns are only ever
+      // ADDED this way, never dropped: every part contributes its full
+      // column set and the fold's schema is their union.
+      val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      val next = current.map(_._1 + 1).getOrElse(0L)
+      val nextDir = new java.io.File(baseRoot(root), s"v=$next")
+      // an existing v=<next> WITHOUT a manifest is garbage no OCC writer
+      // can have produced (a pre-staging crash, external tampering) —
+      // clear it so the claim can land; a complete one means we lost a
+      // race we hadn't even entered, and the rename below will say so
+      if (nextDir.exists() && !new java.io.File(nextDir, "_MANIFEST").exists())
+        rmTree(nextDir)
+      val staging = new java.io.File(baseRoot(root),
+        s".staging-v=$next-${java.util.UUID.randomUUID().toString.take(8)}")
+      ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.getPath)
+      // the manifest names every delta AND delete file this version
+      // absorbed; it lands INSIDE staging, so the claim rename is the
+      // single visibility point for parquet + manifest together
+      val names = (folded ++ pending.map(_.getName) ++ pendingDv.map(_.getName)).toSeq.sorted
+      val tmp = new java.io.File(staging, "._manifest.tmp")
+      val w = new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(tmp), "UTF-8")
+      try w.write(names.mkString("\n")) finally w.close()
+      if (!tmp.renameTo(new java.io.File(staging, "_MANIFEST")))
+        throw new java.io.IOException(s"manifest rename failed in $staging")
+      if (staging.renameTo(nextDir)) return next
+      // claim lost: a concurrent fold committed v=<next> first (or a
+      // racing vacuum reclaimed our staging) — discard and re-fold
+      // against the table state the winner left behind
+      rmTree(staging)
+    }
+    throw new java.io.IOException(
+      s"optimize at $root lost the version claim $maxAttempts times — " +
+        "a faster maintainer keeps winning; raise maxAttempts or serialize maintainers")
+  }
+
+  /** MERGE (upsert): for each source row, replace the live row with the
+    * same key if one exists, else insert — `WHEN MATCHED UPDATE, WHEN
+    * NOT MATCHED INSERT`, merge-on-read. Mechanism: the SOURCE lands as
+    * delta `d=<name>` (the new images) and its KEY SET as equality-
+    * delete `x=<name>` (the tombstones for the old images). The shared
+    * sequence rank does the rest: the delete outranks the base and
+    * every earlier delta (hiding the old images) but NOT its own paired
+    * delta (equal rank — the new images survive), and later appends of
+    * the same key outrank the delete (normal resurrection). No data
+    * file is rewritten; the next `optimize` folds the pair physically.
+    *
+    * Contract: `source` must be key-unique on `keyCols` (the standard
+    * MERGE precondition — multiple source images for one key would ALL
+    * survive). Replay-idempotent: both artifacts overwrite by name.
+    * Crash between the two writes leaves the new images visible
+    * alongside the old (the delete is what retires them) until the
+    * at-least-once replay lands the pair — the table can transiently
+    * duplicate a matched key, never lose one. Not snapshot-isolated:
+    * a concurrent reader between the two writes sees that same state.
+    *
+    * Scale: an upsert costs two plain writes sized by the SOURCE — at
+    * 100 TB this is the whole point of merge-on-read MERGE (a
+    * copy-on-write MERGE rewrites every data file the keys touch); the
+    * read-side bill is the same broadcast anti-join every delete pays,
+    * bounded by the fold cadence.
+    */
+  def upsert(source: DataFrame, root: String, name: String, keyCols: Seq[String]): Unit = {
+    append(source, root, name)
+    delete(source.select(keyCols.map(col): _*), root, name)
+  }
+
+  /** CDC APPLY — replay one changefeed window (the output of
+    * `changes(from, to)` on a SOURCE table) onto THIS table: the feed's
+    * delete pre-image keys land as tombstone `x=<name>0`, then its
+    * insert rows as delta `d=<name>1` — ranked AFTER the tombstone, so
+    * a key the window deleted-then-re-inserted resurrects on the
+    * replica exactly as it did at the source. Apply windows in version
+    * order under monotonically increasing names and a replica seeded at
+    * the source's `from` snapshot converges to every `to` snapshot
+    * (spec-pinned across multiple windows). Replay-idempotent like
+    * every artifact write here; at-least-once safe — a crash between
+    * the two writes hides the window's deletes early, and the replay
+    * completes the pair.
+    *
+    * Scale: this is log-shipping — the replica's write bill is the
+    * window's churn, never the table; it composes with the replica's
+    * own `optimize`/`vacuum` cadence like any other ingest.
+    */
+  def applyChanges(cdc: DataFrame, root: String, name: String, keyCols: Seq[String]): Unit = {
+    delete(cdc.filter(col("_change") === "delete").select(keyCols.map(col): _*),
+      root, name + "0")
+    append(cdc.filter(col("_change") === "insert").drop("_change"), root, name + "1")
   }
 
   /** Snapshot read: newest complete base ∪ deltas its manifest does not
@@ -371,17 +485,18 @@ object ClusteredTable {
     * Returns the number of directories removed.
     */
   def vacuum(root: String): Int = {
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
     val vs = versions(root)
     val folded = vs.lastOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
     val staleDeltas = deltaDirs(root).filter(d => folded.contains(d.getName))
     val staleDvs = dvDirs(root).filter(x => folded.contains(x.getName))
     val staleBases = vs.dropRight(1).map(_._2)
-    (staleDeltas ++ staleDvs ++ staleBases).foreach(rmTree)
-    staleDeltas.size + staleDvs.size + staleBases.size
+    // optimize's hidden staging orphans (crashed or claim-lost folds);
+    // reclaiming a LIVE fold's staging is safe — its claim rename fails
+    // and it retries (see optimize's OCC contract)
+    val staleStaging = Option(baseRoot(root).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(".staging-v="))
+    (staleDeltas ++ staleDvs ++ staleBases ++ staleStaging).foreach(rmTree)
+    staleDeltas.size + staleDvs.size + staleBases.size + staleStaging.size
   }
 
   /** Net row-level changefeed between optimize versions `fromV` → `toV`

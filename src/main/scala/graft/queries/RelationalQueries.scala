@@ -663,6 +663,119 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** MERGE (UPSERT) — the clustered table's WHEN MATCHED UPDATE / WHEN
+    * NOT MATCHED INSERT (graft.functions.ClusteredTable.upsert),
+    * oracle-gated end to end: the target folds the k%3∈{0,1} orders
+    * into base v=0; one MERGE batch then UPDATES every k%6=0 row (price
+    * + 50 — an exact-decimal, observable replacement) and INSERTS every
+    * k%3=2 row. Merge-on-read mechanics: the source lands as one delta
+    * + one equal-ranked key tombstone file, NO data file is rewritten.
+    * The per-layer read pins all three MERGE clauses at once: base must
+    * show ZERO k%6=0 rows (old images retired — `n_updated` = 0), delta
+    * must show exactly the updated + inserted images, and exact DECIMAL
+    * revenue catches a replacement that kept the old price. DuckDB
+    * re-derives the merged visibility straight from the raw table, so a
+    * tombstone that leaks onto its own paired delta, a lost insert, or
+    * a double image all go red.
+    *
+    * Scale: the upsert costs two SOURCE-sized plain writes (the
+    * copy-on-write alternative rewrites every data file the keys touch
+    * — at 100 TB that is the whole argument for merge-on-read MERGE);
+    * the read pays one broadcast anti-join for the unfolded tombstone,
+    * bounded by the fold cadence as ever.
+    */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_upsert_" + new java.io.File(dir).getName).getAbsolutePath
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 0), root, "00")
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 1), root, "01")
+    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
+    // the MERGE source: new images for matched keys, fresh rows for the
+    // rest — key-unique by construction (k%6=0 ⊂ k%3=0, disjoint from k%3=2)
+    val source = src.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("price", (col("price") + lit(50)).cast("decimal(18,2)"))
+      .unionByName(src.filter(col("o_orderkey") % 3 === 2))
+    graft.functions.ClusteredTable.upsert(source, root, "02", Seq("o_orderkey"))
+    graft.functions.ClusteredTable.read(s, root)
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey") % 6 === 0, 1L).otherwise(0L)).as("n_updated"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .orderBy("layer")
+  }
+
+  /** CDC APPLY — changefeed-driven REPLICATION, the consumer story the
+    * changefeed exists for: a replica seeded from the primary's v=0
+    * snapshot catches up to v=1 by replaying `changes(0,1)` as ONE
+    * upsert-shaped pair — the feed's delete pre-image keys land as a
+    * tombstone file, then its insert rows as a delta ranked AFTER it,
+    * so a key the window deleted-then-re-inserted resurrects on the
+    * replica exactly as it did on the primary (sequence rule, applied
+    * cross-table). The primary's churn window is the q_changefeed one:
+    * odd early-month appends, a %7-key delete, odd late-month appends
+    * post-delete. Equality is pinned the strongest way the driver hash
+    * can: per-month aggregates (rows, key checksum, exact DECIMAL
+    * revenue) emitted for BOTH sides in one relation — any divergence
+    * makes the replica's 12 rows differ from the primary's and the
+    * oracle (which derives the final state once and emits it twice)
+    * goes red.
+    *
+    * Scale: the replica never rescans the primary — it reads the
+    * window's delta/DV artifacts (cost ∝ churn) and writes them back
+    * source-sized; this is the log-shipping shape a 100 TB downstream
+    * sync actually runs, and every read-side join in it broadcasts.
+    */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val tmp = sys.props("java.io.tmpdir")
+    val sfx = new java.io.File(dir).getName
+    val pRoot = new java.io.File(tmp, "graft_cdcp_" + sfx).getAbsolutePath
+    val rRoot = new java.io.File(tmp, "graft_cdcr_" + sfx).getAbsolutePath
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    Seq(pRoot, rRoot).foreach(r => rmTree(new java.io.File(r)))
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    val CT = graft.functions.ClusteredTable
+    // primary: v=0 holds the evens; the window churns and folds to v=1
+    CT.append(src.filter(col("o_orderkey") % 2 === 0), pRoot, "00")
+    CT.optimize(s, pRoot, "d1", "d2", 4, 16) // v=0
+    CT.append(src.filter(col("o_orderkey") % 2 === 1 && col("d2") < 6), pRoot, "01")
+    CT.delete(src.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"), pRoot, "02")
+    CT.append(src.filter(col("o_orderkey") % 2 === 1 && col("d2") >= 6), pRoot, "03")
+    CT.optimize(s, pRoot, "d1", "d2", 4, 16) // v=1
+    // replica: seed at the primary's v=0, then replay the feed through
+    // applyChanges — tombstones rank before inserts, re-inserts survive
+    CT.append(CT.read(s, pRoot, Some(0L)).drop("zkey", "zfile"), rRoot, "00")
+    CT.optimize(s, rRoot, "d1", "d2", 4, 16)
+    CT.applyChanges(CT.changes(s, pRoot, 0L, 1L), rRoot, "01", Seq("o_orderkey"))
+    def sideAgg(t: DataFrame, side: String): DataFrame =
+      t.groupBy(lit(side).as("side"), col("d2"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey").cast("long")).as("key_sum"),
+          sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+    sideAgg(CT.read(s, pRoot), "primary")
+      .unionByName(sideAgg(CT.read(s, rRoot), "replica"))
+      .orderBy("side", "d2")
+  }
+
   /** HILBERT vs MORTON vs LINEAR — the layout-diagnostic family's
     * completion: the same 16-file assignment measured under all three
     * orderings on the same (price-bucket × month) grid, emitting each
@@ -1514,7 +1627,9 @@ object RelationalQueries {
     "q_cluster_ingest" -> qClusterIngest,
     "q_dpp" -> qDpp,
     "q_merge_on_read" -> qMergeOnRead,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_changefeed" -> qChangefeed,
+    "q_cdc_apply" -> qCdcApply,
     "q_bloom_skip" -> qBloomSkip,
     "q_agg_pushdown" -> qAggPushdown,
     "q_hilbert" -> qHilbert,
@@ -1930,6 +2045,47 @@ object RelationalQueries {
         |       CAST(sum(CASE WHEN d1 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
         |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
         |FROM vis GROUP BY layer ORDER BY layer""".stripMargin,
+    // the merged visibility re-derived from the raw table: base = the
+    // two folded thirds minus the merge-matched keys; delta = the
+    // source's own images (updated prices for k%6=0, fresh k%3=2 rows)
+    "q_merge_upsert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |vis AS (
+        |  SELECT 'base' AS layer, k, price FROM src
+        |  WHERE k % 3 IN (0, 1) AND k % 6 <> 0
+        |  UNION ALL
+        |  SELECT 'delta', k, CAST(price + 50 AS DECIMAL(18,2)) FROM src WHERE k % 6 = 0
+        |  UNION ALL
+        |  SELECT 'delta', k, price FROM src WHERE k % 3 = 2)
+        |SELECT layer, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+        |FROM vis GROUP BY layer ORDER BY layer""".stripMargin,
+    // the replicated final state derived ONCE from the raw table and
+    // emitted for both sides — a replica that drifted from the primary
+    // on any month's rows/keys/revenue cannot match this
+    "q_cdc_apply" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, price, d2 FROM src WHERE k % 2 = 0 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k, price, d2 FROM src WHERE k % 2 = 1 AND d2 < 6 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k, price, d2 FROM src WHERE k % 2 = 1 AND d2 >= 6),
+        |agg AS (
+        |  SELECT d2, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(k) AS BIGINT) AS key_sum,
+        |         CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+        |  FROM fin GROUP BY d2)
+        |SELECT 'primary' AS side, d2, n_rows, key_sum, revenue FROM agg
+        |UNION ALL
+        |SELECT 'replica', d2, n_rows, key_sum, revenue FROM agg
+        |ORDER BY side, d2""".stripMargin,
     // the net window diff re-derived from the raw table: inserts are
     // the window appends minus the delete keys that outrank them
     // (early-month only — the late-month append postdates the delete);

@@ -394,4 +394,101 @@ class ClusteredTableSpec extends SparkTestBase {
       assert(ClusteredTable.read(spark, root).filter(col("zfile") < 0).count() == 0)
     } finally q.stop()
   }
+
+  test("applyChanges: a replica converges window-by-window, including " +
+      "delete-then-reinsert inside a window and deleting a prior window's insert") {
+    val pRoot = Files.createTempDirectory("ct_cdc_p").toString
+    val rRoot = Files.createTempDirectory("ct_cdc_r").toString
+    // primary v=0: rows 1..6
+    ClusteredTable.append(mk((1L to 6L).map(i => (i, i.toInt, 0))), pRoot, "00")
+    ClusteredTable.optimize(spark, pRoot, "d1", "d2", 4, 16)
+    // window 1: delete {2,3}, re-insert 3 AFTER the delete (resurrection),
+    // insert 7 — net: -2, 3 replaced, +7
+    ClusteredTable.delete(Seq(Tuple1(2L), Tuple1(3L)).toDF("id"), pRoot, "01")
+    ClusteredTable.append(mk(Seq((3L, 3, 99), (7L, 7, 0))), pRoot, "02")
+    ClusteredTable.optimize(spark, pRoot, "d1", "d2", 4, 16) // v=1
+    // window 2: delete window-1's insert {7} and a v=0 survivor {1}
+    ClusteredTable.delete(Seq(Tuple1(7L), Tuple1(1L)).toDF("id"), pRoot, "03")
+    ClusteredTable.optimize(spark, pRoot, "d1", "d2", 4, 16) // v=2
+    def snap(root: String, v: Option[Long] = None) =
+      ClusteredTable.read(spark, root, v).select("id", "d1", "d2")
+    // replica: seed at v=0, replay each window in order
+    ClusteredTable.append(snap(pRoot, Some(0L)), rRoot, "00")
+    ClusteredTable.optimize(spark, rRoot, "d1", "d2", 4, 16)
+    ClusteredTable.applyChanges(
+      ClusteredTable.changes(spark, pRoot, 0L, 1L), rRoot, "01", Seq("id"))
+    assert(snap(rRoot).exceptAll(snap(pRoot, Some(1L))).count() == 0 &&
+      snap(pRoot, Some(1L)).exceptAll(snap(rRoot)).count() == 0,
+      "replica must equal primary@v1 after window 1 (resurrected row included)")
+    // replica folds on its own cadence; convergence must survive it
+    ClusteredTable.optimize(spark, rRoot, "d1", "d2", 4, 16)
+    ClusteredTable.applyChanges(
+      ClusteredTable.changes(spark, pRoot, 1L, 2L), rRoot, "02", Seq("id"))
+    assert(snap(rRoot).exceptAll(snap(pRoot, Some(2L))).count() == 0 &&
+      snap(pRoot, Some(2L)).exceptAll(snap(rRoot)).count() == 0,
+      "replica must equal primary@v2 after window 2 (cross-window delete applied)")
+    // replay of window 2 is idempotent
+    ClusteredTable.applyChanges(
+      ClusteredTable.changes(spark, pRoot, 1L, 2L), rRoot, "02", Seq("id"))
+    assert(snap(rRoot).exceptAll(snap(pRoot, Some(2L))).count() == 0)
+  }
+
+  test("upsert: matched keys replaced (old image gone), unmatched inserted, " +
+      "replay idempotent, fold preserves the merge, later append resurrects") {
+    val root = Files.createTempDirectory("ct_upsert").toString
+    // d2 doubles as a row "payload version" so replacement is observable
+    ClusteredTable.append(mk(Seq((1L, 1, 10), (2L, 2, 10), (3L, 3, 10))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    // MERGE: update id=2 (new payload 20), insert id=4
+    ClusteredTable.upsert(mk(Seq((2L, 2, 20), (4L, 4, 20))), root, "01", Seq("id"))
+    def payloads() = ClusteredTable.read(spark, root)
+      .select("id", "d2").as[(Long, Int)].collect().toSeq.sorted
+    assert(payloads() == Seq((1L, 10), (2L, 20), (3L, 10), (4L, 20)),
+      "matched key must carry ONLY its new image; unmatched key inserted")
+    // at-least-once replay of the same upsert: both artifacts overwrite
+    ClusteredTable.upsert(mk(Seq((2L, 2, 20), (4L, 4, 20))), root, "01", Seq("id"))
+    assert(payloads() == Seq((1L, 10), (2L, 20), (3L, 10), (4L, 20)))
+    // the fold applies the pair physically and the merge survives it
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    assert(payloads() == Seq((1L, 10), (2L, 20), (3L, 10), (4L, 20)))
+    assert(ClusteredTable.read(spark, root).filter(col("zfile") < 0).count() == 0)
+    // a LATER plain append of a merged key outranks the upsert's delete
+    ClusteredTable.append(mk(Seq((2L, 2, 30))), root, "02")
+    assert(payloads().count(_._1 == 2L) == 2,
+      "post-merge append must not be retired by the earlier upsert's tombstones")
+  }
+
+  test("optimize claims versions optimistically: racing maintainers commit " +
+      "exactly one v=next each round, the loser rebases, no row lost or doubled") {
+    val root = Files.createTempDirectory("ct_occ").toString
+    ClusteredTable.append(mk((1L to 40L).map(i => (i, (i % 16).toInt, (i % 12).toInt))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    ClusteredTable.append(mk((41L to 60L).map(i => (i, (i % 16).toInt, (i % 12).toInt))), root, "01")
+    // two maintainers race the same pending fold
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    (1 to 2).foreach { _ =>
+      pool.execute(() =>
+        results.add(
+          try Right(ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16))
+          catch { case e: Throwable => Left(e) }))
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val rs = results.toArray(Array.empty[Either[Throwable, Long]]).toSeq
+    assert(rs.forall(_.isRight), s"a racing optimize failed: $rs")
+    // both maintainers landed (winner at v=1; loser either re-claimed a
+    // later version or found nothing pending and returned the winner's)
+    assert(rs.collect { case Right(v) => v }.max >= 1L)
+    // the table is exactly the 60 rows, each once, fully folded
+    assert(ids(root) == (1L to 60L))
+    assert(ClusteredTable.read(spark, root).filter(col("zfile") < 0).count() == 0)
+    // no staging orphan survives vacuum; reads unchanged after it
+    ClusteredTable.vacuum(root)
+    val staging = Option(new java.io.File(root, "base").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".staging-v="))
+    assert(staging.isEmpty)
+    assert(ids(root) == (1L to 60L))
+  }
 }
