@@ -285,6 +285,23 @@ object ClusteredTable {
     delete(source.select(keyCols.map(col): _*), root, name)
   }
 
+  /** Newest complete base version id, if any — the changefeed cursor a
+    * downstream consumer (graft.streaming.ReplicaStream) polls.
+    */
+  def latestVersion(root: String): Option[Long] = versions(root).lastOption.map(_._1)
+
+  /** Every artifact name the table currently accounts for: the newest
+    * manifest's CUMULATIVE fold record plus the pending (unfolded)
+    * artifact directories. Because manifests accumulate and survive
+    * vacuum (they live inside the retained newest version), this set is
+    * a durable, crash-consistent ledger of everything ever ingested —
+    * ReplicaStream derives its applied-watermark from it instead of
+    * keeping side state that could desynchronize.
+    */
+  def artifactNames(root: String): Set[String] =
+    versions(root).lastOption.map { case (_, d) => manifest(d) }.getOrElse(Set.empty) ++
+      deltaDirs(root).map(_.getName) ++ dvDirs(root).map(_.getName)
+
   /** CDC APPLY — replay one changefeed window (the output of
     * `changes(from, to)` on a SOURCE table) onto THIS table: the feed's
     * delete pre-image keys land as tombstone `x=<name>0`, then its

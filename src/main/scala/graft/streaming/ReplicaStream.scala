@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.functions.ClusteredTable
+
+/** CONTINUOUS REPLICATION of a clustered table — the standing form of
+  * q_cdc_apply's one-shot window replay: a replica table kept
+  * converged to a primary by polling the primary's optimize versions
+  * and replaying each new changefeed window through
+  * [[ClusteredTable.applyChanges]]. This is log shipping: the replica
+  * never rescans the primary; every tick's bill is the new windows'
+  * churn.
+  *
+  * RESTART SAFETY WITHOUT SIDE STATE — the design decision worth the
+  * scaladoc: the maintainer keeps NO cursor file. The applied-version
+  * watermark is DERIVED from the replica's own artifact ledger
+  * ([[ClusteredTable.artifactNames]]): window v lands as the name pair
+  * (`x=w<v>0`, `d=w<v>1`), the seed as `d=w<v>s`, and `lastApplied` is
+  * the max v whose DELTA artifact the ledger records. A cursor that IS
+  * the data cannot desynchronize from it: a crash after the tombstone
+  * but before the delta leaves the watermark at v-1, so the restarted
+  * tick replays window v and both name-addressed writes overwrite
+  * idempotently (the same at-least-once discipline as every artifact
+  * write in ClusteredTable); a crash after the delta means the window
+  * is durably applied and the restart skips it. The replica's own
+  * `optimize`/`vacuum` cadence is free to run between ticks — folding
+  * moves the w-names into the manifest's cumulative record, which
+  * survives vacuum, so the watermark also survives the replica's
+  * entire maintenance lifecycle.
+  *
+  * Ordering: the w-names are zero-padded by version, so they stay
+  * lexicographically monotonic across windows and interleave correctly
+  * with the seed — the sequence rule that makes delete-then-re-insert
+  * resurrect on the replica exactly as at the source.
+  *
+  * Retention contract: catching up from version f needs the primary's
+  * window artifacts back to f — the primary's vacuum cadence bounds the
+  * permissible replica lag (changes() throws past the horizon, and the
+  * operator re-seeds). The replica must be maintained ONLY through this
+  * object; foreign artifact names would not corrupt it, but they are
+  * invisible to the watermark.
+  *
+  * Scale: `latestVersion` is one directory listing; each window replay
+  * reads the window's delta/DV artifacts only. At 100 TB the replica's
+  * steady-state cost is the primary's churn rate — independent of
+  * either table's size.
+  */
+object ReplicaStream {
+
+  private def pad(v: Long) = f"w$v%010d"
+  private val DeltaName = """d=w(\d{10})[1s]""".r
+
+  /** The replica's applied-version watermark, derived from its artifact
+    * ledger (see scaladoc): max v with a durable window delta (`...1`)
+    * or seed (`...s`); None for a virgin replica.
+    */
+  def lastApplied(root: String): Option[Long] =
+    ClusteredTable.artifactNames(root).collect {
+      case DeltaName(v) => v.toLong
+    }.reduceOption(_ max _)
+
+  /** Seed a virgin replica with the primary's newest snapshot; returns
+    * the seeded version (the watermark). One source-table-sized write —
+    * paid once, or again only after falling past the primary's
+    * retention horizon.
+    */
+  def seed(s: SparkSession, primaryRoot: String, replicaRoot: String): Long = {
+    val v = ClusteredTable.latestVersion(primaryRoot).getOrElse(
+      throw new IllegalStateException(
+        s"primary at $primaryRoot has no complete version to seed from"))
+    ClusteredTable.append(
+      ClusteredTable.read(s, primaryRoot, Some(v)).drop("zkey", "zfile"),
+      replicaRoot, pad(v) + "s")
+    v
+  }
+
+  /** One maintainer tick: seed if virgin, then replay every primary
+    * window past the watermark, version by version (per-window names
+    * keep a partially-applied catch-up replayable). Returns the new
+    * watermark. Safe to call from any scheduler at any cadence,
+    * concurrently with replica reads and replica optimize/vacuum.
+    */
+  def catchUp(s: SparkSession, primaryRoot: String, replicaRoot: String,
+      keyCols: Seq[String]): Long = {
+    val latest = ClusteredTable.latestVersion(primaryRoot).getOrElse(-1L)
+    val from = lastApplied(replicaRoot).getOrElse(seed(s, primaryRoot, replicaRoot))
+    ((from + 1) to latest).foreach { v =>
+      ClusteredTable.applyChanges(
+        ClusteredTable.changes(s, primaryRoot, v - 1, v), replicaRoot, pad(v), keyCols)
+    }
+    math.max(from, latest)
+  }
+
+  /** Attach the maintainer to any driving stream: each micro-batch
+    * triggers one catch-up tick (the driving rows themselves are
+    * ignored — a rate source makes this a timer). foreachBatch's
+    * at-least-once replay is absorbed by the tick's idempotence.
+    */
+  def attach(w: DataStreamWriter[Row], primaryRoot: String, replicaRoot: String,
+      keyCols: Seq[String]): DataStreamWriter[Row] =
+    w.foreachBatch { (df: Dataset[Row], _: Long) =>
+      catchUp(df.sparkSession, primaryRoot, replicaRoot, keyCols)
+      ()
+    }
+}
