@@ -83,6 +83,38 @@ object RelationalQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** PER-KEY TOP-K VIA BOUNDED-HEAP AGGREGATOR — q_window_rank's exact
+    * semantics (top-3 orders per customer, score DESC / id ASC
+    * tie-break) through graft.functions.TopKByScore instead of
+    * row_number over a window, oracle-gated against the SAME SQL. The
+    * point is the shuffle bill at 100 TB: the window form ships every
+    * order row to its customer's reducer and sort-buffers whole
+    * partitions; the aggregator's ObjectHashAggregate PARTIAL mode
+    * combines map-side first, so at most k rows per customer per map
+    * partition cross the wire and reducers merge ≤k buffers instead of
+    * sorting raw rows. Identical output proves the rewrite is free;
+    * the plan (PLANS.md) shows ObjectHashAggregate partial/final where
+    * q_window_rank shows Sort+Window. rank = posexplode position + 1.
+    * MEASURED trade (SCALE.md): on local[32], where the "shuffle" moves
+    * at memory speed, the window form wins ~1.4x — the aggregator's
+    * wire-byte cut buys nothing single-node while its typed-buffer serde
+    * costs CPU; it pays off precisely where 100 TB lives (network-bound
+    * shuffles, groups much deeper than k). Both stay registered; the
+    * shared oracle proves the choice is free semantically.
+    */
+  def qTopkHeap(s: SparkSession, dir: String): DataFrame = {
+    val tk = graft.functions.TopKAggregator.udafTopK(3)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .groupBy("o_custkey")
+      .agg(tk(col("price"), col("o_orderkey")).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        col("col.score").as("price"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Running-total analytic window per supplier over shipdate. */
   def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
     // Sort on the native DATE column (int comparisons) everywhere —
@@ -1611,6 +1643,7 @@ object RelationalQueries {
     "q3_topk" -> q3Topk,
     "q5_region_join" -> q5RegionJoin,
     "q_window_rank" -> qWindowRank,
+    "q_topk_heap" -> qTopkHeap,
     "q_window_running" -> qWindowRunning,
     "q_set_ops" -> qSetOps,
     "q_set_ops_all" -> qSetOpsAll,
@@ -1796,6 +1829,15 @@ object RelationalQueries {
         |  AND r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // the heap aggregator must reproduce row_number's ranking exactly —
+    // same oracle SQL as q_window_rank (the rewrite must be free)
+    "q_topk_heap" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
         |         row_number() OVER (PARTITION BY o_custkey

@@ -23,6 +23,34 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_topk_heap: the bounded-heap aggregator reproduces the window form " +
+      "row-for-row and its plan aggregates instead of sort+window") {
+    val heap = SparkEntry.queries("q_topk_heap")(spark, sf())
+    val win = SparkEntry.queries("q_window_rank")(spark, sf())
+      .select(heap.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    assert(heap.exceptAll(win).isEmpty && win.exceptAll(heap).isEmpty,
+      "heap top-k must equal row_number top-k exactly (ties included)")
+    // the scale claim: partial ObjectHashAggregate, no Window/full sort
+    val plan = heap.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate partial/final in:\n$plan")
+    assert(!plan.contains("Window"), s"heap form must not fall back to a window:\n$plan")
+  }
+
+  test("TopKByScore: bounded buffer, rank order, tie-breaks, merge of partials") {
+    val agg = new graft.functions.TopKByScore(3)
+    import graft.functions.TopKIn
+    val rows = Seq(TopKIn(5.0, 9L), TopKIn(7.0, 2L), TopKIn(5.0, 1L),
+      TopKIn(3.0, 4L), TopKIn(7.0, 8L), TopKIn(1.0, 5L))
+    val full = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(full == Seq(TopKIn(7.0, 2L), TopKIn(7.0, 8L), TopKIn(5.0, 1L)),
+      s"rank = score DESC then id ASC, bounded at k: $full")
+    // merging any split of the stream equals folding the whole stream
+    val (l, r) = rows.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == full, s"merge(partials) must equal the single fold: $merged")
+  }
+
   test("every query has oracle SQL or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries missing oracleSql: $noOracle")
