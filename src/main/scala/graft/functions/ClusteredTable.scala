@@ -90,7 +90,8 @@ import org.apache.spark.sql.functions._
   * retention-driven purge = run delete, then fold on the compliance
   * deadline cadence. NOTE: time-travel versions and changefeed
   * pre-images are part of what vacuum must reclaim for a purge to be
-  * total — vacuum already removes all superseded versions.
+  * total — the purge completes once the pre-delete versions fall out of
+  * vacuum's retention window (`keepVersions`, default 1: immediate).
   */
 object ClusteredTable {
 
@@ -501,12 +502,29 @@ object ClusteredTable {
     * time — readers only ever consult the newest complete version.
     * Returns the number of directories removed.
     */
-  def vacuum(root: String): Int = {
+  def vacuum(root: String): Int = vacuum(root, keepVersions = 1)
+
+  /** Retention-window vacuum: keep the newest `keepVersions` complete
+    * bases, making the RETENTION CONTRACT real rather than
+    * all-or-nothing — within the window, BOTH time travel
+    * (`read(asOfVersion)`) and the changefeed (`changes(from, to)`)
+    * keep working, because reclaim is computed against the OLDEST
+    * RETAINED version's manifest: only artifacts that version had
+    * already folded are redundant; artifacts folded by LATER retained
+    * versions are exactly the retained changefeed windows and stay.
+    * `keepVersions = 1` is the aggressive default (newest snapshot
+    * only). This is the Delta/Iceberg `RETAIN n VERSIONS` shape; the
+    * purge contract (scaladoc above) holds once the purged version
+    * falls out of the window.
+    */
+  def vacuum(root: String, keepVersions: Int): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = versions(root)
-    val folded = vs.lastOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
+    val retained = vs.takeRight(keepVersions)
+    val folded = retained.headOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
     val staleDeltas = deltaDirs(root).filter(d => folded.contains(d.getName))
     val staleDvs = dvDirs(root).filter(x => folded.contains(x.getName))
-    val staleBases = vs.dropRight(1).map(_._2)
+    val staleBases = vs.dropRight(keepVersions).map(_._2)
     // optimize's hidden staging orphans (crashed or claim-lost folds);
     // reclaiming a LIVE fold's staging is safe — its claim rename fails
     // and it retries (see optimize's OCC contract)

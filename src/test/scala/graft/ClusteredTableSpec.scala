@@ -433,6 +433,35 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(snap(rRoot).exceptAll(snap(pRoot, Some(2L))).count() == 0)
   }
 
+  test("retention-window vacuum: time travel AND changefeed keep working inside " +
+      "the kept window; outside it both fail loudly") {
+    val root = Files.createTempDirectory("ct_retain").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    ClusteredTable.append(mk(Seq((3L, 3, 3))), root, "01")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    ClusteredTable.append(mk(Seq((4L, 4, 4))), root, "02")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=2
+    ClusteredTable.vacuum(root, keepVersions = 2)
+    // inside the window: travel to v=1 and v=2, and the v1->v2 feed
+    assert(ClusteredTable.read(spark, root, Some(1L)).count() == 3)
+    assert(ClusteredTable.read(spark, root, Some(2L)).count() == 4)
+    assert(ClusteredTable.changes(spark, root, 1L, 2L)
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    // outside it: v=0 is gone, loudly
+    val e0 = intercept[IllegalArgumentException] {
+      ClusteredTable.read(spark, root, Some(0L))
+    }
+    assert(e0.getMessage.contains("vacuumed"))
+    // the aggressive default then collapses the window to the newest
+    ClusteredTable.vacuum(root)
+    assert(ClusteredTable.read(spark, root, Some(2L)).count() == 4)
+    val e1 = intercept[Exception] {
+      ClusteredTable.changes(spark, root, 1L, 2L).collect()
+    }
+    assert(e1.getMessage.contains("vacuumed"))
+  }
+
   test("upsert: matched keys replaced (old image gone), unmatched inserted, " +
       "replay idempotent, fold preserves the merge, later append resurrects") {
     val root = Files.createTempDirectory("ct_upsert").toString
