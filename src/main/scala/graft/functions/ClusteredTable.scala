@@ -255,6 +255,39 @@ object ClusteredTable {
         "a faster maintainer keeps winning; raise maxAttempts or serialize maintainers")
   }
 
+  /** Auto-sized fold: like [[optimize]], but the file count is derived
+    * from the table's CURRENT size instead of pinned forever at write
+    * time — the knob that otherwise quietly rots as a table grows (16
+    * files chosen at day one means 6 TB files at 100 TB, no parallelism
+    * and no skipping granularity; 4096 files chosen defensively means
+    * a day-one table of empty splinters). Mechanism: one metadata-cheap
+    * row count over the fold inputs (parquet footers), then
+    * numFiles = the smallest power of two ≥ rows / targetRowsPerFile,
+    * clamped to [1, 2^(2·bits)] — powers of two always divide the z-key
+    * domain, so the static-bucket invariant [[ZorderLayout.write]]
+    * requires holds at every size. Each fold re-derives the count, so
+    * the layout tracks growth (and shrinkage after purges) with no
+    * operator retuning; envelope catalogs, Bloom indexes and zfile
+    * pruning are all per-version and follow along automatically.
+    */
+  def optimizeAuto(s: SparkSession, root: String, d1Col: String, d2Col: String,
+      bits: Int, targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
+    val vs = versions(root)
+    val folded = vs.lastOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
+    val parts = vs.lastOption.map(_._2).toSeq ++
+      deltaDirs(root).filter(d => !folded.contains(d.getName))
+    // footer-stats row count — no data pages read (the q_agg_pushdown
+    // observation, used operationally); deletes only shrink the count,
+    // so ignoring pending DVs errs toward at most one size step up
+    val rows = parts.map(p => s.read.parquet(p.getPath).count()).sum
+    val maxFiles = 1 << (2 * bits)
+    val want = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    val numFiles = math.min(maxFiles.toLong,
+      java.lang.Long.highestOneBit(math.max(1L, 2 * want - 1))).toInt
+    optimize(s, root, d1Col, d2Col, bits, numFiles)
+  }
+
   /** MERGE (upsert): for each source row, replace the live row with the
     * same key if one exists, else insert — `WHEN MATCHED UPDATE, WHEN
     * NOT MATCHED INSERT`, merge-on-read. Mechanism: the SOURCE lands as

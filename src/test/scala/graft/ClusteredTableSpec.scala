@@ -433,6 +433,26 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(snap(rRoot).exceptAll(snap(pRoot, Some(2L))).count() == 0)
   }
 
+  test("optimizeAuto: the file count tracks table growth (power-of-two, " +
+      "domain-dividing) instead of rotting at its day-one value") {
+    val root = Files.createTempDirectory("ct_auto").toString
+    // 6 rows, target 2/file -> want 3 -> 4 files -> zSpan 64 -> zfile in 0..3
+    ClusteredTable.append(mk(Seq((1L, 0, 0), (2L, 3, 4), (3L, 15, 11),
+      (4L, 7, 2), (5L, 9, 9), (6L, 12, 5))), root, "00")
+    ClusteredTable.optimizeAuto(spark, root, "d1", "d2", 4, targetRowsPerFile = 2L)
+    val z1 = ClusteredTable.read(spark, root).select("zfile").as[Int].collect()
+    assert(z1.length == 6 && z1.forall(z => z >= 0 && z < 4))
+    // grow to 32 rows: want 16 -> 16 files -> zSpan 16; (15,11) has a
+    // high Morton key, so buckets beyond the old 0..3 range must appear
+    ClusteredTable.append(
+      mk((7L to 32L).map(i => (i, (i % 16).toInt, ((i * 7) % 12).toInt))), root, "01")
+    ClusteredTable.optimizeAuto(spark, root, "d1", "d2", 4, targetRowsPerFile = 2L)
+    val z2 = ClusteredTable.read(spark, root).select("zfile").as[Int].collect()
+    assert(z2.length == 32 && z2.forall(z => z >= 0 && z < 16))
+    assert(z2.max > 3, "a grown table must spread past the day-one bucket range")
+    assert(ids(root) == (1L to 32L))
+  }
+
   test("retention-window vacuum: time travel AND changefeed keep working inside " +
       "the kept window; outside it both fail loudly") {
     val root = Files.createTempDirectory("ct_retain").toString
