@@ -98,7 +98,8 @@ object ClusteredTable {
   private def baseRoot(root: String) = new java.io.File(root, "base")
   private def deltaRoot(root: String) = new java.io.File(root, "delta")
 
-  private def rmTree(f: java.io.File): Unit = {
+  /** Recursive delete; package-visible so queries/specs share one copy. */
+  private[graft] def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete()
   }
@@ -233,18 +234,46 @@ object ClusteredTable {
         rmTree(nextDir)
       val staging = new java.io.File(baseRoot(root),
         s".staging-v=$next-${java.util.UUID.randomUUID().toString.take(8)}")
-      ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.getPath)
-      // the manifest names every delta AND delete file this version
-      // absorbed; it lands INSIDE staging, so the claim rename is the
-      // single visibility point for parquet + manifest together
-      val names = (folded ++ pending.map(_.getName) ++ pendingDv.map(_.getName)).toSeq.sorted
-      val tmp = new java.io.File(staging, "._manifest.tmp")
-      val w = new java.io.OutputStreamWriter(
-        new java.io.FileOutputStream(tmp), "UTF-8")
-      try w.write(names.mkString("\n")) finally w.close()
-      if (!tmp.renameTo(new java.io.File(staging, "_MANIFEST")))
-        throw new java.io.IOException(s"manifest rename failed in $staging")
-      if (staging.renameTo(nextDir)) return next
+      // the whole staging phase retries on failure: a vacuum racing this
+      // fold may gut the staging dir at ANY point before the claim (its
+      // reclaim is not atomic), which can surface as a write error here
+      // rather than only as a failed claim — either way the answer is
+      // the same cleanup + re-fold (a genuinely persistent IO error
+      // still escapes after maxAttempts)
+      val claimed = try {
+        ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.getPath)
+        // the manifest names every delta AND delete file this version
+        // absorbed; it lands INSIDE staging, so the claim rename is the
+        // single visibility point for parquet + manifest together
+        val names = (folded ++ pending.map(_.getName) ++ pendingDv.map(_.getName)).toSeq.sorted
+        val tmp = new java.io.File(staging, "._manifest.tmp")
+        val w = new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(tmp), "UTF-8")
+        try w.write(names.mkString("\n")) finally w.close()
+        if (!tmp.renameTo(new java.io.File(staging, "_MANIFEST")))
+          throw new java.io.IOException(s"manifest rename failed in $staging")
+        // integrity fence against a vacuum that gutted staging CHILDREN
+        // without removing the dir (rmTree deletes children first): list
+        // the exact content we expect, claim, then re-verify THROUGH the
+        // claimed path — after the rename no reclaim can touch it (the
+        // old staging path is dead), so the check is race-free
+        val expect = Option(staging.list()).map(_.toSet).getOrElse(Set.empty)
+        if (!expect.contains("_SUCCESS") || !expect.contains("_MANIFEST"))
+          throw new java.io.IOException(s"staging gutted before claim: $staging")
+        if (staging.renameTo(nextDir)) {
+          val got = Option(nextDir.list()).map(_.toSet).getOrElse(Set.empty)
+          if (got != expect) { // a reclaim raced between list and rename
+            rmTree(nextDir)
+            throw new java.io.IOException(s"claimed version failed integrity check: $nextDir")
+          }
+          true
+        } else false
+      } catch {
+        case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
+          rmTree(staging)
+          false
+      }
+      if (claimed) return next
       // claim lost: a concurrent fold committed v=<next> first (or a
       // racing vacuum reclaimed our staging) — discard and re-fold
       // against the table state the winner left behind
@@ -275,12 +304,17 @@ object ClusteredTable {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
     val vs = versions(root)
     val folded = vs.lastOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
-    val parts = vs.lastOption.map(_._2).toSeq ++
-      deltaDirs(root).filter(d => !folded.contains(d.getName))
-    // footer-stats row count — no data pages read (the q_agg_pushdown
-    // observation, used operationally); deletes only shrink the count,
-    // so ignoring pending DVs errs toward at most one size step up
-    val rows = parts.map(p => s.read.parquet(p.getPath).count()).sum
+    val pendingD = deltaDirs(root).filter(d => !folded.contains(d.getName))
+    // footer-stats row counts — no data pages read (the q_agg_pushdown
+    // observation, used operationally), at most TWO jobs: one over the
+    // (zfile-partitioned) base, one multi-path over all flat deltas
+    // (mixing the two in one read trips partition-structure inference);
+    // deletes only shrink the count, so ignoring pending DVs errs
+    // toward at most one size step up
+    val rows =
+      vs.lastOption.map(v => s.read.parquet(v._2.getPath).count()).getOrElse(0L) +
+        (if (pendingD.isEmpty) 0L
+         else s.read.parquet(pendingD.map(_.getPath): _*).count())
     val maxFiles = 1 << (2 * bits)
     val want = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
     val numFiles = math.min(maxFiles.toLong,
@@ -302,11 +336,18 @@ object ClusteredTable {
     * Contract: `source` must be key-unique on `keyCols` (the standard
     * MERGE precondition — multiple source images for one key would ALL
     * survive). Replay-idempotent: both artifacts overwrite by name.
-    * Crash between the two writes leaves the new images visible
-    * alongside the old (the delete is what retires them) until the
-    * at-least-once replay lands the pair — the table can transiently
-    * duplicate a matched key, never lose one. Not snapshot-isolated:
-    * a concurrent reader between the two writes sees that same state.
+    * WRITE ORDER MATTERS and is TOMBSTONE-FIRST (same as applyChanges):
+    * if the delta landed first, a fold interposing before the tombstone
+    * would absorb the new images into the base — ERASING their sequence
+    * rank — and the late tombstone would then retire BOTH images of
+    * every matched key, a permanent loss. Tombstone-first is fold-safe
+    * at every crash/interleave point: a fold that absorbs the tombstone
+    * alone just retires the old images early, and the replayed (or
+    * late-landing) delta still arrives as a pending artifact carrying
+    * the new ones. The price is the transient between the two writes —
+    * matched keys are HIDDEN (not duplicated) until the delta lands;
+    * at-least-once replay completes the pair after any crash. Not
+    * snapshot-isolated: a concurrent reader can observe that window.
     *
     * Scale: an upsert costs two plain writes sized by the SOURCE — at
     * 100 TB this is the whole point of merge-on-read MERGE (a
@@ -315,8 +356,8 @@ object ClusteredTable {
     * bounded by the fold cadence.
     */
   def upsert(source: DataFrame, root: String, name: String, keyCols: Seq[String]): Unit = {
-    append(source, root, name)
     delete(source.select(keyCols.map(col): _*), root, name)
+    append(source, root, name)
   }
 
   /** Newest complete base version id, if any — the changefeed cursor a
@@ -344,19 +385,29 @@ object ClusteredTable {
     * replica exactly as it did at the source. Apply windows in version
     * order under monotonically increasing names and a replica seeded at
     * the source's `from` snapshot converges to every `to` snapshot
-    * (spec-pinned across multiple windows). Replay-idempotent like
-    * every artifact write here; at-least-once safe — a crash between
-    * the two writes hides the window's deletes early, and the replay
-    * completes the pair.
+    * (spec-pinned across multiple windows). Replay-safe by FILLING
+    * GAPS, not overwriting: an artifact that already exists complete
+    * (`_SUCCESS`) is SKIPPED — a window's content is deterministic (the
+    * source's retained artifacts), so rewriting identical bytes buys
+    * nothing and would transiently un-publish the artifact, a window in
+    * which a replica fold racing an overlapping replay tick could
+    * absorb the window's delta without its tombstone. With the guard,
+    * each artifact is published durably at most once and a replay (or
+    * an accidentally overlapping tick) only writes what a crash left
+    * missing. A crash between the two writes hides the window's deletes
+    * early; the replay completes the pair.
     *
     * Scale: this is log-shipping — the replica's write bill is the
     * window's churn, never the table; it composes with the replica's
     * own `optimize`/`vacuum` cadence like any other ingest.
     */
   def applyChanges(cdc: DataFrame, root: String, name: String, keyCols: Seq[String]): Unit = {
-    delete(cdc.filter(col("_change") === "delete").select(keyCols.map(col): _*),
-      root, name + "0")
-    append(cdc.filter(col("_change") === "insert").drop("_change"), root, name + "1")
+    def durable(dir: java.io.File): Boolean = new java.io.File(dir, "_SUCCESS").exists()
+    if (!durable(new java.io.File(dvRoot(root), s"x=${name}0")))
+      delete(cdc.filter(col("_change") === "delete").select(keyCols.map(col): _*),
+        root, name + "0")
+    if (!durable(new java.io.File(deltaRoot(root), s"d=${name}1")))
+      append(cdc.filter(col("_change") === "insert").drop("_change"), root, name + "1")
   }
 
   /** Snapshot read: newest complete base ∪ deltas its manifest does not

@@ -42,9 +42,23 @@ case class TopKIn(score: Double, id: Long)
 class TopKByScore(k: Int) extends Aggregator[TopKIn, Seq[TopKIn], Seq[TopKIn]] {
   require(k > 0, s"k must be positive, got $k")
 
-  /** Total rank order: does `a` rank strictly before `b`? */
-  private def outranks(a: TopKIn, b: TopKIn): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Total rank order: does `a` rank strictly before `b`? Scores
+    * compare via Double.compare so the order stays TOTAL on the full
+    * double domain — `>` alone is not (NaN compares false both ways,
+    * which would make the result insertion-order-dependent and break
+    * merge commutativity). NaN ranks above every number, matching
+    * Spark SQL's ORDER BY ... DESC (NaN largest); -0.0 is normalized
+    * to 0.0 at reduce time below, matching Spark's sort-key
+    * normalization, so ±0.0 ties break by id exactly like the window
+    * form.
+    */
+  private def outranks(a: TopKIn, b: TopKIn): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
+
+  private def norm(r: TopKIn): TopKIn =
+    if (r.score == 0.0) TopKIn(0.0, r.id) else r // fold -0.0 into +0.0
 
   override def zero: Seq[TopKIn] = Vector.empty
 
@@ -56,7 +70,7 @@ class TopKByScore(k: Int) extends Aggregator[TopKIn, Seq[TopKIn], Seq[TopKIn]] {
       if (nb.size > k) nb.take(k) else nb
     }
 
-  override def reduce(b: Seq[TopKIn], r: TopKIn): Seq[TopKIn] = insert(b, r)
+  override def reduce(b: Seq[TopKIn], r: TopKIn): Seq[TopKIn] = insert(b, norm(r))
 
   override def merge(a: Seq[TopKIn], b: Seq[TopKIn]): Seq[TopKIn] =
     b.foldLeft(a)(insert) // both sides already ≤ k

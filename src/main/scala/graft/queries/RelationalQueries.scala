@@ -458,11 +458,7 @@ object RelationalQueries {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_clustered_" + new java.io.File(dir).getName).getAbsolutePath
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
     val src = Tables.orders(s, dir).select(
       col("o_orderkey"),
       col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -517,11 +513,7 @@ object RelationalQueries {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_mor_" + new java.io.File(dir).getName).getAbsolutePath
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
     val src = Tables.orders(s, dir).select(
       col("o_orderkey"),
       col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -567,11 +559,7 @@ object RelationalQueries {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_cf_" + new java.io.File(dir).getName).getAbsolutePath
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    rmTree(new java.io.File(root))
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root))
     val src = Tables.orders(s, dir).select(
       col("o_orderkey"),
       col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -667,11 +655,7 @@ object RelationalQueries {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_bloom_" + new java.io.File(dir).getName).getAbsolutePath
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
     val src = Tables.orders(s, dir).select(
       col("o_orderkey"),
       col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -722,11 +706,7 @@ object RelationalQueries {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_upsert_" + new java.io.File(dir).getName).getAbsolutePath
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run (idempotent)
     val src = Tables.orders(s, dir).select(
       col("o_orderkey"),
       col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -776,11 +756,7 @@ object RelationalQueries {
     val sfx = new java.io.File(dir).getName
     val pRoot = new java.io.File(tmp, "graft_cdcp_" + sfx).getAbsolutePath
     val rRoot = new java.io.File(tmp, "graft_cdcr_" + sfx).getAbsolutePath
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    Seq(pRoot, rRoot).foreach(r => rmTree(new java.io.File(r)))
+    Seq(pRoot, rRoot).foreach(r => graft.functions.ClusteredTable.rmTree(new java.io.File(r)))
     val src = Tables.orders(s, dir).select(
       col("o_orderkey"),
       col("o_totalprice").cast("decimal(18,2)").as("price"),

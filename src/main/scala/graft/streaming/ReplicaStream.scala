@@ -79,7 +79,13 @@ object ReplicaStream {
     * window past the watermark, version by version (per-window names
     * keep a partially-applied catch-up replayable). Returns the new
     * watermark. Safe to call from any scheduler at any cadence,
-    * concurrently with replica reads and replica optimize/vacuum.
+    * concurrently with replica reads and replica optimize/vacuum —
+    * applyChanges publishes each artifact durably at most once (fill-
+    * gaps, never overwrite), so a replayed or stale-watermark tick
+    * cannot un-publish what a fold is reading. Run ONE maintainer:
+    * ticks are serialized-by-convention; two ticks racing to write the
+    * SAME still-missing artifact concurrently (same path, two writers)
+    * is the one schedule the guard cannot order.
     */
   def catchUp(s: SparkSession, primaryRoot: String, replicaRoot: String,
       keyCols: Seq[String]): Long = {

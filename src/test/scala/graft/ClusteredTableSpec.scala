@@ -507,6 +507,26 @@ class ClusteredTableSpec extends SparkTestBase {
       "post-merge append must not be retired by the earlier upsert's tombstones")
   }
 
+  test("upsert survives a maintenance fold interposed between its two writes: " +
+      "tombstone-first means the replayed pair converges, never loses the key") {
+    val root = Files.createTempDirectory("ct_upsert_fold").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 10), (2L, 2, 10))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    // crash half-way through upsert "01": the tombstone landed, the
+    // delta did not — and an out-of-band fold runs before the replay
+    ClusteredTable.delete(Seq(Tuple1(2L)).toDF("id"), root, "01")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // absorbs the tombstone
+    // the at-least-once replay completes the pair
+    ClusteredTable.upsert(mk(Seq((2L, 2, 20))), root, "01", Seq("id"))
+    def payloads() = ClusteredTable.read(spark, root)
+      .select("id", "d2").as[(Long, Int)].collect().toSeq.sorted
+    assert(payloads() == Seq((1L, 10), (2L, 20)),
+      "the matched key must carry exactly its new image after fold + replay")
+    // and the merge survives the next fold too
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    assert(payloads() == Seq((1L, 10), (2L, 20)))
+  }
+
   test("optimize claims versions optimistically: racing maintainers commit " +
       "exactly one v=next each round, the loser rebases, no row lost or doubled") {
     val root = Files.createTempDirectory("ct_occ").toString

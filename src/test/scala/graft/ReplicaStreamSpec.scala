@@ -59,11 +59,7 @@ class ReplicaStreamSpec extends SparkTestBase {
     ReplicaStream.catchUp(spark, p, r, Seq("id"))
     assert(converged(r, p))
     // simulate the crash point: window 1's delta vanishes, tombstone stays
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete()
-    }
-    rmTree(new java.io.File(r, "delta/d=w00000000011"))
+    ClusteredTable.rmTree(new java.io.File(r, "delta/d=w00000000011"))
     assert(ReplicaStream.lastApplied(r).contains(0L),
       "watermark must fall back to the seed once the window delta is gone")
     assert(ReplicaStream.catchUp(spark, p, r, Seq("id")) == 1L)
