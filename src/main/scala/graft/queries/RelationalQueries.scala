@@ -679,6 +679,47 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** CLUSTERED TABLE THROUGH THE DATA-SOURCE API — the same LSM box
+    * read as q_cluster_ingest, but the pruning moves INSIDE the source:
+    * `spark.read.format("graft-clustered")` + a plain `.where(box)`;
+    * Catalyst pushes the conjuncts into the relation
+    * (graft.sources.clustered.ClusteredRelation), which makes the
+    * envelope decision itself — no hand-written zfile plumbing in the
+    * query, which is the point: a user writes WHERE, the source skips.
+    * Oracle: the identical per-layer derivation DuckDB computes from
+    * the raw table, so a source that prunes a row away (or leaks a
+    * folded delta twice through the union) goes red. PLANS.md shows
+    * the box conjuncts under the v1 scan's PushedFilters.
+    *
+    * Scale: identical to q_cluster_ingest's read bill — the source
+    * adds one ≤numFiles-row envelope aggregate on the metadata plane
+    * and keeps partition pruning + footers + column pruning on the
+    * inner parquet scan.
+    */
+  def qSourcePruned(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_srcp_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 0), root, "b0")
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 1), root, "b1")
+    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
+    s.read.format("graft-clustered")
+      .option("root", root).option("d1", "d1").option("d2", "d2").load()
+      .where(col("d1").between(3, 5) && col("d2").between(2, 4))
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .orderBy("layer")
+  }
+
   /** MERGE (UPSERT) — the clustered table's WHEN MATCHED UPDATE / WHEN
     * NOT MATCHED INSERT (graft.functions.ClusteredTable.upsert),
     * oracle-gated end to end: the target folds the k%3∈{0,1} orders
@@ -1634,6 +1675,7 @@ object RelationalQueries {
     "q_zorder" -> qZorder,
     "q_zorder_write" -> qZorderWrite,
     "q_cluster_ingest" -> qClusterIngest,
+    "q_source_pruned" -> qSourcePruned,
     "q_dpp" -> qDpp,
     "q_merge_on_read" -> qMergeOnRead,
     "q_merge_upsert" -> qMergeUpsert,
@@ -2063,6 +2105,22 @@ object RelationalQueries {
         |       CAST(sum(CASE WHEN d1 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
         |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
         |FROM vis GROUP BY layer ORDER BY layer""".stripMargin,
+    // the source-API read re-derived from the raw table: same per-layer
+    // rows/revenue as q_cluster_ingest (fold membership is o_orderkey%3),
+    // minus the file-count observables the source keeps internal
+    "q_source_pruned" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2
+        |  FROM orders)
+        |SELECT CASE WHEN k % 3 = 2 THEN 'delta' ELSE 'base' END AS layer,
+        |       CAST(count(*) AS BIGINT) AS n_match,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+        |FROM src
+        |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4
+        |GROUP BY 1
+        |ORDER BY layer""".stripMargin,
     // the merged visibility re-derived from the raw table: base = the
     // two folded thirds minus the merge-matched keys; delta = the
     // source's own images (updated prices for k%6=0, fresh k%3=2 rows)
