@@ -187,10 +187,11 @@ object ClusteredTable {
     * during a fold are always safe: the manifest names exactly what was
     * folded, so an artifact that landed mid-fold simply stays pending.
     * A crash at any point leaves either a hidden staging orphan (never
-    * visible; reclaimed by `vacuum`) or a completed version — torn
-    * VISIBLE versions cannot occur. A vacuum racing a live fold can at
-    * worst delete its staging mid-write, which surfaces as a failed
-    * claim and a clean retry — self-healing, never wrong.
+    * visible) or a completed version — torn VISIBLE versions cannot
+    * occur. Vacuum reclaims only stagings whose target version is
+    * already claimed (a settled race), so no reclaim can ever touch a
+    * staging a live fold might still rename — a crashed fold's orphan
+    * lingers one fold cycle and is then provably dead.
     *
     * NOTE: claim atomicity is the POSIX rename guarantee — on an object
     * store without atomic rename this step needs a conditional-put
@@ -234,13 +235,12 @@ object ClusteredTable {
         rmTree(nextDir)
       val staging = new java.io.File(baseRoot(root),
         s".staging-v=$next-${java.util.UUID.randomUUID().toString.take(8)}")
-      // the whole staging phase retries on failure: a vacuum racing this
-      // fold may gut the staging dir at ANY point before the claim (its
-      // reclaim is not atomic), which can surface as a write error here
-      // rather than only as a failed claim — either way the answer is
-      // the same cleanup + re-fold (a genuinely persistent IO error
-      // still escapes after maxAttempts)
-      val claimed = try {
+      // no reclaim can touch this staging while it is live: vacuum only
+      // removes stagings whose target version is already claimed (name
+      // version <= newest complete version — a settled race), so a
+      // failure below is a GENUINE error and propagates with its own
+      // message after cleanup; only a lost claim re-folds
+      try {
         ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.getPath)
         // the manifest names every delta AND delete file this version
         // absorbed; it lands INSIDE staging, so the claim rename is the
@@ -252,31 +252,14 @@ object ClusteredTable {
         try w.write(names.mkString("\n")) finally w.close()
         if (!tmp.renameTo(new java.io.File(staging, "_MANIFEST")))
           throw new java.io.IOException(s"manifest rename failed in $staging")
-        // integrity fence against a vacuum that gutted staging CHILDREN
-        // without removing the dir (rmTree deletes children first): list
-        // the exact content we expect, claim, then re-verify THROUGH the
-        // claimed path — after the rename no reclaim can touch it (the
-        // old staging path is dead), so the check is race-free
-        val expect = Option(staging.list()).map(_.toSet).getOrElse(Set.empty)
-        if (!expect.contains("_SUCCESS") || !expect.contains("_MANIFEST"))
-          throw new java.io.IOException(s"staging gutted before claim: $staging")
-        if (staging.renameTo(nextDir)) {
-          val got = Option(nextDir.list()).map(_.toSet).getOrElse(Set.empty)
-          if (got != expect) { // a reclaim raced between list and rename
-            rmTree(nextDir)
-            throw new java.io.IOException(s"claimed version failed integrity check: $nextDir")
-          }
-          true
-        } else false
       } catch {
-        case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
-          rmTree(staging)
-          false
+        case scala.util.control.NonFatal(e) =>
+          rmTree(staging) // don't leak a half-written staging
+          throw e
       }
-      if (claimed) return next
-      // claim lost: a concurrent fold committed v=<next> first (or a
-      // racing vacuum reclaimed our staging) — discard and re-fold
-      // against the table state the winner left behind
+      if (staging.renameTo(nextDir)) return next
+      // claim lost: a concurrent fold committed v=<next> first — discard
+      // and re-fold against the table state the winner left behind
       rmTree(staging)
     }
     throw new java.io.IOException(
@@ -335,7 +318,15 @@ object ClusteredTable {
     *
     * Contract: `source` must be key-unique on `keyCols` (the standard
     * MERGE precondition — multiple source images for one key would ALL
-    * survive). Replay-idempotent: both artifacts overwrite by name.
+    * survive). Replay fills gaps, never overwrites: an artifact that is
+    * already durable (`_SUCCESS`) is skipped, because an overwrite
+    * transiently un-publishes it and a fold running in that window
+    * would absorb the delta without its tombstone — after which the
+    * re-published tombstone retires BOTH images of every matched key
+    * (the folded base has no per-row sequence rank). Same guard, same
+    * reason as applyChanges. A replayed upsert must carry the same
+    * content for the same name — the idempotence contract every
+    * artifact write here already assumes.
     * WRITE ORDER MATTERS and is TOMBSTONE-FIRST (same as applyChanges):
     * if the delta landed first, a fold interposing before the tombstone
     * would absorb the new images into the base — ERASING their sequence
@@ -356,9 +347,14 @@ object ClusteredTable {
     * bounded by the fold cadence.
     */
   def upsert(source: DataFrame, root: String, name: String, keyCols: Seq[String]): Unit = {
-    delete(source.select(keyCols.map(col): _*), root, name)
-    append(source, root, name)
+    if (!durable(new java.io.File(dvRoot(root), s"x=$name")))
+      delete(source.select(keyCols.map(col): _*), root, name)
+    if (!durable(new java.io.File(deltaRoot(root), s"d=$name")))
+      append(source, root, name)
   }
+
+  private def durable(dir: java.io.File): Boolean =
+    new java.io.File(dir, "_SUCCESS").exists()
 
   /** Newest complete base version id, if any — the changefeed cursor a
     * downstream consumer (graft.streaming.ReplicaStream) polls.
@@ -402,7 +398,6 @@ object ClusteredTable {
     * own `optimize`/`vacuum` cadence like any other ingest.
     */
   def applyChanges(cdc: DataFrame, root: String, name: String, keyCols: Seq[String]): Unit = {
-    def durable(dir: java.io.File): Boolean = new java.io.File(dir, "_SUCCESS").exists()
     if (!durable(new java.io.File(dvRoot(root), s"x=${name}0")))
       delete(cdc.filter(col("_change") === "delete").select(keyCols.map(col): _*),
         root, name + "0")
@@ -609,11 +604,21 @@ object ClusteredTable {
     val staleDeltas = deltaDirs(root).filter(d => folded.contains(d.getName))
     val staleDvs = dvDirs(root).filter(x => folded.contains(x.getName))
     val staleBases = vs.dropRight(keepVersions).map(_._2)
-    // optimize's hidden staging orphans (crashed or claim-lost folds);
-    // reclaiming a LIVE fold's staging is safe — its claim rename fails
-    // and it retries (see optimize's OCC contract)
+    // optimize's hidden staging orphans — reclaimed ONLY when provably
+    // dead: a staging targets the version its name carries, so once the
+    // newest COMPLETE version has reached that number the race it was
+    // in is settled and no live fold can still rename it (a live fold
+    // targets latest+1 by construction). Touching a possibly-live
+    // staging is never worth it: gutting one mid-write could commit a
+    // torn version. A crashed fold's staging for latest+1 therefore
+    // lingers until the next successful fold bumps latest past it —
+    // bounded by one orphan per crash, reclaimed on the next fold+vacuum.
+    val latest = vs.lastOption.map(_._1).getOrElse(-1L)
     val staleStaging = Option(baseRoot(root).listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith(".staging-v="))
+      .filter(f => scala.util.Try(
+        f.getName.stripPrefix(".staging-v=").takeWhile(_ != '-').toLong).toOption
+        .exists(_ <= latest))
     (staleDeltas ++ staleDvs ++ staleBases ++ staleStaging).foreach(rmTree)
     staleDeltas.size + staleDvs.size + staleBases.size + staleStaging.size
   }

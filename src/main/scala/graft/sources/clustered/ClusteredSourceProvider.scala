@@ -64,21 +64,30 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
   override val schema: StructType = full.schema
 
   /** Per-bucket (min d1, max d1, min d2, max d2) — ≤numFiles rows,
-    * computed once per relation instance (a new `load()` sees new
-    * folds; within one plan the envelope set is stable).
+    * computed FROM THE SAME DataFrame instance the scan will return
+    * rows from. Version consistency is the point: a cached catalog (or
+    * a second `read()` listing) could describe a different fold than
+    * the one scanned — bucket ids from v=K applied to v=K+1's files
+    * silently drop in-box rows. Deriving both from one snapshot makes
+    * the decision and the data share one file listing; that the
+    * envelope aggregate then pays the snapshot's merge-on-read
+    * anti-joins is the accepted price (pending DVs only SHRINK
+    * envelopes, so pre-delete stats would be a sound over-approximation
+    * — but they would come from a second, possibly different listing).
     */
-  private lazy val envelopes: Seq[(Int, Int, Int, Int, Int)] = (d1Col, d2Col) match {
-    case (Some(c1), Some(c2)) =>
-      full.filter(col("zfile") >= 0).groupBy("zfile")
-        .agg(org.apache.spark.sql.functions.min(c1).cast("int").as("mn1"),
-          org.apache.spark.sql.functions.max(c1).cast("int").as("mx1"),
-          org.apache.spark.sql.functions.min(c2).cast("int").as("mn2"),
-          org.apache.spark.sql.functions.max(c2).cast("int").as("mx2"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
-        .toSeq
-    case _ => Seq.empty
-  }
+  private def envelopesOf(snap: DataFrame): Seq[(Int, Int, Int, Int, Int)] =
+    (d1Col, d2Col) match {
+      case (Some(c1), Some(c2)) =>
+        snap.filter(col("zfile") >= 0).groupBy("zfile")
+          .agg(org.apache.spark.sql.functions.min(c1).cast("int").as("mn1"),
+            org.apache.spark.sql.functions.max(c1).cast("int").as("mx1"),
+            org.apache.spark.sql.functions.min(c2).cast("int").as("mn2"),
+            org.apache.spark.sql.functions.max(c2).cast("int").as("mx2"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+          .toSeq
+      case _ => Seq.empty
+    }
 
   private def asLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
@@ -106,7 +115,12 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
     * pruning decision possible (scan all buckets). Package-visible so
     * the spec can pin the decision itself, not just the row results.
     */
-  private[graft] def plannedBuckets(filters: Array[Filter]): Option[Seq[Int]] = {
+  private[graft] def plannedBuckets(filters: Array[Filter]): Option[Seq[Int]] =
+    plannedBucketsOf(full, filters)
+
+  private def plannedBucketsOf(snap: DataFrame,
+      filters: Array[Filter]): Option[Seq[Int]] = {
+    val envelopes = envelopesOf(snap)
     val box: Option[Seq[Int]] =
       if (envelopes.isEmpty) None
       else {
@@ -152,10 +166,14 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val pruned = plannedBuckets(filters) match {
+    // ONE snapshot for the pruning decision and the returned rows —
+    // the decision's bucket ids are only meaningful against the exact
+    // fold they were computed from (see envelopesOf)
+    val snap = full
+    val pruned = plannedBucketsOf(snap, filters) match {
       // the unclustered tail (zfile = -1) rides every bucket decision
-      case Some(keep) => full.where(col("zfile") === -1 || col("zfile").isin(keep: _*))
-      case None => full
+      case Some(keep) => snap.where(col("zfile") === -1 || col("zfile").isin(keep: _*))
+      case None => snap
     }
     val filtered = filters.flatMap(toColumn).foldLeft(pruned)(_ where _)
     // an empty projection (count(*)) must yield zero-field rows — the

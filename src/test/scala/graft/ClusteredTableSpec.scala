@@ -507,6 +507,25 @@ class ClusteredTableSpec extends SparkTestBase {
       "post-merge append must not be retired by the earlier upsert's tombstones")
   }
 
+  test("vacuum reclaims only provably-dead staging orphans: a crashed fold's " +
+      "staging for latest+1 survives until a later fold settles its race") {
+    val root = Files.createTempDirectory("ct_stage").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    // a fold targeting v=1 crashed mid-staging: its orphan might still
+    // be renamed by a live fold, so vacuum must NOT touch it
+    val orphan = new java.io.File(root, "base/.staging-v=1-deadbeef")
+    assert(orphan.mkdirs())
+    ClusteredTable.vacuum(root)
+    assert(orphan.exists(), "a possibly-live staging must survive vacuum")
+    // once v=1 is claimed by a real fold, the orphan's race is settled
+    ClusteredTable.append(mk(Seq((2L, 2, 2))), root, "01")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    ClusteredTable.vacuum(root)
+    assert(!orphan.exists(), "a settled-race staging is garbage and must go")
+    assert(ids(root) == Seq(1L, 2L))
+  }
+
   test("upsert survives a maintenance fold interposed between its two writes: " +
       "tombstone-first means the replayed pair converges, never loses the key") {
     val root = Files.createTempDirectory("ct_upsert_fold").toString
