@@ -65,6 +65,38 @@ class ClusteredSourceSpec extends SparkTestBase {
       s"box predicate must reach the relation:\n$plan")
   }
 
+  test("schema evolution rides through the source: a widened tail reads with " +
+      "NULL backfill and box pruning stays exact") {
+    val root = Files.createTempDirectory("csrc_evo").toString
+    ClusteredTable.append(mk(Seq((1L, 3, 4), (2L, 15, 11))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    ClusteredTable.append(
+      Seq((3L, 4, 3, "fresh")).toDF("id", "d1", "d2", "note"), root, "01")
+    val df = src(root)
+    assert(df.columns.contains("note"), "the widened column must surface")
+    val got = df.where(col("d1").between(3, 5) && col("d2").between(2, 5))
+      .select(col("id"), col("note"))
+      .as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, None), (3L, Some("fresh"))),
+      s"pre-evolution rows NULL-backfill, the widened tail row survives the prune: $got")
+  }
+
+  test("the pure-SQL surface: CREATE TEMPORARY VIEW ... USING graft-clustered " +
+      "serves SQL with the same pruned, merge-on-read semantics") {
+    val root = build()
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW clustered_sql
+      USING `graft-clustered`
+      OPTIONS (root '$root', d1 'd1', d2 'd2')""")
+    val got = spark.sql(
+      """SELECT id FROM clustered_sql
+        |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 5
+        |ORDER BY id""".stripMargin).as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L, 7L),
+      s"SQL over the source must equal the DataFrame path (MoR + tail + prune): $got")
+    val n = spark.sql("SELECT count(*) AS n FROM clustered_sql").as[Long].head()
+    assert(n == 7L, "empty-projection count(*) must work through buildScan")
+  }
+
   test("a Bloom-indexed point lookup intersects the bucket decision; absent " +
       "index degrades to unpruned, results always exact") {
     val root = build()
