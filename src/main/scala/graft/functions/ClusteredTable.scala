@@ -199,7 +199,19 @@ object ClusteredTable {
     * filesystem-ledger lakehouse carries.
     */
   def optimize(s: SparkSession, root: String, d1Col: String, d2Col: String,
-      bits: Int, numFiles: Int, maxAttempts: Int = 5): Long = {
+      bits: Int, numFiles: Int, maxAttempts: Int = 5,
+      reindex: Seq[String] = Nil): Long = {
+    // `reindex` closes the index lifecycle operationally: a fresh fold
+    // has no Bloom index until buildIndex runs, during which lookups
+    // degrade to unpruned (correct, slow). Rebuilding as part of the
+    // fold keeps point-lookup skipping continuous across maintenance.
+    // The rebuild runs AFTER a version is settled (claimed by us, or
+    // already current with nothing to fold) against the newest version;
+    // buildIndex overwrites idempotently, so racing rebuilds converge.
+    def reindexNow(v: Long): Long = {
+      reindex.foreach(c => buildIndex(s, root, c))
+      v
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -208,7 +220,13 @@ object ClusteredTable {
       val folded = current.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
       val pending = deltaDirs(root).filter(d => !folded.contains(d.getName))
       val pendingDv = dvDirs(root).filter(x => !folded.contains(x.getName))
-      if (pending.isEmpty && pendingDv.isEmpty && current.isDefined) return current.get._1
+      if (pending.isEmpty && pendingDv.isEmpty && current.isDefined) {
+        // no-op fold: rebuild only indexes the current version LACKS
+        // (a present index is already consistent with this version)
+        reindex.filter(c => indexCandidates(s, root, c, Seq(0L)).isEmpty)
+          .foreach(c => buildIndex(s, root, c))
+        return current.get._1
+      }
       // sequence-aware fold: every pending delete outranks the base; a
       // delta is trimmed only by deletes named after it
       val parts = current.map { case (_, dir) =>
@@ -257,7 +275,7 @@ object ClusteredTable {
           rmTree(staging) // don't leak a half-written staging
           throw e
       }
-      if (staging.renameTo(nextDir)) return next
+      if (staging.renameTo(nextDir)) return reindexNow(next)
       // claim lost: a concurrent fold committed v=<next> first — discard
       // and re-fold against the table state the winner left behind
       rmTree(staging)
@@ -508,7 +526,9 @@ object ClusteredTable {
     * data reads), so the index VERSIONS WITH THE TABLE — vacuum of a
     * superseded base reclaims its index with it, and a fresh optimize
     * simply has no index until `buildIndex` runs again (lookup then
-    * degrades to the unpruned scan, never to a wrong answer).
+    * degrades to the unpruned scan, never to a wrong answer) — or pass
+    * `optimize(..., reindex = Seq(col))` to rebuild as part of the fold
+    * and keep point-lookup skipping continuous across maintenance.
     *
     * Scale: the index is numFiles rows × O(1.2·n/file · ln(1/fpp)/8)
     * bytes; lookup's driver cost is a ≤numFiles-row collect and a

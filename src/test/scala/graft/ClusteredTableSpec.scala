@@ -507,6 +507,29 @@ class ClusteredTableSpec extends SparkTestBase {
       "post-merge append must not be retired by the earlier upsert's tombstones")
   }
 
+  test("optimize(reindex=...): the Bloom index follows the table across folds, " +
+      "so point-lookup skipping never has a maintenance gap") {
+    val root = Files.createTempDirectory("ct_reindex").toString
+    ClusteredTable.append(
+      mk((1L to 24L).map(i => (i, (i % 16).toInt, ((i * 5) % 12).toInt))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16, reindex = Seq("id"))
+    assert(ClusteredTable.indexCandidates(spark, root, "id", Seq(7L)).isDefined,
+      "the fold must leave an index on the new version")
+    // a second fold absorbs new data; the index must follow to v=1 and
+    // cover the newly folded keys
+    ClusteredTable.append(mk(Seq((100L, 2, 2))), root, "01")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16, reindex = Seq("id"))
+    val cand = ClusteredTable.indexCandidates(spark, root, "id", Seq(100L))
+    assert(cand.isDefined, "the index must exist on the re-folded version")
+    val hit = ClusteredTable.lookup(spark, root, "id", Seq(100L))
+      .select("id").as[Long].collect().toSeq
+    assert(hit == Seq(100L))
+    // a no-op fold with reindex on an unindexed column backfills it
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16, reindex = Seq("d1"))
+    assert(ClusteredTable.indexCandidates(spark, root, "d1", Seq(2L)).isDefined,
+      "a no-op fold must still backfill a missing index")
+  }
+
   test("vacuum reclaims only provably-dead staging orphans: a crashed fold's " +
       "staging for latest+1 survives until a later fold settles its race") {
     val root = Files.createTempDirectory("ct_stage").toString
