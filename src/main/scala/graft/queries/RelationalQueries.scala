@@ -679,6 +679,55 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** RETENTION-WINDOW LIFECYCLE — vacuum(keepVersions) oracle-gated:
+    * three folds land (v=0: the k%3=0 third; v=1: + the k%3=1 third;
+    * v=2: + the rest), then `vacuum(keepVersions = 2)` reclaims v=0 and
+    * everything only v=0's manifest needed. The emitted relation pins
+    * all three retention guarantees at once: time travel to BOTH
+    * retained versions (exact per-version rows + DECIMAL revenue — a
+    * vacuum that over-reclaims v=1's artifacts goes red), the v1→v2
+    * changefeed still serving from retained window artifacts (`cf`
+    * row), and the horizon itself as a 1-bit observable (`horizon` =
+    * reading the reclaimed v=0 must FAIL — asserted TRUE by the
+    * oracle, so a vacuum that silently stops reclaiming goes red too).
+    *
+    * Scale: vacuum is directory arithmetic on the metadata plane; the
+    * reads are the ordinary versioned scans. The point of keepVersions
+    * at 100 TB is that the retention window — not table size — bounds
+    * both the time-travel horizon and the storage bill of history.
+    */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ret_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    val CT = graft.functions.ClusteredTable
+    CT.append(src.filter(col("o_orderkey") % 3 === 0), root, "00")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=0
+    CT.append(src.filter(col("o_orderkey") % 3 === 1), root, "01")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=1
+    CT.append(src.filter(col("o_orderkey") % 3 === 2), root, "02")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=2
+    CT.vacuum(root, keepVersions = 2)
+    val horizon = scala.util.Try(CT.read(s, root, Some(0L))).isFailure
+    def agg(t: DataFrame, ver: String): DataFrame =
+      t.agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+        .select(lit(ver).as("ver"), col("n_rows"), col("revenue"))
+    agg(CT.read(s, root, Some(1L)), "v1")
+      .unionByName(agg(CT.read(s, root, Some(2L)), "v2"))
+      .unionByName(agg(CT.changes(s, root, 1L, 2L)
+        .filter(col("_change") === "insert"), "cf"))
+      .withColumn("horizon", lit(horizon))
+      .orderBy("ver")
+  }
+
   /** CLUSTERED TABLE THROUGH THE DATA-SOURCE API — the same LSM box
     * read as q_cluster_ingest, but the pruning moves INSIDE the source:
     * `spark.read.format("graft-clustered")` + a plain `.where(box)`;
@@ -1676,6 +1725,7 @@ object RelationalQueries {
     "q_zorder_write" -> qZorderWrite,
     "q_cluster_ingest" -> qClusterIngest,
     "q_source_pruned" -> qSourcePruned,
+    "q_retention" -> qRetention,
     "q_dpp" -> qDpp,
     "q_merge_on_read" -> qMergeOnRead,
     "q_merge_upsert" -> qMergeUpsert,
@@ -2105,6 +2155,23 @@ object RelationalQueries {
         |       CAST(sum(CASE WHEN d1 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
         |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
         |FROM vis GROUP BY layer ORDER BY layer""".stripMargin,
+    // the retained lifecycle re-derived from the raw table: v1 = the two
+    // folded thirds, v2 = all, cf = the window's inserts (the last
+    // third); `horizon` pins that the reclaimed v=0 is actually gone
+    "q_retention" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |vis AS (
+        |  SELECT 'cf' AS ver, price FROM src WHERE k % 3 = 2
+        |  UNION ALL
+        |  SELECT 'v1', price FROM src WHERE k % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'v2', price FROM src)
+        |SELECT ver, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       TRUE AS horizon
+        |FROM vis GROUP BY ver ORDER BY ver""".stripMargin,
     // the source-API read re-derived from the raw table: same per-layer
     // rows/revenue as q_cluster_ingest (fold membership is o_orderkey%3),
     // minus the file-count observables the source keeps internal
