@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,6 +25,19 @@ import org.apache.spark.sql.functions._
   *     partitions + tight footers, and pay full price only on the
   *     (small, recent) unfolded tail — the classic LSM read bill.
   *
+  * STORAGE: the ledger runs on the Hadoop FileSystem API — every
+  * listing, manifest read/write, claim rename, and reclaim goes
+  * through `org.apache.hadoop.fs.{FileSystem, Path}` resolved from the
+  * root's scheme, so a table root can be `file:///…` (the spec
+  * fixtures), a bare local path, or `hdfs://…`, where directory rename
+  * is atomic and the OCC contract below holds unchanged. On an object
+  * store WITHOUT atomic rename (s3a) the claim step needs a
+  * conditional-put or a lock service instead — the standard caveat
+  * every filesystem-ledger lakehouse carries; everything else (plain
+  * parquet reads/writes, underscore-invisible metadata dirs) is
+  * object-store-clean as is. Filesystem credentials/config come from
+  * the active SparkSession's Hadoop configuration when one exists.
+  *
   * Crash safety without a transaction log, the MaterializedViewStream
   * discipline: a version is visible only when its `_MANIFEST` exists,
   * and since the fold writes parquet + manifest into a hidden staging
@@ -39,6 +54,20 @@ import org.apache.spark.sql.functions._
   * version and the same un-folded delta set, and rewrites the same
   * next version. Readers are never wrong, only (pre-vacuum) redundant
   * on disk, never in results.
+  *
+  * ENVELOPE CATALOG: each fold also lands `_envelopes/` inside the
+  * version directory — one row per z-bucket with the fold-time min/max
+  * of the two clustered dimensions (as long). It is written into the
+  * STAGING directory before the claim, so data + manifest + catalog
+  * publish through the same atomic rename and are consistent by
+  * construction (one version, one catalog — the `_index/` argument).
+  * Readers ([[envelopes]], the graft-clustered source) make the
+  * pruning decision from this ≤numFiles-row artifact instead of
+  * re-aggregating the base's clustered columns per scan — at 100 TB
+  * that recompute is an O(table) bill per query, paid here once per
+  * fold. Pending DVs only ever SHRINK true envelopes, so the fold-time
+  * catalog is a sound over-approximation for the merge-on-read
+  * snapshot; the unfolded delta tail is never pruned at all.
   *
   * MERGE (`upsert()`): WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT as
   * one paired artifact — the source lands as delta `d=<name>` and its
@@ -95,45 +124,90 @@ import org.apache.spark.sql.functions._
   */
 object ClusteredTable {
 
-  private def baseRoot(root: String) = new java.io.File(root, "base")
-  private def deltaRoot(root: String) = new java.io.File(root, "delta")
+  /** Ledger I/O configuration: the active session's Hadoop conf (so
+    * cluster filesystem settings and credentials apply) or a default
+    * one for session-less maintenance calls (vacuum, watermark reads).
+    * FileSystem instances are cached by (scheme, authority) underneath,
+    * so resolving per call is cheap.
+    */
+  private def fsOf(p: Path): FileSystem =
+    p.getFileSystem(SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration()))
 
-  /** Recursive delete; package-visible so queries/specs share one copy. */
+  private def baseRoot(root: String) = new Path(root, "base")
+  private def deltaRoot(root: String) = new Path(root, "delta")
+  private def dvRoot(root: String) = new Path(root, "dv")
+
+  private def ls(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    try fs.listStatus(dir).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  /** Recursive local delete — a FIXTURE helper for specs and the
+    * lifecycle queries that rebuild demo tables under java.io.tmpdir;
+    * the table's own reclaim path is [[vacuum]] through the Hadoop API.
+    */
   private[graft] def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete()
   }
 
+  /** Atomic claim: make `src` become `dst`, returning true iff THIS
+    * call won — i.e. `dst` now holds exactly `src`'s content. Encodes
+    * the two rename semantics in the wild behind one contract:
+    * POSIX/HDFS `rename` onto an existing directory either fails
+    * (local, non-empty dst) or moves src INSIDE dst (HDFS mv
+    * semantics); the pre-check catches the common lost race before
+    * renaming, and the nested-result check detects + undoes an
+    * mv-into so a lost race can never leave debris inside the
+    * winner's version. Atomicity of the winning rename itself is the
+    * filesystem's guarantee (holds on local FS and HDFS; see the
+    * object-store caveat in the object scaladoc).
+    */
+  private def claimRename(fs: FileSystem, src: Path, dst: Path): Boolean = {
+    if (fs.exists(dst)) return false
+    val ok = try fs.rename(src, dst)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.FileNotFoundException => false
+    }
+    if (!ok) return false
+    val nested = new Path(dst, src.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); false } else true
+  }
+
   /** Complete base versions (have both parquet _SUCCESS and _MANIFEST),
     * ascending.
     */
-  private def versions(root: String): Seq[(Long, java.io.File)] =
-    Option(baseRoot(root).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .filter(f => new java.io.File(f, "_SUCCESS").exists() &&
-        new java.io.File(f, "_MANIFEST").exists())
-      .map(f => (f.getName.stripPrefix("v=").toLong, f))
+  private def versions(root: String): Seq[(Long, Path)] = {
+    val base = baseRoot(root)
+    val fs = fsOf(base)
+    ls(fs, base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")) &&
+        fs.exists(new Path(st.getPath, "_MANIFEST")))
+      .map(st => (st.getPath.getName.stripPrefix("v=").toLong, st.getPath))
       .sortBy(_._1)
-
-  private def manifest(versionDir: java.io.File): Set[String] = {
-    val f = new java.io.File(versionDir, "_MANIFEST")
-    val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).toSet finally src.close()
   }
 
-  private def deltaDirs(root: String): Seq[java.io.File] =
-    Option(deltaRoot(root).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("d=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(_.getName)
+  private def manifest(versionDir: Path): Set[String] = {
+    val fs = fsOf(versionDir)
+    val in = fs.open(new Path(versionDir, "_MANIFEST"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+    finally in.close()
+  }
 
-  private def dvRoot(root: String) = new java.io.File(root, "dv")
-
-  private def dvDirs(root: String): Seq[java.io.File] =
-    Option(dvRoot(root).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("x=") &&
-        new java.io.File(f, "_SUCCESS").exists())
+  private def completeDirs(rootDir: Path, prefix: String): Seq[Path] = {
+    val fs = fsOf(rootDir)
+    ls(fs, rootDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath)
       .sortBy(_.getName)
+  }
+
+  private def deltaDirs(root: String): Seq[Path] = completeDirs(deltaRoot(root), "d=")
+
+  private def dvDirs(root: String): Seq[Path] = completeDirs(dvRoot(root), "x=")
 
   /** The sequence rank of an artifact: its name with the `d=` / `x=`
     * namespace prefix stripped, compared lexicographically. The caller
@@ -144,9 +218,9 @@ object ClusteredTable {
   /** Anti-join `df` against each delete file's (small, broadcast) key
     * set. The key columns are the DV parquet's own schema.
     */
-  private def applyDvs(s: SparkSession, df: DataFrame, dvs: Seq[java.io.File]): DataFrame =
+  private def applyDvs(s: SparkSession, df: DataFrame, dvs: Seq[Path]): DataFrame =
     dvs.foldLeft(df) { (acc, dv) =>
-      val keys = s.read.parquet(dv.getPath)
+      val keys = s.read.parquet(dv.toString)
       acc.join(broadcast(keys), keys.columns.toSeq, "left_anti")
     }
 
@@ -157,7 +231,7 @@ object ClusteredTable {
     */
   def append(df: DataFrame, root: String, name: String): Unit =
     df.write.mode("overwrite")
-      .parquet(new java.io.File(deltaRoot(root), s"d=$name").getPath)
+      .parquet(new Path(deltaRoot(root), s"d=$name").toString)
 
   /** Land an equality-delete file `x=<name>`: `keys` is the key set to
     * remove (one or more columns; the same key columns for every delete
@@ -168,7 +242,7 @@ object ClusteredTable {
     */
   def delete(keys: DataFrame, root: String, name: String): Unit =
     keys.dropDuplicates().write.mode("overwrite")
-      .parquet(new java.io.File(dvRoot(root), s"x=$name").getPath)
+      .parquet(new Path(dvRoot(root), s"x=$name").toString)
 
   /** Fold newest base + all un-folded deltas into the next z-ordered
     * base version. Returns the new version id (or the current one if
@@ -176,27 +250,42 @@ object ClusteredTable {
     *
     * OPTIMISTIC CONCURRENCY (the Delta/Iceberg commit-protocol shape on
     * a filesystem): the fold writes into a HIDDEN staging directory —
-    * parquet first, then the manifest INSIDE it — and the version
-    * becomes visible only through one atomic directory rename that
-    * CLAIMS `v=<next>`. rename(2) onto an existing directory fails, so
-    * when two maintainers race, exactly one claim wins; the loser
-    * discards its staging and RE-FOLDS against the winner's table state
-    * (the winner may have absorbed a different artifact set, so a blind
-    * re-claim at v+1 would be wrong — the retry re-reads manifests, the
-    * "rebase" step of optimistic commit). Concurrent `append`/`delete`
-    * during a fold are always safe: the manifest names exactly what was
-    * folded, so an artifact that landed mid-fold simply stays pending.
-    * A crash at any point leaves either a hidden staging orphan (never
-    * visible) or a completed version — torn VISIBLE versions cannot
-    * occur. Vacuum reclaims only stagings whose target version is
-    * already claimed (a settled race), so no reclaim can ever touch a
-    * staging a live fold might still rename — a crashed fold's orphan
-    * lingers one fold cycle and is then provably dead.
+    * parquet, then the envelope catalog, then the manifest, all INSIDE
+    * it — and the version becomes visible only through one atomic
+    * directory rename that CLAIMS `v=<next>`. Immediately before that
+    * claim the fold RE-READS the ledger and aborts into a retry if any
+    * version landed since it began (a stale fold must never rename:
+    * after a vacuum of the winner's superseded version, a late rename
+    * could otherwise resurrect a retired version number with stale
+    * content — the r14 ADVICE finding). When two maintainers race,
+    * exactly one claim wins; the loser discards its staging and
+    * RE-FOLDS against the winner's table state (the winner may have
+    * absorbed a different artifact set, so a blind re-claim at v+1
+    * would be wrong — the retry re-reads manifests, the "rebase" step
+    * of optimistic commit). A write failure inside a staging whose
+    * target version turns out to be ALREADY CLAIMED is also treated as
+    * a lost race, not an error — a concurrent vacuum may reclaim a
+    * lost fold's staging mid-write (see [[vacuum]]), and the fold it
+    * guts was going to lose its claim anyway. Concurrent
+    * `append`/`delete` during a fold are always safe: the manifest
+    * names exactly what was folded, so an artifact that landed
+    * mid-fold simply stays pending. A crash at any point leaves either
+    * a hidden staging orphan (never visible) or a completed version —
+    * torn VISIBLE versions cannot occur.
     *
-    * NOTE: claim atomicity is the POSIX rename guarantee — on an object
-    * store without atomic rename this step needs a conditional-put
-    * (if-none-match) or a lock service instead, the same caveat every
-    * filesystem-ledger lakehouse carries.
+    * Why resurrection cannot occur: a staging is created promptly
+    * after its fold reads the ledger, so any vacuum able to see
+    * `v=<target>` as superseded runs AFTER the staging exists — and
+    * vacuum never reclaims a base version while a staging still
+    * targets it. A lost fold therefore either self-discards at the
+    * pre-claim recheck, or finds `v=<target>` still present and fails
+    * the rename. (See [[vacuum]] for the reclaim side.)
+    *
+    * NOTE: claim atomicity is the filesystem rename guarantee — local
+    * FS and HDFS provide it; an object store without atomic rename
+    * needs a conditional-put (if-none-match) or a lock service
+    * instead, the same caveat every filesystem-ledger lakehouse
+    * carries.
     */
   def optimize(s: SparkSession, root: String, d1Col: String, d2Col: String,
       bits: Int, numFiles: Int, maxAttempts: Int = 5,
@@ -222,8 +311,9 @@ object ClusteredTable {
       val pendingDv = dvDirs(root).filter(x => !folded.contains(x.getName))
       if (pending.isEmpty && pendingDv.isEmpty && current.isDefined) {
         // no-op fold: rebuild only indexes the current version LACKS
-        // (a present index is already consistent with this version)
-        reindex.filter(c => indexCandidates(s, root, c, Seq(0L)).isEmpty)
+        // (a present index — either key plane — is already consistent
+        // with this version)
+        reindex.filterNot(c => hasIndex(root, c))
           .foreach(c => buildIndex(s, root, c))
         return current.get._1
       }
@@ -231,9 +321,9 @@ object ClusteredTable {
       // delta is trimmed only by deletes named after it
       val parts = current.map { case (_, dir) =>
           // drop the layout's own columns: the fold recomputes them
-          applyDvs(s, s.read.parquet(dir.getPath).drop("zkey", "zfile"), pendingDv)
+          applyDvs(s, s.read.parquet(dir.toString).drop("zkey", "zfile"), pendingDv)
         }.toSeq ++
-        pending.map(d => applyDvs(s, s.read.parquet(d.getPath),
+        pending.map(d => applyDvs(s, s.read.parquet(d.toString),
           pendingDv.filter(x => seqOf(x.getName) > seqOf(d.getName))))
       if (parts.isEmpty) throw new IllegalStateException(
         s"optimize on an empty clustered table at $root (deletes but no data)")
@@ -244,41 +334,62 @@ object ClusteredTable {
       // column set and the fold's schema is their union.
       val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
       val next = current.map(_._1 + 1).getOrElse(0L)
-      val nextDir = new java.io.File(baseRoot(root), s"v=$next")
+      val nextDir = new Path(baseRoot(root), s"v=$next")
+      val fs = fsOf(nextDir)
       // an existing v=<next> WITHOUT a manifest is garbage no OCC writer
       // can have produced (a pre-staging crash, external tampering) —
       // clear it so the claim can land; a complete one means we lost a
-      // race we hadn't even entered, and the rename below will say so
-      if (nextDir.exists() && !new java.io.File(nextDir, "_MANIFEST").exists())
-        rmTree(nextDir)
-      val staging = new java.io.File(baseRoot(root),
+      // race we hadn't even entered, and the claim below will say so
+      if (fs.exists(nextDir) && !fs.exists(new Path(nextDir, "_MANIFEST")))
+        fs.delete(nextDir, true)
+      val staging = new Path(baseRoot(root),
         s".staging-v=$next-${java.util.UUID.randomUUID().toString.take(8)}")
-      // no reclaim can touch this staging while it is live: vacuum only
-      // removes stagings whose target version is already claimed (name
-      // version <= newest complete version — a settled race), so a
-      // failure below is a GENUINE error and propagates with its own
-      // message after cleanup; only a lost claim re-folds
-      try {
-        ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.getPath)
+      val wrote = try {
+        ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.toString)
+        // the ENVELOPE CATALOG: one ≤numFiles-row aggregate over the
+        // staged parquet (column-pruned to zfile + the two clustered
+        // dims), landed inside staging so the claim rename publishes
+        // data + catalog + manifest atomically. Bounds are stored as
+        // long — a long-typed clustered dimension must not wrap.
+        s.read.parquet(staging.toString)
+          .groupBy(col("zfile").cast("int").as("zfile_id"))
+          .agg(min(col(d1Col).cast("long")).as("mn1"),
+            max(col(d1Col).cast("long")).as("mx1"),
+            min(col(d2Col).cast("long")).as("mn2"),
+            max(col(d2Col).cast("long")).as("mx2"))
+          .withColumn("d1_col", lit(d1Col)).withColumn("d2_col", lit(d2Col))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(staging, "_envelopes").toString)
         // the manifest names every delta AND delete file this version
         // absorbed; it lands INSIDE staging, so the claim rename is the
-        // single visibility point for parquet + manifest together
+        // single visibility point for parquet + catalog + manifest
         val names = (folded ++ pending.map(_.getName) ++ pendingDv.map(_.getName)).toSeq.sorted
-        val tmp = new java.io.File(staging, "._manifest.tmp")
-        val w = new java.io.OutputStreamWriter(
-          new java.io.FileOutputStream(tmp), "UTF-8")
-        try w.write(names.mkString("\n")) finally w.close()
-        if (!tmp.renameTo(new java.io.File(staging, "_MANIFEST")))
+        val tmp = new Path(staging, "._manifest.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, new Path(staging, "_MANIFEST")))
           throw new java.io.IOException(s"manifest rename failed in $staging")
+        true
       } catch {
         case scala.util.control.NonFatal(e) =>
-          rmTree(staging) // don't leak a half-written staging
-          throw e
+          fs.delete(staging, true) // don't leak a half-written staging
+          // a vacuum racing a LOST fold may have gutted this staging
+          // mid-write (its target version was already claimed, so its
+          // reclaim is legal — see vacuum): if the ledger advanced past
+          // our target, this failure IS the lost race, not an error
+          if (versions(root).lastOption.exists(_._1 >= next)) false
+          else throw e
       }
-      if (staging.renameTo(nextDir)) return reindexNow(next)
-      // claim lost: a concurrent fold committed v=<next> first — discard
-      // and re-fold against the table state the winner left behind
-      rmTree(staging)
+      if (wrote) {
+        // pre-claim recheck (see the OCC contract above): rename only
+        // if the ledger still reads exactly as this fold assumed
+        if (versions(root).lastOption.map(_._1) == current.map(_._1) &&
+            claimRename(fs, staging, nextDir))
+          return reindexNow(next)
+        // claim lost: a concurrent fold committed first — discard and
+        // re-fold against the table state the winner left behind
+        fs.delete(staging, true)
+      }
     }
     throw new java.io.IOException(
       s"optimize at $root lost the version claim $maxAttempts times — " +
@@ -313,9 +424,9 @@ object ClusteredTable {
     // deletes only shrink the count, so ignoring pending DVs errs
     // toward at most one size step up
     val rows =
-      vs.lastOption.map(v => s.read.parquet(v._2.getPath).count()).getOrElse(0L) +
+      vs.lastOption.map(v => s.read.parquet(v._2.toString).count()).getOrElse(0L) +
         (if (pendingD.isEmpty) 0L
-         else s.read.parquet(pendingD.map(_.getPath): _*).count())
+         else s.read.parquet(pendingD.map(_.toString): _*).count())
     val maxFiles = 1 << (2 * bits)
     val want = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
     val numFiles = math.min(maxFiles.toLong,
@@ -365,14 +476,76 @@ object ClusteredTable {
     * bounded by the fold cadence.
     */
   def upsert(source: DataFrame, root: String, name: String, keyCols: Seq[String]): Unit = {
-    if (!durable(new java.io.File(dvRoot(root), s"x=$name")))
+    if (!durable(new Path(dvRoot(root), s"x=$name")))
       delete(source.select(keyCols.map(col): _*), root, name)
-    if (!durable(new java.io.File(deltaRoot(root), s"d=$name")))
+    if (!durable(new Path(deltaRoot(root), s"d=$name")))
       append(source, root, name)
   }
 
-  private def durable(dir: java.io.File): Boolean =
-    new java.io.File(dir, "_SUCCESS").exists()
+  private def durable(dir: Path): Boolean = fsOf(dir).exists(new Path(dir, "_SUCCESS"))
+
+  /** CLAIMED artifact write — the concurrency-hardened sibling of
+    * [[append]]/[[delete]] for maintainers that may TICK CONCURRENTLY
+    * (ReplicaStream): the batch is written to a hidden sibling staging
+    * directory and published under its final name through the same
+    * atomic claim rename optimize uses. Two writers racing the same
+    * still-missing artifact therefore can never interleave bytes under
+    * one path: exactly one claim wins, the loser discards its staging
+    * and the surviving artifact is one writer's complete output. An
+    * already-durable artifact is skipped before any work (the
+    * fill-gaps contract). Returns true iff this call published it.
+    *
+    * The deterministic-content contract still applies: all racers must
+    * derive the same rows for the same name (true for changefeed
+    * windows and seeds — the content is the primary's retained
+    * artifacts), so WHICH writer wins never matters.
+    */
+  def appendClaimed(df: DataFrame, root: String, name: String): Boolean =
+    writeClaimed(df, new Path(deltaRoot(root), s"d=$name"))
+
+  /** [[appendClaimed]] for equality-delete artifacts. */
+  def deleteClaimed(keys: DataFrame, root: String, name: String): Boolean =
+    writeClaimed(keys.dropDuplicates(), new Path(dvRoot(root), s"x=$name"))
+
+  /** Settle a tiny piece of table-level metadata exactly once: publish
+    * a single-file directory `<name>/v` (containing `content`) under
+    * `dir` through the claim-rename discipline, and return the DURABLE
+    * value — the winner's, whichever caller that was. `content` is
+    * only evaluated when no durable value exists yet. ReplicaStream
+    * settles its seed version this way, so concurrent virgin ticks can
+    * never seed two different primary versions: whoever wins the claim
+    * decides, everyone else reads the decision.
+    */
+  private[graft] def claimMeta(dir: String, name: String, content: => String): String = {
+    val target = new Path(dir, name)
+    val fs = fsOf(target)
+    val valueFile = new Path(target, "v")
+    if (!fs.exists(valueFile)) {
+      val tmp = new Path(dir, s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        val out = fs.create(new Path(tmp, "v"), true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        claimRename(fs, tmp, target)
+      } finally fs.delete(tmp, true) // no-op for the claim winner
+    }
+    val in = fs.open(valueFile)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def writeClaimed(df: DataFrame, target: Path): Boolean = {
+    val fs = fsOf(target)
+    if (fs.exists(new Path(target, "_SUCCESS"))) return false
+    val staging = new Path(target.getParent,
+      s".staging-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    // a half-published artifact (exists but not durable — a crashed
+    // plain write) would block the claim forever: clear it first, the
+    // same garbage rule optimize applies to a manifest-less v=<next>
+    if (fs.exists(target) && !fs.exists(new Path(target, "_SUCCESS")))
+      fs.delete(target, true)
+    if (claimRename(fs, staging, target)) true
+    else { fs.delete(staging, true); false }
+  }
 
   /** Newest complete base version id, if any — the changefeed cursor a
     * downstream consumer (graft.streaming.ReplicaStream) polls.
@@ -405,22 +578,21 @@ object ClusteredTable {
     * source's retained artifacts), so rewriting identical bytes buys
     * nothing and would transiently un-publish the artifact, a window in
     * which a replica fold racing an overlapping replay tick could
-    * absorb the window's delta without its tombstone. With the guard,
-    * each artifact is published durably at most once and a replay (or
-    * an accidentally overlapping tick) only writes what a crash left
-    * missing. A crash between the two writes hides the window's deletes
-    * early; the replay completes the pair.
+    * absorb the window's delta without its tombstone. Each artifact is
+    * PUBLISHED THROUGH A CLAIM ([[appendClaimed]]): overlapping ticks
+    * racing the same still-missing artifact resolve to one complete
+    * winner, never interleaved bytes. A crash between the two writes
+    * hides the window's deletes early; the replay completes the pair.
     *
     * Scale: this is log-shipping — the replica's write bill is the
     * window's churn, never the table; it composes with the replica's
     * own `optimize`/`vacuum` cadence like any other ingest.
     */
   def applyChanges(cdc: DataFrame, root: String, name: String, keyCols: Seq[String]): Unit = {
-    if (!durable(new java.io.File(dvRoot(root), s"x=${name}0")))
-      delete(cdc.filter(col("_change") === "delete").select(keyCols.map(col): _*),
-        root, name + "0")
-    if (!durable(new java.io.File(deltaRoot(root), s"d=${name}1")))
-      append(cdc.filter(col("_change") === "insert").drop("_change"), root, name + "1")
+    deleteClaimed(cdc.filter(col("_change") === "delete").select(keyCols.map(col): _*),
+      root, name + "0")
+    appendClaimed(cdc.filter(col("_change") === "insert").drop("_change"), root, name + "1")
+    ()
   }
 
   /** Snapshot read: newest complete base ∪ deltas its manifest does not
@@ -437,23 +609,38 @@ object ClusteredTable {
     * until vacuum, so the travel horizon is the vacuum cadence — the
     * Delta/Iceberg retention contract, on plain parquet.
     */
-  def read(s: SparkSession, root: String, asOfVersion: Option[Long] = None): DataFrame = {
-    asOfVersion.foreach { v =>
-      val dir = versions(root).find(_._1 == v).map(_._2)
-        .getOrElse(throw new IllegalArgumentException(
-          s"no complete base version v=$v at $root (vacuumed, torn, or never written)"))
-      return s.read.parquet(dir.getPath)
+  def read(s: SparkSession, root: String, asOfVersion: Option[Long] = None): DataFrame =
+    asOfVersion match {
+      case Some(v) =>
+        val dir = versions(root).find(_._1 == v).map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no complete base version v=$v at $root (vacuumed, torn, or never written)"))
+        s.read.parquet(dir.toString)
+      case None => readVersioned(s, root)._2
     }
+
+  /** [[read]] with the resolved base version EXPOSED — the reader the
+    * graft-clustered source uses so its pruning catalog
+    * ([[envelopes]]) and its returned rows bind to the SAME fold:
+    * bucket ids from one version applied to another's files silently
+    * drop in-box rows, so the version must be resolved exactly once
+    * per scan. The DataFrame is the live snapshot (this version's base
+    * ∪ artifacts its manifest does not name — artifacts a concurrent
+    * fold may meanwhile have folded into a NEWER version read
+    * identically from their original directories until vacuum, which
+    * retains everything the newest version still needs).
+    */
+  def readVersioned(s: SparkSession, root: String): (Option[Long], DataFrame) = {
     val vs = versions(root)
     val folded = vs.lastOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
     val pendingDv = dvDirs(root).filter(x => !folded.contains(x.getName))
     val base = vs.lastOption.map { case (_, dir) =>
       // every unfolded delete outranks the folded base content
-      applyDvs(s, s.read.parquet(dir.getPath), pendingDv)
+      applyDvs(s, s.read.parquet(dir.toString), pendingDv)
     }
     val pending = deltaDirs(root).filter(d => !folded.contains(d.getName))
     val deltas = pending.map { d =>
-      val df = applyDvs(s, s.read.parquet(d.getPath),
+      val df = applyDvs(s, s.read.parquet(d.toString),
         pendingDv.filter(x => seqOf(x.getName) > seqOf(d.getName)))
       base match {
         case Some(b) =>
@@ -462,12 +649,86 @@ object ClusteredTable {
         case None => df
       }
     }
-    (base.toSeq ++ deltas) match {
+    val df = (base.toSeq ++ deltas) match {
       case Seq() => throw new IllegalStateException(s"empty clustered table at $root")
       // allowMissingColumns: a post-evolution delta tail reads alongside
       // a pre-evolution base — rows missing a column surface it as NULL
       case parts => parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }
+    (vs.lastOption.map(_._1), df)
+  }
+
+  /** The fold-time envelope catalog of base version `v`: one row per
+    * z-bucket, (zfile, min d1, max d1, min d2, max d2) with bounds as
+    * long. None if the version predates the catalog (pre-upgrade
+    * table) or was folded on DIFFERENT dimension columns — the caller
+    * must then fall back to recomputing (or not prune). ≤numFiles rows
+    * read from one tiny parquet: the metadata-plane read that replaces
+    * the per-scan O(table) aggregate (r14's one `weak`).
+    */
+  def envelopes(s: SparkSession, root: String, v: Long, d1Col: String,
+      d2Col: String): Option[Seq[(Int, Long, Long, Long, Long)]] =
+    versions(root).find(_._1 == v).flatMap { case (_, dir) =>
+      val env = new Path(dir, "_envelopes")
+      if (!fsOf(env).exists(new Path(env, "_SUCCESS"))) None
+      else {
+        val rows = s.read.parquet(env.toString).collect() // ≤ numFiles rows
+        if (rows.exists(r => r.getAs[String]("d1_col") != d1Col ||
+            r.getAs[String]("d2_col") != d2Col)) None
+        else Some(rows.map(r => (r.getAs[Int]("zfile_id"),
+          r.getAs[Long]("mn1"), r.getAs[Long]("mx1"),
+          r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))).toSeq)
+      }
+    }
+
+  /** The complete delta artifacts of the table, as (sequence-name,
+    * directory-path) ascending by name — the listing plane of the
+    * graft-clustered STREAMING tail (ClusteredTailStream): offsets are
+    * sequence names, batches are name ranges. Bounded by the vacuum
+    * cadence like every delta listing here.
+    */
+  private[graft] def deltaArtifacts(root: String): Seq[(String, String)] =
+    deltaDirs(root).map(d => (seqOf(d.getName), d.toString))
+
+  /** The parquet DATA files one live snapshot comprises — the newest
+    * base version's files plus every pending delta's — and whether any
+    * equality-delete is pending. This is the FOOTER PLANE the
+    * graft-clustered source's aggregate pushdown reads (COUNT/MIN/MAX
+    * from block metadata, zero data pages): sound only when no DV is
+    * pending, because a merge-on-read anti-join changes counts and can
+    * remove extrema — the boolean lets the caller refuse. Metadata
+    * dirs (`_envelopes`, `_index`, stagings) are skipped the way every
+    * parquet reader skips underscore/dot paths.
+    */
+  private[graft] def snapshotDataFiles(root: String): (Seq[Path], Boolean) = {
+    val vs = versions(root)
+    val folded = vs.lastOption.map { case (_, d) => manifest(d) }.getOrElse(Set.empty)
+    val pendingDv = dvDirs(root).exists(x => !folded.contains(x.getName))
+    val dirs = vs.lastOption.map(_._2).toSeq ++
+      deltaDirs(root).filter(d => !folded.contains(d.getName))
+    val files = dirs.flatMap { d =>
+      val fs = fsOf(d)
+      def hidden(p: Path): Boolean = {
+        var cur = p.getParent
+        var h = false
+        while (cur != null && cur.toString != d.toString && !h) {
+          h = cur.getName.startsWith("_") || cur.getName.startsWith(".")
+          cur = cur.getParent
+        }
+        h
+      }
+      val it = fs.listFiles(d, true)
+      val buf = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".") && !hidden(st.getPath))
+          buf += st.getPath
+      }
+      buf.toSeq
+    }
+    (files, pendingDv)
   }
 
   /** Streaming ingest hand-off: a foreachBatch function landing each
@@ -500,10 +761,18 @@ object ClusteredTable {
     */
   def tail(s: SparkSession, root: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     s.readStream.schema(schema).format("parquet")
-      .load(new java.io.File(deltaRoot(root), "d=*").getPath)
+      .load(new Path(deltaRoot(root), "d=*").toString)
 
-  private def indexDir(vdir: java.io.File, keyCol: String) =
-    new java.io.File(vdir, s"_index/$keyCol")
+  private def indexDir(vdir: Path, keyCol: String) = new Path(vdir, s"_index/$keyCol")
+
+  /** Whether the newest base version carries a complete Bloom index for
+    * `keyCol` (either key plane) — the reindex-lifecycle presence test.
+    */
+  private def hasIndex(root: String, keyCol: String): Boolean =
+    versions(root).lastOption.exists { case (_, dir) =>
+      val idx = indexDir(dir, keyCol)
+      fsOf(idx).exists(new Path(idx, "_SUCCESS"))
+    }
 
   /** PER-FILE BLOOM SECONDARY INDEX — point-lookup file skipping on a
     * key the layout does NOT cluster. Z-order envelope pruning serves
@@ -536,48 +805,96 @@ object ClusteredTable {
     * amplification for a k-key batch is ≤ files · (1-(1-fpp)^k).
     * Bloom bits are an OR over per-key bit sets (Murmur3, fixed seed):
     * insertion-order-independent, hence deterministic across runs and
-    * partitionings. Long-typed keys only (putLong) — the common join-key
-    * case; strings hash through their own putString plane and would
-    * need a sibling index column.
+    * partitionings. TWO KEY PLANES: integral columns hash through
+    * putLong (the common surrogate-join-key case); STRING columns —
+    * the common LLM-pipeline key: document ids, URLs, content hashes —
+    * through putString (Murmur3 over UTF-8 bytes). The plane is chosen
+    * from the column's type at build time and recorded in the index
+    * (`kind`), so a probe through the wrong plane reads as "no index"
+    * and degrades to the unpruned scan, never to a missed bucket.
     */
   def buildIndex(s: SparkSession, root: String, keyCol: String, fpp: Double = 0.01): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
     val (_, dir) = versions(root).lastOption.getOrElse(throw new IllegalStateException(
       s"buildIndex before the first optimize at $root — nothing to index"))
-    val base = s.read.parquet(dir.getPath)
-      .select(col("zfile").cast("int").as("zf"), col(keyCol).cast("long").as("k"))
+    val baseDf = s.read.parquet(dir.toString)
+    val isString = baseDf.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val kind = if (isString) "string" else "long"
+    val base = baseDf.select(col("zfile").cast("int").as("zf"),
+      col(keyCol).cast(if (isString) "string" else "long").as("k"))
     val counts: Map[Int, Long] = base.groupBy("zf").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ numFiles entries
     import s.implicits._
-    val rows = base.as[(Int, Long)].groupByKey(_._1).mapGroups { (zf, it) =>
-      val bf = BloomFilter.create(math.max(1L, counts.getOrElse(zf, 1L)), fpp)
-      it.foreach(kv => bf.putLong(kv._2))
+    def mk(zf: Int): BloomFilter =
+      BloomFilter.create(math.max(1L, counts.getOrElse(zf, 1L)), fpp)
+    def pack(zf: Int, bf: BloomFilter): (Int, Long, Array[Byte], String) = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
-      (zf, counts.getOrElse(zf, 0L), bos.toByteArray)
-    }.toDF("zfile_id", "n_rows", "bloom")
-    rows.coalesce(1).write.mode("overwrite").parquet(indexDir(dir, keyCol).getPath)
+      (zf, counts.getOrElse(zf, 0L), bos.toByteArray, kind)
+    }
+    val rows =
+      if (isString)
+        base.as[(Int, String)].groupByKey(_._1).mapGroups { (zf, it) =>
+          val bf = mk(zf)
+          it.foreach(kv => bf.putString(kv._2))
+          pack(zf, bf)
+        }
+      else
+        base.as[(Int, Long)].groupByKey(_._1).mapGroups { (zf, it) =>
+          val bf = mk(zf)
+          it.foreach(kv => bf.putLong(kv._2))
+          pack(zf, bf)
+        }
+    rows.toDF("zfile_id", "n_rows", "bloom", "kind")
+      .coalesce(1).write.mode("overwrite").parquet(indexDir(dir, keyCol).toString)
   }
+
+  /** The newest base version's serialized per-bucket Bloom filters for
+    * `keyCol`, provided the index exists AND was built through the
+    * expected key plane; None otherwise (scan unpruned). ≤numFiles rows.
+    */
+  private def indexRows(s: SparkSession, root: String, keyCol: String,
+      kind: String): Option[Seq[(Int, Array[Byte])]] =
+    versions(root).lastOption.flatMap { case (_, dir) =>
+      val idx = indexDir(dir, keyCol)
+      if (!fsOf(idx).exists(new Path(idx, "_SUCCESS"))) None
+      else {
+        val df = s.read.parquet(idx.toString)
+        // pre-kind indexes (r14) are all long-plane
+        val okKind = !df.columns.contains("kind") || {
+          val ks = df.select("kind").distinct().collect().map(_.getString(0))
+          ks.forall(_ == kind)
+        }
+        if (!okKind) None
+        else Some(df.select("zfile_id", "bloom").collect() // ≤ numFiles rows
+          .map(r => (r.getInt(0), r.getAs[Array[Byte]]("bloom"))).toSeq)
+      }
+    }
 
   /** The z-buckets a batch of point-lookup keys might live in, per the
     * newest base version's Bloom index: None if that version has no
-    * index for `keyCol` (not built, or built for a superseded version
-    * and folded away) — the caller must then scan unpruned.
+    * index for `keyCol` (not built, built for a superseded version and
+    * folded away, or built on the string plane) — the caller must then
+    * scan unpruned.
     */
   def indexCandidates(s: SparkSession, root: String, keyCol: String,
       keys: Seq[Long]): Option[Seq[Int]] = {
     import org.apache.spark.util.sketch.BloomFilter
-    versions(root).lastOption.flatMap { case (_, dir) =>
-      val idx = indexDir(dir, keyCol)
-      if (!new java.io.File(idx, "_SUCCESS").exists()) None
-      else Some(
-        s.read.parquet(idx.getPath).select("zfile_id", "bloom").collect() // ≤ numFiles rows
-          .filter { r =>
-            val bf = BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-            keys.exists(bf.mightContainLong)
-          }.map(_.getInt(0)).toSeq.sorted)
-    }
+    indexRows(s, root, keyCol, "long").map(_.filter { case (_, bytes) =>
+      val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      keys.exists(bf.mightContainLong)
+    }.map(_._1).sorted)
+  }
+
+  /** [[indexCandidates]] through the STRING key plane. */
+  def indexCandidatesString(s: SparkSession, root: String, keyCol: String,
+      keys: Seq[String]): Option[Seq[Int]] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    indexRows(s, root, keyCol, "string").map(_.filter { case (_, bytes) =>
+      val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      keys.exists(bf.mightContainString)
+    }.map(_._1).sorted)
   }
 
   /** Point lookup through the Bloom index: the full merge-on-read
@@ -587,10 +904,19 @@ object ClusteredTable {
     * bucket scan, never a wrong row — the key equality filter runs
     * regardless; with no index this is exactly `read` + filter.
     */
-  def lookup(s: SparkSession, root: String, keyCol: String, keys: Seq[Long]): DataFrame = {
+  def lookup(s: SparkSession, root: String, keyCol: String, keys: Seq[Long]): DataFrame =
+    lookupPruned(s, root, keyCol, indexCandidates(s, root, keyCol, keys), keys.map(lit))
+
+  /** [[lookup]] for a STRING-typed key column. */
+  def lookupString(s: SparkSession, root: String, keyCol: String,
+      keys: Seq[String]): DataFrame =
+    lookupPruned(s, root, keyCol, indexCandidatesString(s, root, keyCol, keys), keys.map(lit))
+
+  private def lookupPruned(s: SparkSession, root: String, keyCol: String,
+      cand: Option[Seq[Int]], keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val t = read(s, root)
-    val pruned = indexCandidates(s, root, keyCol, keys) match {
-      case Some(cand) => t.where(col("zfile") === -1 || col("zfile").isin(cand: _*))
+    val pruned = cand match {
+      case Some(c) => t.where(col("zfile") === -1 || col("zfile").isin(c: _*))
       case None => t
     }
     pruned.where(col(keyCol).isin(keys: _*))
@@ -615,32 +941,67 @@ object ClusteredTable {
     * only). This is the Delta/Iceberg `RETAIN n VERSIONS` shape; the
     * purge contract (scaladoc above) holds once the purged version
     * falls out of the window.
+    *
+    * STAGING RECLAIM AND THE RESURRECTION GUARD (r14 ADVICE): a
+    * staging whose target version is already claimed belongs to a fold
+    * that has LOST its race — its rename can only fail (the target
+    * exists) or be aborted by optimize's pre-claim recheck — so
+    * reclaiming it is safe even if its writer is still alive: the
+    * reclaim costs that writer one retry, never a torn version (a
+    * write failure inside a gutted staging is detected as a lost race,
+    * see [[optimize]]). What vacuum must NEVER do is remove base
+    * version v=N while any `.staging-v=N` still exists: with v=N gone,
+    * that staging's rename would SUCCEED and resurrect a stale fold
+    * under a retired version number — so such versions are deferred to
+    * the pass after the staging itself is gone (reclaimed here, or
+    * self-discarded by its fold). Stagings are created promptly after
+    * their fold reads the ledger, so any vacuum able to see v=N as
+    * superseded runs after the staging exists — the deferral is
+    * therefore airtight, and a crashed fold's orphan delays one
+    * version's reclaim by exactly one vacuum pass, never blocks it.
     */
   def vacuum(root: String, keepVersions: Int): Int = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val base = baseRoot(root)
+    val fs = fsOf(base)
     val vs = versions(root)
     val retained = vs.takeRight(keepVersions)
     val folded = retained.headOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
     val staleDeltas = deltaDirs(root).filter(d => folded.contains(d.getName))
     val staleDvs = dvDirs(root).filter(x => folded.contains(x.getName))
-    val staleBases = vs.dropRight(keepVersions).map(_._2)
-    // optimize's hidden staging orphans — reclaimed ONLY when provably
-    // dead: a staging targets the version its name carries, so once the
-    // newest COMPLETE version has reached that number the race it was
-    // in is settled and no live fold can still rename it (a live fold
-    // targets latest+1 by construction). Touching a possibly-live
-    // staging is never worth it: gutting one mid-write could commit a
-    // torn version. A crashed fold's staging for latest+1 therefore
-    // lingers until the next successful fold bumps latest past it —
-    // bounded by one orphan per crash, reclaimed on the next fold+vacuum.
     val latest = vs.lastOption.map(_._1).getOrElse(-1L)
-    val staleStaging = Option(baseRoot(root).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith(".staging-v="))
-      .filter(f => scala.util.Try(
-        f.getName.stripPrefix(".staging-v=").takeWhile(_ != '-').toLong).toOption
-        .exists(_ <= latest))
-    (staleDeltas ++ staleDvs ++ staleBases ++ staleStaging).foreach(rmTree)
-    staleDeltas.size + staleDvs.size + staleBases.size + staleStaging.size
+    val stagings = ls(fs, base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging-v="))
+      .map(_.getPath)
+    def targetOf(p: Path): Option[Long] = scala.util.Try(
+      p.getName.stripPrefix(".staging-v=").takeWhile(_ != '-').toLong).toOption
+    // settled-race stagings: target already claimed -> the fold they
+    // belong to can never rename successfully; reclaim is safe
+    val staleStaging = stagings.filter(p => targetOf(p).exists(_ <= latest))
+    // the resurrection guard: never reclaim v=N while a staging still
+    // targets N (see scaladoc) — deferred to the next pass
+    val stagingTargets = stagings.flatMap(targetOf).toSet
+    val staleBases = vs.dropRight(keepVersions)
+      .filter { case (v, _) => !stagingTargets.contains(v) }.map(_._2)
+    // claimed-write stagings (`.staging-<artifact>-<uuid>` under delta/
+    // and dv/, from appendClaimed/deleteClaimed): dead once their target
+    // artifact is durably published — their claim can only fail. A
+    // crashed writer's orphan whose target never published stays until
+    // some tick publishes it (the fill-gaps replay always will).
+    val staleArtStagings =
+      (ls(fs, deltaRoot(root)) ++ ls(fs, dvRoot(root)))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging-"))
+        .map(_.getPath)
+        .filter { p =>
+          val target = p.getName.stripPrefix(".staging-")
+            .reverse.dropWhile(_ != '-').drop(1).reverse
+          target.nonEmpty &&
+            fs.exists(new Path(new Path(p.getParent, target), "_SUCCESS"))
+        }
+    (staleDeltas ++ staleDvs ++ staleBases ++ staleStaging ++ staleArtStagings)
+      .foreach(p => fs.delete(p, true))
+    staleDeltas.size + staleDvs.size + staleBases.size + staleStaging.size +
+      staleArtStagings.size
   }
 
   /** Net row-level changefeed between optimize versions `fromV` → `toV`
@@ -665,23 +1026,23 @@ object ClusteredTable {
       .getOrElse(throw new IllegalArgumentException(
         s"no complete base version v=$v at $root (vacuumed, torn, or never written)"))
     val window = (man(toV) -- man(fromV)).toSeq.sorted
-    def artifact(name: String): java.io.File = {
-      val f = if (name.startsWith("d=")) new java.io.File(deltaRoot(root), name)
-        else new java.io.File(dvRoot(root), name)
-      if (!new java.io.File(f, "_SUCCESS").exists()) throw new IllegalStateException(
+    def artifact(name: String): Path = {
+      val f = if (name.startsWith("d=")) new Path(deltaRoot(root), name)
+        else new Path(dvRoot(root), name)
+      if (!fsOf(f).exists(new Path(f, "_SUCCESS"))) throw new IllegalStateException(
         s"changefeed artifact $name is gone (vacuumed) — changes($fromV, $toV) is past the retention horizon")
       f
     }
     val winD = window.filter(_.startsWith("d=")).map(artifact)
     val winX = window.filter(_.startsWith("x=")).map(artifact)
     val inserts = winD.map { d =>
-      applyDvs(s, s.read.parquet(d.getPath),
+      applyDvs(s, s.read.parquet(d.toString),
         winX.filter(x => seqOf(x.getName) > seqOf(d.getName)))
         .withColumn("_change", lit("insert"))
     }
     val deletes = if (winX.isEmpty) Seq.empty else {
       val pre = read(s, root, Some(fromV)).drop("zkey", "zfile")
-      val keys = winX.map(x => s.read.parquet(x.getPath)).reduce(_ unionByName _)
+      val keys = winX.map(x => s.read.parquet(x.toString)).reduce(_ unionByName _)
       // (delete keys never evolve — same key column set for every delete)
       Seq(pre.join(broadcast(keys.dropDuplicates()), keys.columns.toSeq, "left_semi")
         .withColumn("_change", lit("delete")))

@@ -465,17 +465,18 @@ object RelationalQueries {
       d1.as("d1"), d2.as("d2"))
     graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 0), root, "b0")
     graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 1), root, "b1")
-    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
+    val ver = graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
     graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
     val t = graft.functions.ClusteredTable.read(s, root)
-    val env = t.filter(col("zfile") >= 0).groupBy("zfile")
-      .agg(min("d1").as("mn1"), max("d1").as("mx1"),
-        min("d2").as("mn2"), max("d2").as("mx2"))
-      .collect()
-    val keep = env.filter { r =>
-      r.getAs[Int]("mx1") >= lo1 && r.getAs[Int]("mn1") <= hi1 &&
-        r.getAs[Int]("mx2") >= lo2 && r.getAs[Int]("mn2") <= hi2
-    }.map(_.getAs[Int]("zfile"))
+    // the catalog lookup is the fold-time `_envelopes` artifact (r15):
+    // a ≤numFiles-row parquet read on the metadata plane — the r14-era
+    // recompute (a groupBy over the base's two clustered columns) was
+    // the per-scan O(table) bill the catalog exists to retire
+    val env = graft.functions.ClusteredTable.envelopes(s, root, ver, "d1", "d2").get
+    val keep = env.collect {
+      case (zf, mn1, mx1, mn2, mx2)
+        if mx1 >= lo1 && mn1 <= hi1 && mx2 >= lo2 && mn2 <= hi2 => zf
+    }
     t.where(col("zfile") === -1 || col("zfile").isin(keep.toSeq: _*))
       .where(col("d1").between(lo1, hi1) && col("d2").between(lo2, hi2))
       .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
@@ -675,6 +676,101 @@ object RelationalQueries {
       .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
       .agg(count(lit(1)).as("n_match"),
         sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("pruned", lit(cand.size < occupied))
+      .orderBy("layer")
+  }
+
+  /** PUSHED AGGREGATE THROUGH THE CLUSTERED SOURCE — the stats-only
+    * scan [[qAggPushdown]] demonstrates on raw parquet, now served by
+    * the `graft-clustered` DSv2 source itself: an un-grouped,
+    * un-filtered COUNT/MIN/MAX over the table compiles to a scan whose
+    * plan carries `PushedAggregates` and whose execution reads parquet
+    * FOOTERS only (graft.sources.clustered.FooterStats — block row
+    * counts + column statistics of the newest base version AND the
+    * unfolded delta tail; zero data pages). The pushdown self-refuses
+    * whenever footers can't be exact (pending merge-on-read deletes,
+    * filters, non-integral columns), so it can only ever be fast,
+    * never wrong — and the plan shape is REQUIRED in-query, so a Spark
+    * upgrade or a regression that silently de-optimizes to a data scan
+    * fails the gate, not just the benchmark. DuckDB computes the same
+    * values the direct way from the raw table.
+    *
+    * Scale: at 100 TB this is the difference between a row-count that
+    * reads O(files) footers (the metadata plane a lakehouse manifest
+    * serves) and one that scans the table; the delta tail folds into
+    * the same footer walk, so the answer stays exact across the whole
+    * ingest lifecycle.
+    */
+  def qClusterAgg(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_cagg_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 0), root, "b0")
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 1), root, "b1")
+    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
+    graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
+    val agg = s.read.format("graft-clustered").option("root", root).load()
+      .agg(count(lit(1)).as("n_rows"),
+        min("d1").as("min_d1"), max("d1").as("max_d1"),
+        min("d2").as("min_d2"), max("d2").as("max_d2"))
+    val plan = agg.queryExecution.executedPlan.toString
+    require(plan.contains("PushedAggregates: [COUNT"),
+      s"clustered-source aggregate pushdown did not engage — stats-only scan lost:\n$plan")
+    agg
+  }
+
+  /** STRING-KEY BLOOM POINT LOOKUP — [[qBloomSkip]]'s sibling on the
+    * key plane an LLM-data pipeline actually joins on: a STRING
+    * document key (here a URL derived as source/doc_id) over the
+    * documents table, indexed through
+    * graft.functions.ClusteredTable.buildIndex's putString plane. Same
+    * lifecycle (two appends fold into base v=0, index on v=0, a third
+    * append stays an unfolded tail), same observables: per-layer match
+    * counts + char totals re-derived by DuckDB straight from the raw
+    * table, and `pruned` pinned TRUE — the candidate buckets must be a
+    * strict subset of the occupied ones, so an index that stops
+    * skipping fails the gate. The index records its key plane (`kind`),
+    * so a long-plane probe of this column would read as "no index" and
+    * degrade to the unpruned scan rather than miss a bucket.
+    *
+    * Scale: identical to the long plane — build is one (zfile, key)
+    * projected scan + narrow shuffle, lookup is a ≤numFiles-row collect
+    * + bitset probes; Murmur3 over UTF-8 bytes keeps the filter
+    * deterministic across runs and partitionings.
+    */
+  def qBloomSkipStr(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_bloomstr_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(col("source"), lit("/"), col("doc_id")).as("url"),
+      col("n_chars"),
+      (col("doc_id") % 16).cast("int").as("d1"),
+      (col("n_chars") % 12).cast("int").as("d2"))
+    graft.functions.ClusteredTable.append(src.filter(col("doc_id") % 3 === 0), root, "b0")
+    graft.functions.ClusteredTable.append(src.filter(col("doc_id") % 3 === 1), root, "b1")
+    graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
+    graft.functions.ClusteredTable.buildIndex(s, root, "url")
+    graft.functions.ClusteredTable.append(src.filter(col("doc_id") % 3 === 2), root, "b2")
+    val keys = src.filter(col("doc_id") % 149 === 1)
+      .select("url").collect().map(_.getString(0)).toSeq.sorted
+    val occupied = graft.functions.ClusteredTable.read(s, root)
+      .filter(col("zfile") >= 0).select("zfile").distinct().count()
+    val cand = graft.functions.ClusteredTable
+      .indexCandidatesString(s, root, "url", keys).get
+    graft.functions.ClusteredTable.lookupString(s, root, "url", keys)
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
       .withColumn("pruned", lit(cand.size < occupied))
       .orderBy("layer")
   }
@@ -1732,6 +1828,8 @@ object RelationalQueries {
     "q_changefeed" -> qChangefeed,
     "q_cdc_apply" -> qCdcApply,
     "q_bloom_skip" -> qBloomSkip,
+    "q_bloom_skip_str" -> qBloomSkipStr,
+    "q_cluster_agg" -> qClusterAgg,
     "q_agg_pushdown" -> qAggPushdown,
     "q_hilbert" -> qHilbert,
     "q_window_range" -> qWindowRange,
@@ -2127,6 +2225,30 @@ object RelationalQueries {
         |       min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
         |       min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey
         |FROM lineitem""".stripMargin,
+    // the string-plane lookup re-derived from the raw table: the url
+    // key is bijective with doc_id, so the batch predicate is the
+    // doc_id residue; layer from fold membership; `pruned` pinned TRUE
+    "q_bloom_skip_str" ->
+      """SELECT CASE WHEN doc_id % 3 = 2 THEN 'delta' ELSE 'base' END AS layer,
+        |       CAST(count(*) AS BIGINT) AS n_match,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       TRUE AS pruned
+        |FROM documents
+        |WHERE doc_id % 149 = 1
+        |GROUP BY 1
+        |ORDER BY layer""".stripMargin,
+    // the pushed aggregate's VALUES are ordinary aggregates — DuckDB
+    // computes them the direct way; the footer-only execution plane is
+    // pinned by the in-query require on PushedAggregates (qClusterAgg)
+    "q_cluster_agg" ->
+      """WITH src AS (
+        |  SELECT CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(d1) AS min_d1, max(d1) AS max_d1,
+        |       min(d2) AS min_d2, max(d2) AS max_d2
+        |FROM src""".stripMargin,
     "q_bloom_skip" ->
       """SELECT CASE WHEN o_orderkey % 3 = 2 THEN 'delta' ELSE 'base' END AS layer,
         |       CAST(count(*) AS BIGINT) AS n_match,

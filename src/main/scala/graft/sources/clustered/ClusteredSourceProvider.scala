@@ -1,10 +1,17 @@
 package graft.sources.clustered
 
+import java.util
+
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.functions.ClusteredTable
 
@@ -12,22 +19,59 @@ import graft.functions.ClusteredTable
   * `spark.read.format("graft-clustered").option("root", …).load()` —
   * so the pruning every hand-written query in this repo performs
   * (envelope skip on the clustered dims, Bloom skip on an indexed key)
-  * happens INSIDE the source, driven by the filters Catalyst pushes
-  * down, invisible to the query author. Built on the stable v1
-  * connector surface (`RelationProvider` + `PrunedFilteredScan`): the
-  * optimizer hands `buildScan` the conjunctive filters and the pruned
-  * column set; the relation translates what it can, decides the
-  * z-bucket set, and returns a lazily-planned DataFrame's RDD — the
-  * inner scan keeps every parquet-level win (partition pruning on
-  * `zfile`, footer min/max, column pruning from the projection).
+  * happens INSIDE the source, driven by the operators Catalyst pushes
+  * down, invisible to the query author.
+  *
+  * ARCHITECTURE (the r14→r15 migration): a DataSourceV2
+  * [[TableProvider]] whose [[ScanBuilder]] negotiates filter pushdown,
+  * column pruning AND aggregate pushdown, then hands execution to the
+  * stable v1 relation through [[V1Scan]] — the JDBC connector's shape.
+  * The v1 [[ClusteredRelation]] stays the execution engine (and the
+  * `CREATE TEMPORARY VIEW … USING` path, which still resolves v1): the
+  * optimizer hands it the conjunctive filters and the pruned column
+  * set; the relation translates what it can, decides the z-bucket set,
+  * and returns a lazily-planned DataFrame's RDD — the inner scan keeps
+  * every parquet-level win (partition pruning on `zfile`, footer
+  * min/max, column pruning from the projection).
+  *
+  * AGGREGATE PUSHDOWN (stats-only): an un-grouped, un-filtered
+  * COUNT(*) / COUNT(col) / MIN / MAX over the table is answered from
+  * PARQUET FOOTERS alone — [[FooterStats]] walks the snapshot's block
+  * metadata (newest base version + pending deltas), zero data pages
+  * read; the physical plan shows the scan with `PushedAggregates`. The
+  * pushdown REFUSES (returns false, Spark plans the ordinary scan +
+  * aggregate) whenever footer stats cannot be exact: a pending
+  * equality-delete (merge-on-read would change counts), any pushed
+  * filter, a GROUP BY, a non-integral MIN/MAX column, or a file
+  * missing the needed statistics. Refusal is never wrong, only slower
+  * — the same contract as envelope pruning. At 100 TB this is the
+  * difference between a row-count that reads footers (metadata plane)
+  * and one that scans the table.
+  *
+  * ENVELOPE PRUNING reads the fold-time `_envelopes` catalog
+  * ([[ClusteredTable.envelopes]]) — ≤numFiles rows of per-bucket
+  * min/max published by the SAME atomic claim rename as the data, so
+  * catalog and files can never describe different folds. Only a
+  * version that predates the catalog (pre-upgrade table) falls back to
+  * recomputing the envelopes from the snapshot — the per-scan O(table)
+  * aggregate the catalog exists to retire (r14's `weak`).
   *
   * Options: `root` (required); `d1`/`d2` name the clustered dimensions
-  * (enables envelope pruning); `indexcol` names a Bloom-indexed long
-  * key (enables point-lookup pruning through
+  * (enables envelope pruning; must be integral-typed — envelope bounds
+  * are long, a wider or non-numeric dimension is rejected at relation
+  * creation instead of wrapping silently); `indexcol` names a
+  * Bloom-indexed long key (enables point-lookup pruning through
   * [[ClusteredTable.indexCandidates]]). Semantics are exactly
   * [[ClusteredTable.read]]: merge-on-read deletes, the unfolded delta
   * tail (never pruned — `zfile = -1` rides every bucket decision),
   * schema evolution.
+  *
+  * SNAPSHOT CONSISTENCY: each scan resolves ONE versioned snapshot
+  * ([[ClusteredTable.readVersioned]]) and derives the pruning decision,
+  * the catalog version, and the returned rows from it; the rows are
+  * projected onto the schema declared at load() time, so an append
+  * that evolves the schema between planning and scan can never change
+  * the row shape mid-query (it surfaces on the next load()).
   *
   * Filter contract: translatable filters (=, <, <=, >, >=, IN, IS
   * [NOT] NULL on any column) are applied exactly inside the source and
@@ -36,21 +80,256 @@ import graft.functions.ClusteredTable
   * skip, never change, a result. A filter on d1/d2 additionally drives
   * the envelope decision; an =/IN on `indexcol` drives the Bloom
   * decision; the two prunes intersect.
-  *
-  * Scale: the envelope catalog is one ≤numFiles-row aggregate per scan
-  * (the same driver-side collect every pruned query here pays); the
-  * Bloom probe is a ≤numFiles-row collect + bitset tests. Both are
-  * metadata-plane; data-plane cost is the kept buckets + the tail.
   */
-class ClusteredSourceProvider extends RelationProvider with DataSourceRegister {
+class ClusteredSourceProvider extends RelationProvider with TableProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-clustered"
 
-  override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
+  private def relationOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): ClusteredRelation = {
     val root = parameters.getOrElse("root",
       throw new IllegalArgumentException("graft-clustered requires option 'root'"))
     new ClusteredRelation(sqlContext, root,
       parameters.get("d1"), parameters.get("d2"), parameters.get("indexcol"))
+  }
+
+  // ---- v1 (CREATE TEMPORARY VIEW … USING resolves through this) ----
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    relationOf(sqlContext, parameters)
+
+  // ---- v2 (spark.read.format(...).load() resolves through this) ----
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    import scala.jdk.CollectionConverters._
+    val spark = SparkSession.active
+    relationOf(spark.sqlContext, options.asScala.toMap).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
+    new ClusteredTableV2(schema, properties.asScala.toMap)
+  }
+
+  // a user-supplied schema is allowed (and wins): it is how a consumer
+  // tails a table whose first ingest batch has not landed yet — the
+  // same reason ClusteredTable.tail takes an explicit schema. A batch
+  // read under a wrong user schema fails loudly at the projection.
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[clustered] class ClusteredTableV2(declaredSchema: StructType,
+    options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-clustered ${options.getOrElse("root", "?")}"
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new ClusteredScanBuilder(declaredSchema, options)
+}
+
+private[clustered] class ClusteredScanBuilder(declaredSchema: StructType,
+    options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  private val root = options("root")
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Array[String] = declaredSchema.fieldNames
+  private var aggResult: Option[(StructType, Row)] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(ClusteredRelation.translatable)
+    pushed = ok
+    rest // Spark evaluates what the source cannot
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema.fieldNames
+
+  /** Complete pushdown: the scan returns FINAL values (one row from
+    * footer statistics), not partials for Spark to re-aggregate.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggResult.isDefined || tryPushAgg(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    aggResult.isDefined || tryPushAgg(aggregation)
+
+  private def tryPushAgg(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty || pushed.nonEmpty) return false
+    aggResult = FooterStats.evaluate(root, declaredSchema,
+      aggregation.aggregateExpressions())
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = {
+    val prunedSchema = StructType(required.flatMap(n => declaredSchema.fields.find(_.name == n)))
+    new ClusteredV1Scan(options, prunedSchema, required, pushed, aggResult)
+  }
+}
+
+/** The DSv2 scan that executes through the v1 relation (the JDBC
+  * shape): Spark's physical planning calls `toV1TableScan` and runs
+  * the returned relation's RDD inside a RowDataSourceScanExec — whose
+  * explain output carries `PushedFilters` / `PushedAggregates`, the
+  * observable PLANS.md pins. A pushed aggregate returns its one
+  * footer-computed row; otherwise the relation performs the pruned,
+  * filtered, projected snapshot scan.
+  */
+private[clustered] class ClusteredV1Scan(options: Map[String, String],
+    prunedSchema: StructType, required: Array[String], filters: Array[Filter],
+    agg: Option[(StructType, Row)]) extends V1Scan {
+
+  override def readSchema(): StructType = agg.map(_._1).getOrElse(prunedSchema)
+
+  /** The STREAMING read under the same format string: tail the append
+    * feed (see [[ClusteredTailStream]]). Delta rows present exactly as
+    * the batch read's unfolded tail (zfile = -1, zkey = NULL), so the
+    * one table schema serves both modes.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ClusteredTailStream(options("root"), prunedSchema, filters)
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val self = this
+    new BaseRelation with TableScan {
+      // a stable node name: the default Object.toString's identity hash
+      // would churn PLANS.md on every regeneration
+      override def toString: String =
+        s"GraftClustered(${options("root").split('/').last})" +
+          agg.map(_ => " [footer-stats]").getOrElse("")
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = self.readSchema()
+      override def buildScan(): RDD[Row] = agg match {
+        case Some((_, row)) =>
+          context.sparkSession.sparkContext.parallelize(Seq(row), 1)
+        case None =>
+          new ClusteredRelation(context, options("root"),
+            options.get("d1"), options.get("d2"), options.get("indexcol"))
+            .buildScan(required, filters)
+      }
+    }.asInstanceOf[T]
+  }
+}
+
+/** COUNT/MIN/MAX from parquet footers only — block row counts, null
+  * counts and column statistics of the snapshot's data files
+  * ([[ClusteredTable.snapshotDataFiles]]); no data page is ever read.
+  * Returns None whenever exactness cannot be guaranteed (pending DV,
+  * unsupported function, non-integral column, missing stats) — the
+  * caller then refuses the pushdown and Spark aggregates the ordinary
+  * scan. Driver-side, O(files) footer reads: the same metadata plane a
+  * lakehouse manifest serves, acceptable exactly because it replaces a
+  * full data scan.
+  */
+private[clustered] object FooterStats {
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+
+  private val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+
+  private def columnOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Per-file footer aggregate: (rows, per-column (nonNullCount, min, max)). */
+  private case class ColStats(nonNull: Long, min: Option[Long], max: Option[Long])
+
+  def evaluate(root: String, schema: StructType,
+      funcs: Array[AggregateFunc]): Option[(StructType, Row)] = {
+    // translate first — cheap refusal before any I/O
+    sealed trait Need
+    case object NRows extends Need
+    case class NCount(c: String) extends Need
+    case class NMin(c: String) extends Need
+    case class NMax(c: String) extends Need
+    val needs: Array[Option[(Need, StructField)]] = funcs.map {
+      case _: CountStar => Some((NRows, StructField("COUNT(*)", LongType, nullable = false)))
+      case c: Count if !c.isDistinct =>
+        columnOf(c.column()).filter(schema.fieldNames.contains)
+          .map(n => (NCount(n), StructField(s"COUNT($n)", LongType, nullable = false)))
+      case m: Min =>
+        columnOf(m.column()).flatMap(n => schema.fields.find(_.name == n))
+          .filter(f => integral.contains(f.dataType))
+          .map(f => (NMin(f.name), StructField(s"MIN(${f.name})", f.dataType)))
+      case m: Max =>
+        columnOf(m.column()).flatMap(n => schema.fields.find(_.name == n))
+          .filter(f => integral.contains(f.dataType))
+          .map(f => (NMax(f.name), StructField(s"MAX(${f.name})", f.dataType)))
+      case _ => None
+    }
+    if (needs.exists(_.isEmpty)) return None
+    val wanted = needs.flatten
+    val cols = wanted.collect {
+      case (NCount(c), _) => c
+      case (NMin(c), _) => c
+      case (NMax(c), _) => c
+    }.distinct
+    val (files, pendingDv) = ClusteredTable.snapshotDataFiles(root)
+    if (pendingDv) return None // merge-on-read: footer counts are not the truth
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    var rows = 0L
+    val acc = scala.collection.mutable.Map[String, ColStats]()
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala
+        blocks.foreach { b =>
+          rows += b.getRowCount
+          val chunks = b.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c).toMap
+          cols.foreach { name =>
+            chunks.get(name) match {
+              case None => // schema evolution: this file predates the column -> all NULL
+              case Some(c) =>
+                val st = c.getStatistics
+                if (st == null || !st.isNumNullsSet) return None
+                val nonNull = b.getRowCount - st.getNumNulls
+                val (mn, mx) =
+                  if (!st.hasNonNullValue) {
+                    if (nonNull > 0) return None // rows present but no min/max recorded
+                    (None, None)
+                  } else (Some(st.genericGetMin.asInstanceOf[Number].longValue()),
+                    Some(st.genericGetMax.asInstanceOf[Number].longValue()))
+                val prev = acc.getOrElse(name, ColStats(0L, None, None))
+                acc(name) = ColStats(prev.nonNull + nonNull,
+                  (prev.min ++ mn).reduceOption(_ min _), (prev.max ++ mx).reduceOption(_ max _))
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    def asFieldType(v: Long, t: DataType): Any = t match {
+      case LongType => v
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case other => throw new IllegalStateException(s"unreachable footer type $other")
+    }
+    val values: Array[Any] = wanted.map {
+      case (NRows, _) => rows
+      case (NCount(c), _) => acc.get(c).map(_.nonNull).getOrElse(0L)
+      case (NMin(c), f) => acc.get(c).flatMap(_.min).map(asFieldType(_, f.dataType)).orNull
+      case (NMax(c), f) => acc.get(c).flatMap(_.max).map(asFieldType(_, f.dataType)).orNull
+    }
+    Some((StructType(wanted.map(_._2)), Row.fromSeq(values.toSeq)))
+  }
+}
+
+private[clustered] object ClusteredRelation {
+  /** Exactly the filter shapes [[ClusteredRelation.toColumn]] applies. */
+  def translatable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+         _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull => true
+    case _ => false
   }
 }
 
@@ -59,33 +338,55 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
   extends BaseRelation with PrunedFilteredScan {
 
   private def spark = sqlContext.sparkSession
-  private def full: DataFrame = ClusteredTable.read(spark, root)
 
-  override val schema: StructType = full.schema
-
-  /** Per-bucket (min d1, max d1, min d2, max d2) — ≤numFiles rows,
-    * computed FROM THE SAME DataFrame instance the scan will return
-    * rows from. Version consistency is the point: a cached catalog (or
-    * a second `read()` listing) could describe a different fold than
-    * the one scanned — bucket ids from v=K applied to v=K+1's files
-    * silently drop in-box rows. Deriving both from one snapshot makes
-    * the decision and the data share one file listing; that the
-    * envelope aggregate then pays the snapshot's merge-on-read
-    * anti-joins is the accepted price (pending DVs only SHRINK
-    * envelopes, so pre-delete stats would be a sound over-approximation
-    * — but they would come from a second, possibly different listing).
+  /** ONE versioned snapshot per relation: the pruning decision (its
+    * catalog version), the declared schema, and the returned rows all
+    * derive from it — bucket ids from one fold applied to another's
+    * files would silently drop in-box rows, and a schema captured from
+    * a different listing than the scan could change row shape
+    * mid-query (both r14 ADVICE findings).
     */
-  private def envelopesOf(snap: DataFrame): Seq[(Int, Int, Int, Int, Int)] =
+  private lazy val (snapVersion: Option[Long], snapshot: DataFrame) =
+    ClusteredTable.readVersioned(spark, root)
+
+  override lazy val schema: StructType = {
+    val s = snapshot.schema
+    // envelope bounds are long: reject a dimension that could wrap (or
+    // NPE) instead of silently excluding buckets that contain rows
+    val ok: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    Seq(d1Col, d2Col).flatten.foreach { c =>
+      val f = s.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"graft-clustered: clustered dimension '$c' is not a column of $root"))
+      if (!ok.contains(f.dataType)) throw new IllegalArgumentException(
+        s"graft-clustered: clustered dimension '$c' must be integral " +
+          s"(byte/short/int/long), got ${f.dataType.simpleString}")
+    }
+    s
+  }
+
+  /** Per-bucket (min d1, max d1, min d2, max d2) as LONG — ≤numFiles
+    * rows. Served from the fold-time `_envelopes` catalog of the SAME
+    * version the snapshot reads (consistent by the claim-rename
+    * construction); only a pre-catalog version falls back to
+    * recomputing from the snapshot — the per-scan O(table) aggregate
+    * the catalog retires. Pending DVs only SHRINK true envelopes, so
+    * the fold-time catalog is a sound over-approximation for the
+    * merge-on-read snapshot.
+    */
+  private def envelopesOf(snap: DataFrame): Seq[(Int, Long, Long, Long, Long)] =
     (d1Col, d2Col) match {
       case (Some(c1), Some(c2)) =>
-        snap.filter(col("zfile") >= 0).groupBy("zfile")
-          .agg(org.apache.spark.sql.functions.min(c1).cast("int").as("mn1"),
-            org.apache.spark.sql.functions.max(c1).cast("int").as("mx1"),
-            org.apache.spark.sql.functions.min(c2).cast("int").as("mn2"),
-            org.apache.spark.sql.functions.max(c2).cast("int").as("mx2"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
-          .toSeq
+        snapVersion.flatMap(v => ClusteredTable.envelopes(spark, root, v, c1, c2))
+          .getOrElse {
+            snap.filter(col("zfile") >= 0).groupBy("zfile")
+              .agg(org.apache.spark.sql.functions.min(col(c1).cast("long")).as("mn1"),
+                org.apache.spark.sql.functions.max(col(c1).cast("long")).as("mx1"),
+                org.apache.spark.sql.functions.min(col(c2).cast("long")).as("mn2"),
+                org.apache.spark.sql.functions.max(col(c2).cast("long")).as("mx2"))
+              .collect()
+              .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+              .toSeq
+          }
       case _ => Seq.empty
     }
 
@@ -93,6 +394,7 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
     case _ => None
   }
 
@@ -115,12 +417,8 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
     * pruning decision possible (scan all buckets). Package-visible so
     * the spec can pin the decision itself, not just the row results.
     */
-  private[graft] def plannedBuckets(filters: Array[Filter]): Option[Seq[Int]] =
-    plannedBucketsOf(full, filters)
-
-  private def plannedBucketsOf(snap: DataFrame,
-      filters: Array[Filter]): Option[Seq[Int]] = {
-    val envelopes = envelopesOf(snap)
+  private[graft] def plannedBuckets(filters: Array[Filter]): Option[Seq[Int]] = {
+    val envelopes = envelopesOf(snapshot)
     val box: Option[Seq[Int]] =
       if (envelopes.isEmpty) None
       else {
@@ -131,7 +429,7 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
         else Some(envelopes.collect {
           case (zf, mn1, mx1, mn2, mx2)
             if mx1 >= lo1 && mn1 <= hi1 && mx2 >= lo2 && mn2 <= hi2 => zf
-        })
+        }.sorted) // deterministic decision regardless of catalog row order
       }
     val bloom: Option[Seq[Int]] = indexCol.flatMap { k =>
       val keys = filters.flatMap {
@@ -166,14 +464,11 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    // ONE snapshot for the pruning decision and the returned rows —
-    // the decision's bucket ids are only meaningful against the exact
-    // fold they were computed from (see envelopesOf)
-    val snap = full
-    val pruned = plannedBucketsOf(snap, filters) match {
+    // the ONE pinned snapshot serves the decision and the rows alike
+    val pruned = plannedBuckets(filters) match {
       // the unclustered tail (zfile = -1) rides every bucket decision
-      case Some(keep) => snap.where(col("zfile") === -1 || col("zfile").isin(keep: _*))
-      case None => snap
+      case Some(keep) => snapshot.where(col("zfile") === -1 || col("zfile").isin(keep: _*))
+      case None => snapshot
     }
     val filtered = filters.flatMap(toColumn).foldLeft(pruned)(_ where _)
     // an empty projection (count(*)) must yield zero-field rows — the

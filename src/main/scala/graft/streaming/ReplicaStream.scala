@@ -20,14 +20,28 @@ import graft.functions.ClusteredTable
   * the max v whose DELTA artifact the ledger records. A cursor that IS
   * the data cannot desynchronize from it: a crash after the tombstone
   * but before the delta leaves the watermark at v-1, so the restarted
-  * tick replays window v and both name-addressed writes overwrite
-  * idempotently (the same at-least-once discipline as every artifact
-  * write in ClusteredTable); a crash after the delta means the window
-  * is durably applied and the restart skips it. The replica's own
-  * `optimize`/`vacuum` cadence is free to run between ticks — folding
-  * moves the w-names into the manifest's cumulative record, which
-  * survives vacuum, so the watermark also survives the replica's
-  * entire maintenance lifecycle.
+  * tick replays window v and both name-addressed writes publish
+  * idempotently (fill-gaps: a durable artifact is never rewritten); a
+  * crash after the delta means the window is durably applied and the
+  * restart skips it. The replica's own `optimize`/`vacuum` cadence is
+  * free to run between ticks — folding moves the w-names into the
+  * manifest's cumulative record, which survives vacuum, so the
+  * watermark also survives the replica's entire maintenance lifecycle.
+  *
+  * CONCURRENT TICKS ARE SAFE (r14 verdict ask — the old contract was
+  * serialize-by-convention): every artifact a tick writes publishes
+  * through [[ClusteredTable.appendClaimed]]'s stage-and-claim-rename,
+  * so two ticks racing the SAME still-missing window artifact resolve
+  * to exactly one complete winner — interleaved bytes under one path
+  * cannot occur, and window content is deterministic (the primary's
+  * retained artifacts), so which tick wins never matters. The one
+  * non-deterministic write — the SEED, whose content depends on which
+  * primary version a tick happens to observe — is settled by a claim
+  * of its own: the first tick to claim `_seed.claim` decides the seed
+  * version for the replica's lifetime, every other (and every
+  * crash-restarted) seeder reads the decision and publishes the SAME
+  * deterministic artifact. Two virgin ticks racing a primary fold can
+  * therefore never seed two different snapshots.
   *
   * Ordering: the w-names are zero-padded by version, so they stay
   * lexicographically monotonic across windows and interleave correctly
@@ -63,13 +77,20 @@ object ReplicaStream {
   /** Seed a virgin replica with the primary's newest snapshot; returns
     * the seeded version (the watermark). One source-table-sized write —
     * paid once, or again only after falling past the primary's
-    * retention horizon.
+    * retention horizon. The version is SETTLED through `_seed.claim`
+    * before any data moves (see the concurrency contract above), so
+    * concurrent and crash-restarted seeders all publish one identical
+    * artifact; the snapshot itself publishes through a claimed write.
+    * Throws (before claiming anything) if the primary has no complete
+    * version yet.
     */
   def seed(s: SparkSession, primaryRoot: String, replicaRoot: String): Long = {
-    val v = ClusteredTable.latestVersion(primaryRoot).getOrElse(
-      throw new IllegalStateException(
-        s"primary at $primaryRoot has no complete version to seed from"))
-    ClusteredTable.append(
+    val v = ClusteredTable.claimMeta(replicaRoot, "_seed.claim", {
+      ClusteredTable.latestVersion(primaryRoot).getOrElse(
+        throw new IllegalStateException(
+          s"primary at $primaryRoot has no complete version to seed from")).toString
+    }).toLong
+    ClusteredTable.appendClaimed(
       ClusteredTable.read(s, primaryRoot, Some(v)).drop("zkey", "zfile"),
       replicaRoot, pad(v) + "s")
     v
@@ -78,19 +99,22 @@ object ReplicaStream {
   /** One maintainer tick: seed if virgin, then replay every primary
     * window past the watermark, version by version (per-window names
     * keep a partially-applied catch-up replayable). Returns the new
-    * watermark. Safe to call from any scheduler at any cadence,
-    * concurrently with replica reads and replica optimize/vacuum —
-    * applyChanges publishes each artifact durably at most once (fill-
-    * gaps, never overwrite), so a replayed or stale-watermark tick
-    * cannot un-publish what a fold is reading. Run ONE maintainer:
-    * ticks are serialized-by-convention; two ticks racing to write the
-    * SAME still-missing artifact concurrently (same path, two writers)
-    * is the one schedule the guard cannot order.
+    * watermark — or -1 for the virgin no-op tick (the primary has no
+    * complete version yet to seed from: a timer tick firing before the
+    * primary's first optimize must not kill the driving query). Safe
+    * to call from any scheduler at any cadence, concurrently with
+    * replica reads, replica optimize/vacuum, AND other ticks — every
+    * artifact publishes durably at most once through a claimed write,
+    * and the seed version is claim-settled (see scaladoc), so
+    * overlapping or replayed ticks converge on identical bytes.
     */
   def catchUp(s: SparkSession, primaryRoot: String, replicaRoot: String,
       keyCols: Seq[String]): Long = {
     val latest = ClusteredTable.latestVersion(primaryRoot).getOrElse(-1L)
-    val from = lastApplied(replicaRoot).getOrElse(seed(s, primaryRoot, replicaRoot))
+    val from = lastApplied(replicaRoot).getOrElse {
+      if (latest < 0) return -1L // nothing to seed from yet: no-op tick
+      seed(s, primaryRoot, replicaRoot)
+    }
     ((from + 1) to latest).foreach { v =>
       ClusteredTable.applyChanges(
         ClusteredTable.changes(s, primaryRoot, v - 1, v), replicaRoot, pad(v), keyCols)
@@ -101,7 +125,9 @@ object ReplicaStream {
   /** Attach the maintainer to any driving stream: each micro-batch
     * triggers one catch-up tick (the driving rows themselves are
     * ignored — a rate source makes this a timer). foreachBatch's
-    * at-least-once replay is absorbed by the tick's idempotence.
+    * at-least-once replay is absorbed by the tick's idempotence, and a
+    * tick firing before the primary's first fold is a no-op, not a
+    * query-killing error.
     */
   def attach(w: DataStreamWriter[Row], primaryRoot: String, replicaRoot: String,
       keyCols: Seq[String]): DataStreamWriter[Row] =

@@ -97,6 +97,148 @@ class ClusteredSourceSpec extends SparkTestBase {
     assert(n == 7L, "empty-projection count(*) must work through buildScan")
   }
 
+  test("the pruning decision is served from the fold-time _envelopes catalog: " +
+      "it equals the recomputed decision, and corrupting every base data file " +
+      "does not disturb it (zero data reads) while the fallback genuinely scans") {
+    def mkRoot(): String = {
+      val root = Files.createTempDirectory("csrc_cat").toString
+      ClusteredTable.append(mk(Seq((1L, 3, 4), (2L, 9, 2), (3L, 15, 11), (4L, 4, 3),
+        (5L, 0, 0), (6L, 12, 7))), root, "00")
+      ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+      root
+    }
+    val box = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("d1", 3), LessThanOrEqual("d1", 5),
+      GreaterThanOrEqual("d2", 2), LessThanOrEqual("d2", 5))
+    // catalog path (fresh fold always has _envelopes)
+    val root = mkRoot()
+    assert(ClusteredTable.envelopes(spark, root, 0L, "d1", "d2").isDefined)
+    val rel = new ClusteredRelation(spark.sqlContext, root, Some("d1"), Some("d2"), None)
+    val decided = rel.plannedBuckets(box).get
+    // fallback path on a TWIN table with the catalog removed: the
+    // recomputed decision must be identical
+    val twin = mkRoot()
+    ClusteredTable.rmTree(new java.io.File(twin, "base/v=0/_envelopes"))
+    assert(ClusteredTable.envelopes(spark, twin, 0L, "d1", "d2").isEmpty)
+    val relTwin = new ClusteredRelation(spark.sqlContext, twin, Some("d1"), Some("d2"), None)
+    assert(relTwin.plannedBuckets(box).get == decided,
+      "catalog and recomputed decisions must agree")
+    // the metadata-plane pin: corrupt EVERY base data file — the
+    // catalog-backed decision must not notice (it reads _envelopes
+    // only), and the corruption is real (executing the scan fails)
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).iterator.flatMap(walk)
+      else Iterator(f)
+    walk(new java.io.File(root, "base/v=0"))
+      .filter(f => f.getName.endsWith(".parquet") && f.getPath.contains("zfile="))
+      .foreach(f => java.nio.file.Files.write(f.toPath, "garbage".getBytes("UTF-8")))
+    assert(rel.plannedBuckets(box).get == decided,
+      "the decision must be computable without touching a single data page")
+    intercept[Exception] { ClusteredTable.read(spark, root).count() } // corruption is real
+  }
+
+  test("aggregate pushdown: an un-filtered COUNT/MIN/MAX compiles to a pushed, " +
+      "footer-only scan; filters or pending merge-on-read deletes refuse it " +
+      "and the values stay exact either way") {
+    // clean lifecycle: base fold + unfolded delta tail, NO deletes
+    val root = Files.createTempDirectory("csrc_agg").toString
+    ClusteredTable.append(mk(Seq((1L, 3, 4), (2L, 9, 2), (3L, 15, 11))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    ClusteredTable.append(mk(Seq((4L, 4, 3), (5L, 0, 0))), root, "01") // tail
+    val agg = src(root).agg(count(lit(1)).as("n"),
+      min("d1").as("mn1"), max("d1").as("mx1"), max("id").as("mxid"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT"),
+      s"expected a pushed aggregate:\n$plan")
+    val row = agg.collect().head
+    assert((row.getLong(0), row.getInt(1), row.getInt(2), row.getLong(3)) ==
+      ((5L, 0, 15, 5L)), s"footer stats must equal the direct aggregate: $row")
+    // a filter refuses the pushdown (footer stats can't subtract rows)
+    val filtered = src(root).where(col("d1") >= 3).agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(filtered.head.getLong(0) == 4L) // ids 1,2,3 (base) + 4 (tail)
+    // a pending equality delete refuses it (merge-on-read is the truth)
+    val mor = build() // 8 appended rows, one pending delete -> 7 visible
+    val morAgg = src(mor).agg(count(lit(1)).as("n"))
+    assert(!morAgg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "a pending DV must refuse footer counts")
+    assert(morAgg.head.getLong(0) == 7L)
+    // a non-integral MIN/MAX refuses (no silent string-stats ordering)
+    val sroot = Files.createTempDirectory("csrc_aggs").toString
+    ClusteredTable.append(Seq((1L, 1, 1, "b"), (2L, 2, 2, "a"))
+      .toDF("id", "d1", "d2", "note"), sroot, "00")
+    ClusteredTable.optimize(spark, sroot, "d1", "d2", 4, 16)
+    val sAgg = src(sroot).agg(min("note").as("mn"))
+    assert(!sAgg.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(sAgg.head.getString(0) == "a")
+  }
+
+  test("streaming tail under the same format string: each append surfaces " +
+      "exactly once across optimize + vacuum, a checkpoint restart re-serves " +
+      "nothing, and pushed filters apply to the streamed rows") {
+    val root = Files.createTempDirectory("csrc_tail").toString
+    val ck = Files.createTempDirectory("csrc_tail_ck").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 9, 2))), root, "00")
+    // foreachBatch (checkpoint-recoverable, unlike the memory sink) into
+    // a shared buffer: duplicates across the restart would be visible
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graft-clustered")
+      .option("root", root).load()
+      .where(col("d1") >= 1) // pushed into the tail reader (row 5 below is filtered)
+      .selectExpr("id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", ck).start()
+    def seen: Seq[Long] = got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq.sorted
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(seen == Seq(1L, 2L))
+      ClusteredTable.append(mk(Seq((3L, 3, 3), (5L, 0, 0))), root, "01") // 5 has d1=0
+      q.processAllAvailable()
+      assert(seen == Seq(1L, 2L, 3L), "the pushed filter must drop d1=0 in the reader")
+      // the full maintenance lifecycle under the live tail
+      ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+      ClusteredTable.vacuum(root)
+      ClusteredTable.append(mk(Seq((4L, 4, 4))), root, "02")
+      q.processAllAvailable()
+      assert(seen == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+    // restart from the checkpoint: the name-watermark offset re-serves
+    // nothing — only the post-restart append joins the buffer, once
+    ClusteredTable.append(mk(Seq((6L, 6, 6))), root, "03")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen == Seq(1L, 2L, 3L, 4L, 6L),
+        s"restart must serve only the new append, exactly once: $seen")
+    } finally q2.stop()
+  }
+
+  test("streaming tail rows present like the batch tail: zfile = -1, zkey NULL, " +
+      "through the one shared table schema") {
+    val root = Files.createTempDirectory("csrc_tail2").toString
+    val ck = Files.createTempDirectory("csrc_tail2_ck").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // base exists -> schema has zkey/zfile
+    ClusteredTable.append(mk(Seq((2L, 2, 2))), root, "01")
+    val df = spark.readStream.format("graft-clustered").option("root", root).load()
+    assert(df.columns.contains("zfile") && df.columns.contains("zkey"))
+    val q = df.selectExpr("id", "zfile", "zkey")
+      .writeStream.format("memory").queryName("ct_tail_zf")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, zfile, zkey FROM ct_tail_zf ORDER BY id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+        "folded-but-unvacuumed deltas are part of the feed, like tail()")
+      assert(rows.forall(r => r.getInt(1) == -1 && r.isNullAt(2)),
+        s"stream rows must present as the batch read's unfolded tail: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("a Bloom-indexed point lookup intersects the bucket decision; absent " +
       "index degrades to unpruned, results always exact") {
     val root = build()

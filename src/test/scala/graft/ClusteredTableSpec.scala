@@ -569,6 +569,102 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(payloads() == Seq((1L, 10), (2L, 20)))
   }
 
+  test("envelope catalog: every fold publishes _envelopes inside the version; " +
+      "it equals the recomputed per-bucket min/max and versions with the table") {
+    val root = Files.createTempDirectory("ct_env").toString
+    ClusteredTable.append(
+      mk((1L to 40L).map(i => (i, (i % 16).toInt, ((i * 7) % 12).toInt))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    val cat = ClusteredTable.envelopes(spark, root, 0L, "d1", "d2")
+    assert(cat.isDefined, "the fold must land a catalog")
+    // the catalog IS the recomputed aggregate (fold-time == read-time here)
+    val recomputed = ClusteredTable.read(spark, root).filter(col("zfile") >= 0)
+      .groupBy("zfile").agg(
+        min(col("d1").cast("long")).as("mn1"), max(col("d1").cast("long")).as("mx1"),
+        min(col("d2").cast("long")).as("mn2"), max(col("d2").cast("long")).as("mx2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    assert(cat.get.sortBy(_._1) == recomputed)
+    // dimension mismatch reads as "no catalog", never as wrong bounds
+    assert(ClusteredTable.envelopes(spark, root, 0L, "d2", "d1").isEmpty)
+    // the catalog versions with the table: the next fold gets its own
+    ClusteredTable.append(mk(Seq((100L, 15, 11))), root, "01")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    val cat1 = ClusteredTable.envelopes(spark, root, 1L, "d1", "d2")
+    assert(cat1.isDefined && cat1 != cat, "v=1 must carry its own catalog")
+    // and vacuum of the superseded version reclaims its catalog with it
+    ClusteredTable.vacuum(root)
+    assert(ClusteredTable.envelopes(spark, root, 0L, "d1", "d2").isEmpty)
+  }
+
+  test("vacuum never reclaims base v=N while a staging targets N (the " +
+      "resurrection guard): the version is deferred one pass, then goes") {
+    val root = Files.createTempDirectory("ct_resur").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    ClusteredTable.append(mk(Seq((2L, 2, 2))), root, "01")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1 supersedes v=0
+    // a lost fold's staging still targets v=0 (its race is settled —
+    // but while it EXISTS, v=0 must stay, else the staging's rename
+    // could resurrect stale content under a retired version number)
+    val loser = new java.io.File(root, "base/.staging-v=0-deadbeef")
+    assert(loser.mkdirs())
+    ClusteredTable.vacuum(root)
+    assert(!loser.exists(), "the settled-race staging itself is reclaimed")
+    assert(new java.io.File(root, "base/v=0").exists(),
+      "v=0 must survive the pass in which a staging still targeted it")
+    // with the staging gone, the next pass reclaims the version
+    ClusteredTable.vacuum(root)
+    assert(!new java.io.File(root, "base/v=0").exists())
+    assert(ids(root) == Seq(1L, 2L))
+  }
+
+  test("string-key bloom index: putString plane prunes buckets, lookupString " +
+      "is exact, and a long-plane probe of a string index degrades to unpruned") {
+    val root = Files.createTempDirectory("ct_bloomstr").toString
+    val rows = (0L until 64L).map(i => (i, s"doc-$i", (i % 16).toInt, (i % 12).toInt))
+    ClusteredTable.append(rows.toDF("id", "url", "d1", "d2"), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    ClusteredTable.buildIndex(spark, root, "url")
+    val occupied = ClusteredTable.read(spark, root)
+      .filter(col("zfile") >= 0).select("zfile").distinct().count()
+    val cand = ClusteredTable.indexCandidatesString(spark, root, "url", Seq("doc-7"))
+    assert(cand.isDefined && cand.get.size < occupied,
+      s"string index must skip buckets: $cand of $occupied")
+    assert(ClusteredTable.lookupString(spark, root, "url", Seq("doc-7", "doc-63"))
+      .select("id").as[Long].collect().toSeq.sorted == Seq(7L, 63L))
+    assert(ClusteredTable.lookupString(spark, root, "url", Seq("doc-nope")).count() == 0)
+    // the wrong plane reads as NO index (degrade), never a missed bucket
+    assert(ClusteredTable.indexCandidates(spark, root, "url", Seq(7L)).isEmpty)
+  }
+
+  test("claimed artifact writes: a durable artifact is never rewritten, and " +
+      "two writers racing the same missing artifact publish exactly one winner") {
+    val root = Files.createTempDirectory("ct_claim").toString
+    assert(ClusteredTable.appendClaimed(mk(Seq((1L, 1, 1))), root, "00"))
+    assert(!ClusteredTable.appendClaimed(mk(Seq((9L, 9, 9))), root, "00"),
+      "a durable artifact must be skipped, not rewritten")
+    assert(ids(root) == Seq(1L))
+    // two threads race a still-missing artifact
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    (1 to 2).foreach { i =>
+      pool.execute(() =>
+        if (ClusteredTable.appendClaimed(mk(Seq((2L, i, i))), root, "01")) wins.incrementAndGet())
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(wins.get() == 1, s"exactly one claim must win, got ${wins.get()}")
+    // the surviving artifact is ONE writer's complete output (1 row)
+    assert(spark.read.parquet(s"$root/delta/d=01").count() == 1)
+    // claimMeta settles once: every caller reads the winner's value
+    val v1 = ClusteredTable.claimMeta(root, "_m", "a")
+    val v2 = ClusteredTable.claimMeta(root, "_m", "b")
+    assert(v1 == "a" && v2 == "a")
+  }
+
   test("optimize claims versions optimistically: racing maintainers commit " +
       "exactly one v=next each round, the loser rebases, no row lost or doubled") {
     val root = Files.createTempDirectory("ct_occ").toString

@@ -101,6 +101,62 @@ class ReplicaStreamSpec extends SparkTestBase {
       s"expected the retention-horizon failure, got: ${e.getMessage}")
   }
 
+  test("concurrent ticks are safe: two maintainers catching up the same windows " +
+      "converge to one identical artifact set — every artifact has one winner") {
+    val p = Files.createTempDirectory("rs_ccp").toString
+    val r = Files.createTempDirectory("rs_ccr").toString
+    ClusteredTable.append(mk((1L to 6L).map(i => (i, i.toInt, 0))), p, "00")
+    ClusteredTable.optimize(spark, p, "d1", "d2", 4, 16) // v=0
+    ClusteredTable.delete(Seq(Tuple1(2L)).toDF("id"), p, "01")
+    ClusteredTable.append(mk(Seq((7L, 7, 0))), p, "02")
+    ClusteredTable.optimize(spark, p, "d1", "d2", 4, 16) // v=1
+    ClusteredTable.append(mk(Seq((8L, 8, 0))), p, "03")
+    ClusteredTable.optimize(spark, p, "d1", "d2", 4, 16) // v=2
+    // two overlapping ticks, both starting from a VIRGIN replica: the
+    // seed version is claim-settled, every window artifact is a claimed
+    // write — the racers must produce ONE seed and one pair per window
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    (1 to 2).foreach { _ =>
+      pool.execute(() =>
+        results.add(
+          try Right(ReplicaStream.catchUp(spark, p, r, Seq("id")))
+          catch { case e: Throwable => Left(e) }))
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+    val rs = results.toArray(Array.empty[Either[Throwable, Long]]).toSeq
+    assert(rs.forall(_.isRight), s"a racing tick failed: $rs")
+    assert(rs.collect { case Right(v) => v }.max == 2L)
+    assert(converged(r, p), "racing ticks must still converge")
+    // exactly one seed artifact, and at most one pair per window
+    val names = ClusteredTable.artifactNames(r)
+    assert(names.count(_.endsWith("s")) == 1, s"exactly one seed: $names")
+    val seedV = names.find(_.endsWith("s")).get
+      .stripPrefix("d=w").stripSuffix("s").toLong
+    ((seedV + 1) to 2L).foreach { v =>
+      assert(names.count(_ == f"d=w$v%010d1") == 1, s"window $v delta once: $names")
+    }
+    // a replayed tick after the race is a no-op
+    assert(ReplicaStream.catchUp(spark, p, r, Seq("id")) == 2L)
+    assert(converged(r, p))
+  }
+
+  test("a tick before the primary's first fold is a no-op (-1), not a " +
+      "query-killing error; a later tick seeds normally") {
+    val p = Files.createTempDirectory("rs_vtp").toString
+    val r = Files.createTempDirectory("rs_vtr").toString
+    // primary exists but has no complete version yet (delta only)
+    ClusteredTable.append(mk(Seq((1L, 1, 0))), p, "00")
+    assert(ReplicaStream.catchUp(spark, p, r, Seq("id")) == -1L)
+    assert(ReplicaStream.lastApplied(r).isEmpty, "the no-op tick must write nothing")
+    // once the primary folds, the next tick seeds and converges
+    ClusteredTable.optimize(spark, p, "d1", "d2", 4, 16) // v=0
+    assert(ReplicaStream.catchUp(spark, p, r, Seq("id")) == 0L)
+    assert(converged(r, p))
+  }
+
   test("attach: a driving stream's micro-batches tick the maintainer; " +
       "at-least-once batches are absorbed") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
