@@ -3,7 +3,9 @@ package graft.sources.clustered
 import java.util
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
@@ -82,7 +84,7 @@ import graft.functions.ClusteredTable
   * decision; the two prunes intersect.
   */
 class ClusteredSourceProvider extends RelationProvider with TableProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-clustered"
 
   private def relationOf(sqlContext: SQLContext,
@@ -97,6 +99,76 @@ class ClusteredSourceProvider extends RelationProvider with TableProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     relationOf(sqlContext, parameters)
+
+  /** BATCH WRITE under the same format string —
+    * `df.write.format("graft-clustered").option("root", …)
+    *   .option("name", <batchId>).mode("append").save()` —
+    * the DataFrame lands as delta `d=<name>` through
+    * [[ClusteredTable.append]]: a straight parquet write, no sort or
+    * shuffle on the ingest path (the LSM ingest contract; `optimize`
+    * folds later, out of band). `name` is REQUIRED and is the caller's
+    * idempotence handle: re-writing the same name overwrites (replayed
+    * batch), and names must stay lexicographically monotonic across
+    * appends and deletes — the table's sequence contract. Only
+    * SaveMode.Append is meaningful (every write IS an append
+    * artifact); other modes are rejected loudly, never reinterpreted
+    * (an Overwrite that truncated the table would be a silent
+    * data-loss footgun; the table's update plane is upsert/delete).
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    require(mode == SaveMode.Append,
+      s"graft-clustered writes are LSM appends; use SaveMode.Append (got $mode)")
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-clustered requires option 'root'"))
+    val name = parameters.getOrElse("name",
+      throw new IllegalArgumentException(
+        "graft-clustered write requires option 'name' — the monotonic batch id, " +
+          "the idempotence handle for replayed writes"))
+    ClusteredTable.append(data, root, name)
+    relationOf(sqlContext, parameters)
+  }
+
+  /** STREAMING WRITE under the same format string —
+    * `df.writeStream.format("graft-clustered").option("root", …)` —
+    * each micro-batch lands as delta `d=b<batchId>`, exactly
+    * [[ClusteredTable.sink]]'s discipline: zero-padded batch ids keep
+    * the sequence contract, and an at-least-once replayed batch
+    * overwrites its own delta, so the table never double-ingests.
+    * Append output mode only — the table's update plane is
+    * upsert()/delete(), not a streaming output mode. Closes the
+    * connector square: batch read, batch write, streaming read,
+    * streaming write, one format string.
+    */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-clustered requires option 'root'"))
+    require(outputMode == OutputMode.Append(),
+      s"graft-clustered streaming writes are LSM appends; use Append mode (got $outputMode)")
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the sink receives the micro-batch as an already-planned
+        // incremental execution — re-planning it through a writer
+        // command throws, so rebind the executed rows into a plain
+        // batch DataFrame (the standard v1-sink discipline): toRdd
+        // gives the batch's InternalRows, the row encoder lifts them
+        // back to external rows executor-side, nothing touches the
+        // driver
+        val spark = data.sparkSession
+        val schema = data.schema
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+          .resolveAndBind()
+        val rows = data.queryExecution.toRdd.mapPartitions { it =>
+          val deser = enc.createDeserializer()
+          it.map(ir => deser(ir.copy()))
+        }
+        ClusteredTable.append(spark.createDataFrame(rows, schema), root, f"b$batchId%012d")
+      }
+      override def toString: String = s"GraftClusteredSink(${root.split('/').last})"
+    }
+  }
 
   // ---- v2 (spark.read.format(...).load() resolves through this) ----
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -432,13 +504,19 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
         }.sorted) // deterministic decision regardless of catalog row order
       }
     val bloom: Option[Seq[Int]] = indexCol.flatMap { k =>
-      val keys = filters.flatMap {
-        case EqualTo(`k`, v) => asLong(v).toSeq
-        case In(`k`, vs) => vs.toSeq.flatMap(asLong)
+      // both key planes: an =/IN on the indexed column probes the plane
+      // its literals live on; the index's recorded `kind` makes a
+      // wrong-plane probe read as "no index" (degrade, never miss)
+      val lits = filters.flatMap {
+        case EqualTo(`k`, v) => Seq(v)
+        case In(`k`, vs) => vs.toSeq
         case _ => Seq.empty
       }.distinct
-      if (keys.isEmpty) None
-      else ClusteredTable.indexCandidates(spark, root, k, keys.toSeq)
+      val longKeys = lits.flatMap(asLong)
+      val strKeys = lits.collect { case s: String => s }
+      if (longKeys.nonEmpty) ClusteredTable.indexCandidates(spark, root, k, longKeys.toSeq)
+      else if (strKeys.nonEmpty) ClusteredTable.indexCandidatesString(spark, root, k, strKeys.toSeq)
+      else None
     }
     (box, bloom) match {
       case (Some(a), Some(b)) => Some(a.intersect(b))

@@ -217,6 +217,49 @@ class ClusteredSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("the connector square: batch write and streaming write under the same " +
+      "format string — appends land as deltas, replay is idempotent, wrong " +
+      "modes fail loudly, and the format read serves the folded result") {
+    val root = Files.createTempDirectory("csrc_w").toString
+    val ck = Files.createTempDirectory("csrc_w_ck").toString
+    def ids: Seq[Long] = ClusteredTable.read(spark, root)
+      .select("id").as[Long].collect().toSeq.sorted
+    // batch write: mode must be append, name is the idempotence handle
+    mk(Seq((1L, 1, 1), (2L, 2, 2))).write.format("graft-clustered")
+      .option("root", root).option("name", "00").mode("append").save()
+    assert(ids == Seq(1L, 2L))
+    // replayed batch (same name) overwrites its own delta, no duplicates
+    mk(Seq((1L, 1, 1), (2L, 2, 2))).write.format("graft-clustered")
+      .option("root", root).option("name", "00").mode("append").save()
+    assert(ids == Seq(1L, 2L))
+    // non-append modes and a missing name are rejected, never reinterpreted
+    intercept[Exception] {
+      mk(Seq((9L, 9, 9))).write.format("graft-clustered")
+        .option("root", root).option("name", "zz").mode("overwrite").save()
+    }
+    intercept[Exception] {
+      mk(Seq((9L, 9, 9))).write.format("graft-clustered")
+        .option("root", root).mode("append").save()
+    }
+    assert(ids == Seq(1L, 2L), "a rejected write must not land anything")
+    // streaming write: micro-batches land as b<batchId> deltas
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, Int)]
+    val q = mem.toDF().toDF("id", "d1", "d2").writeStream.format("graft-clustered")
+      .option("root", root).option("checkpointLocation", ck).start()
+    try {
+      mem.addData((3L, 3, 3), (4L, 4, 4))
+      q.processAllAvailable()
+      assert(ids == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+    // maintenance folds the mixed-provenance deltas; the format READ
+    // serves the clustered result — the square closes
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    val back = spark.read.format("graft-clustered").option("root", root).load()
+    assert(back.where(col("zfile") >= 0).select("id").as[Long].collect().toSeq.sorted
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("streaming tail rows present like the batch tail: zfile = -1, zkey NULL, " +
       "through the one shared table schema") {
     val root = Files.createTempDirectory("csrc_tail2").toString
@@ -256,5 +299,28 @@ class ClusteredSourceSpec extends SparkTestBase {
     // no index for this column -> no bloom decision, still exact
     val rel2 = new ClusteredRelation(spark.sqlContext, root, None, None, Some("d2"))
     assert(rel2.plannedBuckets(Array(EqualTo("d2", 4))).isEmpty)
+  }
+
+  test("a string-plane Bloom index drives the source's point-lookup pruning " +
+      "through option(indexcol) with a string literal") {
+    val root = Files.createTempDirectory("csrc_bstr").toString
+    ClusteredTable.append(
+      (0L until 64L).map(i => (i, s"doc-$i", (i % 16).toInt, (i % 12).toInt))
+        .toDF("id", "url", "d1", "d2"), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    ClusteredTable.buildIndex(spark, root, "url")
+    val rel = new ClusteredRelation(spark.sqlContext, root,
+      Some("d1"), Some("d2"), Some("url"))
+    val occupied = ClusteredTable.read(spark, root)
+      .filter(col("zfile") >= 0).select("zfile").distinct().count()
+    val keep = rel.plannedBuckets(Array(EqualTo("url", "doc-7"))).get
+    assert(keep.nonEmpty && keep.size < occupied,
+      s"string point lookup must skip buckets: $keep of $occupied")
+    // and through the public API, row-exact
+    val got = spark.read.format("graft-clustered")
+      .option("root", root).option("d1", "d1").option("d2", "d2").option("indexcol", "url")
+      .load().where(col("url") === "doc-7")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(7L))
   }
 }
