@@ -427,11 +427,20 @@ object ClusteredTable {
       vs.lastOption.map(v => s.read.parquet(v._2.toString).count()).getOrElse(0L) +
         (if (pendingD.isEmpty) 0L
          else s.read.parquet(pendingD.map(_.toString): _*).count())
+    optimize(s, root, d1Col, d2Col, bits, autoFileCount(rows, targetRowsPerFile, bits))
+  }
+
+  /** [[optimizeAuto]]'s sizing formula, exposed so its decision is
+    * independently checkable (q_optimize_auto's oracle re-derives it in
+    * SQL): the smallest power of two ≥ rows/targetRowsPerFile, clamped
+    * to [1, 4^bits] — powers of two always divide the z-key domain.
+    */
+  def autoFileCount(rows: Long, targetRowsPerFile: Long, bits: Int): Int = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
     val maxFiles = 1 << (2 * bits)
     val want = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
-    val numFiles = math.min(maxFiles.toLong,
+    math.min(maxFiles.toLong,
       java.lang.Long.highestOneBit(math.max(1L, 2 * want - 1))).toInt
-    optimize(s, root, d1Col, d2Col, bits, numFiles)
   }
 
   /** MERGE (upsert): for each source row, replace the live row with the

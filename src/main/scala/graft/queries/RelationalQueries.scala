@@ -775,6 +775,53 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** AUTO-SIZED FOLD — optimizeAuto oracle-gated end to end: the fold
+    * derives its file count from the table's CURRENT row count (the
+    * smallest power of two ≥ rows/target, clamped to the z-domain) so
+    * the layout tracks growth instead of rotting at a day-one value —
+    * 16 files chosen at day one means 6 TB files at 100 TB. The
+    * emitted relation pins the WHOLE decision chain independently:
+    * DuckDB re-derives the file count from count(*) with the same
+    * integer arithmetic (a VALUES-list pow2 lookup — no float log2),
+    * recomputes every row's Morton bucket for THAT count, and checks
+    * occupied-bucket cardinality; `n_bad` (rows whose on-disk zfile
+    * disagrees with the size-derived bucketing) is pinned to ZERO, so
+    * an optimizeAuto that picked a different count, or a layout that
+    * drifted from its formula, goes red — not just slow.
+    *
+    * Scale: the sizing read is footer-stats row counts (no data
+    * pages); the fold itself is the ordinary optimize bill. This is
+    * the knob that keeps file size ≈ targetRowsPerFile across 1000×
+    * growth with zero operator retuning.
+    */
+  def qOptimizeAuto(s: SparkSession, dir: String): DataFrame = {
+    val Target = 1000L
+    val ZBits = 4
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_auto_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    graft.functions.ClusteredTable.append(src, root, "00")
+    graft.functions.ClusteredTable.optimizeAuto(s, root, "d1", "d2", ZBits, Target)
+    val t = graft.functions.ClusteredTable.read(s, root)
+    val n = t.count()
+    val files = graft.functions.ClusteredTable.autoFileCount(n, Target, ZBits)
+    val zSpan = (1 << (2 * ZBits)) / files
+    t.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("zfile")).cast("long").as("n_buckets"),
+      sum(when(col("zfile") =!= floor(col("zkey") / zSpan).cast("int"), 1L)
+        .otherwise(0L)).as("n_bad"),
+      sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("n_files", lit(files.toLong))
+  }
+
   /** RETENTION-WINDOW LIFECYCLE — vacuum(keepVersions) oracle-gated:
     * three folds land (v=0: the k%3=0 third; v=1: + the k%3=1 third;
     * v=2: + the rest), then `vacuum(keepVersions = 2)` reclaims v=0 and
@@ -1830,6 +1877,7 @@ object RelationalQueries {
     "q_bloom_skip" -> qBloomSkip,
     "q_bloom_skip_str" -> qBloomSkipStr,
     "q_cluster_agg" -> qClusterAgg,
+    "q_optimize_auto" -> qOptimizeAuto,
     "q_agg_pushdown" -> qAggPushdown,
     "q_hilbert" -> qHilbert,
     "q_window_range" -> qWindowRange,
@@ -2237,6 +2285,35 @@ object RelationalQueries {
         |WHERE doc_id % 149 = 1
         |GROUP BY 1
         |ORDER BY layer""".stripMargin,
+    // the auto-sizing chain re-derived independently: file count from
+    // count(*) via exact integer arithmetic + a pow2 VALUES lookup,
+    // bucket occupancy from the recomputed Morton keys, and the
+    // on-disk-layout agreement pinned as n_bad = 0
+    "q_optimize_auto" ->
+      """WITH src AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2
+        |  FROM orders),
+        |zz AS (SELECT *,
+        |         ((d1 >> 0) & 1) * 2 + ((d2 >> 0) & 1) * 1 +
+        |         ((d1 >> 1) & 1) * 8 + ((d2 >> 1) & 1) * 4 +
+        |         ((d1 >> 2) & 1) * 32 + ((d2 >> 2) & 1) * 16 +
+        |         ((d1 >> 3) & 1) * 128 + ((d2 >> 3) & 1) * 64 AS z
+        |       FROM src),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM src),
+        |f AS (SELECT n_rows,
+        |             COALESCE((SELECT MIN(p) FROM (VALUES (1),(2),(4),(8),(16),(32),
+        |                        (64),(128),(256)) t(p)
+        |                       WHERE p >= (n_rows + 999) // 1000), 256) AS n_files
+        |      FROM n)
+        |SELECT f.n_rows,
+        |       CAST(count(DISTINCT zz.z // (256 // f.n_files)) AS BIGINT) AS n_buckets,
+        |       CAST(0 AS BIGINT) AS n_bad,
+        |       CAST(CAST(sum(zz.price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       CAST(f.n_files AS BIGINT) AS n_files
+        |FROM zz CROSS JOIN f
+        |GROUP BY f.n_rows, f.n_files""".stripMargin,
     // the pushed aggregate's VALUES are ordinary aggregates — DuckDB
     // computes them the direct way; the footer-only execution plane is
     // pinned by the in-query require on PushedAggregates (qClusterAgg)
