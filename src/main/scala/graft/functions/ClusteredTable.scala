@@ -209,6 +209,45 @@ object ClusteredTable {
 
   private def dvDirs(root: String): Seq[Path] = completeDirs(dvRoot(root), "x=")
 
+  /** Complete minor-compaction artifacts (`c=<rank>` under delta/, see
+    * [[compactTail]]) — must also carry their `_ABSORBS` list to count.
+    */
+  private def compactedDirs(root: String): Seq[Path] =
+    completeDirs(deltaRoot(root), "c=")
+      .filter(c => fsOf(c).exists(new Path(c, "_ABSORBS")))
+
+  /** The `d=` artifact names a compacted artifact absorbed. */
+  private def absorbsOf(c: Path): Set[String] = {
+    val fs = fsOf(c)
+    val in = fs.open(new Path(c, "_ABSORBS"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** The un-folded delta-like artifacts one snapshot reads, ascending by
+    * sequence rank: plain deltas that are neither folded nor absorbed by
+    * an ACTIVE compacted artifact, plus the active compacted artifacts
+    * themselves. ACTIVE means none of the artifact's absorbed originals
+    * is folded — the POISONING rule that keeps reads exact when a fold
+    * races a compaction: a fold that absorbed any original directly
+    * makes the compacted artifact redundant-and-dangerous (its merged
+    * rows partially overlap the base), so every reader judges
+    * active/poisoned against the ONE manifest it already read and falls
+    * back to the surviving originals; a poisoned artifact is never read
+    * and never folded, and vacuum reclaims it. Absorbed originals are
+    * kept on disk (vacuum leaves them) until a fold retires them through
+    * the manifest — they are the poison fallback.
+    */
+  private def pendingDeltaLike(root: String, folded: Set[String]): Seq[Path] = {
+    val active = compactedDirs(root)
+      .filter(c => !folded.contains(c.getName))
+      .filter(c => absorbsOf(c).forall(n => !folded.contains(n)))
+    val absorbed = active.flatMap(absorbsOf).toSet
+    (deltaDirs(root).filter(d => !folded.contains(d.getName) &&
+      !absorbed.contains(d.getName)) ++ active)
+      .sortBy(p => seqOf(p.getName))
+  }
+
   /** The sequence rank of an artifact: its name with the `d=` / `x=`
     * namespace prefix stripped, compared lexicographically. The caller
     * contract (scaladoc above) makes these monotonic across both kinds.
@@ -307,7 +346,7 @@ object ClusteredTable {
       val vs = versions(root)
       val current = vs.lastOption
       val folded = current.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
-      val pending = deltaDirs(root).filter(d => !folded.contains(d.getName))
+      val pending = pendingDeltaLike(root, folded)
       val pendingDv = dvDirs(root).filter(x => !folded.contains(x.getName))
       if (pending.isEmpty && pendingDv.isEmpty && current.isDefined) {
         // no-op fold: rebuild only indexes the current version LACKS
@@ -363,7 +402,13 @@ object ClusteredTable {
         // the manifest names every delta AND delete file this version
         // absorbed; it lands INSIDE staging, so the claim rename is the
         // single visibility point for parquet + catalog + manifest
-        val names = (folded ++ pending.map(_.getName) ++ pendingDv.map(_.getName)).toSeq.sorted
+        // a folded compacted artifact retires its absorbed originals too
+        // (they are already excluded from reads while it is active; naming
+        // them makes vacuum reclaim them and keeps them retired even after
+        // the compacted artifact itself is vacuumed)
+        val names = (folded ++ pending.map(_.getName) ++
+          pending.filter(_.getName.startsWith("c=")).flatMap(absorbsOf) ++
+          pendingDv.map(_.getName)).toSeq.sorted
         val tmp = new Path(staging, "._manifest.tmp")
         val out = fs.create(tmp, true)
         try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
@@ -416,7 +461,7 @@ object ClusteredTable {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
     val vs = versions(root)
     val folded = vs.lastOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
-    val pendingD = deltaDirs(root).filter(d => !folded.contains(d.getName))
+    val pendingD = pendingDeltaLike(root, folded)
     // footer-stats row counts — no data pages read (the q_agg_pushdown
     // observation, used operationally), at most TWO jobs: one over the
     // (zfile-partitioned) base, one multi-path over all flat deltas
@@ -441,6 +486,103 @@ object ClusteredTable {
     val want = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
     math.min(maxFiles.toLong,
       java.lang.Long.highestOneBit(math.max(1L, 2 * want - 1))).toInt
+  }
+
+  /** MINOR COMPACTION — the LSM small-files operator for the ingest
+    * tail: between folds, a high-cadence streaming sink lands THOUSANDS
+    * of tiny delta directories, and every snapshot read pays one scan
+    * branch per artifact (at 100 TB tail read amplification is the
+    * small-file problem, not the base). `compactTail` merges runs of
+    * pending deltas into single `c=<rank>` artifacts WITHOUT touching
+    * the base or the fold cadence: one plain read + write sized by the
+    * tail, published through the same claim-rename as everything else.
+    *
+    * SEQUENCE CORRECTNESS: a merged artifact takes the rank of its
+    * FIRST member, and a run is eligible only when no PENDING delete
+    * ranks inside `(first, last]` — then for every delete x (pending
+    * now, or landing later with a higher-than-everything rank), x
+    * outranks the merged artifact exactly when it outranks every
+    * member, so merge-on-read trimming is unchanged. An upsert's
+    * equal-ranked tombstone sits AT its delta's rank, i.e. inside
+    * `(first, last]` of any run ending past it — such runs are split,
+    * never merged wrong.
+    *
+    * FOLD-RACE SAFETY (the poisoning rule, see [[vacuum]] and the
+    * pendingDeltaLike scaladoc): compaction never deletes the absorbed
+    * originals — readers judge, against the one manifest they read,
+    * whether a compacted artifact is ACTIVE (no absorbed original
+    * folded: read it, skip the originals) or POISONED (a racing fold
+    * absorbed originals directly: skip it, read the surviving
+    * originals). Either way every row is read exactly once at every
+    * interleaving; a poisoned artifact is garbage vacuum reclaims, and
+    * absorbed originals are reclaimed only after a fold retires them
+    * through the manifest. Racing compactions settle on the claim
+    * (same rank → one winner); replay is idempotent (a durable target
+    * is skipped).
+    *
+    * The streaming tails ([[tail]], the graft-clustered stream) read
+    * `d=` artifacts only — compaction is invisible to a consumer whose
+    * offsets already passed the absorbed names, and shortens the
+    * history a BRAND-NEW tail consumer can observe to the un-reclaimed
+    * `d=` namespace, the same horizon vacuum already imposes.
+    *
+    * Returns the number of compacted artifacts published. `minRun`
+    * bounds the smallest run worth merging.
+    */
+  def compactTail(s: SparkSession, root: String, minRun: Int = 2): Int = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    val folded = versions(root).lastOption
+      .map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
+    // only plain deltas compact (a compacted artifact re-compacts
+    // naturally at the next fold); ranks of PENDING deletes split runs
+    val pendD = pendingDeltaLike(root, folded).filter(_.getName.startsWith("d="))
+    val dvRanks = dvDirs(root).filterNot(x => folded.contains(x.getName))
+      .map(x => seqOf(x.getName))
+    def blocked(first: String, upto: String): Boolean =
+      dvRanks.exists(r => r > first && r <= upto)
+    // greedy maximal runs: extend while no pending delete ranks inside
+    val runs = scala.collection.mutable.ArrayBuffer[Seq[Path]]()
+    var i = 0
+    while (i < pendD.length) {
+      val first = seqOf(pendD(i).getName)
+      var j = i
+      while (j + 1 < pendD.length && !blocked(first, seqOf(pendD(j + 1).getName))) j += 1
+      runs += pendD.slice(i, j + 1).toSeq
+      i = j + 1
+    }
+    var published = 0
+    runs.filter(_.size >= minRun).foreach { run =>
+      val target = new Path(deltaRoot(root), s"c=${seqOf(run.head.getName)}")
+      val fs = fsOf(target)
+      if (!fs.exists(new Path(target, "_SUCCESS"))) {
+        val merged = run.map(d => s.read.parquet(d.toString))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val staging = new Path(deltaRoot(root),
+          s".staging-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        // the absorption list rides INSIDE the claim: artifact + list
+        // publish atomically, so active/poisoned is always decidable
+        val out = fs.create(new Path(staging, "_ABSORBS"), true)
+        try out.write(run.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        if (fs.exists(target) && !fs.exists(new Path(target, "_SUCCESS")))
+          fs.delete(target, true) // garbage no claim writer can have produced
+        if (claimRename(fs, staging, target)) published += 1
+        else fs.delete(staging, true)
+      }
+    }
+    published
+  }
+
+  /** The delta-like artifact names a live snapshot currently unions
+    * (pending plain deltas + active compacted artifacts), ascending by
+    * rank — the observable q_compact_tail pins: compaction shrinks this
+    * list without changing a single row.
+    */
+  private[graft] def tailParts(root: String): Seq[String] = {
+    val folded = versions(root).lastOption
+      .map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
+    pendingDeltaLike(root, folded).map(_.getName)
   }
 
   /** MERGE (upsert): for each source row, replace the live row with the
@@ -569,9 +711,16 @@ object ClusteredTable {
     * ReplicaStream derives its applied-watermark from it instead of
     * keeping side state that could desynchronize.
     */
-  def artifactNames(root: String): Set[String] =
+  def artifactNames(root: String): Set[String] = {
+    val compacted = compactedDirs(root)
     versions(root).lastOption.map { case (_, d) => manifest(d) }.getOrElse(Set.empty) ++
-      deltaDirs(root).map(_.getName) ++ dvDirs(root).map(_.getName)
+      deltaDirs(root).map(_.getName) ++ dvDirs(root).map(_.getName) ++
+      // a compacted artifact accounts for itself AND its absorbed
+      // originals — the ledger must keep naming them after vacuum
+      // reclaims the original directories (ReplicaStream's watermark
+      // reads window names out of this set)
+      compacted.map(_.getName) ++ compacted.flatMap(absorbsOf)
+  }
 
   /** CDC APPLY — replay one changefeed window (the output of
     * `changes(from, to)` on a SOURCE table) onto THIS table: the feed's
@@ -647,7 +796,7 @@ object ClusteredTable {
       // every unfolded delete outranks the folded base content
       applyDvs(s, s.read.parquet(dir.toString), pendingDv)
     }
-    val pending = deltaDirs(root).filter(d => !folded.contains(d.getName))
+    val pending = pendingDeltaLike(root, folded)
     val deltas = pending.map { d =>
       val df = applyDvs(s, s.read.parquet(d.toString),
         pendingDv.filter(x => seqOf(x.getName) > seqOf(d.getName)))
@@ -713,8 +862,7 @@ object ClusteredTable {
     val vs = versions(root)
     val folded = vs.lastOption.map { case (_, d) => manifest(d) }.getOrElse(Set.empty)
     val pendingDv = dvDirs(root).exists(x => !folded.contains(x.getName))
-    val dirs = vs.lastOption.map(_._2).toSeq ++
-      deltaDirs(root).filter(d => !folded.contains(d.getName))
+    val dirs = vs.lastOption.map(_._2).toSeq ++ pendingDeltaLike(root, folded)
     val files = dirs.flatMap { d =>
       val fs = fsOf(d)
       def hidden(p: Path): Boolean = {
@@ -978,6 +1126,15 @@ object ClusteredTable {
     val folded = retained.headOption.map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
     val staleDeltas = deltaDirs(root).filter(d => folded.contains(d.getName))
     val staleDvs = dvDirs(root).filter(x => folded.contains(x.getName))
+    // compacted artifacts: reclaim once FOLDED (their absorbs are in the
+    // manifest with them) or POISONED (a racing fold absorbed one of
+    // their originals directly — never readable again, see
+    // pendingDeltaLike). ABSORBED ORIGINALS are deliberately NOT
+    // reclaimed while only their compacted artifact names them: they
+    // are the poison fallback; a fold retires them through the manifest
+    // and THEN the folded rule above reclaims them.
+    val staleCompacted = compactedDirs(root).filter(c =>
+      folded.contains(c.getName) || absorbsOf(c).exists(folded.contains))
     val latest = vs.lastOption.map(_._1).getOrElse(-1L)
     val stagings = ls(fs, base)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging-v="))
@@ -1007,10 +1164,11 @@ object ClusteredTable {
           target.nonEmpty &&
             fs.exists(new Path(new Path(p.getParent, target), "_SUCCESS"))
         }
-    (staleDeltas ++ staleDvs ++ staleBases ++ staleStaging ++ staleArtStagings)
+    (staleDeltas ++ staleDvs ++ staleBases ++ staleStaging ++ staleArtStagings ++
+      staleCompacted)
       .foreach(p => fs.delete(p, true))
     staleDeltas.size + staleDvs.size + staleBases.size + staleStaging.size +
-      staleArtStagings.size
+      staleArtStagings.size + staleCompacted.size
   }
 
   /** Net row-level changefeed between optimize versions `fromV` → `toV`
@@ -1036,13 +1194,20 @@ object ClusteredTable {
         s"no complete base version v=$v at $root (vacuumed, torn, or never written)"))
     val window = (man(toV) -- man(fromV)).toSeq.sorted
     def artifact(name: String): Path = {
-      val f = if (name.startsWith("d=")) new Path(deltaRoot(root), name)
-        else new Path(dvRoot(root), name)
+      val f = if (name.startsWith("x=")) new Path(dvRoot(root), name)
+        else new Path(deltaRoot(root), name) // d= and c= both live under delta/
       if (!fsOf(f).exists(new Path(f, "_SUCCESS"))) throw new IllegalStateException(
         s"changefeed artifact $name is gone (vacuumed) — changes($fromV, $toV) is past the retention horizon")
       f
     }
-    val winD = window.filter(_.startsWith("d=")).map(artifact)
+    // a fold that absorbed a COMPACTED artifact names both it and its
+    // absorbed originals in the manifest — the feed reads the compacted
+    // artifact (one merged read) and must skip the originals it already
+    // contains, or every compacted row would double
+    val winC = window.filter(_.startsWith("c=")).map(artifact)
+    val absorbedInWin = winC.flatMap(absorbsOf).toSet
+    val winD = window.filter(n => n.startsWith("d=") && !absorbedInWin.contains(n))
+      .map(artifact) ++ winC
     val winX = window.filter(_.startsWith("x=")).map(artifact)
     val inserts = winD.map { d =>
       applyDvs(s, s.read.parquet(d.toString),

@@ -775,6 +775,53 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** MINOR COMPACTION — ClusteredTable.compactTail oracle-gated: three
+    * ingest deltas land, a delete ranks ABOVE them, a fourth delta
+    * lands after the delete (its rows outrank it — the resurrection
+    * rule), and compaction merges exactly the delete-free run [00..02]
+    * into one artifact, leaving [c=00, d=04] as the read tail. The
+    * oracle re-derives the visible rows from the raw table (the delete
+    * hides k%10=0 only among the first three chunks; the post-delete
+    * chunk survives whole) and pins the STRUCTURAL observables as
+    * constants: exactly one compaction, exactly two remaining tail
+    * parts — a compactor that merged across the delete boundary would
+    * change rows and go red; one that stopped compacting flips
+    * n_compactions/n_parts red.
+    *
+    * Scale: this is the LSM small-file operator — a streaming sink at
+    * one delta per micro-batch makes the snapshot read pay one scan
+    * branch per artifact; compaction collapses the tail for the price
+    * of one tail-sized read+write, without touching the base or the
+    * fold cadence, and every artifact still publishes through the same
+    * atomic claim rename.
+    */
+  def qCompactTail(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_compact_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    val CT = graft.functions.ClusteredTable
+    CT.append(src.filter(col("o_orderkey") % 4 === 0), root, "00")
+    CT.append(src.filter(col("o_orderkey") % 4 === 1), root, "01")
+    CT.append(src.filter(col("o_orderkey") % 4 === 2), root, "02")
+    CT.delete(src.filter(col("o_orderkey") % 10 === 0).select("o_orderkey"), root, "03")
+    CT.append(src.filter(col("o_orderkey") % 4 === 3), root, "04")
+    val nCompactions = CT.compactTail(s, root)
+    val parts = CT.tailParts(root)
+    CT.read(s, root).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey") % 10 === 0, 1L).otherwise(0L)).as("n_k10"),
+      sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("n_compactions", lit(nCompactions.toLong))
+      .withColumn("n_parts", lit(parts.size.toLong))
+  }
+
   /** AUTO-SIZED FOLD — optimizeAuto oracle-gated end to end: the fold
     * derives its file count from the table's CURRENT row count (the
     * smallest power of two ≥ rows/target, clamped to the z-domain) so
@@ -1878,6 +1925,7 @@ object RelationalQueries {
     "q_bloom_skip_str" -> qBloomSkipStr,
     "q_cluster_agg" -> qClusterAgg,
     "q_optimize_auto" -> qOptimizeAuto,
+    "q_compact_tail" -> qCompactTail,
     "q_agg_pushdown" -> qAggPushdown,
     "q_hilbert" -> qHilbert,
     "q_window_range" -> qWindowRange,
@@ -2285,6 +2333,23 @@ object RelationalQueries {
         |WHERE doc_id % 149 = 1
         |GROUP BY 1
         |ORDER BY layer""".stripMargin,
+    // visible rows re-derived from the raw table (the delete hides
+    // k%10=0 among the first three chunks only — the post-delete chunk
+    // outranks it); the structural observables pinned as constants
+    "q_compact_tail" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |vis AS (
+        |  SELECT k, price FROM src WHERE k % 4 IN (0, 1, 2) AND k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k, price FROM src WHERE k % 4 = 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k10,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       CAST(1 AS BIGINT) AS n_compactions,
+        |       CAST(2 AS BIGINT) AS n_parts
+        |FROM vis""".stripMargin,
     // the auto-sizing chain re-derived independently: file count from
     // count(*) via exact integer arithmetic + a pow2 VALUES lookup,
     // bucket occupancy from the recomputed Morton keys, and the

@@ -665,6 +665,87 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(v1 == "a" && v2 == "a")
   }
 
+  test("minor compaction: a run of pending deltas merges into one artifact " +
+      "with identical rows; a pending delete splits runs at its rank; fold, " +
+      "changefeed, vacuum and the artifact ledger all stay exact") {
+    val root = Files.createTempDirectory("ct_compact").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0: {1,2}
+    ClusteredTable.append(mk(Seq((3L, 3, 3))), root, "01")
+    ClusteredTable.append(mk(Seq((4L, 4, 4))), root, "02")
+    ClusteredTable.delete(Seq(Tuple1(1L)).toDF("id"), root, "03")
+    ClusteredTable.append(mk(Seq((5L, 5, 5), (1L, 1, 99))), root, "04") // 1 resurrects
+    val before = ids(root)
+    assert(before == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ClusteredTable.tailParts(root) == Seq("d=01", "d=02", "d=04"))
+    // the delete at rank 03 blocks extension past 02: run = [01, 02]
+    assert(ClusteredTable.compactTail(spark, root) == 1)
+    assert(ClusteredTable.tailParts(root) == Seq("c=01", "d=04"))
+    assert(ids(root) == before, "compaction must not change a single row")
+    // the resurrected image still outranks the delete; the compacted
+    // rows still lose to it (rank 01 < 03)
+    assert(ClusteredTable.read(spark, root).filter(col("id") === 1L)
+      .select("d2").as[Int].collect().toSeq == Seq(99))
+    // replay is idempotent; absorbed originals are still on disk (the
+    // poison fallback) but excluded from the read
+    assert(ClusteredTable.compactTail(spark, root) == 0)
+    assert(new java.io.File(root, "delta/d=01").exists())
+    // vacuum does NOT reclaim absorbed-unfolded originals
+    ClusteredTable.vacuum(root)
+    assert(new java.io.File(root, "delta/d=01").exists())
+    // the fold absorbs the compacted artifact + names its originals
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    assert(ids(root) == before)
+    assert(ClusteredTable.read(spark, root).filter(col("zfile") < 0).count() == 0)
+    // changefeed across the fold reads the compacted artifact ONCE —
+    // inserts must not double the absorbed originals' rows
+    val ch = ClusteredTable.changes(spark, root, 0L, 1L).cache()
+    assert(ch.filter(col("_change") === "insert")
+      .select("id").as[Long].collect().toSeq.sorted == Seq(1L, 3L, 4L, 5L))
+    assert(ch.filter(col("_change") === "delete")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // vacuum now retires everything; the ledger keeps naming the
+    // absorbed originals (the replica watermark depends on it)
+    ClusteredTable.vacuum(root)
+    assert(!new java.io.File(root, "delta/d=01").exists())
+    assert(!new java.io.File(root, "delta/c=01").exists())
+    assert(ClusteredTable.artifactNames(root).contains("d=01"))
+    assert(ids(root) == before)
+  }
+
+  test("compaction respects the upsert boundary (equal-rank tombstone splits " +
+      "the run) and a poisoned artifact is never read and gets reclaimed") {
+    val root = Files.createTempDirectory("ct_compact2").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 10), (2L, 2, 10))), root, "00")
+    ClusteredTable.append(mk(Seq((3L, 3, 10))), root, "01")
+    ClusteredTable.upsert(mk(Seq((1L, 1, 20))), root, "02", Seq("id"))
+    // x=02 ranks inside (00, 02] -> run stops at [00, 01]
+    assert(ClusteredTable.compactTail(spark, root) == 1)
+    assert(ClusteredTable.tailParts(root) == Seq("c=00", "d=02"))
+    assert(ClusteredTable.read(spark, root)
+      .select("id", "d2").as[(Long, Int)].collect().toSeq.sorted ==
+      Seq((1L, 20), (2L, 10), (3L, 10)),
+      "the upsert's replacement must survive compaction")
+    // POISONING: a compacted artifact whose original was folded directly
+    // (the fold-race shape) must be ignored by reads and reclaimed
+    val r2 = Files.createTempDirectory("ct_poison").toString
+    ClusteredTable.append(mk(Seq((10L, 1, 1), (20L, 2, 2))), r2, "00")
+    ClusteredTable.optimize(spark, r2, "d1", "d2", 4, 16) // folds d=00
+    ClusteredTable.append(mk(Seq((30L, 3, 3))), r2, "01")
+    // craft the loser: c=00 claims to absorb the FOLDED d=00 (and d=01),
+    // carrying a sentinel row that must never surface
+    mk(Seq((99L, 9, 9))).write.mode("overwrite").parquet(s"$r2/delta/c=00")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$r2/delta/c=00/_ABSORBS"),
+      "d=00\nd=01".getBytes("UTF-8"))
+    assert(ids(r2) == Seq(10L, 20L, 30L),
+      "a poisoned artifact must be invisible; its originals serve the read")
+    assert(ClusteredTable.tailParts(r2) == Seq("d=01"))
+    ClusteredTable.vacuum(r2)
+    assert(!new java.io.File(r2, "delta/c=00").exists(),
+      "vacuum must reclaim the poisoned artifact")
+    assert(ids(r2) == Seq(10L, 20L, 30L))
+  }
+
   test("optimize claims versions optimistically: racing maintainers commit " +
       "exactly one v=next each round, the loser rebases, no row lost or doubled") {
     val root = Files.createTempDirectory("ct_occ").toString
