@@ -328,7 +328,7 @@ object ClusteredTable {
     */
   def optimize(s: SparkSession, root: String, d1Col: String, d2Col: String,
       bits: Int, numFiles: Int, maxAttempts: Int = 5,
-      reindex: Seq[String] = Nil): Long = {
+      reindex: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Long = {
     // `reindex` closes the index lifecycle operationally: a fresh fold
     // has no Bloom index until buildIndex runs, during which lookups
     // degrade to unpruned (correct, slow). Rebuilding as part of the
@@ -384,7 +384,8 @@ object ClusteredTable {
       val staging = new Path(baseRoot(root),
         s".staging-v=$next-${java.util.UUID.randomUUID().toString.take(8)}")
       val wrote = try {
-        ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.toString)
+        ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.toString,
+          maxRecordsPerFile)
         // the ENVELOPE CATALOG: one ≤numFiles-row aggregate over the
         // staged parquet (column-pruned to zfile + the two clustered
         // dims), landed inside staging so the claim rename publishes

@@ -75,9 +75,20 @@ object ZorderLayout {
     * `d2Col` (each in `[0, 2^bits)`) into `numFiles` static z-range
     * directory partitions at `path`, z-sorted within each partition.
     * `numFiles` must divide `4^bits`.
+    *
+    * SKEW: `maxRecordsPerFile > 0` is the hot-bucket valve — a z-range
+    * that attracts disproportionate mass (static bucketing's priced-in
+    * cost, see the object scaladoc) splits into ceil(n/max) parquet
+    * files INSIDE its `zfile=K/` directory. The split is applied to
+    * the already-sorted partition stream, so every piece is still
+    * internally z-sorted with tight row-group footers on both
+    * dimensions, and envelope/Bloom pruning are unaffected (both key
+    * on the zfile directory, not the file count). At 100 TB this is
+    * what keeps one hot bucket from becoming a single unsplittable
+    * multi-TB file with no scan parallelism.
     */
   def write(df: DataFrame, d1Col: String, d2Col: String, bits: Int,
-            numFiles: Int, path: String): Unit = {
+            numFiles: Int, path: String, maxRecordsPerFile: Long = 0L): Unit = {
     val zSpan = (1 << (2 * bits)) / numFiles
     require(zSpan * numFiles == (1 << (2 * bits)),
       s"numFiles=$numFiles must divide ${1 << (2 * bits)}")
@@ -85,6 +96,8 @@ object ZorderLayout {
       .withColumn("zfile", (col("zkey") / zSpan).cast("int"))
       .repartition(numFiles, col("zfile"))
       .sortWithinPartitions("zfile", "zkey")
-      .write.mode("overwrite").partitionBy("zfile").parquet(path)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile) // 0 = filesystem default (no split)
+      .partitionBy("zfile").parquet(path)
   }
 }

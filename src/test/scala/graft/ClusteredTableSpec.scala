@@ -665,6 +665,33 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(v1 == "a" && v2 == "a")
   }
 
+  test("hot-bucket splitting: maxRecordsPerFile splits a skewed z-bucket into " +
+      "multiple internally z-sorted files; rows, envelopes and pruning keys " +
+      "are unaffected") {
+    val root = Files.createTempDirectory("ct_skew").toString
+    // every row lands in z-bucket 0 (d1, d2 in 0..3 -> morton key < 16)
+    val rows = (1L to 30L).map(i => (i, (i % 4).toInt, ((i * 3) % 4).toInt))
+    ClusteredTable.append(mk(rows), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16, maxRecordsPerFile = 10L)
+    val vdir = new java.io.File(root, "base/v=0")
+    val zdirs = Option(vdir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("zfile="))
+    val files = zdirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(zdirs.length == 1, "the skew must concentrate in one bucket")
+    assert(files.length >= 3, s"a 30-row bucket at 10 rows/file must split: ${files.length}")
+    // every piece is still internally z-sorted (tight footers per file)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.getPath).select("zkey").as[Int].collect().toSeq
+      assert(ks == ks.sorted, s"each split file must stay z-sorted: $ks")
+    }
+    // rows and the fold-time catalog are unaffected by the file split
+    assert(ids(root) == (1L to 30L))
+    val cat = ClusteredTable.envelopes(spark, root, 0L, "d1", "d2")
+    assert(cat.isDefined && cat.get.map(_._1) == Seq(0),
+      "the envelope catalog keys on the bucket, not the file count")
+  }
+
   test("minor compaction: a run of pending deltas merges into one artifact " +
       "with identical rows; a pending delete splits runs at its rank; fold, " +
       "changefeed, vacuum and the artifact ledger all stay exact") {
