@@ -89,9 +89,24 @@ class ClusteredTailStream(root: String, prunedSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[TailOffset].name, end.asInstanceOf[TailOffset].name)
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    ClusteredTable.deltaArtifacts(root)
+    val onDisk = ClusteredTable.deltaArtifacts(root)
       .filter { case (name, _) => name > s && name <= e }
-      .flatMap { case (_, dir) =>
+    // LOUD DATA LOSS (the failOnDataLoss contract): a replanned batch —
+    // a restart of a logged-but-uncommitted range — whose deltas were
+    // meanwhile folded AND vacuumed must fail, never silently shrink.
+    // The artifact ledger still names every ingested delta (manifests
+    // survive vacuum), so the gap is detectable: ledger names in range
+    // with no directory on disk are exactly the reclaimed ones.
+    val present = onDisk.map(_._1).toSet
+    val lost = ClusteredTable.artifactNames(root)
+      .filter(_.startsWith("d=")).map(_.stripPrefix("d="))
+      .filter(n => n > s && n <= e && !present.contains(n))
+    if (lost.nonEmpty) throw new IllegalStateException(
+      s"graft-clustered tail: delta artifact(s) ${lost.toSeq.sorted.mkString(", ")} " +
+        s"in offset range ($s, $e] were vacuumed before this consumer committed " +
+        "them — the table's vacuum cadence must lag the slowest consumer; " +
+        "restart the stream from a fresh checkpoint (re-seed) to continue")
+    onDisk.flatMap { case (_, dir) =>
         val p = new Path(dir)
         val fs = p.getFileSystem(conf)
         fs.listStatus(p).toSeq

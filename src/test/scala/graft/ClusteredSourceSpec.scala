@@ -260,6 +260,72 @@ class ClusteredSourceSpec extends SparkTestBase {
       == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming tail fails LOUDLY — never silently skips — when an " +
+      "unconsumed delta was folded and vacuumed before its batch committed") {
+    val root = Files.createTempDirectory("csrc_loss").toString
+    val ck = Files.createTempDirectory("csrc_loss_ck").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graft-clustered")
+      .option("root", root).load().selectExpr("id")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", ck).start()
+    ClusteredTable.append(mk(Seq((1L, 1, 1))), root, "00")
+    val q = start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(got.size() == 1)
+    // an append the consumer never saw gets folded AND vacuumed away
+    ClusteredTable.append(mk(Seq((2L, 2, 2))), root, "01")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    ClusteredTable.vacuum(root)
+    ClusteredTable.append(mk(Seq((3L, 3, 3))), root, "02")
+    val q2 = start()
+    try {
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("vacuumed before this consumer")),
+        s"data loss must surface loudly, got: $e")
+    } finally q2.stop()
+    assert(!got.contains(3L), "no batch may commit past the lost artifact")
+  }
+
+  test("streaming tail validates its schema loudly: a non-primitive column " +
+      "is rejected at stream construction with guidance, not at decode time") {
+    val root = Files.createTempDirectory("csrc_badtype").toString
+    val ck = Files.createTempDirectory("csrc_badtype_ck").toString
+    Seq((1L, Seq(1, 2))).toDF("id", "arr").write.mode("overwrite")
+      .parquet(s"$root/delta/d=00")
+    val q = spark.readStream.format("graft-clustered").option("root", root).load()
+      .writeStream.format("memory").queryName("ct_badtype")
+      .option("checkpointLocation", ck).start()
+    try {
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m => m.contains("primitive") && m.contains("tail")),
+        s"expected the loud schema-validation error, got: $e")
+    } finally q.stop()
+  }
+
+  test("aggregate pushdown under schema evolution: files that predate a " +
+      "widened column contribute NULLs (skipped), COUNT(col) counts non-nulls") {
+    val root = Files.createTempDirectory("csrc_aggevo").toString
+    ClusteredTable.append(mk(Seq((1L, 3, 4), (2L, 9, 2))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // base predates `extra`
+    ClusteredTable.append(
+      Seq((3L, 4, 3, 7), (4L, 0, 0, 2)).toDF("id", "d1", "d2", "extra"), root, "01")
+    val agg = src(root).agg(count(lit(1)).as("n"), count(col("extra")).as("n_extra"),
+      min("extra").as("mn"), max("extra").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT"), s"pushdown must engage:\n$plan")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)) == ((4L, 2L, 2, 7)),
+      s"footer stats must respect NULL-backfill semantics: $r")
+  }
+
   test("streaming tail rows present like the batch tail: zfile = -1, zkey NULL, " +
       "through the one shared table schema") {
     val root = Files.createTempDirectory("csrc_tail2").toString

@@ -740,6 +740,28 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(ids(root) == before)
   }
 
+  test("compaction across a schema-evolution boundary: the merged artifact " +
+      "carries the union schema and NULL-backfills exactly like the reads " +
+      "it replaces") {
+    val root = Files.createTempDirectory("ct_compact_evo").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2))), root, "00")
+    ClusteredTable.append(
+      Seq((3L, 3, 3, "en")).toDF("id", "d1", "d2", "lang"), root, "01") // widened
+    val before = ClusteredTable.read(spark, root)
+      .select("id", "lang").as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(ClusteredTable.compactTail(spark, root) == 1)
+    assert(ClusteredTable.tailParts(root) == Seq("c=00"))
+    val after = ClusteredTable.read(spark, root)
+      .select("id", "lang").as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(after == before && after ==
+      Seq((1L, None), (2L, None), (3L, Some("en"))),
+      s"evolution must ride through compaction unchanged: $after")
+    // and the fold still lands the widened schema permanently
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    assert(ClusteredTable.read(spark, root).columns.contains("lang"))
+    assert(ids(root) == Seq(1L, 2L, 3L))
+  }
+
   test("compaction respects the upsert boundary (equal-rank tombstone splits " +
       "the run) and a poisoned artifact is never read and gets reclaimed") {
     val root = Files.createTempDirectory("ct_compact2").toString
