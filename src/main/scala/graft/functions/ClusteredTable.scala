@@ -328,7 +328,8 @@ object ClusteredTable {
     */
   def optimize(s: SparkSession, root: String, d1Col: String, d2Col: String,
       bits: Int, numFiles: Int, maxAttempts: Int = 5,
-      reindex: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Long = {
+      reindex: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
+      curve: String = "morton"): Long = {
     // `reindex` closes the index lifecycle operationally: a fresh fold
     // has no Bloom index until buildIndex runs, during which lookups
     // degrade to unpruned (correct, slow). Rebuilding as part of the
@@ -385,7 +386,7 @@ object ClusteredTable {
         s".staging-v=$next-${java.util.UUID.randomUUID().toString.take(8)}")
       val wrote = try {
         ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.toString,
-          maxRecordsPerFile)
+          maxRecordsPerFile, curve)
         // the ENVELOPE CATALOG: one ≤numFiles-row aggregate over the
         // staged parquet (column-pruned to zfile + the two clustered
         // dims), landed inside staging so the claim rename publishes
@@ -556,8 +557,13 @@ object ClusteredTable {
       val target = new Path(deltaRoot(root), s"c=${seqOf(run.head.getName)}")
       val fs = fsOf(target)
       if (!fs.exists(new Path(target, "_SUCCESS"))) {
-        val merged = run.map(d => s.read.parquet(d.toString))
-          .reduce(_.unionByName(_, allowMissingColumns = true))
+        // ONE multi-path scan, not an n-way union: a thousand-delta tail
+        // (the very case compaction exists for) must not pay a
+        // thousand-node plan to merge; mergeSchema gives the same
+        // union-by-name + NULL-backfill semantics across an evolution
+        // boundary in a single scan node
+        val merged = s.read.option("mergeSchema", "true")
+          .parquet(run.map(_.toString): _*)
         val staging = new Path(deltaRoot(root),
           s".staging-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
         merged.write.mode("overwrite").parquet(staging.toString)

@@ -88,11 +88,25 @@ object ZorderLayout {
     * multi-TB file with no scan parallelism.
     */
   def write(df: DataFrame, d1Col: String, d2Col: String, bits: Int,
-            numFiles: Int, path: String, maxRecordsPerFile: Long = 0L): Unit = {
+            numFiles: Int, path: String, maxRecordsPerFile: Long = 0L,
+            curve: String = "morton"): Unit = {
     val zSpan = (1 << (2 * bits)) / numFiles
     require(zSpan * numFiles == (1 << (2 * bits)),
       s"numFiles=$numFiles must divide ${1 << (2 * bits)}")
-    df.withColumn("zkey", mortonKey(col(d1Col), col(d2Col), bits))
+    // CURVE CHOICE: morton (the default; cheapest arithmetic) or
+    // hilbert (no diagonal jumps — the q_hilbert diagnostic measures
+    // the box-read-amplification trade between them; this knob makes
+    // that measurement actionable). Everything downstream — zfile
+    // ranges, envelope catalogs, Bloom indexes, pruning — keys on the
+    // bucket directory and per-bucket min/max, so the curve is a pure
+    // layout decision local to each written version.
+    val key = curve match {
+      case "morton" => mortonKey(col(d1Col), col(d2Col), bits)
+      case "hilbert" => hilbertKey(col(d1Col), col(d2Col), bits)
+      case other => throw new IllegalArgumentException(
+        s"unknown layout curve '$other' (expected morton or hilbert)")
+    }
+    df.withColumn("zkey", key)
       .withColumn("zfile", (col("zkey") / zSpan).cast("int"))
       .repartition(numFiles, col("zfile"))
       .sortWithinPartitions("zfile", "zkey")

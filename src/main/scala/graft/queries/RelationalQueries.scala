@@ -775,6 +775,56 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** HILBERT-CLUSTERED LIFECYCLE — the q_hilbert diagnostic made
+    * actionable: the same ingest → optimize → box-read lifecycle as
+    * [[qClusterIngest]], but folded with `curve = "hilbert"` — the
+    * layout whose unit-step curve never jumps diagonally, so file
+    * envelopes are more compact rectangles and a box predicate touches
+    * fewer buckets (q_hilbert measures the trade; this query RUNS it).
+    * DuckDB re-derives the full xy→d Hilbert transform (four unrolled
+    * rotate/reflect rounds as chained CTEs — the same public-domain
+    * bit transform ZorderLayout.hilbertKey compiles to Column
+    * arithmetic), assigns every row its file, recomputes the envelope
+    * pruning decision and the per-layer matched rows, so a wrong
+    * transform bit, a mis-assigned bucket, or a row lost to pruning
+    * all go red. The envelope catalog, Bloom index and zfile pruning
+    * are curve-agnostic (they key on bucket directories and per-bucket
+    * min/max), which is exactly what makes the curve a per-fold layout
+    * decision rather than an architecture change.
+    */
+  def qClusterHilbert(s: SparkSession, dir: String): DataFrame = {
+    val (lo1, hi1, lo2, hi2) = (3, 5, 2, 4)
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_chil_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    val CT = graft.functions.ClusteredTable
+    CT.append(src.filter(col("o_orderkey") % 3 === 0), root, "b0")
+    CT.append(src.filter(col("o_orderkey") % 3 === 1), root, "b1")
+    val ver = CT.optimize(s, root, "d1", "d2", 4, 16, curve = "hilbert")
+    CT.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
+    val t = CT.read(s, root)
+    val env = CT.envelopes(s, root, ver, "d1", "d2").get
+    val keep = env.collect {
+      case (zf, mn1, mx1, mn2, mx2)
+        if mx1 >= lo1 && mn1 <= hi1 && mx2 >= lo2 && mn2 <= hi2 => zf
+    }
+    t.where(col("zfile") === -1 || col("zfile").isin(keep.toSeq: _*))
+      .where(col("d1").between(lo1, hi1) && col("d2").between(lo2, hi2))
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("files_total", lit(env.length.toLong))
+      .withColumn("files_read", lit(keep.length.toLong))
+      .orderBy("layer")
+  }
+
   /** MINOR COMPACTION — ClusteredTable.compactTail oracle-gated: three
     * ingest deltas land, a delete ranks ABOVE them, a fourth delta
     * lands after the delete (its rows outrank it — the resurrection
@@ -1926,6 +1976,7 @@ object RelationalQueries {
     "q_cluster_agg" -> qClusterAgg,
     "q_optimize_auto" -> qOptimizeAuto,
     "q_compact_tail" -> qCompactTail,
+    "q_cluster_hilbert" -> qClusterHilbert,
     "q_agg_pushdown" -> qAggPushdown,
     "q_hilbert" -> qHilbert,
     "q_window_range" -> qWindowRange,
@@ -2332,6 +2383,64 @@ object RelationalQueries {
         |FROM documents
         |WHERE doc_id % 149 = 1
         |GROUP BY 1
+        |ORDER BY layer""".stripMargin,
+    // the full xy->d Hilbert transform re-derived as chained CTEs (the
+    // q_hilbert rounds, carrying the row payload), then the same
+    // envelope-pruning + per-layer derivation as q_cluster_ingest —
+    // zSpan = 256/16 here, so file_id = hd3 // 16
+    "q_cluster_hilbert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2,
+        |         o_orderkey % 3 AS chunk
+        |  FROM orders),
+        |r0 AS (SELECT price, chunk, d1, d2,
+        |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 7 - d2 ELSE d2 END ELSE d1 END AS hx0,
+        |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 7 - d1 ELSE d1 END ELSE d2 END AS hy0,
+        |  CAST(0 AS INT) + 64 * xor(3 * rx, ry) AS hd0
+        |  FROM (SELECT *,
+        |    CASE WHEN (d1 & 8) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (d2 & 8) > 0 THEN 1 ELSE 0 END AS ry
+        |    FROM src)),
+        |r1 AS (SELECT price, chunk, d1, d2,
+        |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 3 - hy0 ELSE hy0 END ELSE hx0 END AS hx1,
+        |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 3 - hx0 ELSE hx0 END ELSE hy0 END AS hy1,
+        |  hd0 + 16 * xor(3 * rx, ry) AS hd1
+        |  FROM (SELECT *,
+        |    CASE WHEN (hx0 & 4) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (hy0 & 4) > 0 THEN 1 ELSE 0 END AS ry
+        |    FROM r0)),
+        |r2 AS (SELECT price, chunk, d1, d2,
+        |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 1 - hy1 ELSE hy1 END ELSE hx1 END AS hx2,
+        |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 1 - hx1 ELSE hx1 END ELSE hy1 END AS hy2,
+        |  hd1 + 4 * xor(3 * rx, ry) AS hd2
+        |  FROM (SELECT *,
+        |    CASE WHEN (hx1 & 2) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (hy1 & 2) > 0 THEN 1 ELSE 0 END AS ry
+        |    FROM r1)),
+        |r3 AS (SELECT price, chunk, d1, d2,
+        |  hd2 + 1 * xor(3 * rx, ry) AS hd3
+        |  FROM (SELECT *,
+        |    CASE WHEN (hx2 & 1) > 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (hy2 & 1) > 0 THEN 1 ELSE 0 END AS ry
+        |    FROM r2)),
+        |f AS (SELECT *, CAST(hd3 // 16 AS INT) AS file_id FROM r3),
+        |env AS (SELECT file_id, min(d1) AS mn1, max(d1) AS mx1,
+        |               min(d2) AS mn2, max(d2) AS mx2
+        |        FROM f WHERE chunk IN (0, 1) GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |              CAST(sum(CASE WHEN mx1 >= 3 AND mn1 <= 5
+        |                             AND mx2 >= 2 AND mn2 <= 4
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        |       FROM env)
+        |SELECT CASE WHEN chunk IN (0, 1) THEN 'base' ELSE 'delta' END AS layer,
+        |       CAST(count(*) AS BIGINT) AS n_match,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       files_total, files_read
+        |FROM f CROSS JOIN st
+        |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4
+        |GROUP BY layer, files_total, files_read
         |ORDER BY layer""".stripMargin,
     // visible rows re-derived from the raw table (the delete hides
     // k%10=0 among the first three chunks only — the post-delete chunk

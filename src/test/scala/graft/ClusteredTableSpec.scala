@@ -665,6 +665,31 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(v1 == "a" && v2 == "a")
   }
 
+  test("curve=hilbert folds through the whole lifecycle: zkey IS the Hilbert " +
+      "index, and catalogs/lookup/MoR semantics are curve-agnostic") {
+    val root = Files.createTempDirectory("ct_hilbert").toString
+    val rows = (1L to 40L).map(i => (i, (i % 16).toInt, ((i * 7) % 12).toInt))
+    ClusteredTable.append(mk(rows), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16, curve = "hilbert")
+    val t = ClusteredTable.read(spark, root)
+    // every stored zkey equals the recomputed Hilbert index
+    assert(t.filter(col("zkey") =!=
+      ZorderLayout.hilbertKey(col("d1"), col("d2"), 4)).count() == 0)
+    assert(ids(root) == (1L to 40L))
+    // the envelope catalog, MoR deletes and Bloom lookups key on the
+    // bucket, not the curve
+    assert(ClusteredTable.envelopes(spark, root, 0L, "d1", "d2").isDefined)
+    ClusteredTable.delete(Seq(Tuple1(7L)).toDF("id"), root, "01")
+    assert(ids(root) == (1L to 40L).filterNot(_ == 7L))
+    ClusteredTable.buildIndex(spark, root, "id")
+    assert(ClusteredTable.lookup(spark, root, "id", Seq(9L))
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+    // an unknown curve is rejected loudly
+    intercept[IllegalArgumentException] {
+      ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16, curve = "peano")
+    }
+  }
+
   test("hot-bucket splitting: maxRecordsPerFile splits a skewed z-bucket into " +
       "multiple internally z-sorted files; rows, envelopes and pruning keys " +
       "are unaffected") {
