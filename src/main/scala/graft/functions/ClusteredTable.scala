@@ -710,6 +710,21 @@ object ClusteredTable {
     */
   def latestVersion(root: String): Option[Long] = versions(root).lastOption.map(_._1)
 
+  /** VERSION HISTORY — the DESCRIBE HISTORY surface: one row per
+    * complete (un-vacuumed) base version with the CUMULATIVE artifact
+    * count its manifest records. Pure metadata plane: one listing plus
+    * one manifest read per retained version, never a data page — at
+    * 100 TB this is how an operator audits the fold ledger (which
+    * versions exist to travel to, how much each fold absorbed — the
+    * per-version delta of n_artifacts) without touching the table.
+    * Vacuum bounds the rows exactly as it bounds the travel horizon.
+    */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    versions(root).map { case (v, dir) => (v, manifest(dir).size.toLong) }
+      .toDF("version", "n_artifacts")
+  }
+
   /** Every artifact name the table currently accounts for: the newest
     * manifest's CUMULATIVE fold record plus the pending (unfolded)
     * artifact directories. Because manifests accumulate and survive

@@ -775,6 +775,49 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** VERSION HISTORY — ClusteredTable.history oracle-gated over a
+    * three-fold lifecycle with a merge-on-read delete in the last
+    * window: one row per retained version carrying the ledger's
+    * CUMULATIVE artifact count (1, 2, 4 — the delete file counts) and
+    * that version's exact snapshot (rows + DECIMAL revenue via time
+    * travel). DuckDB re-derives each snapshot from the raw table and
+    * pins the artifact counts as constants, so a manifest that loses
+    * an artifact name, a fold that absorbs the wrong set, or a travel
+    * read that leaks across versions all go red. The history read
+    * itself is metadata-plane (one manifest read per version — this is
+    * the audit surface an operator uses at 100 TB without touching
+    * data).
+    */
+  def qHistory(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_hist_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    val CT = graft.functions.ClusteredTable
+    CT.append(src.filter(col("o_orderkey") % 3 === 0), root, "00")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=0: manifest {00}
+    CT.append(src.filter(col("o_orderkey") % 3 === 1), root, "01")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=1: manifest {00,01}
+    CT.delete(src.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"), root, "02")
+    CT.append(src.filter(col("o_orderkey") % 3 === 2), root, "03")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=2: manifest {00,01,02,03}
+    val h = CT.history(s, root).collect() // metadata-plane, one row per version
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    h.map { case (v, nArt) =>
+      CT.read(s, root, Some(v)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+        .select(lit(v).as("version"), lit(nArt).as("n_artifacts"),
+          col("n_rows"), col("revenue"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
   /** HILBERT-CLUSTERED LIFECYCLE — the q_hilbert diagnostic made
     * actionable: the same ingest → optimize → box-read lifecycle as
     * [[qClusterIngest]], but folded with `curve = "hilbert"` — the
@@ -1977,6 +2020,7 @@ object RelationalQueries {
     "q_optimize_auto" -> qOptimizeAuto,
     "q_compact_tail" -> qCompactTail,
     "q_cluster_hilbert" -> qClusterHilbert,
+    "q_history" -> qHistory,
     "q_agg_pushdown" -> qAggPushdown,
     "q_hilbert" -> qHilbert,
     "q_window_range" -> qWindowRange,
@@ -2384,6 +2428,27 @@ object RelationalQueries {
         |WHERE doc_id % 149 = 1
         |GROUP BY 1
         |ORDER BY layer""".stripMargin,
+    // each version's snapshot re-derived from the raw table (v0 = the
+    // first third; v1 = two thirds; v2 = those minus k%5=0 plus the
+    // post-delete third whole — the sequence rule); the ledger's
+    // cumulative artifact counts pinned as constants
+    "q_history" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |snap AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_artifacts,
+        |         price FROM src WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, 2, price FROM src WHERE k % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 2, 4, price FROM src
+        |  WHERE (k % 3 IN (0, 1) AND k % 5 <> 0) OR k % 3 = 2)
+        |SELECT version, n_artifacts,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+        |FROM snap GROUP BY version, n_artifacts
+        |ORDER BY version""".stripMargin,
     // the full xy->d Hilbert transform re-derived as chained CTEs (the
     // q_hilbert rounds, carrying the row payload), then the same
     // envelope-pruning + per-layer derivation as q_cluster_ingest —

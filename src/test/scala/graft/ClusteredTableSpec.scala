@@ -665,6 +665,22 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(v1 == "a" && v2 == "a")
   }
 
+  test("history: one metadata row per retained version with the cumulative " +
+      "artifact count; vacuum bounds it exactly like the travel horizon") {
+    val root = Files.createTempDirectory("ct_hist").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    ClusteredTable.append(mk(Seq((2L, 2, 2))), root, "01")
+    ClusteredTable.delete(Seq(Tuple1(1L)).toDF("id"), root, "02")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    def h = ClusteredTable.history(spark, root)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(h == Seq((0L, 1L), (1L, 3L)),
+      s"cumulative manifest sizes per version: $h")
+    ClusteredTable.vacuum(root)
+    assert(h == Seq((1L, 3L)), "vacuum bounds history like the travel horizon")
+  }
+
   test("curve=hilbert folds through the whole lifecycle: zkey IS the Hilbert " +
       "index, and catalogs/lookup/MoR semantics are curve-agnostic") {
     val root = Files.createTempDirectory("ct_hilbert").toString
