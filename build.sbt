@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // The 200+-query bench sweep JIT-compiles thousands of unique generated
+  // classes per round; the JDK-17 default 240 MB code cache saturates
+  // mid-sweep and flushing de-optimizes the hottest/largest generated
+  // methods (the r15 pipe_jsonata 12.6 s-vs-1.8 s-solo mechanism).
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

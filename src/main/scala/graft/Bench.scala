@@ -32,15 +32,35 @@ object Bench {
     if (n == 0) 0.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** JIT code-cache occupancy in MB (sum over the segmented CodeHeap
+    * pools) — the r15 sweep-regression diagnostic: a full/thrashing
+    * code cache de-optimizes the largest generated methods first.
+    */
+  private def codeCacheUsedMb(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed.toDouble).sum / (1 << 20)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // NTZ casts (profile_cols_approx) must match Verify
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
+      // Janino class cache sized to the full query inventory (static conf,
+      // takes effect because this is the JVM's first session): the default
+      // 100 entries thrash under a 200+-plan interleaved sweep — every
+      // query re-Janino-compiles every round, and once the JIT code cache
+      // saturates those recompiles (and the regenerated methods' re-JIT)
+      // run de-optimized — the r15 pipe_jsonata 12.6 s mechanism.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,6 +81,8 @@ object Bench {
       // A failed run records NO sample (a failure typically returns fast;
       // folding its short elapsed into the median would let a regression
       // masquerade as a speedup) — it lands in the `failed` field instead.
+      val cgm = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+      val (c0, cc0) = if (diag) (cgm.getCount, codeCacheUsedMb()) else (0L, 0.0)
       try {
         fn(spark, sfDir).queryExecution.toRdd.count()
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
@@ -69,6 +91,10 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED (round $round): $e")
       }
+      if (diag) System.err.println(
+        f"[diag] round=$round name=$name sec=${(System.nanoTime() - t0) / 1e9}%.3f " +
+          f"janinoCompiles=${cgm.getCount - c0} codeCacheMB=${codeCacheUsedMb()}%.1f " +
+          f"(was ${cc0}%.1f)")
     }
 
     // a query with zero successful runs is excluded from every total and

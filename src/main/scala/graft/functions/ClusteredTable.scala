@@ -31,9 +31,17 @@ import org.apache.spark.sql.functions._
   * root's scheme, so a table root can be `file:///…` (the spec
   * fixtures), a bare local path, or `hdfs://…`, where directory rename
   * is atomic and the OCC contract below holds unchanged. On an object
-  * store WITHOUT atomic rename (s3a) the claim step needs a
-  * conditional-put or a lock service instead — the standard caveat
-  * every filesystem-ledger lakehouse carries; everything else (plain
+  * store WITHOUT atomic rename (s3a and friends) the claim goes
+  * through the CONDITIONAL-PUT committer instead ([[ClaimCommitter]] —
+  * the r15 verdict's seam): the winner is decided by one
+  * create-exclusive marker file (the if-none-match PUT every store
+  * offers) and the target materializes non-atomically with the
+  * completeness markers landing last, so readers gated on
+  * `_SUCCESS`/`_MANIFEST` can never observe a torn artifact; selection
+  * is automatic by scheme or forced via Hadoop conf
+  * `graft.clustered.committer` (rename | put), and
+  * [[recoverStaleClaims]] is the lease-based repair for a committer
+  * that crashed mid-materialization. Everything else (plain
   * parquet reads/writes, underscore-invisible metadata dirs) is
   * object-store-clean as is. Filesystem credentials/config come from
   * the active SparkSession's Hadoop configuration when one exists.
@@ -151,28 +159,84 @@ object ClusteredTable {
     f.delete()
   }
 
-  /** Atomic claim: make `src` become `dst`, returning true iff THIS
-    * call won — i.e. `dst` now holds exactly `src`'s content. Encodes
-    * the two rename semantics in the wild behind one contract:
-    * POSIX/HDFS `rename` onto an existing directory either fails
-    * (local, non-empty dst) or moves src INSIDE dst (HDFS mv
-    * semantics); the pre-check catches the common lost race before
-    * renaming, and the nested-result check detects + undoes an
-    * mv-into so a lost race can never leave debris inside the
-    * winner's version. Atomicity of the winning rename itself is the
-    * filesystem's guarantee (holds on local FS and HDFS; see the
-    * object-store caveat in the object scaladoc).
+  /** The active [[ClaimCommitter]] — the seam every publish goes
+    * through (see ClaimCommitter.scala). Selection: the spec override
+    * if set, else the Hadoop conf key `graft.clustered.committer`
+    * (`rename` | `put` | `auto`, default auto), else by scheme — object
+    * stores without atomic directory rename get the conditional-put
+    * committer, everything else the atomic-rename one.
     */
-  private def claimRename(fs: FileSystem, src: Path, dst: Path): Boolean = {
-    if (fs.exists(dst)) return false
-    val ok = try fs.rename(src, dst)
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.FileNotFoundException => false
+  @volatile private[graft] var committerOverride: Option[ClaimCommitter] = None
+
+  private val putSchemes = Set("s3a", "s3", "s3n", "gs", "oss", "wasb", "wasbs", "cos")
+
+  private def committerFor(fs: FileSystem, dst: Path): ClaimCommitter =
+    committerOverride.getOrElse {
+      val conf = fs.getConf
+      conf.get("graft.clustered.committer", "auto") match {
+        case "rename" => RenameClaimCommitter
+        case "put" => new ConditionalPutClaimCommitter
+        case _ =>
+          val scheme = Option(fs.makeQualified(dst).toUri.getScheme).getOrElse("file")
+          if (putSchemes.contains(scheme)) new ConditionalPutClaimCommitter
+          else RenameClaimCommitter
+      }
     }
-    if (!ok) return false
-    val nested = new Path(dst, src.getName)
-    if (fs.exists(nested)) { fs.delete(nested, true); false } else true
+
+  /** Atomic claim through the active committer: make `src` become
+    * `dst`, returning true iff THIS call won — i.e. `dst` now durably
+    * holds exactly `src`'s content (see [[ClaimCommitter]] for the
+    * per-store mechanics and the visibility contract).
+    */
+  private def claimRename(fs: FileSystem, src: Path, dst: Path): Boolean =
+    committerFor(fs, dst).claim(fs, src, dst)
+
+  /** Whether `dst` is spoken for by a possibly-live in-progress claim
+    * — the guard every "clear manifest-less garbage" rule must consult
+    * before deleting an incomplete target (under non-atomic
+    * materialization an incomplete target can belong to a live winner;
+    * under atomic rename it can only be crash debris).
+    */
+  private def claimInProgress(fs: FileSystem, dst: Path): Boolean =
+    committerFor(fs, dst).claimed(fs, dst)
+
+  /** Lease-based recovery for the conditional-put committer's one
+    * liveness hole: a winner that crashed mid-materialization leaves
+    * its name marker-claimed but the target incomplete forever — later
+    * claimers lose to the marker. Reclaims every `.claim-*` marker
+    * under the table's namespaces older than `olderThanMs` whose
+    * target never completed (version: `_SUCCESS` + `_MANIFEST`;
+    * artifact: `_SUCCESS`; settled metadata: its `v` file), deleting
+    * the partial target with it. Correctness is not at stake either
+    * way (incomplete targets are invisible); the lease must exceed the
+    * longest plausible materialization. No-op under the rename
+    * committer (it leaves no markers). Returns markers reclaimed.
+    */
+  def recoverStaleClaims(root: String, olderThanMs: Long): Int = {
+    val now = System.currentTimeMillis()
+    def completeTarget(fs: FileSystem, target: Path): Boolean = {
+      val n = target.getName
+      if (n.startsWith("v="))
+        fs.exists(new Path(target, "_MANIFEST")) && fs.exists(new Path(target, "_SUCCESS"))
+      else if (n.startsWith("d=") || n.startsWith("x=") || n.startsWith("c="))
+        fs.exists(new Path(target, "_SUCCESS"))
+      else fs.exists(new Path(target, "v"))
+    }
+    Seq(new Path(root), baseRoot(root), deltaRoot(root), dvRoot(root)).map { dir =>
+      val fs = fsOf(dir)
+      ls(fs, dir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith(".claim-") &&
+          now - st.getModificationTime > olderThanMs)
+        .count { st =>
+          val target = new Path(dir, st.getPath.getName.stripPrefix(".claim-"))
+          if (completeTarget(fs, target)) false
+          else {
+            fs.delete(target, true)
+            fs.delete(st.getPath, false)
+            true
+          }
+        }
+    }.sum
   }
 
   /** Complete base versions (have both parquet _SUCCESS and _MANIFEST),
@@ -320,11 +384,10 @@ object ClusteredTable {
     * pre-claim recheck, or finds `v=<target>` still present and fails
     * the rename. (See [[vacuum]] for the reclaim side.)
     *
-    * NOTE: claim atomicity is the filesystem rename guarantee — local
-    * FS and HDFS provide it; an object store without atomic rename
-    * needs a conditional-put (if-none-match) or a lock service
-    * instead, the same caveat every filesystem-ledger lakehouse
-    * carries.
+    * NOTE: claim atomicity comes from the active [[ClaimCommitter]] —
+    * the filesystem rename guarantee on local FS/HDFS, a
+    * create-exclusive marker (conditional put) with markers-last
+    * materialization on object stores without atomic rename.
     */
   def optimize(s: SparkSession, root: String, d1Col: String, d2Col: String,
       bits: Int, numFiles: Int, maxAttempts: Int = 5,
@@ -379,8 +442,12 @@ object ClusteredTable {
       // an existing v=<next> WITHOUT a manifest is garbage no OCC writer
       // can have produced (a pre-staging crash, external tampering) —
       // clear it so the claim can land; a complete one means we lost a
-      // race we hadn't even entered, and the claim below will say so
-      if (fs.exists(nextDir) && !fs.exists(new Path(nextDir, "_MANIFEST")))
+      // race we hadn't even entered, and the claim below will say so.
+      // UNLESS an in-progress claim owns the name (conditional-put
+      // committer mid-materialization): then it is a live winner's
+      // partial target, not garbage — leave it, we lose the claim.
+      if (fs.exists(nextDir) && !fs.exists(new Path(nextDir, "_MANIFEST")) &&
+          !claimInProgress(fs, nextDir))
         fs.delete(nextDir, true)
       val staging = new Path(baseRoot(root),
         s".staging-v=$next-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -572,7 +639,8 @@ object ClusteredTable {
         val out = fs.create(new Path(staging, "_ABSORBS"), true)
         try out.write(run.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
         finally out.close()
-        if (fs.exists(target) && !fs.exists(new Path(target, "_SUCCESS")))
+        if (fs.exists(target) && !fs.exists(new Path(target, "_SUCCESS")) &&
+            !claimInProgress(fs, target))
           fs.delete(target, true) // garbage no claim writer can have produced
         if (claimRename(fs, staging, target)) published += 1
         else fs.delete(staging, true)
@@ -695,11 +763,26 @@ object ClusteredTable {
     if (fs.exists(new Path(target, "_SUCCESS"))) return false
     val staging = new Path(target.getParent,
       s".staging-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode("overwrite").parquet(staging.toString)
+    try df.write.mode("overwrite").parquet(staging.toString)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        fs.delete(staging, true)
+        // LOST-RACE TOLERANCE (r15 ADVICE): vacuum's staleArtStagings may
+        // reclaim THIS staging mid-write once the target artifact is
+        // durable (some other tick published it — this writer had lost
+        // anyway). Re-check and absorb as the lost race instead of
+        // propagating — in ReplicaStream.attach a propagated error would
+        // kill the driving streaming query over a benign outcome; the
+        // same tolerance optimize's fold path applies to a gutted staging.
+        if (fs.exists(new Path(target, "_SUCCESS"))) return false else throw e
+    }
     // a half-published artifact (exists but not durable — a crashed
     // plain write) would block the claim forever: clear it first, the
     // same garbage rule optimize applies to a manifest-less v=<next>
-    if (fs.exists(target) && !fs.exists(new Path(target, "_SUCCESS")))
+    // (and the same live-winner guard: an in-progress claim is not ours
+    // to clear)
+    if (fs.exists(target) && !fs.exists(new Path(target, "_SUCCESS")) &&
+        !claimInProgress(fs, target))
       fs.delete(target, true)
     if (claimRename(fs, staging, target)) true
     else { fs.delete(staging, true); false }
@@ -709,6 +792,43 @@ object ClusteredTable {
     * downstream consumer (graft.streaming.ReplicaStream) polls.
     */
   def latestVersion(root: String): Option[Long] = versions(root).lastOption.map(_._1)
+
+  /** Whether complete base version `v` is still retained (un-vacuumed)
+    * — the staleness probe ReplicaStream's seed self-heal uses.
+    */
+  private[graft] def hasVersion(root: String, v: Long): Boolean =
+    versions(root).exists(_._1 == v)
+
+  /** The newest durable GENERATION of a [[claimMeta]]-settled value:
+    * generations are `<prefix>`, `<prefix>.2`, `<prefix>.3`, … and a
+    * newer generation SUPERSEDES the older ones — the self-heal shape
+    * for settled-but-stale metadata (ReplicaStream's seed claim when
+    * the primary's retention lapses the claimed version): claims are
+    * never deleted (a delete racing a fresh re-claim could destroy the
+    * racer's decision), only outranked by claiming the next generation
+    * through the same one-winner [[claimMeta]] rename. Returns
+    * (generation, value); None if no generation is durable yet.
+    */
+  private[graft] def claimedMeta(dir: String, prefix: String): Option[(Int, String)] = {
+    val d = new Path(dir)
+    val fs = fsOf(d)
+    ls(fs, d)
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        val gen: Option[Int] =
+          if (n == prefix) Some(1)
+          else if (n.startsWith(prefix + "."))
+            scala.util.Try(n.stripPrefix(prefix + ".").toInt).toOption
+          else None
+        gen.filter(_ => fs.exists(new Path(st.getPath, "v"))).map((_, st.getPath))
+      }
+      .sortBy(_._1).lastOption
+      .map { case (g, p) =>
+        val in = fs.open(new Path(p, "v"))
+        try (g, scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
+      }
+  }
 
   /** VERSION HISTORY — the DESCRIBE HISTORY surface: one row per
     * complete (un-vacuumed) base version with the CUMULATIVE artifact
@@ -860,6 +980,23 @@ object ClusteredTable {
           r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))).toSeq)
       }
     }
+
+  /** A cheap fingerprint of the ledger state one snapshot binds to:
+    * newest version id + the pending delta-like and DV artifact names.
+    * Two equal keys mean `readVersioned` would resolve the same
+    * snapshot (artifact content is immutable once durable — the
+    * idempotent-replay contract), so a reader may REUSE a previously
+    * resolved snapshot; any append/fold/delete changes the key. Pure
+    * metadata plane: three listings, no footer or data read.
+    */
+  private[graft] def snapshotKey(root: String): String = {
+    val vs = versions(root)
+    val folded = vs.lastOption.map { case (_, d) => manifest(d) }.getOrElse(Set.empty)
+    val v = vs.lastOption.map(_._1).getOrElse(-1L)
+    val pend = pendingDeltaLike(root, folded).map(_.getName)
+    val dvs = dvDirs(root).filterNot(x => folded.contains(x.getName)).map(_.getName)
+    s"v=$v|${pend.mkString(",")}|${dvs.mkString(",")}"
+  }
 
   /** The complete delta artifacts of the table, as (sequence-name,
     * directory-path) ascending by name — the listing plane of the

@@ -260,11 +260,14 @@ private[clustered] class ClusteredV1Scan(options: Map[String, String],
   /** The STREAMING read under the same format string: tail the append
     * feed (see [[ClusteredTailStream]]). Delta rows present exactly as
     * the batch read's unfolded tail (zfile = -1, zkey = NULL), so the
-    * one table schema serves both modes.
+    * one table schema serves both modes. `maxfilespertrigger` bounds
+    * the delta artifacts admitted per micro-batch (backlog drains
+    * across bounded batches instead of one giant batch 0).
     */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ClusteredTailStream(options("root"), prunedSchema, filters)
+    new ClusteredTailStream(options("root"), prunedSchema, filters,
+      options.get("maxfilespertrigger").map(_.toInt))
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -411,18 +414,41 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
 
   private def spark = sqlContext.sparkSession
 
-  /** ONE versioned snapshot per relation: the pruning decision (its
-    * catalog version), the declared schema, and the returned rows all
-    * derive from it — bucket ids from one fold applied to another's
-    * files would silently drop in-box rows, and a schema captured from
-    * a different listing than the scan could change row shape
-    * mid-query (both r14 ADVICE findings).
+  /** ONE versioned snapshot PER SCAN: the pruning decision (its
+    * catalog version), and the returned rows all derive from the same
+    * `readVersioned` resolution — bucket ids from one fold applied to
+    * another's files would silently drop in-box rows (r14 ADVICE).
+    * Resolution happens inside each `buildScan` call, NOT per relation
+    * instance: the DSv2 path builds a fresh relation per scan either
+    * way, but `CREATE TEMPORARY VIEW … USING` resolves the v1 relation
+    * exactly once and keeps it for the view's lifetime — a
+    * relation-pinned snapshot would serve stale reads after
+    * appends/folds and start failing once vacuum reclaims the pinned
+    * version (the r15 ADVICE finding). The declared SCHEMA is still
+    * pinned once per relation (the BaseRelation contract — Catalyst
+    * resolves the view against it); columns only ever evolve by
+    * ADDITION, so a later scan's snapshot always carries every
+    * declared column and rows are projected onto the declared set.
     */
-  private lazy val (snapVersion: Option[Long], snapshot: DataFrame) =
-    ClusteredTable.readVersioned(spark, root)
+  private var cachedSnapshot: Option[(String, Option[Long], DataFrame)] = None
+
+  private def resolveSnapshot(): (Option[Long], DataFrame) = synchronized {
+    // re-resolving is metadata-cheap but not free (parquet schema
+    // inference reads footers): reuse the pinned snapshot while the
+    // ledger fingerprint is unchanged — artifacts are immutable once
+    // durable, so an equal key means an identical resolution
+    val key = ClusteredTable.snapshotKey(root)
+    cachedSnapshot match {
+      case Some((k, v, df)) if k == key => (v, df)
+      case _ =>
+        val (v, df) = ClusteredTable.readVersioned(spark, root)
+        cachedSnapshot = Some((key, v, df))
+        (v, df)
+    }
+  }
 
   override lazy val schema: StructType = {
-    val s = snapshot.schema
+    val s = resolveSnapshot()._2.schema
     // envelope bounds are long: reject a dimension that could wrap (or
     // NPE) instead of silently excluding buckets that contain rows
     val ok: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
@@ -445,7 +471,8 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
     * the fold-time catalog is a sound over-approximation for the
     * merge-on-read snapshot.
     */
-  private def envelopesOf(snap: DataFrame): Seq[(Int, Long, Long, Long, Long)] =
+  private def envelopesOf(snapVersion: Option[Long],
+      snap: DataFrame): Seq[(Int, Long, Long, Long, Long)] =
     (d1Col, d2Col) match {
       case (Some(c1), Some(c2)) =>
         snapVersion.flatMap(v => ClusteredTable.envelopes(spark, root, v, c1, c2))
@@ -490,7 +517,13 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
     * the spec can pin the decision itself, not just the row results.
     */
   private[graft] def plannedBuckets(filters: Array[Filter]): Option[Seq[Int]] = {
-    val envelopes = envelopesOf(snapshot)
+    val (v, snap) = resolveSnapshot()
+    plannedBuckets(filters, v, snap)
+  }
+
+  private def plannedBuckets(filters: Array[Filter], snapVersion: Option[Long],
+      snapshot: DataFrame): Option[Seq[Int]] = {
+    val envelopes = envelopesOf(snapVersion, snapshot)
     val box: Option[Seq[Int]] =
       if (envelopes.isEmpty) None
       else {
@@ -542,8 +575,10 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    // the ONE pinned snapshot serves the decision and the rows alike
-    val pruned = plannedBuckets(filters) match {
+    // ONE snapshot resolved per scan serves the decision and the rows
+    // alike (fresh per call — see resolveSnapshot's scaladoc)
+    val (snapVersion, snapshot) = resolveSnapshot()
+    val pruned = plannedBuckets(filters, snapVersion, snapshot) match {
       // the unclustered tail (zfile = -1) rides every bucket decision
       case Some(keep) => snapshot.where(col("zfile") === -1 || col("zfile").isin(keep: _*))
       case None => snapshot

@@ -57,33 +57,68 @@ import graft.functions.ClusteredTable
   * delta file.
   */
 class ClusteredTailStream(root: String, prunedSchema: StructType,
-    filters: Array[Filter]) extends MicroBatchStream with SupportsAdmissionControl {
+    filters: Array[Filter], maxDeltasPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   ClusteredTailStream.validate(prunedSchema)
+  maxDeltasPerTrigger.foreach(n => require(n > 0,
+    s"maxfilespertrigger must be positive, got $n"))
 
   // names sort below every zero-padded id and every [a-z0-9] name
   private val Genesis = "-"
-  private var hwm: String = Genesis
 
-  override def initialOffset(): Offset = TailOffset(Genesis)
+  /** A BRAND-NEW consumer starts at the RECLAIM HORIZON, not Genesis:
+    * the max ledger delta name whose directory vacuum already removed
+    * (the ledger's manifests survive vacuum, so reclaimed names are
+    * exactly ledger-minus-disk). Starting at Genesis would make the
+    * first planInputPartitions see every vacuumed folded delta as
+    * "lost" and kill the stream on any table that has ever been folded
+    * and vacuumed — contradicting the documented contract that a fresh
+    * tail observes the un-reclaimed `d=` namespace (the r15 ADVICE
+    * finding). The loud data-loss guard below stays fully armed for
+    * REAL checkpointed ranges: once an offset is logged, a vacuum
+    * racing past an uncommitted range still fails the stream instead
+    * of silently shrinking it.
+    */
+  override def initialOffset(): Offset = {
+    val present = ClusteredTable.deltaArtifacts(root).map(_._1).toSet
+    val reclaimed = ClusteredTable.artifactNames(root)
+      .filter(_.startsWith("d=")).map(_.stripPrefix("d="))
+      .filterNot(present.contains)
+    TailOffset(reclaimed.foldLeft(Genesis)((a, b) => if (b > a) b else a))
+  }
 
   override def deserializeOffset(json: String): Offset = TailOffset(json)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** ADMISSION CONTROL: `maxfilespertrigger` bounds how many delta
+    * artifacts one micro-batch admits (the MQTT source's
+    * maxRecordsPerBatch discipline, in the tail's unit of work). A
+    * consumer attaching to a 10k-delta backlog drains it across
+    * ceil(10k/n) bounded batches instead of one giant batch 0 — at
+    * 100 TB an unbounded first batch is a driver OOM and a checkpoint
+    * all-or-nothing; bounded batches commit incremental progress.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxDeltasPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
-  /** Monotone high-water of delta names, clamped to the start offset
-    * the checkpoint hands us — a vacuumed-empty namespace must never
-    * regress the log (a regressed offset would re-serve every
-    * folded-but-unvacuumed delta after the next append).
+  /** The next batch's end offset: the highest delta name admitted by
+    * `limit` past `start`, in sequence order — never below `start` (a
+    * vacuumed-empty namespace must not regress the log; a regressed
+    * offset would re-serve every folded-but-unvacuumed delta after the
+    * next append).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val disk = ClusteredTable.deltaArtifacts(root).map(_._1)
-      .foldLeft(Genesis)((a, b) => if (b > a) b else a)
-    hwm = Seq(hwm, disk, start.asInstanceOf[TailOffset].name).max
-    TailOffset(hwm)
+    val s = start.asInstanceOf[TailOffset].name
+    val pending = ClusteredTable.deltaArtifacts(root).map(_._1)
+      .filter(_ > s).sorted
+    val admitted = ClusteredTailStream.maxFilesOf(limit) match {
+      case Some(n) => pending.take(n)
+      case None => pending
+    }
+    TailOffset(admitted.lastOption.getOrElse(s))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -130,6 +165,21 @@ private[clustered] case class TailOffset(name: String) extends Offset {
 private[clustered] case class TailFilePartition(file: String) extends InputPartition
 
 private[clustered] object ClusteredTailStream {
+  /** The max-files component of a ReadLimit, if any: ReadMaxFiles
+    * directly, or inside the composite Spark builds when several
+    * admission hints combine. Rate/row limits don't map onto a
+    * directory-granular source and read as unbounded.
+    */
+  private[clustered] def maxFilesOf(limit: ReadLimit): Option[Int] = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
+    limit match {
+      case m: ReadMaxFiles => Some(m.maxFiles())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxFilesOf).reduceOption(_ min _)
+      case _ => None
+    }
+  }
+
   private[clustered] val supported: Set[DataType] =
     Set(BooleanType, ByteType, ShortType, IntegerType, LongType,
       FloatType, DoubleType, StringType)

@@ -83,13 +83,37 @@ object ReplicaStream {
     * artifact; the snapshot itself publishes through a claimed write.
     * Throws (before claiming anything) if the primary has no complete
     * version yet.
+    *
+    * STALE-CLAIM SELF-HEAL (r15 ADVICE): the claim settles BEFORE the
+    * table-sized copy, so if the primary's retention passes the claimed
+    * version before the seed artifact becomes durable (a crash
+    * mid-copy, or a seed slower than the primary's fold+vacuum
+    * cadence), the claim is permanently unserviceable — without healing
+    * every future seed() would read it and throw forever. The heal
+    * SUPERSEDES, never deletes: claims are generational
+    * (`_seed.claim`, `.2`, `.3`, …; [[ClusteredTable.claimedMeta]]),
+    * and a claim observed stale — seed artifact not durable AND the
+    * claimed version gone from the primary — is outranked by claiming
+    * the next generation from the primary's current latest, through the
+    * same one-winner rename. Sound against a racing seeder of the OLD
+    * claim: once the claimed version is observed missing, any in-flight
+    * copy of it must fail before `_SUCCESS` (its source files are gone,
+    * and versions never resurrect), so two durable seed artifacts — the
+    * one outcome that would double rows — cannot occur.
     */
   def seed(s: SparkSession, primaryRoot: String, replicaRoot: String): Long = {
-    val v = ClusteredTable.claimMeta(replicaRoot, "_seed.claim", {
+    def latest(): String =
       ClusteredTable.latestVersion(primaryRoot).getOrElse(
         throw new IllegalStateException(
           s"primary at $primaryRoot has no complete version to seed from")).toString
-    }).toLong
+    def genName(g: Int) = if (g == 1) "_seed.claim" else s"_seed.claim.$g"
+    val (gen, claimed) = ClusteredTable.claimedMeta(replicaRoot, "_seed.claim")
+      .getOrElse((1, ClusteredTable.claimMeta(replicaRoot, genName(1), latest())))
+    var v = claimed.toLong
+    val seedDurable =
+      ClusteredTable.artifactNames(replicaRoot).contains("d=" + pad(v) + "s")
+    if (!seedDurable && !ClusteredTable.hasVersion(primaryRoot, v))
+      v = ClusteredTable.claimMeta(replicaRoot, genName(gen + 1), latest()).toLong
     ClusteredTable.appendClaimed(
       ClusteredTable.read(s, primaryRoot, Some(v)).drop("zkey", "zfile"),
       replicaRoot, pad(v) + "s")

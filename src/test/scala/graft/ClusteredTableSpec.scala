@@ -665,6 +665,36 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(v1 == "a" && v2 == "a")
   }
 
+  test("a claimed write that fails mid-write while the target is already " +
+      "durable is a LOST RACE (false), not an error; with no durable target " +
+      "the failure still propagates") {
+    val root = Files.createTempDirectory("ct_claimlost").toString
+    // the vacuum-gutted-staging shape: the write blows up, but by then a
+    // racing tick has durably published the artifact — simulated by a df
+    // whose evaluation publishes target/_SUCCESS and then fails
+    val successFile = new java.io.File(root, "delta/d=00/_SUCCESS")
+    val path = successFile.getAbsolutePath
+    val selfPublishing = spark.range(1).as[Long].map { _ =>
+      val f = new java.io.File(path)
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+      throw new RuntimeException("simulated mid-write failure")
+      0L
+    }.toDF("id")
+    assert(!ClusteredTable.appendClaimed(selfPublishing, root, "00"),
+      "a mid-write failure with a durable target is the lost race, not an error")
+    // no staging debris survives the absorbed loss
+    val stagings = Option(new java.io.File(root, "delta").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith(".staging-"))
+    assert(stagings.isEmpty, s"lost race must clean its staging: ${stagings.toSeq}")
+    // and a genuine failure (no durable target) still propagates loudly
+    val failing = spark.range(1).as[Long].map { _ =>
+      throw new RuntimeException("genuine write failure")
+      0L
+    }.toDF("id")
+    intercept[Exception] { ClusteredTable.appendClaimed(failing, root, "01") }
+  }
+
   test("history: one metadata row per retained version with the cumulative " +
       "artifact count; vacuum bounds it exactly like the travel horizon") {
     val root = Files.createTempDirectory("ct_hist").toString

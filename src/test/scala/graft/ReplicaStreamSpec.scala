@@ -157,6 +157,33 @@ class ReplicaStreamSpec extends SparkTestBase {
     assert(converged(r, p))
   }
 
+  test("stale seed claim self-heals: a claim settled on a version the " +
+      "primary's retention has passed — with no durable seed artifact — is " +
+      "SUPERSEDED by the next generation instead of wedging every future tick") {
+    val p = Files.createTempDirectory("rs_hp").toString
+    val r = Files.createTempDirectory("rs_hr").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 0))), p, "00")
+    ClusteredTable.optimize(spark, p, "d1", "d2", 4, 16) // v=0
+    // the crash shape: a seeder settles the claim at v=0, then dies before
+    // the table-sized copy becomes durable
+    ClusteredTable.claimMeta(r, "_seed.claim", "0")
+    // the primary's lifecycle moves past the claimed version
+    ClusteredTable.append(mk(Seq((2L, 2, 0))), p, "01")
+    ClusteredTable.optimize(spark, p, "d1", "d2", 4, 16) // v=1
+    ClusteredTable.vacuum(p) // v=0 reclaimed: the claim is now unserviceable
+    // pre-fix: read(p, Some(0)) throws forever; the heal claims generation 2
+    assert(ReplicaStream.catchUp(spark, p, r, Seq("id")) == 1L)
+    assert(converged(r, p), "the healed seed must converge to the live primary")
+    assert(ReplicaStream.lastApplied(r).contains(1L))
+    // exactly one durable seed artifact — supersession never doubles rows
+    val names = ClusteredTable.artifactNames(r)
+    assert(names.count(n => n.startsWith("d=w") && n.endsWith("s")) == 1,
+      s"one seed only: $names")
+    // the healed claim is durable: a replayed tick reuses it as a no-op
+    assert(ReplicaStream.catchUp(spark, p, r, Seq("id")) == 1L)
+    assert(converged(r, p))
+  }
+
   test("attach: a driving stream's micro-batches tick the maintainer; " +
       "at-least-once batches are absorbed") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
