@@ -307,8 +307,13 @@ object ClusteredTable {
       .filter(c => !folded.contains(c.getName))
       .filter(c => absorbsOf(c).forall(n => !folded.contains(n)))
     val absorbed = active.flatMap(absorbsOf).toSet
+    // hierarchical compaction: a re-compacted artifact's _ABSORBS
+    // flattens its members' lists, so an active artifact absorbed by a
+    // LARGER active artifact is read through the larger one only (it
+    // stays on disk as that artifact's poison fallback, same as a d=)
     (deltaDirs(root).filter(d => !folded.contains(d.getName) &&
-      !absorbed.contains(d.getName)) ++ active)
+      !absorbed.contains(d.getName)) ++
+      active.filter(c => !absorbed.contains(c.getName)))
       .sortBy(p => seqOf(p.getName))
   }
 
@@ -392,7 +397,26 @@ object ClusteredTable {
   def optimize(s: SparkSession, root: String, d1Col: String, d2Col: String,
       bits: Int, numFiles: Int, maxAttempts: Int = 5,
       reindex: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
+      curve: String = "morton"): Long =
+    optimizeN(s, root, Seq(d1Col, d2Col), bits, numFiles, maxAttempts,
+      reindex, maxRecordsPerFile, curve)
+
+  /** The k-dimensional fold: [[optimize]] is the k=2 case. Clusters on
+    * any number of integer dimensions via [[ZorderLayout.writeN]]
+    * (Morton generalizes; hilbert stays 2-D and rejects loudly there)
+    * and publishes a k-dim envelope catalog — per z-bucket, per-dim
+    * min/max as `mn<i>`/`mx<i>` with the dimension name recorded as
+    * `d<i>_col` (for k=2 byte-identical to the historical schema, so
+    * every existing reader keeps working; a 2-D reader on a k-dim
+    * catalog sees the first two dims' true bounds — still a sound
+    * prune, just on fewer dimensions). OCC contract, crash safety,
+    * manifest and reindex semantics are [[optimize]]'s, unchanged.
+    */
+  def optimizeN(s: SparkSession, root: String, dims: Seq[String],
+      bits: Int, numFiles: Int, maxAttempts: Int = 5,
+      reindex: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
       curve: String = "morton"): Long = {
+    require(dims.nonEmpty, "optimizeN needs at least one clustered dimension")
     // `reindex` closes the index lifecycle operationally: a fresh fold
     // has no Bloom index until buildIndex runs, during which lookups
     // degrade to unpruned (correct, slow). Rebuilding as part of the
@@ -452,20 +476,25 @@ object ClusteredTable {
       val staging = new Path(baseRoot(root),
         s".staging-v=$next-${java.util.UUID.randomUUID().toString.take(8)}")
       val wrote = try {
-        ZorderLayout.write(all, d1Col, d2Col, bits, numFiles, staging.toString,
+        ZorderLayout.writeN(all, dims, bits, numFiles, staging.toString,
           maxRecordsPerFile, curve)
         // the ENVELOPE CATALOG: one ≤numFiles-row aggregate over the
-        // staged parquet (column-pruned to zfile + the two clustered
+        // staged parquet (column-pruned to zfile + the clustered
         // dims), landed inside staging so the claim rename publishes
         // data + catalog + manifest atomically. Bounds are stored as
         // long — a long-typed clustered dimension must not wrap.
-        s.read.parquet(staging.toString)
-          .groupBy(col("zfile").cast("int").as("zfile_id"))
-          .agg(min(col(d1Col).cast("long")).as("mn1"),
-            max(col(d1Col).cast("long")).as("mx1"),
-            min(col(d2Col).cast("long")).as("mn2"),
-            max(col(d2Col).cast("long")).as("mx2"))
-          .withColumn("d1_col", lit(d1Col)).withColumn("d2_col", lit(d2Col))
+        // Numbered per-dim columns (mn<i>/mx<i>/d<i>_col): at k=2 the
+        // historical schema exactly; DuckDB-readable flat SQL at any k.
+        val envAggs = dims.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c).cast("long")).as(s"mn${i + 1}"),
+            max(col(c).cast("long")).as(s"mx${i + 1}"))
+        }
+        dims.zipWithIndex.foldLeft(
+          s.read.parquet(staging.toString)
+            .groupBy(col("zfile").cast("int").as("zfile_id"))
+            .agg(envAggs.head, envAggs.tail: _*)) { case (df, (c, i)) =>
+          df.withColumn(s"d${i + 1}_col", lit(c))
+        }
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(staging, "_envelopes").toString)
         // the manifest names every delta AND delete file this version
@@ -567,14 +596,33 @@ object ClusteredTable {
     * tail, published through the same claim-rename as everything else.
     *
     * SEQUENCE CORRECTNESS: a merged artifact takes the rank of its
-    * FIRST member, and a run is eligible only when no PENDING delete
+    * LAST member (any rank inside `[first, last]` is equivalent — see
+    * below — and last-rank keeps hierarchical re-compaction
+    * collision-free), and a run is eligible only when no PENDING delete
     * ranks inside `(first, last]` — then for every delete x (pending
     * now, or landing later with a higher-than-everything rank), x
+    * ranks either below every member or above every member, so x
     * outranks the merged artifact exactly when it outranks every
-    * member, so merge-on-read trimming is unchanged. An upsert's
-    * equal-ranked tombstone sits AT its delta's rank, i.e. inside
-    * `(first, last]` of any run ending past it — such runs are split,
-    * never merged wrong.
+    * member, whatever in-span rank the artifact carries, and
+    * merge-on-read trimming is unchanged. An upsert's equal-ranked
+    * tombstone sits AT its delta's rank, i.e. inside `(first, last]`
+    * of any run ending past it — such runs are split, never merged
+    * wrong.
+    *
+    * HIERARCHICAL + SIZE-TIERED: runs are built over ALL pending
+    * delta-like artifacts — plain `d=` deltas and earlier active `c=`
+    * artifacts alike — so between folds the tail stays at O(log T)
+    * artifacts instead of leaking one `c=` per compaction cycle (the
+    * auto-compaction cadence in [[sink]] depends on this). A `c=`
+    * joins a merge only when its mass (original-delta count) is no
+    * larger than the newer mass accumulated to its right — the classic
+    * size-tiered rule that bounds per-row rewrite count at O(log T)
+    * between folds, where merge-everything would be O(T) (quadratic
+    * total write amplification at streaming cadence). A `c=` member's
+    * `_ABSORBS` flattens into the new artifact's list, so every
+    * original `d=` stays named all the way up: poisoning, the fold
+    * manifest, vacuum's fallback retention and the changefeed's skip
+    * rule all keep working on original names.
     *
     * FOLD-RACE SAFETY (the poisoning rule, see [[vacuum]] and the
     * pendingDeltaLike scaladoc): compaction never deletes the absorbed
@@ -602,26 +650,74 @@ object ClusteredTable {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
     val folded = versions(root).lastOption
       .map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
-    // only plain deltas compact (a compacted artifact re-compacts
-    // naturally at the next fold); ranks of PENDING deletes split runs
-    val pendD = pendingDeltaLike(root, folded).filter(_.getName.startsWith("d="))
+    // HIERARCHICAL, SIZE-TIERED runs: candidates are everything a
+    // snapshot currently unions — plain deltas AND active compacted
+    // artifacts — so a tail that keeps growing under live ingest
+    // re-compacts its own earlier compactions into ever-larger
+    // artifacts and actually CONVERGES (d=-only runs would leak one c=
+    // per compaction cycle until the next fold). A c= member's
+    // _ABSORBS flattens into the new artifact's, so the poisoning rule
+    // and the fold manifest keep naming the original d= artifacts;
+    // ranks of PENDING deletes split segments exactly as before.
+    val pendD = pendingDeltaLike(root, folded)
     val dvRanks = dvDirs(root).filterNot(x => folded.contains(x.getName))
       .map(x => seqOf(x.getName))
     def blocked(first: String, upto: String): Boolean =
       dvRanks.exists(r => r > first && r <= upto)
-    // greedy maximal runs: extend while no pending delete ranks inside
-    val runs = scala.collection.mutable.ArrayBuffer[Seq[Path]]()
+    // greedy maximal segments: extend while no pending delete ranks inside
+    val segments = scala.collection.mutable.ArrayBuffer[Seq[Path]]()
     var i = 0
     while (i < pendD.length) {
       val first = seqOf(pendD(i).getName)
       var j = i
       while (j + 1 < pendD.length && !blocked(first, seqOf(pendD(j + 1).getName))) j += 1
-      runs += pendD.slice(i, j + 1).toSeq
+      segments += pendD.slice(i, j + 1).toSeq
       i = j + 1
     }
+    // the SIZE TIER decides which segment members actually merge: the
+    // segment's plain-delta suffix always does (rank order puts every
+    // c= before every d= — a delta that predates a compacted artifact
+    // was either absorbed by it or delete-blocked into another
+    // segment); a preceding c= joins only while its mass (original d=
+    // count, the metadata-plane size proxy) is ≤ the mass accumulating
+    // to its right. That is classic size-tiered compaction: every row
+    // is rewritten O(log T) times between folds instead of the O(T)
+    // a merge-everything rule costs — at a 100 TB ingest cadence the
+    // difference between a bounded maintenance bill and quadratic
+    // write amplification. Each merge keeps members CONTIGUOUS in
+    // rank, so the no-delete-inside invariant carries over.
+    def massOf(p: Path): Int =
+      if (p.getName.startsWith("c=")) absorbsOf(p).count(_.startsWith("d="))
+      else 1
+    val runs = segments.flatMap { seg =>
+      val (cs, ds) = seg.partition(_.getName.startsWith("c="))
+      if (ds.isEmpty) None // c=-only segment: tiers never merge without new mass
+      else {
+        var members = ds
+        var mass = ds.size
+        cs.reverse.takeWhile { c =>
+          val in = massOf(c) <= mass
+          if (in) { members = c +: members; mass += massOf(c) }
+          in
+        }
+        Some(members)
+      }
+    }
     var published = 0
-    runs.filter(_.size >= minRun).foreach { run =>
-      val target = new Path(deltaRoot(root), s"c=${seqOf(run.head.getName)}")
+    runs.filter(run => run.size >= minRun &&
+        // a run ending in its own c= member would re-claim that very
+        // name — unreachable under the tier rule (the last member is a
+        // plain delta), kept as a guard: skip (idempotence, not error)
+        s"c=${seqOf(run.last.getName)}" != run.last.getName).foreach { run =>
+      // the merged artifact takes the rank of its LAST member: any rank
+      // inside [first, last] preserves delete semantics (pending deletes
+      // never rank inside a run — blocked; later deletes are named above
+      // every member by the monotonicity contract — so a delete outranks
+      // the merged artifact exactly when it outranks every member), and
+      // last-rank naming keeps re-compaction collision-free — a run that
+      // starts with an earlier c=<rank> artifact must not re-claim the
+      // same name
+      val target = new Path(deltaRoot(root), s"c=${seqOf(run.last.getName)}")
       val fs = fsOf(target)
       if (!fs.exists(new Path(target, "_SUCCESS"))) {
         // ONE multi-path scan, not an n-way union: a thousand-delta tail
@@ -635,9 +731,14 @@ object ClusteredTable {
           s".staging-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
         merged.write.mode("overwrite").parquet(staging.toString)
         // the absorption list rides INSIDE the claim: artifact + list
-        // publish atomically, so active/poisoned is always decidable
+        // publish atomically, so active/poisoned is always decidable.
+        // A c= member contributes its own name AND its flattened list —
+        // every original d= stays named all the way up the hierarchy.
+        val absorbs = run.flatMap(m =>
+          if (m.getName.startsWith("c=")) absorbsOf(m) + m.getName
+          else Set(m.getName)).toSet
         val out = fs.create(new Path(staging, "_ABSORBS"), true)
-        try out.write(run.map(_.getName).sorted.mkString("\n").getBytes("UTF-8"))
+        try out.write(absorbs.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
         finally out.close()
         if (fs.exists(target) && !fs.exists(new Path(target, "_SUCCESS")) &&
             !claimInProgress(fs, target))
@@ -973,11 +1074,45 @@ object ClusteredTable {
       if (!fsOf(env).exists(new Path(env, "_SUCCESS"))) None
       else {
         val rows = s.read.parquet(env.toString).collect() // ≤ numFiles rows
+        // a k>2 catalog whose FIRST TWO dims match still serves this
+        // 2-D read: per-dim min/max are true bounds regardless of how
+        // many further dimensions the fold interleaved — pruning on a
+        // prefix of the clustered dims is sound, just less selective
         if (rows.exists(r => r.getAs[String]("d1_col") != d1Col ||
             r.getAs[String]("d2_col") != d2Col)) None
         else Some(rows.map(r => (r.getAs[Int]("zfile_id"),
           r.getAs[Long]("mn1"), r.getAs[Long]("mx1"),
           r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))).toSeq)
+      }
+    }
+
+  /** The k-dimensional envelope catalog read: one row per z-bucket,
+    * `(zfile, per-dim (min, max))` with bounds as long, in the order of
+    * `dims`. None if the version predates the catalog or the recorded
+    * `d<i>_col` names disagree with `dims` at any position — like the
+    * 2-D read, a catalog with MORE dimensions than asked still serves a
+    * matching prefix (per-dim bounds are true bounds; pruning a prefix
+    * is sound), but a name mismatch means a different fold and the
+    * caller must fall back to recomputing (or not prune).
+    */
+  def envelopesN(s: SparkSession, root: String, v: Long,
+      dims: Seq[String]): Option[Seq[(Int, Seq[(Long, Long)])]] =
+    versions(root).find(_._1 == v).flatMap { case (_, dir) =>
+      val env = new Path(dir, "_envelopes")
+      if (!fsOf(env).exists(new Path(env, "_SUCCESS"))) None
+      else {
+        val df = s.read.parquet(env.toString)
+        val names = df.schema.fieldNames.toSet
+        val present = dims.indices.forall(i => names.contains(s"d${i + 1}_col"))
+        if (!present) None
+        else {
+          val rows = df.collect() // ≤ numFiles rows
+          if (rows.exists(r => dims.zipWithIndex.exists { case (c, i) =>
+              r.getAs[String](s"d${i + 1}_col") != c })) None
+          else Some(rows.map(r => (r.getAs[Int]("zfile_id"),
+            dims.indices.map(i => (r.getAs[Long](s"mn${i + 1}"),
+              r.getAs[Long](s"mx${i + 1}"))))).toSeq)
+        }
       }
     }
 
@@ -1055,8 +1190,30 @@ object ClusteredTable {
     * whatever cadence the operator chooses — ingest never waits on
     * layout work.
     */
-  def sink(root: String): (DataFrame, Long) => Unit =
-    (df: DataFrame, batchId: Long) => append(df, root, f"b$batchId%012d")
+  def sink(root: String): (DataFrame, Long) => Unit = sink(root, 0)
+
+  /** [[sink]] with AUTO-COMPACTION CADENCE: `compactAtParts > 0` makes
+    * the sink self-healing under high-cadence ingest — after landing a
+    * micro-batch, if the pending tail holds at least `compactAtParts`
+    * artifacts, [[compactTail]] runs inline before the next trigger.
+    * The threshold bounds BOTH bills: snapshot reads never pay more
+    * than ~compactAtParts scan branches for the tail, and the
+    * compaction itself (one tail-sized read + write) runs once per
+    * ~compactAtParts batches, so its amortized cost per batch is one
+    * batch-sized write — the LSM write-amplification floor. Compaction
+    * publishes through the ordinary claim, so a concurrent fold or a
+    * second maintainer racing the sink settles exactly as always
+    * (active/poisoned, one winner); a lost claim here is a no-op, not
+    * an error. Out-of-band optimize()/vacuum() remain the fold plane —
+    * this only keeps the un-folded tail from growing unboundedly
+    * between folds.
+    */
+  def sink(root: String, compactAtParts: Int): (DataFrame, Long) => Unit =
+    (df: DataFrame, batchId: Long) => {
+      append(df, root, f"b$batchId%012d")
+      if (compactAtParts > 0 && tailParts(root).size >= compactAtParts)
+        compactTail(df.sparkSession, root)
+    }
 
   /** The table as a STREAM SOURCE: tail the append feed. A structured-
     * streaming file source globbed to the delta namespace — each
@@ -1360,11 +1517,19 @@ object ClusteredTable {
       f
     }
     // a fold that absorbed a COMPACTED artifact names both it and its
-    // absorbed originals in the manifest — the feed reads the compacted
-    // artifact (one merged read) and must skip the originals it already
-    // contains, or every compacted row would double
-    val winC = window.filter(_.startsWith("c=")).map(artifact)
-    val absorbedInWin = winC.flatMap(absorbsOf).toSet
+    // absorbed originals in the manifest — the feed reads the TOP
+    // compacted artifact (one merged read) and must skip everything it
+    // already contains (originals, and under hierarchical re-compaction
+    // any smaller c= it absorbed), or every compacted row would double.
+    // Absorbs are read from the window c= artifacts still on disk; a
+    // window c= that is gone but absorbed by a surviving one is simply
+    // covered — only a missing TOP artifact is past the horizon.
+    val winCNames = window.filter(_.startsWith("c="))
+    val absorbedInWin = winCNames
+      .map(n => new Path(deltaRoot(root), n))
+      .filter(p => fsOf(p).exists(new Path(p, "_ABSORBS")))
+      .flatMap(absorbsOf).toSet
+    val winC = winCNames.filterNot(absorbedInWin.contains).map(artifact)
     val winD = window.filter(n => n.startsWith("d=") && !absorbedInWin.contains(n))
       .map(artifact) ++ winC
     val winX = window.filter(_.startsWith("x=")).map(artifact)

@@ -38,10 +38,30 @@ object ZorderLayout {
     * adds only — exact and engine-portable.
     */
   def mortonKey(d1: Column, d2: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      (shiftright(d1, i) % 2) * lit(1 << (2 * i + 1)) +
-        (shiftright(d2, i) % 2) * lit(1 << (2 * i))
-    }.reduce(_ + _)
+    mortonKeyN(Seq(d1, d2), bits)
+
+  /** The k-dimensional Morton interleave [[mortonKey]] is the k=2 case
+    * of: bit `i` of dimension `j` (0-based, FIRST dim most significant
+    * within each bit group) lands at key position `i*k + (k-1-j)`.
+    * Still pure integer shift/multiply/add — exact, engine-portable
+    * (the q_cluster_3d oracle re-derives it in DuckDB SQL), and fully
+    * inside whole-stage codegen. The key domain is `2^(k*bits)`, capped
+    * at 31 bits so the key (and the zfile division downstream) stays in
+    * exact Int range — production N-dim z-ordering trades per-dim
+    * resolution for dimension count at a fixed key width, same as here.
+    */
+  def mortonKeyN(dims: Seq[Column], bits: Int): Column = {
+    val k = dims.length
+    require(k >= 1, "mortonKeyN needs at least one dimension")
+    require(k * bits <= 31,
+      s"k*bits = ${k * bits} exceeds the 31-bit exact-Int key domain " +
+        s"(lower bits or cluster fewer dimensions)")
+    (for {
+      i <- 0 until bits
+      (d, j) <- dims.zipWithIndex
+    } yield (shiftright(d, i) % 2) * lit(1 << (i * k + (k - 1 - j))))
+      .reduce(_ + _)
+  }
 
   /** Hilbert-curve index of a (d1, d2) cell on the 2^bits × 2^bits grid
     * — the locality-better alternative to [[mortonKey]]: the Hilbert
@@ -89,10 +109,30 @@ object ZorderLayout {
     */
   def write(df: DataFrame, d1Col: String, d2Col: String, bits: Int,
             numFiles: Int, path: String, maxRecordsPerFile: Long = 0L,
+            curve: String = "morton"): Unit =
+    writeN(df, Seq(d1Col, d2Col), bits, numFiles, path, maxRecordsPerFile, curve)
+
+  /** The k-dimensional generalization of [[write]]: cluster on any
+    * number of integer dimensions (each in `[0, 2^bits)`); the z-key
+    * domain becomes `2^(k*bits)` and `numFiles` must divide it. All
+    * downstream machinery (zfile ranges, envelope catalogs, pruning)
+    * keys on the bucket directory + per-dim min/max and generalizes
+    * with no further change. The Hilbert curve stays 2-D — its
+    * rotate/reflect transform does not factor per-dimension the way
+    * Morton's interleave does, and a wrong silent fallback would
+    * change layouts under the caller — so k≠2 hilbert rejects loudly.
+    */
+  def writeN(df: DataFrame, dimCols: Seq[String], bits: Int,
+            numFiles: Int, path: String, maxRecordsPerFile: Long = 0L,
             curve: String = "morton"): Unit = {
-    val zSpan = (1 << (2 * bits)) / numFiles
-    require(zSpan * numFiles == (1 << (2 * bits)),
-      s"numFiles=$numFiles must divide ${1 << (2 * bits)}")
+    val k = dimCols.length
+    require(k >= 1, "writeN needs at least one clustered dimension")
+    require(k * bits <= 31,
+      s"k*bits = ${k * bits} exceeds the 31-bit exact-Int key domain")
+    val domain = 1 << (k * bits)
+    val zSpan = domain / numFiles
+    require(zSpan * numFiles == domain,
+      s"numFiles=$numFiles must divide $domain")
     // CURVE CHOICE: morton (the default; cheapest arithmetic) or
     // hilbert (no diagonal jumps — the q_hilbert diagnostic measures
     // the box-read-amplification trade between them; this knob makes
@@ -101,8 +141,12 @@ object ZorderLayout {
     // bucket directory and per-bucket min/max, so the curve is a pure
     // layout decision local to each written version.
     val key = curve match {
-      case "morton" => mortonKey(col(d1Col), col(d2Col), bits)
-      case "hilbert" => hilbertKey(col(d1Col), col(d2Col), bits)
+      case "morton" => mortonKeyN(dimCols.map(col), bits)
+      case "hilbert" =>
+        require(k == 2,
+          s"the hilbert curve is 2-D only (got $k clustered dimensions); " +
+            "use morton for k-dimensional layouts")
+        hilbertKey(col(dimCols(0)), col(dimCols(1)), bits)
       case other => throw new IllegalArgumentException(
         s"unknown layout curve '$other' (expected morton or hilbert)")
     }

@@ -868,11 +868,70 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** N-DIMENSIONAL CLUSTERING — the k=3 Morton fold oracle-gated end to
+    * end: optimizeN interleaves THREE dimensions (price bucket, month,
+    * customer residue — each 4 bits, a 4096-cell z-domain in 16 static
+    * buckets), publishes the k-dim envelope catalog (per-bucket per-dim
+    * min/max as mn<i>/mx<i>), and a 3-D hyper-box read prunes on all
+    * three at once. DuckDB re-derives the WHOLE chain independently:
+    * the 3-way bit interleave (bit i of dim j at position 3i+(2-j)) as
+    * integer arithmetic, every bucket's envelope over the folded
+    * chunks, and the pruning decision (files_read = buckets whose
+    * envelope intersects the box on ALL dims) — so an interleave that
+    * drifts from its formula, a wrong envelope, or a keep-set that
+    * differs by one bucket goes red, not just slow.
+    *
+    * Scale: a third clustered dimension costs the fold NOTHING extra
+    * (the interleave is the same per-row integer expression, the
+    * catalog the same ≤numFiles-row artifact with two more columns) and
+    * buys hyper-box pruning on query shapes a 2-D layout scans in full
+    * — the reason production z-ordering takes N columns. Per-dim
+    * resolution trades against dimension count at fixed key width
+    * (k·bits ≤ 31), the standard N-dim z-order trade.
+    */
+  def qCluster3d(s: SparkSession, dir: String): DataFrame = {
+    val (lo1, hi1, lo2, hi2, lo3, hi3) = (3, 5, 2, 4, 4, 11)
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val d3 = (col("o_custkey") % 16).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_c3d_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"), d3.as("d3"))
+    val CT = graft.functions.ClusteredTable
+    CT.append(src.filter(col("o_orderkey") % 3 === 0), root, "b0")
+    CT.append(src.filter(col("o_orderkey") % 3 === 1), root, "b1")
+    val ver = CT.optimizeN(s, root, Seq("d1", "d2", "d3"), 4, 16)
+    CT.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
+    val t = CT.read(s, root)
+    val env = CT.envelopesN(s, root, ver, Seq("d1", "d2", "d3")).get
+    val box = Seq((lo1.toLong, hi1.toLong), (lo2.toLong, hi2.toLong),
+      (lo3.toLong, hi3.toLong))
+    val keep = env.collect {
+      case (zf, e) if e.zip(box).forall {
+          case ((mn, mx), (lo, hi)) => mx >= lo && mn <= hi } => zf
+    }
+    t.where(col("zfile") === -1 || col("zfile").isin(keep.toSeq: _*))
+      .where(col("d1").between(lo1, hi1) && col("d2").between(lo2, hi2) &&
+        col("d3").between(lo3, hi3))
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("files_total", lit(env.length.toLong))
+      .withColumn("files_read", lit(keep.length.toLong))
+      .orderBy("layer")
+  }
+
   /** MINOR COMPACTION — ClusteredTable.compactTail oracle-gated: three
     * ingest deltas land, a delete ranks ABOVE them, a fourth delta
     * lands after the delete (its rows outrank it — the resurrection
     * rule), and compaction merges exactly the delete-free run [00..02]
-    * into one artifact, leaving [c=00, d=04] as the read tail. The
+    * into one artifact, leaving [c=02, d=04] as the read tail
+    * (last-member rank naming). The
     * oracle re-derives the visible rows from the raw table (the delete
     * hides k%10=0 only among the first three chunks; the post-delete
     * chunk survives whole) and pins the STRUCTURAL observables as
@@ -2020,6 +2079,7 @@ object RelationalQueries {
     "q_optimize_auto" -> qOptimizeAuto,
     "q_compact_tail" -> qCompactTail,
     "q_cluster_hilbert" -> qClusterHilbert,
+    "q_cluster_3d" -> qCluster3d,
     "q_history" -> qHistory,
     "q_agg_pushdown" -> qAggPushdown,
     "q_hilbert" -> qHilbert,
@@ -2505,6 +2565,43 @@ object RelationalQueries {
         |       files_total, files_read
         |FROM f CROSS JOIN st
         |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4
+        |GROUP BY layer, files_total, files_read
+        |ORDER BY layer""".stripMargin,
+    // the 3-way Morton interleave re-derived as integer arithmetic (bit
+    // i of dim j lands at position 3i+(2-j)), the per-bucket 3-dim
+    // envelopes over the folded chunks, and the hyper-box pruning
+    // decision — zSpan = 4096/16, so file_id = zk // 256
+    "q_cluster_3d" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2,
+        |         CAST(o_custkey % 16 AS INT) AS d3,
+        |         o_orderkey % 3 AS chunk
+        |  FROM orders),
+        |z AS (SELECT *,
+        |  ((d1 >> 0) & 1) * 4    + ((d2 >> 0) & 1) * 2    + ((d3 >> 0) & 1) * 1 +
+        |  ((d1 >> 1) & 1) * 32   + ((d2 >> 1) & 1) * 16   + ((d3 >> 1) & 1) * 8 +
+        |  ((d1 >> 2) & 1) * 256  + ((d2 >> 2) & 1) * 128  + ((d3 >> 2) & 1) * 64 +
+        |  ((d1 >> 3) & 1) * 2048 + ((d2 >> 3) & 1) * 1024 + ((d3 >> 3) & 1) * 512 AS zk
+        |  FROM src),
+        |f AS (SELECT *, CAST(zk // 256 AS INT) AS file_id FROM z),
+        |env AS (SELECT file_id, min(d1) AS mn1, max(d1) AS mx1,
+        |               min(d2) AS mn2, max(d2) AS mx2,
+        |               min(d3) AS mn3, max(d3) AS mx3
+        |        FROM f WHERE chunk IN (0, 1) GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |              CAST(sum(CASE WHEN mx1 >= 3 AND mn1 <= 5
+        |                             AND mx2 >= 2 AND mn2 <= 4
+        |                             AND mx3 >= 4 AND mn3 <= 11
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        |       FROM env)
+        |SELECT CASE WHEN chunk IN (0, 1) THEN 'base' ELSE 'delta' END AS layer,
+        |       CAST(count(*) AS BIGINT) AS n_match,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       files_total, files_read
+        |FROM f CROSS JOIN st
+        |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4 AND d3 BETWEEN 4 AND 11
         |GROUP BY layer, files_total, files_read
         |ORDER BY layer""".stripMargin,
     // visible rows re-derived from the raw table (the delete hides

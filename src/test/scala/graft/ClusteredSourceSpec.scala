@@ -488,4 +488,52 @@ class ClusteredSourceSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq
     assert(got == Seq(7L))
   }
+
+  test("aggregate pushdown over a many-file snapshot exercises the parallel " +
+      "footer walk and answers exactly (identical to the serial merge)") {
+    val root = Files.createTempDirectory("csrc_par").toString
+    // 24 delta artifacts -> well past the 8-file parallel threshold
+    (0 until 24).foreach { b =>
+      ClusteredTable.append(
+        mk(Seq((b * 2L, b % 16, b % 12), (b * 2L + 1, (b + 3) % 16, b % 12))),
+        root, f"$b%02d")
+    }
+    val agg = spark.read.format("graft-clustered").option("root", root).load()
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT"),
+      s"footer-stats pushdown must engage on the many-file snapshot:\n$plan")
+    assert(agg.as[(Long, Long, Long)].head() == ((48L, 0L, 47L)))
+  }
+
+  test("the dims option drives k-dim hyper-box pruning through the source; " +
+      "results stay exact") {
+    val root = Files.createTempDirectory("csrc_3d").toString
+    ClusteredTable.append(
+      (1L to 300L).map(i => (i, (i % 16).toInt, (i % 12).toInt, (i % 7).toInt))
+        .toDF("id", "d1", "d2", "d3"), root, "00")
+    ClusteredTable.optimizeN(spark, root, Seq("d1", "d2", "d3"), 4, 16)
+    ClusteredTable.append(
+      Seq((301L, 2, 5, 3)).toDF("id", "d1", "d2", "d3"), root, "01") // in-box tail
+    // the DECISION, pinned via the dims-list constructor
+    val rel = new ClusteredRelation(spark.sqlContext, root,
+      Seq("d1", "d2", "d3"), None)
+    val keep = rel.plannedBuckets(Array(
+      LessThanOrEqual("d1", 3), LessThanOrEqual("d2", 7),
+      GreaterThanOrEqual("d3", 1))).get
+    val occupied = ClusteredTable.read(spark, root)
+      .filter(col("zfile") >= 0).select("zfile").distinct().count()
+    assert(keep.nonEmpty && keep.size < occupied,
+      s"the 3-D box must skip buckets: kept $keep of $occupied")
+    // the ROWS through the public option surface: exact, tail included
+    val df = spark.read.format("graft-clustered")
+      .option("root", root).option("dims", "d1,d2,d3").load()
+      .where(col("d1") <= 3 && col("d2") <= 7 && col("d3") >= 1)
+      .select("id").as[Long].collect().toSeq.sorted
+    val want = ClusteredTable.read(spark, root)
+      .where(col("d1") <= 3 && col("d2") <= 7 && col("d3") >= 1)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(df == want && df.contains(301L),
+      s"k-dim pruning must only skip, never change: got ${df.size} rows")
+  }
 }

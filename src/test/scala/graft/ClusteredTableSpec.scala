@@ -778,10 +778,10 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(ClusteredTable.tailParts(root) == Seq("d=01", "d=02", "d=04"))
     // the delete at rank 03 blocks extension past 02: run = [01, 02]
     assert(ClusteredTable.compactTail(spark, root) == 1)
-    assert(ClusteredTable.tailParts(root) == Seq("c=01", "d=04"))
+    assert(ClusteredTable.tailParts(root) == Seq("c=02", "d=04"))
     assert(ids(root) == before, "compaction must not change a single row")
     // the resurrected image still outranks the delete; the compacted
-    // rows still lose to it (rank 01 < 03)
+    // rows still lose to it (rank 02 < 03 — last-member rank)
     assert(ClusteredTable.read(spark, root).filter(col("id") === 1L)
       .select("d2").as[Int].collect().toSeq == Seq(99))
     // replay is idempotent; absorbed originals are still on disk (the
@@ -806,7 +806,7 @@ class ClusteredTableSpec extends SparkTestBase {
     // absorbed originals (the replica watermark depends on it)
     ClusteredTable.vacuum(root)
     assert(!new java.io.File(root, "delta/d=01").exists())
-    assert(!new java.io.File(root, "delta/c=01").exists())
+    assert(!new java.io.File(root, "delta/c=02").exists())
     assert(ClusteredTable.artifactNames(root).contains("d=01"))
     assert(ids(root) == before)
   }
@@ -821,7 +821,7 @@ class ClusteredTableSpec extends SparkTestBase {
     val before = ClusteredTable.read(spark, root)
       .select("id", "lang").as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
     assert(ClusteredTable.compactTail(spark, root) == 1)
-    assert(ClusteredTable.tailParts(root) == Seq("c=00"))
+    assert(ClusteredTable.tailParts(root) == Seq("c=01"))
     val after = ClusteredTable.read(spark, root)
       .select("id", "lang").as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
     assert(after == before && after ==
@@ -841,7 +841,7 @@ class ClusteredTableSpec extends SparkTestBase {
     ClusteredTable.upsert(mk(Seq((1L, 1, 20))), root, "02", Seq("id"))
     // x=02 ranks inside (00, 02] -> run stops at [00, 01]
     assert(ClusteredTable.compactTail(spark, root) == 1)
-    assert(ClusteredTable.tailParts(root) == Seq("c=00", "d=02"))
+    assert(ClusteredTable.tailParts(root) == Seq("c=01", "d=02"))
     assert(ClusteredTable.read(spark, root)
       .select("id", "d2").as[(Long, Int)].collect().toSeq.sorted ==
       Seq((1L, 20), (2L, 10), (3L, 10)),
@@ -898,5 +898,125 @@ class ClusteredTableSpec extends SparkTestBase {
       .filter(_.getName.startsWith(".staging-v="))
     assert(staging.isEmpty)
     assert(ids(root) == (1L to 60L))
+  }
+
+  test("N-dim: mortonKeyN generalizes mortonKey (k=2 identical on the full " +
+      "grid) and interleaves k=3 by the i*k+(k-1-j) bit formula") {
+    val grid = (for { a <- 0 until 16; b <- 0 until 16 } yield (a, b)).toDF("d1", "d2")
+    val allEq = grid.select(
+      (ZorderLayout.mortonKey(col("d1"), col("d2"), 4) ===
+        ZorderLayout.mortonKeyN(Seq(col("d1"), col("d2")), 4)).as("ok"))
+      .agg(min(col("ok"))).as[Boolean].head()
+    assert(allEq, "mortonKeyN(Seq(d1, d2)) must be bit-identical to mortonKey")
+    // k=3 against an independent Scala re-derivation of the formula
+    def ref(ds: Seq[Int], bits: Int): Int =
+      (for { i <- 0 until bits; j <- ds.indices }
+        yield ((ds(j) >> i) & 1) << (i * ds.length + (ds.length - 1 - j))).sum
+    val rows = Seq((1, 2, 3), (15, 0, 7), (4, 11, 9), (0, 0, 0), (15, 15, 15))
+    val got = rows.toDF("a", "b", "c")
+      .select(ZorderLayout.mortonKeyN(Seq(col("a"), col("b"), col("c")), 4).as("z"))
+      .as[Int].collect().toSeq
+    assert(got == rows.map { case (a, b, c) => ref(Seq(a, b, c), 4) },
+      s"3-way interleave drifted from its formula: $got")
+    // the exact-Int key-domain guard
+    intercept[IllegalArgumentException] {
+      ZorderLayout.mortonKeyN(Seq(col("a"), col("b"), col("c")), 11)
+    }
+  }
+
+  test("N-dim fold: optimizeN on 3 dims publishes a 3-dim envelope catalog " +
+      "that matches a recompute; hyper-box pruning never drops a row; the " +
+      "2-D envelopes read serves the catalog's prefix; hilbert rejects k!=2") {
+    val root = Files.createTempDirectory("ct_3d").toString
+    val rows = (1L to 240L).map(i => (i, (i % 16).toInt, (i % 12).toInt, (i % 7).toInt))
+    ClusteredTable.append(rows.toDF("id", "d1", "d2", "d3"), root, "00")
+    val v = ClusteredTable.optimizeN(spark, root, Seq("d1", "d2", "d3"), 4, 16)
+    val env = ClusteredTable.envelopesN(spark, root, v, Seq("d1", "d2", "d3")).get
+    // the catalog must agree with a direct per-bucket recompute
+    val t = ClusteredTable.read(spark, root)
+    val truth = t.groupBy("zfile")
+      .agg(min("d1"), max("d1"), min("d2"), max("d2"), min("d3"), max("d3"))
+      .collect().map(r => r.getInt(0) ->
+        Seq((r.getInt(1).toLong, r.getInt(2).toLong),
+          (r.getInt(3).toLong, r.getInt(4).toLong),
+          (r.getInt(5).toLong, r.getInt(6).toLong))).toMap
+    assert(env.toMap == truth, "the 3-dim catalog drifted from the data")
+    // hyper-box prune: keep buckets intersecting on ALL THREE dims;
+    // results equal the unpruned filter exactly
+    val box = Seq((0L, 3L), (0L, 7L), (1L, 6L))
+    val keep = env.collect {
+      case (zf, e) if e.zip(box).forall {
+          case ((mn, mx), (lo, hi)) => mx >= lo && mn <= hi } => zf
+    }
+    assert(keep.nonEmpty && keep.size < env.size,
+      s"the 3-D box must actually prune: kept ${keep.size} of ${env.size}")
+    def boxed(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("d1").between(0, 3) && col("d2").between(0, 7) &&
+        col("d3").between(1, 6))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(boxed(t.where(col("zfile") === -1 || col("zfile").isin(keep: _*))) ==
+      boxed(t), "pruning must only skip, never change, a result")
+    // a 2-D reader on the 3-dim catalog: the matching PREFIX still serves
+    val pre = ClusteredTable.envelopes(spark, root, v, "d1", "d2")
+    assert(pre.isDefined && pre.get.map(_._1).sorted == env.map(_._1).sorted)
+    // a dim-name mismatch refuses (the caller falls back / doesn't prune)
+    assert(ClusteredTable.envelopesN(spark, root, v, Seq("d2", "d1")).isEmpty)
+    // hilbert stays 2-D and rejects loudly
+    val r2 = Files.createTempDirectory("ct_3d_hil").toString
+    ClusteredTable.append(rows.take(10).toDF("id", "d1", "d2", "d3"), r2, "00")
+    intercept[IllegalArgumentException] {
+      ClusteredTable.optimizeN(spark, r2, Seq("d1", "d2", "d3"), 4, 16,
+        curve = "hilbert")
+    }
+  }
+
+  test("hierarchical size-tiered re-compaction: a second compaction absorbs " +
+      "the first with flattened _ABSORBS; reads, changefeed and vacuum exact") {
+    val root = Files.createTempDirectory("ct_tier").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0: {1}
+    (2L to 5L).foreach(i => ClusteredTable.append(
+      mk(Seq((i, (i % 16).toInt, (i % 12).toInt))), root, f"${i - 1}%02d"))
+    assert(ClusteredTable.compactTail(spark, root) == 1)
+    assert(ClusteredTable.tailParts(root) == Seq("c=04"))
+    (6L to 9L).foreach(i => ClusteredTable.append(
+      mk(Seq((i, (i % 16).toInt, (i % 12).toInt))), root, f"${i - 1}%02d"))
+    // tier rule: c=04 (mass 4) <= 4 fresh deltas -> one nested artifact
+    assert(ClusteredTable.compactTail(spark, root) == 1)
+    assert(ClusteredTable.tailParts(root) == Seq("c=08"))
+    val absorbs = scala.io.Source.fromFile(
+      new java.io.File(root, "delta/c=08/_ABSORBS")).getLines().toSet
+    assert(absorbs == (1 to 8).map(i => f"d=$i%02d").toSet + "c=04",
+      s"flattened absorbs must name every original: $absorbs")
+    assert(ids(root) == (1L to 9L), "nested compaction must not change rows")
+    // the fold retires the whole hierarchy; the changefeed reads the TOP
+    // artifact once — nested rows must not double
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    val ins = ClusteredTable.changes(spark, root, 0L, 1L)
+      .filter(col("_change") === "insert").select("id").as[Long].collect().toSeq.sorted
+    assert(ins == (2L to 9L), s"changefeed must read nested rows exactly once: $ins")
+    ClusteredTable.vacuum(root)
+    assert(ids(root) == (1L to 9L))
+    assert(ClusteredTable.tailParts(root).isEmpty)
+    assert(!new java.io.File(root, "delta/c=08").exists())
+  }
+
+  test("auto-compaction cadence: a 50-delta streamed tail converges to at " +
+      "most the threshold under live ingest, with O(log) rewrite tiers") {
+    val root = Files.createTempDirectory("ct_cadence").toString
+    val sink = ClusteredTable.sink(root, compactAtParts = 8)
+    (0 until 50).foreach { b =>
+      sink(mk(Seq((b.toLong, b % 16, b % 12))), b.toLong)
+    }
+    val parts = ClusteredTable.tailParts(root)
+    assert(parts.size <= 8,
+      s"the tail must converge under the cadence threshold: $parts")
+    assert(parts.exists(_.startsWith("c=")), "compaction must have run")
+    assert(ids(root) == (0L until 50L).toSeq, "no row lost or doubled")
+    // maintenance closes normally over the compacted hierarchy
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16)
+    ClusteredTable.vacuum(root)
+    assert(ids(root) == (0L until 50L).toSeq)
+    assert(ClusteredTable.tailParts(root).isEmpty)
   }
 }
