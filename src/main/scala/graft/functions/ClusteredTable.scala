@@ -555,6 +555,12 @@ object ClusteredTable {
     * pruning are all per-version and follow along automatically.
     */
   def optimizeAuto(s: SparkSession, root: String, d1Col: String, d2Col: String,
+      bits: Int, targetRowsPerFile: Long): Long =
+    optimizeAutoN(s, root, Seq(d1Col, d2Col), bits, targetRowsPerFile)
+
+  /** The k-dimensional [[optimizeAuto]] (same sizing chain, clamped to
+    * the k-dim z-domain `2^(k·bits)`). */
+  def optimizeAutoN(s: SparkSession, root: String, dims: Seq[String],
       bits: Int, targetRowsPerFile: Long): Long = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
     val vs = versions(root)
@@ -570,7 +576,8 @@ object ClusteredTable {
       vs.lastOption.map(v => s.read.parquet(v._2.toString).count()).getOrElse(0L) +
         (if (pendingD.isEmpty) 0L
          else s.read.parquet(pendingD.map(_.toString): _*).count())
-    optimize(s, root, d1Col, d2Col, bits, autoFileCount(rows, targetRowsPerFile, bits))
+    optimizeN(s, root, dims, bits,
+      autoFileCount(rows, targetRowsPerFile, bits, dims.length))
   }
 
   /** [[optimizeAuto]]'s sizing formula, exposed so its decision is
@@ -578,9 +585,13 @@ object ClusteredTable {
     * SQL): the smallest power of two ≥ rows/targetRowsPerFile, clamped
     * to [1, 4^bits] — powers of two always divide the z-key domain.
     */
-  def autoFileCount(rows: Long, targetRowsPerFile: Long, bits: Int): Int = {
+  def autoFileCount(rows: Long, targetRowsPerFile: Long, bits: Int): Int =
+    autoFileCount(rows, targetRowsPerFile, bits, 2)
+
+  /** The k-dimensional sizing formula: clamp to `2^(k·bits)`. */
+  def autoFileCount(rows: Long, targetRowsPerFile: Long, bits: Int, k: Int): Int = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
-    val maxFiles = 1 << (2 * bits)
+    val maxFiles = 1 << (k * bits)
     val want = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
     math.min(maxFiles.toLong,
       java.lang.Long.highestOneBit(math.max(1L, 2 * want - 1))).toInt

@@ -926,6 +926,56 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** TIME TRAVEL THROUGH THE SOURCE — the `asofversion` option
+    * oracle-gated: two folds with a delete between them, then the SAME
+    * format string reads v0 (pre-delete membership), v1 (the delete
+    * applied to the base, the post-delete append untouched — the
+    * sequence rule), and the live snapshot, each as one option. DuckDB
+    * re-derives every version's membership from the raw table, so a
+    * time-travel read that leaked the delete backward into v0, served
+    * the wrong fold, or mixed versions goes red.
+    *
+    * Scale: version reads are pure manifest resolution — the option
+    * picks a retained `v=K` directory, pays zero diff or replay cost
+    * at any table size, and is the reproducibility primitive a 100 TB
+    * training pipeline needs (pin the exact snapshot a run consumed;
+    * re-read it bit-identically while retention holds). The Bloom
+    * intersection self-disables under time travel (the index tracks
+    * the newest fold's buckets); envelope pruning stays on, reading
+    * the pinned version's own catalog.
+    */
+  def qSourceTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_tt_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    val CT = graft.functions.ClusteredTable
+    CT.append(src.filter(col("o_orderkey") % 3 =!= 2), root, "00")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=0: the first two thirds
+    CT.delete(src.filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey"), root, "01")
+    CT.append(src.filter(col("o_orderkey") % 3 === 2), root, "02")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=1: delete applied, last third in
+    def via(opts: (String, String)*): DataFrame =
+      opts.foldLeft(s.read.format("graft-clustered").option("root", root)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+    def summ(df: DataFrame, ver: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+        .withColumn("ver", lit(ver)).select("ver", "n_rows", "revenue")
+    summ(via("asofversion" -> "0"), "v0")
+      .unionByName(summ(via("asofversion" -> "1"), "v1"))
+      .unionByName(summ(via(), "live"))
+      .orderBy("ver")
+  }
+
   /** MINOR COMPACTION — ClusteredTable.compactTail oracle-gated: three
     * ingest deltas land, a delete ranks ABOVE them, a fourth delta
     * lands after the delete (its rows outrank it — the resurrection
@@ -2080,6 +2130,7 @@ object RelationalQueries {
     "q_compact_tail" -> qCompactTail,
     "q_cluster_hilbert" -> qClusterHilbert,
     "q_cluster_3d" -> qCluster3d,
+    "q_source_timetravel" -> qSourceTimetravel,
     "q_history" -> qHistory,
     "q_agg_pushdown" -> qAggPushdown,
     "q_hilbert" -> qHilbert,
@@ -2604,6 +2655,24 @@ object RelationalQueries {
         |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4 AND d3 BETWEEN 4 AND 11
         |GROUP BY layer, files_total, files_read
         |ORDER BY layer""".stripMargin,
+    // every version's membership re-derived from the raw table: v0 is
+    // the pre-delete fold, v1 applies the delete to the base but not to
+    // the later append (the sequence rule), live == v1
+    "q_source_timetravel" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |vis AS (
+        |  SELECT 'live' AS ver, price FROM src
+        |  WHERE (k % 3 IN (0, 1) AND k % 10 <> 0) OR k % 3 = 2
+        |  UNION ALL
+        |  SELECT 'v0', price FROM src WHERE k % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'v1', price FROM src
+        |  WHERE (k % 3 IN (0, 1) AND k % 10 <> 0) OR k % 3 = 2)
+        |SELECT ver, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+        |FROM vis GROUP BY ver ORDER BY ver""".stripMargin,
     // visible rows re-derived from the raw table (the delete hides
     // k%10=0 among the first three chunks only — the post-delete chunk
     // outranks it); the structural observables pinned as constants

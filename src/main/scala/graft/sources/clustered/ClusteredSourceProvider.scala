@@ -65,10 +65,14 @@ import graft.functions.ClusteredTable
   * dimension is rejected at relation creation instead of wrapping
   * silently); `indexcol` names a
   * Bloom-indexed long key (enables point-lookup pruning through
-  * [[ClusteredTable.indexCandidates]]). Semantics are exactly
-  * [[ClusteredTable.read]]: merge-on-read deletes, the unfolded delta
-  * tail (never pruned — `zfile = -1` rides every bucket decision),
-  * schema evolution.
+  * [[ClusteredTable.indexCandidates]]); `asofversion` TIME-TRAVELS the
+  * scan to one retained fold (exactly what that version folded — the
+  * Delta `versionAsOf` shape; envelope pruning reads that version's
+  * own catalog, the Bloom intersection — maintained against the newest
+  * fold — self-disables, and a vacuumed version fails loudly).
+  * Semantics are exactly [[ClusteredTable.read]]: merge-on-read
+  * deletes, the unfolded delta tail (never pruned — `zfile = -1` rides
+  * every bucket decision), schema evolution.
   *
   * SNAPSHOT CONSISTENCY: each scan resolves ONE versioned snapshot
   * ([[ClusteredTable.readVersioned]]) and derives the pruning decision,
@@ -94,7 +98,8 @@ class ClusteredSourceProvider extends RelationProvider with TableProvider
     val root = parameters.getOrElse("root",
       throw new IllegalArgumentException("graft-clustered requires option 'root'"))
     new ClusteredRelation(sqlContext, root,
-      ClusteredRelation.dimsOf(parameters.get), parameters.get("indexcol"))
+      ClusteredRelation.dimsOf(parameters.get), parameters.get("indexcol"),
+      parameters.get("asofversion").map(_.toLong))
   }
 
   // ---- v1 (CREATE TEMPORARY VIEW … USING resolves through this) ----
@@ -293,7 +298,8 @@ private[clustered] class ClusteredV1Scan(options: Map[String, String],
           context.sparkSession.sparkContext.parallelize(Seq(row), 1)
         case None =>
           new ClusteredRelation(context, options("root"),
-            ClusteredRelation.dimsOf(options.get), options.get("indexcol"))
+            ClusteredRelation.dimsOf(options.get), options.get("indexcol"),
+            options.get("asofversion").map(_.toLong))
             .buildScan(required, filters)
       }
     }.asInstanceOf[T]
@@ -469,7 +475,8 @@ private[clustered] object ClusteredRelation {
 }
 
 class ClusteredRelation(override val sqlContext: SQLContext, root: String,
-    dims: Seq[String], indexCol: Option[String])
+    dims: Seq[String], indexCol: Option[String],
+    asOfVersion: Option[Long] = None)
   extends BaseRelation with PrunedFilteredScan {
 
   /** Historical 2-D constructor (the option surface predating `dims`). */
@@ -498,17 +505,34 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
   private var cachedSnapshot: Option[(String, Option[Long], DataFrame)] = None
 
   private def resolveSnapshot(): (Option[Long], DataFrame) = synchronized {
-    // re-resolving is metadata-cheap but not free (parquet schema
-    // inference reads footers): reuse the pinned snapshot while the
-    // ledger fingerprint is unchanged — artifacts are immutable once
-    // durable, so an equal key means an identical resolution
-    val key = ClusteredTable.snapshotKey(root)
-    cachedSnapshot match {
-      case Some((k, v, df)) if k == key => (v, df)
-      case _ =>
-        val (v, df) = ClusteredTable.readVersioned(spark, root)
-        cachedSnapshot = Some((key, v, df))
-        (v, df)
+    // TIME TRAVEL (`asofversion`): the snapshot is exactly what version
+    // K folded — no delta tail, no pending DVs — and is immutable, so
+    // the resolution caches unconditionally; once vacuum reclaims the
+    // version, the next scan fails loudly (past the retention horizon),
+    // never silently serves something else
+    asOfVersion match {
+      case Some(v) =>
+        val key = s"asof=$v"
+        cachedSnapshot match {
+          case Some((k, vv, df)) if k == key => (vv, df)
+          case _ =>
+            val df = ClusteredTable.read(spark, root, Some(v))
+            cachedSnapshot = Some((key, Some(v), df))
+            (Some(v), df)
+        }
+      case None =>
+        // re-resolving is metadata-cheap but not free (parquet schema
+        // inference reads footers): reuse the pinned snapshot while the
+        // ledger fingerprint is unchanged — artifacts are immutable once
+        // durable, so an equal key means an identical resolution
+        val key = ClusteredTable.snapshotKey(root)
+        cachedSnapshot match {
+          case Some((k, v, df)) if k == key => (v, df)
+          case _ =>
+            val (v, df) = ClusteredTable.readVersioned(spark, root)
+            cachedSnapshot = Some((key, v, df))
+            (v, df)
+        }
     }
   }
 
@@ -604,7 +628,11 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
               case ((mn, mx), (lo, hi)) => mx >= lo && mn <= hi } => zf
         }.sorted) // deterministic decision regardless of catalog row order
       }
-    val bloom: Option[Seq[Int]] = indexCol.flatMap { k =>
+    // the Bloom index is maintained against the NEWEST fold's buckets;
+    // intersecting its candidates into a time-travel scan could prune
+    // in-box rows of the OLDER layout — refuse, never miss
+    val bloom: Option[Seq[Int]] =
+      if (asOfVersion.isDefined) None else indexCol.flatMap { k =>
       // both key planes: an =/IN on the indexed column probes the plane
       // its literals live on; the index's recorded `kind` makes a
       // wrong-plane probe read as "no index" (degrade, never miss)

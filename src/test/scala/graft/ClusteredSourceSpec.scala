@@ -489,6 +489,41 @@ class ClusteredSourceSpec extends SparkTestBase {
     assert(got == Seq(7L))
   }
 
+  test("asofversion time-travels the source to a retained fold: pre-delete " +
+      "membership, version-pinned envelope pruning, Bloom self-disabled, " +
+      "and a vacuumed version fails loudly") {
+    val root = Files.createTempDirectory("csrc_tt").toString
+    ClusteredTable.append(
+      mk(Seq((1L, 3, 4), (2L, 9, 2), (3L, 15, 11), (4L, 4, 3))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    ClusteredTable.delete(Seq(Tuple1(2L)).toDF("id"), root, "01")
+    ClusteredTable.append(mk(Seq((5L, 0, 0))), root, "02")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    def at(v: String) = spark.read.format("graft-clustered")
+      .option("root", root).option("d1", "d1").option("d2", "d2")
+      .option("asofversion", v).load()
+    assert(at("0").select("id").as[Long].collect().toSeq.sorted ==
+      Seq(1L, 2L, 3L, 4L), "v0 predates the delete — id 2 must be visible")
+    assert(at("1").select("id").as[Long].collect().toSeq.sorted ==
+      Seq(1L, 3L, 4L, 5L), "v1 folded the delete and the late append")
+    // a box read against the pinned fold stays exact (v0's own catalog)
+    assert(at("0").where(col("d1").between(3, 5) && col("d2").between(2, 5))
+      .select("id").as[Long].collect().toSeq.sorted == Seq(1L, 4L))
+    // the Bloom index tracks the NEWEST fold; under time travel it must
+    // self-disable (no decision), never prune the older layout wrong
+    ClusteredTable.buildIndex(spark, root, "id")
+    val rel = new ClusteredRelation(spark.sqlContext, root,
+      Seq("d1", "d2"), Some("id"), Some(0L))
+    assert(rel.plannedBuckets(Array(EqualTo("id", 1L))).isEmpty,
+      "a point lookup on a time-travel scan must not consult the live index")
+    // vacuum reclaims v=0 -> the pinned read fails loudly, never serves
+    // a different snapshot
+    ClusteredTable.vacuum(root)
+    val e = intercept[Exception] { at("0").collect() }
+    assert(e.getMessage != null && e.getMessage.contains("no complete base version"),
+      s"expected the retention-horizon failure, got: $e")
+  }
+
   test("aggregate pushdown over a many-file snapshot exercises the parallel " +
       "footer walk and answers exactly (identical to the serial merge)") {
     val root = Files.createTempDirectory("csrc_par").toString
