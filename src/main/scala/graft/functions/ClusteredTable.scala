@@ -656,8 +656,20 @@ object ClusteredTable {
     *
     * Returns the number of compacted artifacts published. `minRun`
     * bounds the smallest run worth merging.
+    *
+    * `sortDims` (optional): cluster each merged artifact on the table's
+    * clustered dimensions while it is being rewritten ANYWAY — one
+    * range partition + local sort on the tail-sized merge, no extra
+    * read. The tail is never bucket-pruned (it has no zfile), but
+    * parquet row-group min/max footers on a sorted artifact are tight,
+    * so a box predicate skips row groups INSIDE the tail via ordinary
+    * PushedFilters — at a streaming cadence the compacted artifacts
+    * are most of the tail's bytes, so this closes the "unfolded tail
+    * pays full price" read bill between folds for free. Pure physical
+    * layout: row set, absorbs, ranks all unchanged.
     */
-  def compactTail(s: SparkSession, root: String, minRun: Int = 2): Int = {
+  def compactTail(s: SparkSession, root: String, minRun: Int = 2,
+      sortDims: Seq[String] = Nil): Int = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
     val folded = versions(root).lastOption
       .map { case (_, dir) => manifest(dir) }.getOrElse(Set.empty)
@@ -736,8 +748,17 @@ object ClusteredTable {
         // thousand-node plan to merge; mergeSchema gives the same
         // union-by-name + NULL-backfill semantics across an evolution
         // boundary in a single scan node
-        val merged = s.read.option("mergeSchema", "true")
+        val merged0 = s.read.option("mergeSchema", "true")
           .parquet(run.map(_.toString): _*)
+        // sortDims: cluster the rewrite so row-group footers come out
+        // tight (see the scaladoc). One coalesced globally-sorted file:
+        // deterministic (no sampled range boundaries — the ZorderLayout
+        // argument) and the artifact is tail-sized by construction; a
+        // fold redistributes it soon after. Sorting columns a member
+        // may predate (schema evolution) is fine, NULLs sort first.
+        val merged =
+          if (sortDims.isEmpty) merged0
+          else merged0.coalesce(1).sortWithinPartitions(sortDims.map(col): _*)
         val staging = new Path(deltaRoot(root),
           s".staging-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
         merged.write.mode("overwrite").parquet(staging.toString)
@@ -1219,11 +1240,12 @@ object ClusteredTable {
     * this only keeps the un-folded tail from growing unboundedly
     * between folds.
     */
-  def sink(root: String, compactAtParts: Int): (DataFrame, Long) => Unit =
+  def sink(root: String, compactAtParts: Int,
+      sortDims: Seq[String] = Nil): (DataFrame, Long) => Unit =
     (df: DataFrame, batchId: Long) => {
       append(df, root, f"b$batchId%012d")
       if (compactAtParts > 0 && tailParts(root).size >= compactAtParts)
-        compactTail(df.sparkSession, root)
+        compactTail(df.sparkSession, root, sortDims = sortDims)
     }
 
   /** The table as a STREAM SOURCE: tail the append feed. A structured-

@@ -154,8 +154,11 @@ class ClusteredSourceProvider extends RelationProvider with TableProvider
     require(outputMode == OutputMode.Append(),
       s"graft-clustered streaming writes are LSM appends; use Append mode (got $outputMode)")
     // `compactatparts`: the auto-compaction cadence (ClusteredTable.sink's
-    // threshold) — a high-cadence stream self-heals its own delta tail
+    // threshold) — a high-cadence stream self-heals its own delta tail;
+    // `dims` additionally sorts each compacted artifact on the clustered
+    // dimensions so the tail's row-group footers stay tight
     val compactAtParts = parameters.get("compactatparts").map(_.toInt).getOrElse(0)
+    val sortDims = ClusteredRelation.dimsOf(parameters.get)
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // the sink receives the micro-batch as an already-planned
@@ -177,7 +180,7 @@ class ClusteredSourceProvider extends RelationProvider with TableProvider
         ClusteredTable.append(spark.createDataFrame(rows, schema), root, f"b$batchId%012d")
         if (compactAtParts > 0 &&
             ClusteredTable.tailParts(root).size >= compactAtParts)
-          ClusteredTable.compactTail(spark, root)
+          ClusteredTable.compactTail(spark, root, sortDims = sortDims)
       }
       override def toString: String = s"GraftClusteredSink(${root.split('/').last})"
     }

@@ -1001,6 +1001,27 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(!new java.io.File(root, "delta/c=08").exists())
   }
 
+  test("sorted compaction: sortDims clusters the merged artifact (one " +
+      "globally-sorted file, tight row-group footers); rows unchanged") {
+    val root = Files.createTempDirectory("ct_sortc").toString
+    // deliberately dim-unsorted deltas
+    ClusteredTable.append(mk(Seq((1L, 9, 1), (2L, 1, 2))), root, "00")
+    ClusteredTable.append(mk(Seq((3L, 15, 3), (4L, 0, 4))), root, "01")
+    ClusteredTable.append(mk(Seq((5L, 7, 5), (6L, 3, 6))), root, "02")
+    assert(ClusteredTable.compactTail(spark, root, sortDims = Seq("d1", "d2")) == 1)
+    assert(ClusteredTable.tailParts(root) == Seq("c=02"))
+    assert(ids(root) == (1L to 6L), "sorting is physical layout only")
+    val files = new java.io.File(root, "delta/c=02").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(files.length == 1, "one coalesced deterministic sorted file")
+    files.foreach { f =>
+      val d1s = spark.read.parquet(f.getPath).select("d1").as[Int].collect().toSeq
+      assert(d1s == d1s.sorted,
+        s"the compacted artifact must be dim-sorted for tight footers: $d1s")
+    }
+  }
+
   test("auto-compaction cadence: a 50-delta streamed tail converges to at " +
       "most the threshold under live ingest, with O(log) rewrite tiers") {
     val root = Files.createTempDirectory("ct_cadence").toString
