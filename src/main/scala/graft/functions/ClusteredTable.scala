@@ -411,12 +411,26 @@ object ClusteredTable {
     * catalog sees the first two dims' true bounds — still a sound
     * prune, just on fewer dimensions). OCC contract, crash safety,
     * manifest and reindex semantics are [[optimize]]'s, unchanged.
+    *
+    * ZONE MAPS (`statsCols`): additionally record per-bucket min/max
+    * for integral columns that are NOT clustered dimensions — the
+    * Delta/Iceberg file-stats idea at bucket grain. They ride the same
+    * catalog artifact (`s<i>_col`/`s<i>_mn`/`s<i>_mx` columns, nullable
+    * bounds for evolution-era buckets with only NULLs), publish under
+    * the same claim, and let the source prune on ANY mapped column a
+    * filter touches ([[zoneMaps]]) — useful exactly when a column
+    * correlates with the layout without being clustered on (event time
+    * under an entity-clustered layout is the canonical case). A zone
+    * map never changes which rows qualify — only which buckets are
+    * read; an uncorrelated column's maps simply keep every bucket.
     */
   def optimizeN(s: SparkSession, root: String, dims: Seq[String],
       bits: Int, numFiles: Int, maxAttempts: Int = 5,
       reindex: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
-      curve: String = "morton"): Long = {
+      curve: String = "morton", statsCols: Seq[String] = Nil): Long = {
     require(dims.nonEmpty, "optimizeN needs at least one clustered dimension")
+    require(statsCols.forall(!dims.contains(_)),
+      "statsCols duplicate clustered dimensions — their bounds are already enveloped")
     // `reindex` closes the index lifecycle operationally: a fresh fold
     // has no Bloom index until buildIndex runs, during which lookups
     // degrade to unpruned (correct, slow). Rebuilding as part of the
@@ -485,16 +499,24 @@ object ClusteredTable {
         // long — a long-typed clustered dimension must not wrap.
         // Numbered per-dim columns (mn<i>/mx<i>/d<i>_col): at k=2 the
         // historical schema exactly; DuckDB-readable flat SQL at any k.
+        // Zone-map columns (s<i>_mn/s<i>_mx/s<i>_col) ride the same
+        // one-aggregate artifact — stats collection costs nothing extra
+        // beyond the agg width.
         val envAggs = dims.zipWithIndex.flatMap { case (c, i) =>
           Seq(min(col(c).cast("long")).as(s"mn${i + 1}"),
             max(col(c).cast("long")).as(s"mx${i + 1}"))
+        } ++ statsCols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c).cast("long")).as(s"s${i + 1}_mn"),
+            max(col(c).cast("long")).as(s"s${i + 1}_mx"))
         }
-        dims.zipWithIndex.foldLeft(
-          s.read.parquet(staging.toString)
-            .groupBy(col("zfile").cast("int").as("zfile_id"))
-            .agg(envAggs.head, envAggs.tail: _*)) { case (df, (c, i)) =>
-          df.withColumn(s"d${i + 1}_col", lit(c))
-        }
+        (dims.zipWithIndex.map { case (c, i) => (s"d${i + 1}_col", c) } ++
+          statsCols.zipWithIndex.map { case (c, i) => (s"s${i + 1}_col", c) })
+          .foldLeft(
+            s.read.parquet(staging.toString)
+              .groupBy(col("zfile").cast("int").as("zfile_id"))
+              .agg(envAggs.head, envAggs.tail: _*)) { case (df, (n, c)) =>
+            df.withColumn(n, lit(c))
+          }
           .coalesce(1).write.mode("overwrite")
           .parquet(new Path(staging, "_envelopes").toString)
         // the manifest names every delta AND delete file this version
@@ -1147,6 +1169,45 @@ object ClusteredTable {
         }
       }
     }
+
+  /** The ZONE MAPS of base version `v` (see [[optimizeN]]'s statsCols):
+    * for each stats-collected column, per z-bucket (zfile, min, max)
+    * with bounds as long — None bounds mean the bucket holds only NULLs
+    * for that column (schema evolution), i.e. "no bound, keep". Columns
+    * are self-described by the catalog's `s<i>_col` fields, so readers
+    * discover what is mapped without any out-of-band config; an empty
+    * map means the version collected no stats. Same ≤numFiles-row
+    * metadata-plane read as [[envelopesN]].
+    */
+  def zoneMaps(s: SparkSession, root: String,
+      v: Long): Map[String, Seq[(Int, Option[Long], Option[Long])]] =
+    versions(root).find(_._1 == v).map { case (_, dir) =>
+      val env = new Path(dir, "_envelopes")
+      if (!fsOf(env).exists(new Path(env, "_SUCCESS")))
+        Map.empty[String, Seq[(Int, Option[Long], Option[Long])]]
+      else {
+        val df = s.read.parquet(env.toString)
+        val idxs = df.schema.fieldNames.collect {
+          case n if n.matches("s\\d+_col") =>
+            n.stripPrefix("s").stripSuffix("_col").toInt
+        }.sorted
+        if (idxs.isEmpty) Map.empty[String, Seq[(Int, Option[Long], Option[Long])]]
+        else {
+          val rows = df.collect() // ≤ numFiles rows
+          idxs.flatMap { i =>
+            rows.headOption.map { h =>
+              h.getAs[String](s"s${i}_col") -> rows.map { r =>
+                def bound(f: String): Option[Long] = {
+                  val at = r.fieldIndex(f)
+                  if (r.isNullAt(at)) None else Some(r.getLong(at))
+                }
+                (r.getAs[Int]("zfile_id"), bound(s"s${i}_mn"), bound(s"s${i}_mx"))
+              }.toSeq
+            }
+          }.toMap
+        }
+      }
+    }.getOrElse(Map.empty)
 
   /** A cheap fingerprint of the ledger state one snapshot binds to:
     * newest version id + the pending delta-like and DV artifact names.

@@ -926,6 +926,63 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** ZONE MAPS — per-bucket min/max for a column that is NOT clustered
+    * on, oracle-gated end to end: the fold clusters on (price bucket,
+    * order YEAR) and additionally stats-collects the exact order DAY
+    * (optimizeN's statsCols — the Delta/Iceberg file-stats idea at
+    * bucket grain, published inside the same claim as the data). A
+    * day-range read then prunes buckets through the zone map even
+    * though `day` is no dimension — it merely correlates with the
+    * year dimension, the canonical "event time under an
+    * entity-clustered layout" case. DuckDB re-derives the whole chain:
+    * bucket assignment (the 2-D interleave), every bucket's day
+    * min/max over the folded chunks, the pruning decision, and the
+    * qualifying rows — a map that dropped a bucket containing in-range
+    * days goes red, not just slow.
+    *
+    * Scale: stats collection rides the fold's existing one-aggregate
+    * catalog write (two more columns, zero extra pass); the pruning
+    * decision stays a ≤numFiles-row metadata read. This is what makes
+    * a time-range query on a 100 TB entity-clustered table a
+    * few-buckets read instead of a full scan, without spending a
+    * clustering dimension on time.
+    */
+  def qZonemap(s: SparkSession, dir: String): DataFrame = {
+    val (loDay, hiDay) = (730, 1460) // ~1994-1995 inside the 1992-1998 span
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (year(col("o_orderdate")) - 1992).cast("int")
+    val day = datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_zm_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"), day.as("day"))
+    val CT = graft.functions.ClusteredTable
+    CT.append(src.filter(col("o_orderkey") % 3 === 0), root, "b0")
+    CT.append(src.filter(col("o_orderkey") % 3 === 1), root, "b1")
+    val ver = CT.optimizeN(s, root, Seq("d1", "d2"), 4, 16,
+      statsCols = Seq("day"))
+    CT.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
+    val t = CT.read(s, root)
+    val zm = CT.zoneMaps(s, root, ver)("day")
+    val keep = zm.collect {
+      case (zf, mn, mx)
+        if mn.isEmpty || mx.isEmpty ||
+          (mx.get >= loDay && mn.get <= hiDay) => zf
+    }
+    t.where(col("zfile") === -1 || col("zfile").isin(keep.toSeq: _*))
+      .where(col("day").between(loDay, hiDay))
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("files_total", lit(zm.length.toLong))
+      .withColumn("files_read", lit(keep.length.toLong))
+      .orderBy("layer")
+  }
+
   /** TIME TRAVEL THROUGH THE SOURCE — the `asofversion` option
     * oracle-gated: two folds with a delete between them, then the SAME
     * format string reads v0 (pre-delete membership), v1 (the delete
@@ -2130,6 +2187,7 @@ object RelationalQueries {
     "q_compact_tail" -> qCompactTail,
     "q_cluster_hilbert" -> qClusterHilbert,
     "q_cluster_3d" -> qCluster3d,
+    "q_zonemap" -> qZonemap,
     "q_source_timetravel" -> qSourceTimetravel,
     "q_history" -> qHistory,
     "q_agg_pushdown" -> qAggPushdown,
@@ -2653,6 +2711,38 @@ object RelationalQueries {
         |       files_total, files_read
         |FROM f CROSS JOIN st
         |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4 AND d3 BETWEEN 4 AND 11
+        |GROUP BY layer, files_total, files_read
+        |ORDER BY layer""".stripMargin,
+    // bucket assignment (2-D interleave on price bucket x year), every
+    // bucket's day min/max over the folded chunks, the zone-map pruning
+    // decision and the qualifying rows — all re-derived independently
+    "q_zonemap" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(year(o_orderdate) - 1992 AS INT) AS d2,
+        |         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS INT) AS day,
+        |         o_orderkey % 3 AS chunk
+        |  FROM orders),
+        |z AS (SELECT *,
+        |         ((d1 >> 0) & 1) * 2 + ((d2 >> 0) & 1) * 1 +
+        |         ((d1 >> 1) & 1) * 8 + ((d2 >> 1) & 1) * 4 +
+        |         ((d1 >> 2) & 1) * 32 + ((d2 >> 2) & 1) * 16 +
+        |         ((d1 >> 3) & 1) * 128 + ((d2 >> 3) & 1) * 64 AS zk
+        |       FROM src),
+        |f AS (SELECT *, CAST(zk // 16 AS INT) AS file_id FROM z),
+        |env AS (SELECT file_id, min(day) AS mn, max(day) AS mx
+        |        FROM f WHERE chunk IN (0, 1) GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |              CAST(sum(CASE WHEN mx >= 730 AND mn <= 1460
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        |       FROM env)
+        |SELECT CASE WHEN chunk IN (0, 1) THEN 'base' ELSE 'delta' END AS layer,
+        |       CAST(count(*) AS BIGINT) AS n_match,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       files_total, files_read
+        |FROM f CROSS JOIN st
+        |WHERE day BETWEEN 730 AND 1460
         |GROUP BY layer, files_total, files_read
         |ORDER BY layer""".stripMargin,
     // every version's membership re-derived from the raw table: v0 is

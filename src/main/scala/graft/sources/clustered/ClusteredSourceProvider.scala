@@ -650,9 +650,40 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
       else if (strKeys.nonEmpty) ClusteredTable.indexCandidatesString(spark, root, k, strKeys.toSeq)
       else None
     }
-    (box, bloom) match {
-      case (Some(a), Some(b)) => Some(a.intersect(b))
-      case (a, b) => a.orElse(b)
+    // ZONE MAPS: any filter-bounded column that is NOT a clustered dim
+    // may still prune through the catalog's self-described stats
+    // columns (ClusteredTable.zoneMaps) — read only when some such
+    // column exists, so unmapped scans pay nothing. NULL bounds
+    // (evolution-era buckets) keep the bucket; several mapped columns
+    // intersect like everything else here.
+    val zoned: Option[Seq[Int]] = snapVersion.flatMap { v =>
+      val candidates = filters.flatMap {
+        case EqualTo(c, _) => Seq(c)
+        case GreaterThan(c, _) => Seq(c)
+        case GreaterThanOrEqual(c, _) => Seq(c)
+        case LessThan(c, _) => Seq(c)
+        case LessThanOrEqual(c, _) => Seq(c)
+        case _ => Seq.empty
+      }.distinct.filterNot(dims.contains)
+      if (candidates.isEmpty) None
+      else {
+        val maps = ClusteredTable.zoneMaps(spark, root, v)
+        val decisions = candidates.toSeq.flatMap { c =>
+          maps.get(c).flatMap { zm =>
+            val (lo, hi) = bounds(filters, c)
+            if (lo == Long.MinValue && hi == Long.MaxValue) None
+            else Some(zm.collect {
+              case (zf, mn, mx)
+                if mn.isEmpty || mx.isEmpty || (mx.get >= lo && mn.get <= hi) => zf
+            }.sorted)
+          }
+        }
+        decisions.reduceOption(_ intersect _)
+      }
+    }
+    Seq(box, bloom, zoned).flatten match {
+      case Seq() => None
+      case keeps => Some(keeps.reduce(_ intersect _))
     }
   }
 

@@ -524,6 +524,37 @@ class ClusteredSourceSpec extends SparkTestBase {
       s"expected the retention-horizon failure, got: $e")
   }
 
+  test("zone maps prune on a filter-bounded column that is NOT clustered; " +
+      "the catalog self-describes what is mapped; an unmapped column makes " +
+      "no decision; results stay exact with the tail riding") {
+    val root = Files.createTempDirectory("csrc_zm").toString
+    // cluster on (d1, d2); stats-collect "ev", which CORRELATES with d2
+    // (the event-time-under-entity-clustering case) without being a dim
+    val rows = (1L to 200L).map(i =>
+      (i, (i % 16).toInt, (i % 12).toInt, ((i % 12) * 100 + i % 50).toInt))
+    ClusteredTable.append(rows.toDF("id", "d1", "d2", "ev"), root, "00")
+    ClusteredTable.optimizeN(spark, root, Seq("d1", "d2"), 4, 16,
+      statsCols = Seq("ev"))
+    ClusteredTable.append(
+      Seq((201L, 3, 4, 410)).toDF("id", "d1", "d2", "ev"), root, "01") // in-range tail
+    val rel = new ClusteredRelation(spark.sqlContext, root, Seq("d1", "d2"), None)
+    val keep = rel.plannedBuckets(Array(
+      GreaterThanOrEqual("ev", 400), LessThanOrEqual("ev", 499))).get
+    val occupied = ClusteredTable.read(spark, root)
+      .filter(col("zfile") >= 0).select("zfile").distinct().count()
+    assert(keep.nonEmpty && keep.size < occupied,
+      s"the zone map must skip buckets: kept $keep of $occupied")
+    val got = spark.read.format("graft-clustered").option("root", root)
+      .option("dims", "d1,d2").load()
+      .where(col("ev").between(400, 499)).select("id").as[Long].collect().toSeq.sorted
+    val want = ClusteredTable.read(spark, root)
+      .where(col("ev").between(400, 499)).select("id").as[Long].collect().toSeq.sorted
+    assert(got == want && got.contains(201L),
+      s"zone-map pruning must only skip, never change: got ${got.size} rows")
+    // a bounded filter on a column with NO zone map makes no decision
+    assert(rel.plannedBuckets(Array(GreaterThanOrEqual("id", 100L))).isEmpty)
+  }
+
   test("aggregate pushdown over a many-file snapshot exercises the parallel " +
       "footer walk and answers exactly (identical to the serial merge)") {
     val root = Files.createTempDirectory("csrc_par").toString
