@@ -926,6 +926,44 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** CHANGEFEED THROUGH THE SOURCE — the `changesfrom`/`changesto`
+    * options oracle-gated: the same lifecycle as q_changefeed (two
+    * appends and a delete between two folds), read back purely through
+    * `spark.read.format("graft-clustered")` option strings instead of
+    * the programmatic call. DuckDB re-derives the exact net diff from
+    * the raw table, so a source path that dropped the `_change` plane,
+    * applied pushdown against the diff's wrong row set, or served a
+    * different window goes red. Scale: the diff reads only the window's
+    * artifacts (never a two-snapshot join), and pushdowns self-disable
+    * for CDF reads — refusal, never a wrong answer.
+    */
+  def qChangefeedSource(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_cfs_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root))
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    val CT = graft.functions.ClusteredTable
+    CT.append(src.filter(col("o_orderkey") % 2 === 0), root, "00")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=0
+    CT.append(src.filter(col("o_orderkey") % 2 === 1 && col("d2") < 6), root, "01")
+    CT.delete(src.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"), root, "02")
+    CT.append(src.filter(col("o_orderkey") % 2 === 1 && col("d2") >= 6), root, "03")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=1
+    s.read.format("graft-clustered").option("root", root)
+      .option("changesfrom", "0").option("changesto", "1").load()
+      .groupBy(col("_change").as("chg"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey") % 7 === 0, 1L).otherwise(0L)).as("n_k7"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .orderBy("chg")
+  }
+
   /** ZONE MAPS — per-bucket min/max for a column that is NOT clustered
     * on, oracle-gated end to end: the fold clusters on (price bucket,
     * order YEAR) and additionally stats-collects the exact order DAY
@@ -2188,6 +2226,7 @@ object RelationalQueries {
     "q_cluster_hilbert" -> qClusterHilbert,
     "q_cluster_3d" -> qCluster3d,
     "q_zonemap" -> qZonemap,
+    "q_changefeed_source" -> qChangefeedSource,
     "q_source_timetravel" -> qSourceTimetravel,
     "q_history" -> qHistory,
     "q_agg_pushdown" -> qAggPushdown,
@@ -2713,6 +2752,24 @@ object RelationalQueries {
         |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4 AND d3 BETWEEN 4 AND 11
         |GROUP BY layer, files_total, files_read
         |ORDER BY layer""".stripMargin,
+    // same derivation as q_changefeed (the lifecycle is identical);
+    // what this gates is the OPTION-STRING path through the source
+    "q_changefeed_source" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(month(o_orderdate) - 1 AS INT) AS d2
+        |  FROM orders),
+        |ch AS (
+        |  SELECT 'insert' AS chg, price, k FROM src
+        |  WHERE k % 2 = 1 AND d2 < 6 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', price, k FROM src WHERE k % 2 = 1 AND d2 >= 6
+        |  UNION ALL
+        |  SELECT 'delete', price, k FROM src WHERE k % 2 = 0 AND k % 7 = 0)
+        |SELECT chg, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k7,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+        |FROM ch GROUP BY chg ORDER BY chg""".stripMargin,
     // bucket assignment (2-D interleave on price bucket x year), every
     // bucket's day min/max over the folded chunks, the zone-map pruning
     // decision and the qualifying rows — all re-derived independently

@@ -94,12 +94,21 @@ class ClusteredSourceProvider extends RelationProvider with TableProvider
   override def shortName(): String = "graft-clustered"
 
   private def relationOf(sqlContext: SQLContext,
-      parameters: Map[String, String]): ClusteredRelation = {
+      parameters: Map[String, String]): BaseRelation = {
     val root = parameters.getOrElse("root",
       throw new IllegalArgumentException("graft-clustered requires option 'root'"))
-    new ClusteredRelation(sqlContext, root,
-      ClusteredRelation.dimsOf(parameters.get), parameters.get("indexcol"),
-      parameters.get("asofversion").map(_.toLong))
+    (parameters.get("changesfrom"), parameters.get("changesto")) match {
+      // CDF read: the net row-level diff between two retained folds
+      // (ClusteredTable.changes) under the same format string
+      case (Some(f), Some(t)) =>
+        new ClusteredChangesRelation(sqlContext, root, f.toLong, t.toLong)
+      case (None, None) =>
+        new ClusteredRelation(sqlContext, root,
+          ClusteredRelation.dimsOf(parameters.get), parameters.get("indexcol"),
+          parameters.get("asofversion").map(_.toLong))
+      case _ => throw new IllegalArgumentException(
+        "graft-clustered changefeed reads need BOTH changesfrom and changesto")
+    }
   }
 
   // ---- v1 (CREATE TEMPORARY VIEW … USING resolves through this) ----
@@ -222,11 +231,18 @@ private[clustered] class ClusteredScanBuilder(declaredSchema: StructType,
     with SupportsPushDownAggregates {
 
   private val root = options("root")
+  // a CDF read (changesfrom/changesto) is a computed diff, not a
+  // snapshot scan: filter/aggregate pushdown would be answered against
+  // the wrong row set — declare everything unhandled and let Spark
+  // evaluate above the scan (column pruning stays on; it is a plain
+  // projection either way)
+  private val isChanges = options.contains("changesfrom") || options.contains("changesto")
   private var pushed: Array[Filter] = Array.empty
   private var required: Array[String] = declaredSchema.fieldNames
   private var aggResult: Option[(StructType, Row)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (isChanges) return filters // all unhandled
     val (ok, rest) = filters.partition(ClusteredRelation.translatable)
     pushed = ok
     rest // Spark evaluates what the source cannot
@@ -247,6 +263,7 @@ private[clustered] class ClusteredScanBuilder(declaredSchema: StructType,
     aggResult.isDefined || tryPushAgg(aggregation)
 
   private def tryPushAgg(aggregation: Aggregation): Boolean = {
+    if (isChanges) return false // footer stats describe the snapshot, not a diff
     if (aggregation.groupByExpressions().nonEmpty || pushed.nonEmpty) return false
     aggResult = FooterStats.evaluate(root, declaredSchema,
       aggregation.aggregateExpressions())
@@ -281,9 +298,13 @@ private[clustered] class ClusteredV1Scan(options: Map[String, String],
     * across bounded batches instead of one giant batch 0).
     */
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!options.contains("changesfrom") && !options.contains("changesto"),
+      "graft-clustered changefeed reads are batch-only (a version window is a " +
+        "bounded diff); tail the append feed with readStream instead")
     new ClusteredTailStream(options("root"), prunedSchema, filters,
       options.get("maxfilespertrigger").map(_.toInt))
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -299,6 +320,12 @@ private[clustered] class ClusteredV1Scan(options: Map[String, String],
       override def buildScan(): RDD[Row] = agg match {
         case Some((_, row)) =>
           context.sparkSession.sparkContext.parallelize(Seq(row), 1)
+        case None if options.contains("changesfrom") =>
+          // CDF: the computed diff projected onto the pruned columns;
+          // filters were declared unhandled, Spark applies them above
+          ClusteredTable.changes(context.sparkSession, options("root"),
+            options("changesfrom").toLong, options("changesto").toLong)
+            .select(required.map(col).toSeq: _*).rdd
         case None =>
           new ClusteredRelation(context, options("root"),
             ClusteredRelation.dimsOf(options.get), options.get("indexcol"),
@@ -452,6 +479,28 @@ private[clustered] object FooterStats {
     }
     Some((StructType(wanted.map(_._2)), Row.fromSeq(values.toSeq)))
   }
+}
+
+/** The CHANGEFEED under the format string:
+  * `spark.read.format("graft-clustered").option("root", …)
+  *   .option("changesfrom", K).option("changesto", L).load()` —
+  * exactly [[ClusteredTable.changes]] (the net row-level diff between
+  * two retained folds, `_change` ∈ {insert, delete}) as a relation, so
+  * a downstream CDC consumer needs only option strings. A plain
+  * TableScan: the diff is computed, not stored — pushing filters or
+  * footer aggregates into it would answer against the wrong row set,
+  * so the scan builder declares them unhandled for CDF reads and Spark
+  * evaluates above. Bounded by the retention horizon like the
+  * programmatic call (a vacuumed window fails loudly).
+  */
+class ClusteredChangesRelation(override val sqlContext: SQLContext, root: String,
+    fromV: Long, toV: Long) extends BaseRelation with TableScan {
+  override def toString: String =
+    s"GraftClusteredChanges(${root.split('/').last}, v$fromV->v$toV)"
+  override lazy val schema: StructType =
+    ClusteredTable.changes(sqlContext.sparkSession, root, fromV, toV).schema
+  override def buildScan(): RDD[Row] =
+    ClusteredTable.changes(sqlContext.sparkSession, root, fromV, toV).rdd
 }
 
 private[clustered] object ClusteredRelation {

@@ -555,6 +555,60 @@ class ClusteredSourceSpec extends SparkTestBase {
     assert(rel.plannedBuckets(Array(GreaterThanOrEqual("id", 100L))).isEmpty)
   }
 
+  test("changefeed through the source: option strings serve changes() " +
+      "exactly, filters evaluate above the diff, and a half-specified " +
+      "window is rejected loudly") {
+    val root = Files.createTempDirectory("csrc_cdf").toString
+    ClusteredTable.append(mk(Seq((1L, 1, 1), (2L, 2, 2))), root, "00")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=0
+    ClusteredTable.append(mk(Seq((3L, 3, 3))), root, "01")
+    ClusteredTable.delete(Seq(Tuple1(1L)).toDF("id"), root, "02")
+    ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
+    def cdf = spark.read.format("graft-clustered").option("root", root)
+      .option("changesfrom", "0").option("changesto", "1").load()
+    val got = cdf.select("id", "_change").as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L, "delete"), (3L, "insert")), s"net diff wrong: $got")
+    assert(got == ClusteredTable.changes(spark, root, 0L, 1L)
+      .select("id", "_change").as[(Long, String)].collect().toSeq.sorted,
+      "the option surface must equal the programmatic call")
+    // a filter over the diff evaluates against the DIFF's rows (it is
+    // declared unhandled by the scan builder, never pushed into a
+    // snapshot scan that would answer from the wrong row set)
+    assert(cdf.where(col("_change") === "insert")
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    val e = intercept[Exception] {
+      spark.read.format("graft-clustered").option("root", root)
+        .option("changesfrom", "0").load()
+    }
+    assert(e.getMessage.contains("BOTH changesfrom and changesto"), s"got: $e")
+  }
+
+  test("zone maps under schema evolution: an all-NULL bucket carries NULL " +
+      "bounds and is conservatively kept; results stay exact") {
+    val root = Files.createTempDirectory("csrc_zm_evo").toString
+    // pre-evolution rows (no 'ev' column), landing in their own buckets
+    ClusteredTable.append(
+      (1L to 10L).map(i => (i, 15, 11)).toDF("id", "d1", "d2"), root, "00")
+    // evolved rows with ev, clustered elsewhere
+    ClusteredTable.append(
+      (11L to 50L).map(i => (i, (i % 4).toInt, (i % 12).toInt, (i % 100).toInt))
+        .toDF("id", "d1", "d2", "ev"), root, "01")
+    val v = ClusteredTable.optimizeN(spark, root, Seq("d1", "d2"), 4, 16,
+      statsCols = Seq("ev"))
+    val zm = ClusteredTable.zoneMaps(spark, root, v)("ev")
+    val nullBuckets = zm.collect { case (zf, None, None) => zf }
+    assert(nullBuckets.nonEmpty, "the pre-evolution bucket must carry NULL bounds")
+    val rel = new ClusteredRelation(spark.sqlContext, root, Seq("d1", "d2"), None)
+    val keep = rel.plannedBuckets(Array(GreaterThanOrEqual("ev", 0))).get
+    assert(nullBuckets.forall(keep.contains),
+      "NULL bounds mean 'no bound' — the bucket must be kept, never pruned")
+    val got = spark.read.format("graft-clustered").option("root", root)
+      .option("dims", "d1,d2").load()
+      .where(col("ev") >= 0).select("id").as[Long].collect().toSeq.sorted
+    assert(got == (11L to 50L).toSeq,
+      s"NULL-ev rows fail the filter; evolved rows all pass: got ${got.size}")
+  }
+
   test("aggregate pushdown over a many-file snapshot exercises the parallel " +
       "footer walk and answers exactly (identical to the serial merge)") {
     val root = Files.createTempDirectory("csrc_par").toString
