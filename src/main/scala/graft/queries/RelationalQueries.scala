@@ -926,6 +926,56 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** DAY-2 AUTO-MAINTENANCE, end to end in one oracle-gated unit: a
+    * streaming-shaped ingest (12 sink micro-batches with the
+    * auto-compaction cadence at threshold 4 and dim-sorted compacted
+    * artifacts) converges its own tail to a pinned TWO artifacts
+    * (hierarchical size-tiered merging — the exact structural constant
+    * a cadence that stopped converging flips red), then the auto-sized
+    * fold derives its file count from the table's row count, a delete
+    * lands, a second fold applies it, and the retention vacuum
+    * reclaims the superseded version. DuckDB re-derives the surviving
+    * membership AND the auto file count (the q_optimize_auto integer
+    * chain), so every stage of the maintenance loop — cadence,
+    * convergence shape, sizing, merge-on-read, reclaim — is gated in
+    * one query.
+    *
+    * Scale: this is the operating loop a 100 TB streaming table
+    * actually runs — ingest never waits on layout, the tail
+    * self-heals at O(log T) rewrite cost, folds size themselves to
+    * growth, and reclaim is bounded by retention. Each stage's bill
+    * is argued at its own operator; this query pins that they
+    * compose.
+    */
+  def qAutoMaintain(s: SparkSession, dir: String): DataFrame = {
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (month(col("o_orderdate")) - 1).cast("int")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_am_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root))
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"))
+    val CT = graft.functions.ClusteredTable
+    val sink = CT.sink(root, compactAtParts = 4, sortDims = Seq("d1", "d2"))
+    (0 until 12).foreach(b => sink(src.filter(col("o_orderkey") % 12 === b), b.toLong))
+    val tailParts = CT.tailParts(root).size.toLong // deterministic: 2
+    val total = CT.read(s, root).count()
+    val nFiles = CT.autoFileCount(total, 1000L, 4).toLong
+    CT.optimizeAuto(s, root, "d1", "d2", 4, 1000L) // v=0, self-sized
+    CT.delete(src.filter(col("o_orderkey") % 11 === 0)
+      .select("o_orderkey"), root, "z12")
+    CT.optimize(s, root, "d1", "d2", 4, 16) // v=1 applies the delete
+    CT.vacuum(root) // keepVersions = 1: v=0 reclaimed
+    CT.read(s, root).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("tail_parts", lit(tailParts))
+      .withColumn("n_files", lit(nFiles))
+  }
+
   /** CHANGEFEED THROUGH THE SOURCE — the `changesfrom`/`changesto`
     * options oracle-gated: the same lifecycle as q_changefeed (two
     * appends and a delete between two folds), read back purely through
@@ -2227,6 +2277,7 @@ object RelationalQueries {
     "q_cluster_3d" -> qCluster3d,
     "q_zonemap" -> qZonemap,
     "q_changefeed_source" -> qChangefeedSource,
+    "q_auto_maintain" -> qAutoMaintain,
     "q_source_timetravel" -> qSourceTimetravel,
     "q_history" -> qHistory,
     "q_agg_pushdown" -> qAggPushdown,
@@ -2752,6 +2803,25 @@ object RelationalQueries {
         |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4 AND d3 BETWEEN 4 AND 11
         |GROUP BY layer, files_total, files_read
         |ORDER BY layer""".stripMargin,
+    // surviving membership re-derived from the raw table; the auto file
+    // count re-derived by the q_optimize_auto integer chain; the
+    // cadence's convergence shape pinned as the constant 2
+    "q_auto_maintain" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM src),
+        |f AS (SELECT COALESCE((SELECT MIN(p) FROM (VALUES (1),(2),(4),(8),(16),(32),
+        |                       (64),(128),(256)) t(p)
+        |                      WHERE p >= (n_all + 999) // 1000), 256) AS n_files
+        |      FROM n),
+        |vis AS (SELECT k, price FROM src WHERE k % 11 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       CAST(2 AS BIGINT) AS tail_parts,
+        |       CAST(f.n_files AS BIGINT) AS n_files
+        |FROM vis CROSS JOIN f
+        |GROUP BY f.n_files""".stripMargin,
     // same derivation as q_changefeed (the lifecycle is identical);
     // what this gates is the OPTION-STRING path through the source
     "q_changefeed_source" ->

@@ -970,6 +970,40 @@ class ClusteredTableSpec extends SparkTestBase {
     }
   }
 
+  test("re-clustering: successive folds may change the dimension set; each " +
+      "version's catalog records its own dims, a mismatched read refuses " +
+      "and falls back, results exact throughout") {
+    val root = Files.createTempDirectory("ct_recluster").toString
+    val rows = (1L to 120L).map(i =>
+      (i, (i % 16).toInt, (i % 12).toInt, (i % 7).toInt))
+    ClusteredTable.append(rows.take(60).toDF("id", "d1", "d2", "d3"), root, "00")
+    val v0 = ClusteredTable.optimizeN(spark, root, Seq("d1", "d2"), 4, 16)
+    assert(ClusteredTable.envelopesN(spark, root, v0, Seq("d1", "d2")).isDefined)
+    ClusteredTable.append(rows.drop(60).toDF("id", "d1", "d2", "d3"), root, "01")
+    // the workload changed: re-cluster on (d2, d3)
+    val v1 = ClusteredTable.optimizeN(spark, root, Seq("d2", "d3"), 4, 16)
+    assert(ClusteredTable.envelopesN(spark, root, v1, Seq("d2", "d3")).isDefined)
+    assert(ClusteredTable.envelopesN(spark, root, v1, Seq("d1", "d2")).isEmpty,
+      "a dim-name mismatch must refuse, not serve the wrong bounds")
+    // a source still configured for the OLD dims falls back to the
+    // snapshot recompute — a decision is still made, and it is sound
+    val stale = new graft.sources.clustered.ClusteredRelation(
+      spark.sqlContext, root, Seq("d1", "d2"), None)
+    val filters: Array[org.apache.spark.sql.sources.Filter] = Array(
+      org.apache.spark.sql.sources.LessThanOrEqual("d1", 3),
+      org.apache.spark.sql.sources.LessThanOrEqual("d2", 5))
+    val keep = stale.plannedBuckets(filters)
+    assert(keep.isDefined, "fallback recompute must still decide")
+    val t = ClusteredTable.read(spark, root)
+    def boxed(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("d1") <= 3 && col("d2") <= 5)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(boxed(t.where(col("zfile") === -1 ||
+      col("zfile").isin(keep.get: _*))) == boxed(t),
+      "a stale-dims prune must only skip, never change")
+    assert(ids(root) == (1L to 120L))
+  }
+
   test("hierarchical size-tiered re-compaction: a second compaction absorbs " +
       "the first with flattened _ABSORBS; reads, changefeed and vacuum exact") {
     val root = Files.createTempDirectory("ct_tier").toString
