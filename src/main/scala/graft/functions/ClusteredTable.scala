@@ -502,18 +502,25 @@ object ClusteredTable {
         // Zone-map columns (s<i>_mn/s<i>_mx/s<i>_col) ride the same
         // one-aggregate artifact — stats collection costs nothing extra
         // beyond the agg width.
+        val staged = s.read.parquet(staging.toString)
+        // a STRING stats column keeps its own type (binary-collated
+        // min/max — the date-string / URL-prefix zone-map case);
+        // everything else stores long. Readers dispatch on the
+        // catalog column's parquet type.
+        val isStr = staged.schema.fields
+          .map(f => f.name -> (f.dataType == org.apache.spark.sql.types.StringType))
+          .toMap.withDefaultValue(false)
         val envAggs = dims.zipWithIndex.flatMap { case (c, i) =>
           Seq(min(col(c).cast("long")).as(s"mn${i + 1}"),
             max(col(c).cast("long")).as(s"mx${i + 1}"))
         } ++ statsCols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(min(col(c).cast("long")).as(s"s${i + 1}_mn"),
-            max(col(c).cast("long")).as(s"s${i + 1}_mx"))
+          val base = if (isStr(c)) col(c) else col(c).cast("long")
+          Seq(min(base).as(s"s${i + 1}_mn"), max(base).as(s"s${i + 1}_mx"))
         }
         (dims.zipWithIndex.map { case (c, i) => (s"d${i + 1}_col", c) } ++
           statsCols.zipWithIndex.map { case (c, i) => (s"s${i + 1}_col", c) })
           .foldLeft(
-            s.read.parquet(staging.toString)
-              .groupBy(col("zfile").cast("int").as("zfile_id"))
+            staged.groupBy(col("zfile").cast("int").as("zfile_id"))
               .agg(envAggs.head, envAggs.tail: _*)) { case (df, (n, c)) =>
             df.withColumn(n, lit(c))
           }
@@ -1181,25 +1188,46 @@ object ClusteredTable {
     */
   def zoneMaps(s: SparkSession, root: String,
       v: Long): Map[String, Seq[(Int, Option[Long], Option[Long])]] =
+    zoneMapsTyped[Long](s, root, v,
+      org.apache.spark.sql.types.LongType, (r, at) => r.getLong(at))
+
+  /** [[zoneMaps]] for STRING-typed stats columns (the date-string /
+    * URL-prefix plane): bounds are binary-collated min/max strings —
+    * the same unsigned-UTF-8-byte ordering Spark's string comparison
+    * and DuckDB's default collation use, so a pruning decision made
+    * with it agrees with both engines. Which plane a column lives on
+    * is the catalog column's own parquet type.
+    */
+  def zoneMapsString(s: SparkSession, root: String,
+      v: Long): Map[String, Seq[(Int, Option[String], Option[String])]] =
+    zoneMapsTyped[String](s, root, v,
+      org.apache.spark.sql.types.StringType, (r, at) => r.getString(at))
+
+  private def zoneMapsTyped[T](s: SparkSession, root: String, v: Long,
+      dt: org.apache.spark.sql.types.DataType,
+      get: (org.apache.spark.sql.Row, Int) => T):
+      Map[String, Seq[(Int, Option[T], Option[T])]] =
     versions(root).find(_._1 == v).map { case (_, dir) =>
       val env = new Path(dir, "_envelopes")
       if (!fsOf(env).exists(new Path(env, "_SUCCESS")))
-        Map.empty[String, Seq[(Int, Option[Long], Option[Long])]]
+        Map.empty[String, Seq[(Int, Option[T], Option[T])]]
       else {
         val df = s.read.parquet(env.toString)
-        val idxs = df.schema.fieldNames.collect {
-          case n if n.matches("s\\d+_col") =>
+        val fields = df.schema
+        val idxs = fields.fieldNames.collect {
+          case n if n.matches("s\\d+_col") &&
+              fields(n.stripSuffix("_col") + "_mn").dataType == dt =>
             n.stripPrefix("s").stripSuffix("_col").toInt
         }.sorted
-        if (idxs.isEmpty) Map.empty[String, Seq[(Int, Option[Long], Option[Long])]]
+        if (idxs.isEmpty) Map.empty[String, Seq[(Int, Option[T], Option[T])]]
         else {
           val rows = df.collect() // ≤ numFiles rows
           idxs.flatMap { i =>
             rows.headOption.map { h =>
               h.getAs[String](s"s${i}_col") -> rows.map { r =>
-                def bound(f: String): Option[Long] = {
+                def bound(f: String): Option[T] = {
                   val at = r.fieldIndex(f)
-                  if (r.isNullAt(at)) None else Some(r.getLong(at))
+                  if (r.isNullAt(at)) None else Some(get(r, at))
                 }
                 (r.getAs[Int]("zfile_id"), bound(s"s${i}_mn"), bound(s"s${i}_mx"))
               }.toSeq

@@ -926,6 +926,59 @@ object RelationalQueries {
       .orderBy("layer")
   }
 
+  /** STRING ZONE MAPS — the date-string plane of [[qZonemap]],
+    * oracle-gated: the fold stats-collects `ym = 'yyyy-MM'` (a STRING,
+    * kept on its own binary-collated catalog plane) under a (price,
+    * year) clustering, and a month-range predicate — the shape every
+    * date-partitioned-by-convention pipeline queries with — prunes
+    * buckets through string min/max. Binary UTF-8 ordering is the one
+    * collation all three parties share (Spark's string comparison,
+    * the catalog's min/max aggregation, DuckDB's default), so DuckDB
+    * re-derives the bucket day-string ranges and the keep decision
+    * exactly; a collation drift on any side goes red.
+    *
+    * Scale: same bill as the long plane — two more columns on the
+    * fold's one-aggregate catalog write, a ≤numFiles-row decision
+    * read; what it buys is pruning on the string keys real corpora
+    * carry (dates-as-strings, URL prefixes, source ids) without
+    * casting games.
+    */
+  def qZonemapStr(s: SparkSession, dir: String): DataFrame = {
+    val (loYm, hiYm) = ("1994-01", "1995-12")
+    val d1 = least(floor(col("o_totalprice") / 37500.0), lit(15)).cast("int")
+    val d2 = (year(col("o_orderdate")) - 1992).cast("int")
+    val ym = date_format(col("o_orderdate"), "yyyy-MM")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_zms_" + new java.io.File(dir).getName).getAbsolutePath
+    graft.functions.ClusteredTable.rmTree(new java.io.File(root)) // fresh lifecycle per run
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      d1.as("d1"), d2.as("d2"), ym.as("ym"))
+    val CT = graft.functions.ClusteredTable
+    CT.append(src.filter(col("o_orderkey") % 3 === 0), root, "b0")
+    CT.append(src.filter(col("o_orderkey") % 3 === 1), root, "b1")
+    val ver = CT.optimizeN(s, root, Seq("d1", "d2"), 4, 16,
+      statsCols = Seq("ym"))
+    CT.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
+    val t = CT.read(s, root)
+    val zm = CT.zoneMapsString(s, root, ver)("ym")
+    val keep = zm.collect {
+      case (zf, mn, mx)
+        if mn.isEmpty || mx.isEmpty ||
+          (mx.get >= loYm && mn.get <= hiYm) => zf // ASCII: binary == lexicographic
+    }
+    t.where(col("zfile") === -1 || col("zfile").isin(keep.toSeq: _*))
+      .where(col("ym").between(loYm, hiYm))
+      .groupBy(when(col("zfile") >= 0, lit("base")).otherwise(lit("delta")).as("layer"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("price")).cast("decimal(28,2)").cast("string").as("revenue"))
+      .withColumn("files_total", lit(zm.length.toLong))
+      .withColumn("files_read", lit(keep.length.toLong))
+      .orderBy("layer")
+  }
+
   /** DAY-2 AUTO-MAINTENANCE, end to end in one oracle-gated unit: a
     * streaming-shaped ingest (12 sink micro-batches with the
     * auto-compaction cadence at threshold 4 and dim-sorted compacted
@@ -2276,6 +2329,7 @@ object RelationalQueries {
     "q_cluster_hilbert" -> qClusterHilbert,
     "q_cluster_3d" -> qCluster3d,
     "q_zonemap" -> qZonemap,
+    "q_zonemap_str" -> qZonemapStr,
     "q_changefeed_source" -> qChangefeedSource,
     "q_auto_maintain" -> qAutoMaintain,
     "q_source_timetravel" -> qSourceTimetravel,
@@ -2801,6 +2855,38 @@ object RelationalQueries {
         |       files_total, files_read
         |FROM f CROSS JOIN st
         |WHERE d1 BETWEEN 3 AND 5 AND d2 BETWEEN 2 AND 4 AND d3 BETWEEN 4 AND 11
+        |GROUP BY layer, files_total, files_read
+        |ORDER BY layer""".stripMargin,
+    // the string plane: per-bucket month-string min/max over the folded
+    // chunks (DuckDB's default collation is the same binary order) and
+    // the keep decision re-derived like q_zonemap's long plane
+    "q_zonemap_str" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         CAST(least(floor(o_totalprice / 37500.0), 15) AS INT) AS d1,
+        |         CAST(year(o_orderdate) - 1992 AS INT) AS d2,
+        |         strftime(o_orderdate, '%Y-%m') AS ym,
+        |         o_orderkey % 3 AS chunk
+        |  FROM orders),
+        |z AS (SELECT *,
+        |         ((d1 >> 0) & 1) * 2 + ((d2 >> 0) & 1) * 1 +
+        |         ((d1 >> 1) & 1) * 8 + ((d2 >> 1) & 1) * 4 +
+        |         ((d1 >> 2) & 1) * 32 + ((d2 >> 2) & 1) * 16 +
+        |         ((d1 >> 3) & 1) * 128 + ((d2 >> 3) & 1) * 64 AS zk
+        |       FROM src),
+        |f AS (SELECT *, CAST(zk // 16 AS INT) AS file_id FROM z),
+        |env AS (SELECT file_id, min(ym) AS mn, max(ym) AS mx
+        |        FROM f WHERE chunk IN (0, 1) GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |              CAST(sum(CASE WHEN mx >= '1994-01' AND mn <= '1995-12'
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        |       FROM env)
+        |SELECT CASE WHEN chunk IN (0, 1) THEN 'base' ELSE 'delta' END AS layer,
+        |       CAST(count(*) AS BIGINT) AS n_match,
+        |       CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
+        |       files_total, files_read
+        |FROM f CROSS JOIN st
+        |WHERE ym BETWEEN '1994-01' AND '1995-12'
         |GROUP BY layer, files_total, files_read
         |ORDER BY layer""".stripMargin,
     // surviving membership re-derived from the raw table; the auto file

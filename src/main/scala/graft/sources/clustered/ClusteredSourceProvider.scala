@@ -653,6 +653,36 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
       }
     }
 
+  /** (lower, upper) STRING bounds a conjunctive filter set implies for
+    * `c` — binary UTF-8 ordering; strict comparisons weaken to their
+    * inclusive bound (sound for pruning: keeps a superset).
+    */
+  private def stringBounds(filters: Array[Filter],
+      c: String): (Option[String], Option[String]) = {
+    def cmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    filters.foldLeft((Option.empty[String], Option.empty[String])) {
+      case ((lo, hi), f) =>
+        def maxLo(v: Any): Option[String] = v match {
+          case s: String => Some(lo.fold(s)(l => if (cmp(s, l) > 0) s else l))
+          case _ => lo
+        }
+        def minHi(v: Any): Option[String] = v match {
+          case s: String => Some(hi.fold(s)(h => if (cmp(s, h) < 0) s else h))
+          case _ => hi
+        }
+        f match {
+          case EqualTo(`c`, v) => (maxLo(v), minHi(v))
+          case GreaterThan(`c`, v) => (maxLo(v), hi)
+          case GreaterThanOrEqual(`c`, v) => (maxLo(v), hi)
+          case LessThan(`c`, v) => (lo, minHi(v))
+          case LessThanOrEqual(`c`, v) => (lo, minHi(v))
+          case _ => (lo, hi)
+        }
+    }
+  }
+
   /** The z-bucket set the pushed filters allow: envelope-intersect on
     * the clustered dims, then intersect with the Bloom index's
     * candidates for an =/IN point lookup on `indexcol`. None = no
@@ -717,6 +747,13 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
       if (candidates.isEmpty) None
       else {
         val maps = ClusteredTable.zoneMaps(spark, root, v)
+        val strMaps = ClusteredTable.zoneMapsString(spark, root, v)
+        // binary UTF-8 byte order — identical to Spark's string
+        // comparison and DuckDB's default collation, so the pruning
+        // decision agrees with both engines
+        def cmp(a: String, b: String): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
         val decisions = candidates.toSeq.flatMap { c =>
           maps.get(c).flatMap { zm =>
             val (lo, hi) = bounds(filters, c)
@@ -725,7 +762,18 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
               case (zf, mn, mx)
                 if mn.isEmpty || mx.isEmpty || (mx.get >= lo && mn.get <= hi) => zf
             }.sorted)
-          }
+          }.orElse(strMaps.get(c).flatMap { zm =>
+            // strict > / < weaken to their inclusive bound — a superset
+            // of the needed buckets is kept, never fewer
+            val (lo, hi) = stringBounds(filters, c)
+            if (lo.isEmpty && hi.isEmpty) None
+            else Some(zm.collect {
+              case (zf, mn, mx)
+                if mn.isEmpty || mx.isEmpty ||
+                  (lo.forall(l => cmp(mx.get, l) >= 0) &&
+                    hi.forall(h => cmp(mn.get, h) <= 0)) => zf
+            }.sorted)
+          })
         }
         decisions.reduceOption(_ intersect _)
       }

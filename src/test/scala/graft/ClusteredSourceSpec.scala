@@ -583,6 +583,35 @@ class ClusteredSourceSpec extends SparkTestBase {
     assert(e.getMessage.contains("BOTH changesfrom and changesto"), s"got: $e")
   }
 
+  test("string zone maps: a month-string range prunes through the string " +
+      "plane; numeric and string maps coexist on one catalog; results exact") {
+    val root = Files.createTempDirectory("csrc_zms").toString
+    val rows = (1L to 200L).map(i => (i, (i % 16).toInt, (i % 12).toInt,
+      f"2024-${(i % 12) + 1}%02d", ((i % 12) * 100 + i % 50).toInt))
+    ClusteredTable.append(rows.toDF("id", "d1", "d2", "ym", "ev"), root, "00")
+    val v = ClusteredTable.optimizeN(spark, root, Seq("d1", "d2"), 4, 16,
+      statsCols = Seq("ev", "ym"))
+    // each stats column lands on the plane of its own type
+    assert(ClusteredTable.zoneMaps(spark, root, v).keySet == Set("ev"))
+    assert(ClusteredTable.zoneMapsString(spark, root, v).keySet == Set("ym"))
+    val rel = new ClusteredRelation(spark.sqlContext, root, Seq("d1", "d2"), None)
+    val keep = rel.plannedBuckets(Array(
+      GreaterThanOrEqual("ym", "2024-05"), LessThanOrEqual("ym", "2024-06"))).get
+    val occupied = ClusteredTable.read(spark, root)
+      .filter(col("zfile") >= 0).select("zfile").distinct().count()
+    assert(keep.nonEmpty && keep.size < occupied,
+      s"the string plane must skip buckets: kept $keep of $occupied")
+    val got = spark.read.format("graft-clustered").option("root", root)
+      .option("dims", "d1,d2").load()
+      .where(col("ym") >= "2024-05" && col("ym") <= "2024-06")
+      .select("id").as[Long].collect().toSeq.sorted
+    val want = ClusteredTable.read(spark, root)
+      .where(col("ym") >= "2024-05" && col("ym") <= "2024-06")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == want && got.nonEmpty,
+      s"string zone-map pruning must only skip, never change: ${got.size} rows")
+  }
+
   test("zone maps under schema evolution: an all-NULL bucket carries NULL " +
       "bounds and is conservatively kept; results stay exact") {
     val root = Files.createTempDirectory("csrc_zm_evo").toString
