@@ -157,19 +157,21 @@ object ScaleFunctions {
       // join back, so the labels side joins against |V| rows, not |E|)
       val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+      // carry the previous label through the step so convergence is a
+      // filter over the (already checkpointed) result — the former
+      // separate changed-count join+shuffle per iteration is gone
       val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jump: lbl <- lbl(lbl); lbl(x) <= x always, so the inner
       // join on stepped's own id set is total
       val jumped = stepped.as("a")
         .join(stepped.select(col("id").as("p"), col("lbl").as("plbl")).as("b"),
           col("a.lbl") === col("p"))
-        .select(col("a.id").as("id"), col("plbl").as("lbl"))
+        .select(col("a.id").as("id"), col("plbl").as("lbl"), col("a.prev").as("prev"))
         .localCheckpoint()
-      changed = jumped.as("n")
-        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels = jumped
+      changed = jumped.filter(col("lbl") =!= col("prev")).count()
+      labels = jumped.select("id", "lbl")
       iter += 1
     }
     sym.unpersist()
@@ -192,43 +194,60 @@ object ScaleFunctions {
   /** Fixed-iteration damped PageRank over a directed edge set (src, dst)
     * — the other canonical iterative graph pass next to
     * [[connectedComponents]], with the same cost model: per iteration,
-    * ranks (|V| rows, aggregated before joining back) meet the persisted
-    * edge set in one src-keyed equi-join, contributions partial-aggregate
-    * on dst — on a cluster that pre-partitions edges by src the
-    * per-iteration shuffle carries rank rows, never the edges. Rank
-    * lineage is localCheckpoint-truncated each step like the CC loop, so
-    * the returned plan does not grow with `iters`. Output covers nodes
+    * the |V|-row rank relation (pre-divided by out-degree, so the
+    * per-edge division is never re-evaluated |E| times) joins the
+    * persisted edge set BROADCAST while |V| fits the broadcast budget —
+    * the edge set then never shuffles and the only exchange is the
+    * partial-aggregated |V|-row contribution sum; past the budget
+    * (|V| > the prBroadcastMaxNodes budget, checked against the loop's own
+    * exact node count — a driver-side scalar, not an estimate) the join
+    * degrades to the shuffled form, where a cluster that pre-partitions
+    * edges by src still shuffles rank rows, never edges. Rank lineage is
+    * localCheckpoint-truncated each step like the CC loop, so the
+    * returned plan does not grow with `iters`. Output covers nodes
     * with at least one incoming edge; the standard uses (and the
     * graph_pagerank query) symmetrize first, making in/out node sets
     * equal. No dangling-mass redistribution — symmetric graphs have none.
     * Deterministic given the edge set: every term is a fixed expression;
     * float summation order contributes only ~1e-15 relative error.
     */
+  /** Broadcast budget for the per-iteration rank relation: ~16 bytes per
+    * (long, double) row puts 5e7 nodes around 800 MB framed — inside the
+    * 8 GB / 512M-row broadcast hard cap with headroom. Overridable via
+    * `spark.graft.pagerank.broadcastMaxNodes` for clusters with
+    * smaller executors.
+    */
+  private def prBroadcastMaxNodes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.pagerank.broadcastMaxNodes")
+      .map(_.toLong).getOrElse(50000000L)
+
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     try {
-      // degree-annotated edges persist ONCE — the loop must not re-derive
-      // the deg aggregation + join from raw edges every iteration (it is
-      // the whole per-iteration input, and it never changes)
-      val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-        .persist()
-      try {
-        val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
-        // |V| is a control-plane scalar (like the CC loop's change
-        // counts); counting the checkpointed nodes avoids a second
-        // distinct pass
-        val n = nodes.count().toDouble
-        var ranks = nodes.withColumn("pr", lit(1.0 / n))
-        for (_ <- 1 to iters) {
-          ranks = withDeg.join(ranks, col("src") === col("node"))
-            .select(col("dst"), (col("pr") / col("outdeg")).as("contrib"))
-            .groupBy("dst").agg(sum("contrib").as("in_pr"))
-            .select(col("dst").as("node"),
-              (lit((1 - damping) / n) + lit(damping) * col("in_pr")).as("pr"))
-            .localCheckpoint()
-        }
-        ranks
-      } finally withDeg.unpersist(false)
+      // ONE pass over the edges builds the |V|-row degree table, which
+      // doubles as the node set (every node has an out-edge after
+      // symmetrization) — this replaces both the degree-annotated edge
+      // materialization (|E| rows persisted just to carry outdeg) and a
+      // separate nodes distinct: 2 full |E| passes saved before the loop
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      val n = deg.count().toDouble
+      var ranks = deg.select(col("src").as("node")).withColumn("pr", lit(1.0 / n))
+      for (_ <- 1 to iters) {
+        // divide each node's rank by its out-degree BEFORE the edge join
+        // (|V|-sized work; the per-edge division computed the identical
+        // value |E| times), and BROADCAST the |V|-row weight relation so
+        // the edge set never shuffles — per iteration the only exchange
+        // is the partial-aggregated |V|-row contribution sum
+        val w0 = ranks.join(deg, col("node") === deg("src"))
+          .select(col("node").as("jsrc"), (col("pr") / col("outdeg")).as("contrib"))
+        val w = if (n <= prBroadcastMaxNodes(edges)) broadcast(w0) else w0
+        ranks = e.join(w, col("src") === col("jsrc"))
+          .groupBy("dst").agg(sum("contrib").as("in_pr"))
+          .select(col("dst").as("node"),
+            (lit((1 - damping) / n) + lit(damping) * col("in_pr")).as("pr"))
+          .localCheckpoint()
+      }
+      ranks
     } finally e.unpersist(false)
   }
 }

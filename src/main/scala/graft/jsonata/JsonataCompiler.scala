@@ -1174,46 +1174,48 @@ object JsonataCompiler {
     Seq("Trillion" -> 1000000000000L, "Billion" -> 1000000000L,
       "Million" -> 1000000L, "Thousand" -> 1000L)
 
-  /** English number words of a long (|n| < 10^15), closed-form: nested
-    * element_at/CASE over per-place literal arrays — codegen'd, no
-    * recursion or UDF. Faithful to the jsonata-js rendering: magnitude
-    * groups joined with ", ", a final group under 100 joined with
-    * " and ", tens hyphenated ("Forty-Two"), ordinal forms applied to
-    * the last spoken word ("One Hundred and Twenty-Third",
-    * "One Thousandth").
+  // 1..99 / 1..999 group renderings as plain Scala — the SAME logic the
+  // former Column-tree form spelled per row, evaluated once at compile
+  // time so the runtime expression is an O(1) array lookup per group
+  private def tensStr(m: Int, ord: Boolean): String =
+    if (m <= 19) (if (ord) fewOrdWords else fewWords)(m)
+    else {
+      val d = m / 10; val r = m % 10
+      if (r > 0) decadeWords(d - 2) + "-" + (if (ord) fewOrdWords else fewWords)(r)
+      else if (ord) decadeWords(d - 2).dropRight(1) + "ieth"
+      else decadeWords(d - 2)
+    }
+  private def small3Str(m: Int, ord: Boolean): String =
+    if (m < 100) tensStr(m, ord)
+    else {
+      val h = m / 100; val r = m % 100
+      fewWords(h) + " Hundred" +
+        (if (r > 0) " and " + tensStr(r, ord) else if (ord) "th" else "")
+    }
+  private val card999: Seq[String] = (1 to 999).map(small3Str(_, ord = false))
+  private val ord999: Seq[String] = (1 to 999).map(small3Str(_, ord = true))
+
+  /** English number words of a long (|n| < 10^15), closed-form: each
+    * 3-digit magnitude group is ONE element_at into a precomputed
+    * 999-entry literal array (cardinal, or ordinal for the final group),
+    * joined with the jsonata-js connectors — magnitude groups with ", ",
+    * a final group under 100 with " and ", ordinal applied to the last
+    * spoken word ("One Hundred and Twenty-Third", "One Thousandth").
+    * The arrays land in the codegen references table, so the generated
+    * per-row code is a handful of divisions and lookups — the previous
+    * per-place CASE/concat tree inlined ~10k generated lines per
+    * instance, and a projection with several pictures overflowed
+    * Janino's 64 KB method limit into interpreted fallback (the r17
+    * pipe_jsonata_t4 finding).
     */
   private def wordsColumn(n0: Column, ordinal: Boolean): Column = {
     // Column./ is DOUBLE division; all quotients here are long place values
     def idiv(a: Column, b: Long): Column = floor(a / b).cast(LongType)
-    val few = array(fewWords.map(lit): _*)
-    val ords = array(fewOrdWords.map(lit): _*)
-    val decades = array(decadeWords.map(lit): _*)
-    val decadesOrd = array(decadeWords.map(w => lit(w.dropRight(1) + "ieth")): _*)
-    def baseWord(m: Column, ord: Boolean): Column =
-      element_at(if (ord) ords else few, m.cast(IntegerType) + 1)
-    def decade(m: Column, ord: Boolean): Column =
-      element_at(if (ord) decadesOrd else decades, m.cast(IntegerType) - 1)
-    // 1..99 with the caller's connector: " and " when anything precedes
-    def tens(m: Column, prev: Column, ord: Boolean): Column = {
-      val andC = when(prev, lit(" and ")).otherwise(lit(""))
-      val d = idiv(m, 10L)
-      val r = m % 10L
-      when(m <= 19L, concat(andC, baseWord(m, ord)))
-        .otherwise(concat(andC,
-          when(r > 0L, concat(decade(d, ord = false), lit("-"), baseWord(r, ord)))
-            .otherwise(decade(d, ord))))
-    }
-    // 1..999; hundreds connect with ", " and carry " and " inside
-    def small3(m: Column, prev: Column, ord: Boolean): Column = {
-      val h = idiv(m, 100L)
-      val r = m % 100L
-      when(m < 100L, tens(m, prev, ord))
-        .otherwise(concat(
-          when(prev, lit(", ")).otherwise(lit("")),
-          baseWord(h, ord = false), lit(" Hundred"),
-          when(r > 0L, tens(r, lit(true), ord))
-            .otherwise(lit(if (ord) "th" else ""))))
-    }
+    // foldable CreateArray of literals: ConstantFolding collapses it to a
+    // single ArrayData literal (one codegen references-table entry); no
+    // runtime reflection, unlike typedLit
+    val card = array(card999.map(lit): _*)
+    val ords = array(ord999.map(lit): _*)
     val v = abs(n0)
     // magnitude groups highest-first; `prev` accumulates left to right;
     // ordinal "th" lands on a magnitude word only when nothing follows it
@@ -1224,14 +1226,20 @@ object JsonataCompiler {
             if (base == 1000000000000L) idiv(v, base) else idiv(v, base) % 1000L
           val part = when(mant > 0L, concat(
             when(prev, lit(", ")).otherwise(lit("")),
-            small3(mant, lit(false), ord = false),
+            element_at(card, mant.cast(IntegerType)),
             lit(" " + word),
             if (ordinal) when(v % base === 0L, lit("th")).otherwise(lit(""))
             else lit(""))).otherwise(lit(""))
           (acc :+ part, prev || mant > 0L)
       }
     val d0 = v % 1000L
-    val d0part = when(d0 > 0L, small3(d0, prevAfter, ordinal)).otherwise(lit(""))
+    // final group: " and " connects a <100 tail, ", " a hundreds tail —
+    // the connector the inlined small3/tens pair used to branch on
+    val d0part = when(d0 > 0L, concat(
+      when(prevAfter, when(d0 < 100L, lit(" and ")).otherwise(lit(", ")))
+        .otherwise(lit("")),
+      element_at(if (ordinal) ords else card, d0.cast(IntegerType))))
+      .otherwise(lit(""))
     val words = when(v === 0L, lit(if (ordinal) "Zeroth" else "Zero"))
       .otherwise(concat(parts :+ d0part: _*))
     // null in → null out (JSONata: undefined), not the empty-concat ""

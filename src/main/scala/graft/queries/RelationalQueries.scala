@@ -2054,14 +2054,23 @@ object RelationalQueries {
     * iterations as CTEs.
     */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val und = Tables.lineitem(s, dir).select(
-        concat(lit("p"), col("l_partkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+    // the loop runs on NUMERIC node ids (partkey*2 / suppkey*2+1 — the
+    // p/s planes interleaved into one long domain): the distinct, the
+    // degree aggregate and every per-iteration hash all key on 8-byte
+    // longs instead of ~7-byte strings with object headers — narrower
+    // shuffle rows and cheaper hashing (guide §2.3); the "p123"/"s45"
+    // labels the oracle compares are rendered once, at output, from the
+    // same arithmetic
+    val und = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
-    val edges = und.select(col("a").as("src"), col("b").as("dst"))
-      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    val edges = und.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .union(und.select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst")))
     graft.functions.ScaleFunctions.pageRank(edges, PrDamping, PrIters)
-      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .select(
+        when(col("node") % 2 === 0, concat(lit("p"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long"))).as("node"),
+        round(col("pr"), 6).as("pr"))
       .orderBy("node")
   }
 

@@ -744,20 +744,51 @@ object VectorQueries {
     * hit counts.
     */
   def knnRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    // ONE distributed pass for all sweep points (r17, the
+    // rerankRecallCurve rewrite): probe rank is computed once to
+    // SweepMaxProbe, the probed-list candidates are scored once, and each
+    // point's top-K membership is a conditional cumulative count over one
+    // rank window (point p's candidate set = rows with prnk <= p; the
+    // running count of such rows in (cos desc, neighbor_id) order is the
+    // row's rank within that cut). The old form re-ran the centroid
+    // aggregate, the candidate join and the brute ground truth per point.
     val e = emb(s, dir).persist()
     try {
       val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
-      val rows = (1 to SweepMaxProbe).map { p =>
-        val ivf = knnIvfFrom(e, p)
-          .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
-        val hits = brute
-          .join(ivf, col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
-            "left_semi")
-          .count()
-        (p, hits.toDouble / (NumQueries * K))
-      }
+      val centroids = labelCentroids(e)
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("label"))
+      val probed = queries.join(broadcast(centroids), lit(true))
+        .select(col("query_id"), col("qv"), col("label"),
+          cosine(col("qv"), col("cv")).as("ccos"))
+        .withColumn("prnk", row_number().over(wProbe))
+        .filter(col("prnk") <= SweepMaxProbe)
+        .select(col("query_id"), col("qv"), col("label"), col("prnk"))
+      val scored = broadcast(probed)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("label")),
+          "label")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("prnk"),
+          round(cosine(col("qv"), col("cv2")), 6).as("cos"))
+      val marked = scored.join(broadcast(brute.withColumn("hit", lit(1))),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      val wCum = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val points = (1 to SweepMaxProbe).toSeq
+      val cums = points.map(p =>
+        sum(when(col("prnk") <= p, 1L)).over(wCum).as(s"cum$p"))
+      val ranked = marked.select(
+        Seq(col("query_id"), col("prnk"), col("hit")) ++ cums: _*)
+      val aggs = points.map(p =>
+        sum(when(col("hit").isNotNull && col("prnk") <= p && col(s"cum$p") <= K, 1L)
+          .otherwise(0L)).as(s"h$p"))
+      val row = ranked.agg(aggs.head, aggs.tail: _*).collect()(0)
       import s.implicits._
-      rows.toDF("nprobe", "recall")
+      points.zipWithIndex
+        .map { case (p, i) => (p, row.getLong(i).toDouble / (NumQueries * K)) }
+        .toDF("nprobe", "recall")
     } finally e.unpersist(false)
   }
 
@@ -831,27 +862,41 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"))
       val centroids = labelCentroids(e, out = "ccv")
       val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("label"))
+      val points = Seq(1, 2, 4)
+      // ONE distributed pass for all probe depths (r17, the
+      // rerankRecallCurve rewrite): candidates are scored once to the max
+      // probe depth; each point's candidate volume is a conditional count
+      // and its top-K membership a conditional cumulative rank. The old
+      // form ran a count job AND a rerank+semi-join job per point.
       val probeRank = queries.join(broadcast(centroids), lit(true))
         .select(col("query_id"), col("qv"), col("label"),
           round(cosine(col("qv"), col("ccv")), 6).as("ccos"))
         .withColumn("prnk", row_number().over(wProbe))
+        .filter(col("prnk") <= points.max)
         .select(col("query_id"), col("qv"), col("label"), col("prnk"))
-      val rows = Seq(1, 2, 4).map { p =>
-        val cand = probeRank.filter(col("prnk") <= p)
-          .join(allowed, "label")
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            round(cosine(col("qv"), col("cv")), 6).as("cos"))
-        val nCand = cand.count()
-        val topk = cand.withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= K)
-          .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
-        val hits = gt.join(topk,
-          col("query_id") === col("qi") && col("neighbor_id") === col("ni"), "left_semi")
-          .count()
-        (p, nCand, hits.toDouble / (NumQueries * K))
-      }
+      val scored = broadcast(probeRank).join(allowed, "label")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("prnk"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      val marked = scored.join(broadcast(gt.withColumn("hit", lit(1))),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      val wCum = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = points.map(p =>
+        sum(when(col("prnk") <= p, 1L)).over(wCum).as(s"cum$p"))
+      val ranked = marked.select(
+        Seq(col("query_id"), col("prnk"), col("hit")) ++ cums: _*)
+      val aggs = points.flatMap(p => Seq(
+        sum(when(col("prnk") <= p, 1L).otherwise(0L)).as(s"n$p"),
+        sum(when(col("hit").isNotNull && col("prnk") <= p && col(s"cum$p") <= K, 1L)
+          .otherwise(0L)).as(s"h$p")))
+      val row = ranked.agg(aggs.head, aggs.tail: _*).collect()(0)
       import s.implicits._
-      rows.toDF("nprobe", "n_cand", "recall")
+      points.zipWithIndex
+        .map { case (p, i) =>
+          (p, row.getLong(2 * i), row.getLong(2 * i + 1).toDouble / (NumQueries * K)) }
+        .toDF("nprobe", "n_cand", "recall")
     } finally e.unpersist(false)
   }
 
@@ -957,28 +1002,42 @@ object VectorQueries {
     * candidate-sized — the contract that lets stage 1 shrink the index.
     */
   private def rerankRecallCurve(s: SparkSession, e: DataFrame, cand: DataFrame): DataFrame = {
+    // ONE distributed pass for the whole curve (r17): the old form ran one
+    // job per depth, each re-evaluating the brute ground truth AND the
+    // candidate generator (for the PQ closure that is three extra ADC
+    // passes over the corpus). Here the ≤ max-depth candidates are scored
+    // exactly once, the ground truth joins in as a hit marker (brute is
+    // (query, neighbor)-unique, so the left join cannot fan out), and each
+    // depth's top-K membership falls out of a CONDITIONAL CUMULATIVE count
+    // over one rank window: among rows sorted by (cos desc, neighbor_id),
+    // the running count of rnk<=d rows at a row's position IS its
+    // row_number within the depth-d cut — same set, no per-depth jobs.
     val brute = knnBruteFrom(e).select(col("query_id"), col("neighbor_id"))
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    val rows = RerankDepths.map { d =>
-      val rr = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
-        .join(broadcast(cand.filter(col("rnk") <= d)
-          .select("query_id", "neighbor_id")), "neighbor_id")
-        .join(broadcast(queries), "query_id")
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qv"), col("cv")), 6).as("cos"))
-        .withColumn("rrnk", row_number().over(wK))
-        .filter(col("rrnk") <= K)
-        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
-      val hits = brute
-        .join(rr, col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
-          "left_semi")
-        .count()
-      (d, hits.toDouble / (NumQueries * K))
-    }
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .join(broadcast(cand.filter(col("rnk") <= RerankDepths.max)
+        .select("query_id", "neighbor_id", "rnk")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val marked = scored.join(broadcast(brute.withColumn("hit", lit(1))),
+      Seq("query_id", "neighbor_id"), "left_outer")
+    val wCum = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = RerankDepths.map(d =>
+      sum(when(col("rnk") <= d, 1L)).over(wCum).as(s"cum$d"))
+    val ranked = marked.select(
+      Seq(col("query_id"), col("rnk"), col("hit")) ++ cums: _*)
+    val aggs = RerankDepths.map(d =>
+      sum(when(col("hit").isNotNull && col("rnk") <= d && col(s"cum$d") <= K, 1L)
+        .otherwise(0L)).as(s"h$d"))
+    val row = ranked.agg(aggs.head, aggs.tail: _*).collect()(0)
     import s.implicits._
-    rows.toDF("cand_k", "recall")
+    RerankDepths.zipWithIndex
+      .map { case (d, i) => (d, row.getLong(i).toDouble / (NumQueries * K)) }
+      .toDF("cand_k", "recall")
   }
 
   /** Matryoshka two-stage search (the closure [[knnRecallTrunc]]'s own
@@ -1089,26 +1148,38 @@ object VectorQueries {
           corpusBands("band").as("cband"))
       val queries = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val wK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      val rows = (1 to Bits / BandBits).map { t =>
-        val candT = cand.filter(col("cband") < t)
-          .select("query_id", "neighbor_id").distinct()
-        val rr = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
-          .join(broadcast(candT), "neighbor_id")
-          .join(broadcast(queries), "query_id")
-          .select(col("query_id"), col("neighbor_id"),
-            round(cosine(col("qv"), col("cv")), 6).as("cos"))
-          .withColumn("rnk", row_number().over(wK))
-          .filter(col("rnk") <= K)
-          .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
-        val hits = brute
-          .join(rr, col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
-            "left_semi")
-          .count()
-        (t, hits.toDouble / (NumQueries * K))
-      }
+      // ONE distributed pass for all table counts (r17, the
+      // rerankRecallCurve rewrite): a pair is a candidate under t tables
+      // iff its SMALLEST colliding band < t, so the per-t distinct
+      // collapses to one min aggregate, candidates are scored once, and
+      // each point's top-K membership is a conditional cumulative count
+      // over one rank window. The old form re-ran the candidate join, the
+      // exact rerank and the ground-truth semi-join per point.
+      val candMin = cand.groupBy("query_id", "neighbor_id")
+        .agg(min("cband").as("mband"))
+      val scored = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+        .join(broadcast(candMin), "neighbor_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("neighbor_id"), col("mband"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      val marked = scored.join(broadcast(brute.withColumn("hit", lit(1))),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      val wCum = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val points = (1 to Bits / BandBits).toSeq
+      val cums = points.map(t =>
+        sum(when(col("mband") < t, 1L)).over(wCum).as(s"cum$t"))
+      val ranked = marked.select(
+        Seq(col("query_id"), col("mband"), col("hit")) ++ cums: _*)
+      val aggs = points.map(t =>
+        sum(when(col("hit").isNotNull && col("mband") < t && col(s"cum$t") <= K, 1L)
+          .otherwise(0L)).as(s"h$t"))
+      val row = ranked.agg(aggs.head, aggs.tail: _*).collect()(0)
       import s.implicits._
-      rows.toDF("n_tables", "recall")
+      points.zipWithIndex
+        .map { case (t, i) => (t, row.getLong(i).toDouble / (NumQueries * K)) }
+        .toDF("n_tables", "recall")
     } finally e.unpersist(false)
   }
 
