@@ -280,12 +280,36 @@ object ClusteredTable {
     completeDirs(deltaRoot(root), "c=")
       .filter(c => fsOf(c).exists(new Path(c, "_ABSORBS")))
 
+  /** Bounded cache of `_ABSORBS` contents keyed on file path + mtime: the
+    * list publishes inside the artifact's claim and is immutable after,
+    * so one read per publish suffices — the auto-compaction sink used to
+    * re-open every active artifact's list after EVERY micro-batch
+    * (tailParts) and compactTail re-read them again for the size tiers
+    * (the r16 ADVICE finding); on an object store each open is a
+    * round-trip. The mtime key keeps a re-created root at the same path
+    * (fresh-lifecycle tests/bench) from serving stale lists.
+    */
+  private val absorbsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Set[String])](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Set[String])]): Boolean = size() > 256
+    })
+
   /** The `d=` artifact names a compacted artifact absorbed. */
   private def absorbsOf(c: Path): Set[String] = {
     val fs = fsOf(c)
-    val in = fs.open(new Path(c, "_ABSORBS"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
-    finally in.close()
+    val f = new Path(c, "_ABSORBS")
+    val mtime = fs.getFileStatus(f).getModificationTime
+    val hit = absorbsCache.get(f.toString)
+    if (hit != null && hit._1 == mtime) hit._2
+    else {
+      val in = fs.open(f)
+      val set =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      absorbsCache.put(f.toString, (mtime, set))
+      set
+    }
   }
 
   /** The un-folded delta-like artifacts one snapshot reads, ascending by
@@ -1128,13 +1152,53 @@ object ClusteredTable {
     * read from one tiny parquet: the metadata-plane read that replaces
     * the per-scan O(table) aggregate (r14's one `weak`).
     */
+  /** Bounded process-wide cache of collected `_envelopes` catalogs keyed
+    * on catalog path; the publish time (`_SUCCESS` mtime) in the value
+    * guards a re-created root at the same path (fresh-lifecycle tests and
+    * bench queries rmTree + rebuild) from serving stale rows. A claimed
+    * version's catalog is immutable, so a (path, mtime) hit is exact.
+    * Only positive reads cache — a not-yet-visible catalog (markers-last
+    * materialization on an eventually-consistent store) must be re-probed.
+    */
+  private val envelopeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        (Long, org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])](
+        64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String,
+          (Long, org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]): Boolean =
+        size() > 64
+    })
+
+  /** The `_envelopes` catalog of one version dir, collected at most once
+    * per publish: before this, a scan whose filters touched any
+    * non-dim column read the same tiny parquet up to three times
+    * (envelopesN + both zone-map planes — the r16 ADVICE finding).
+    */
+  private def envelopeRows(s: SparkSession,
+      dir: Path): Option[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])] = {
+    val env = new Path(dir, "_envelopes")
+    val fs = fsOf(env)
+    val success = new Path(env, "_SUCCESS")
+    val mtime =
+      try {
+        if (!fs.exists(success)) return None
+        fs.getFileStatus(success).getModificationTime
+      } catch { case _: java.io.IOException => return None }
+    val key = env.toString
+    val hit = envelopeCache.get(key)
+    if (hit != null && hit._1 == mtime) Some((hit._2, hit._3))
+    else {
+      val df = s.read.parquet(env.toString)
+      val rows = df.collect().toSeq // ≤ numFiles rows
+      envelopeCache.put(key, (mtime, df.schema, rows))
+      Some((df.schema, rows))
+    }
+  }
+
   def envelopes(s: SparkSession, root: String, v: Long, d1Col: String,
       d2Col: String): Option[Seq[(Int, Long, Long, Long, Long)]] =
     versions(root).find(_._1 == v).flatMap { case (_, dir) =>
-      val env = new Path(dir, "_envelopes")
-      if (!fsOf(env).exists(new Path(env, "_SUCCESS"))) None
-      else {
-        val rows = s.read.parquet(env.toString).collect() // ≤ numFiles rows
+      envelopeRows(s, dir).flatMap { case (_, rows) =>
         // a k>2 catalog whose FIRST TWO dims match still serves this
         // 2-D read: per-dim min/max are true bounds regardless of how
         // many further dimensions the fold interleaved — pruning on a
@@ -1159,21 +1223,15 @@ object ClusteredTable {
   def envelopesN(s: SparkSession, root: String, v: Long,
       dims: Seq[String]): Option[Seq[(Int, Seq[(Long, Long)])]] =
     versions(root).find(_._1 == v).flatMap { case (_, dir) =>
-      val env = new Path(dir, "_envelopes")
-      if (!fsOf(env).exists(new Path(env, "_SUCCESS"))) None
-      else {
-        val df = s.read.parquet(env.toString)
-        val names = df.schema.fieldNames.toSet
+      envelopeRows(s, dir).flatMap { case (schema, rows) =>
+        val names = schema.fieldNames.toSet
         val present = dims.indices.forall(i => names.contains(s"d${i + 1}_col"))
         if (!present) None
-        else {
-          val rows = df.collect() // ≤ numFiles rows
-          if (rows.exists(r => dims.zipWithIndex.exists { case (c, i) =>
-              r.getAs[String](s"d${i + 1}_col") != c })) None
-          else Some(rows.map(r => (r.getAs[Int]("zfile_id"),
-            dims.indices.map(i => (r.getAs[Long](s"mn${i + 1}"),
-              r.getAs[Long](s"mx${i + 1}"))))).toSeq)
-        }
+        else if (rows.exists(r => dims.zipWithIndex.exists { case (c, i) =>
+            r.getAs[String](s"d${i + 1}_col") != c })) None
+        else Some(rows.map(r => (r.getAs[Int]("zfile_id"),
+          dims.indices.map(i => (r.getAs[Long](s"mn${i + 1}"),
+            r.getAs[Long](s"mx${i + 1}"))))).toSeq)
       }
     }
 
@@ -1207,33 +1265,25 @@ object ClusteredTable {
       dt: org.apache.spark.sql.types.DataType,
       get: (org.apache.spark.sql.Row, Int) => T):
       Map[String, Seq[(Int, Option[T], Option[T])]] =
-    versions(root).find(_._1 == v).map { case (_, dir) =>
-      val env = new Path(dir, "_envelopes")
-      if (!fsOf(env).exists(new Path(env, "_SUCCESS")))
-        Map.empty[String, Seq[(Int, Option[T], Option[T])]]
-      else {
-        val df = s.read.parquet(env.toString)
-        val fields = df.schema
+    versions(root).find(_._1 == v).flatMap { case (_, dir) =>
+      envelopeRows(s, dir).map { case (fields, rows) =>
         val idxs = fields.fieldNames.collect {
           case n if n.matches("s\\d+_col") &&
               fields(n.stripSuffix("_col") + "_mn").dataType == dt =>
             n.stripPrefix("s").stripSuffix("_col").toInt
         }.sorted
         if (idxs.isEmpty) Map.empty[String, Seq[(Int, Option[T], Option[T])]]
-        else {
-          val rows = df.collect() // ≤ numFiles rows
-          idxs.flatMap { i =>
-            rows.headOption.map { h =>
-              h.getAs[String](s"s${i}_col") -> rows.map { r =>
-                def bound(f: String): Option[T] = {
-                  val at = r.fieldIndex(f)
-                  if (r.isNullAt(at)) None else Some(get(r, at))
-                }
-                (r.getAs[Int]("zfile_id"), bound(s"s${i}_mn"), bound(s"s${i}_mx"))
-              }.toSeq
-            }
-          }.toMap
-        }
+        else idxs.flatMap { i =>
+          rows.headOption.map { h =>
+            h.getAs[String](s"s${i}_col") -> rows.map { r =>
+              def bound(f: String): Option[T] = {
+                val at = r.fieldIndex(f)
+                if (r.isNullAt(at)) None else Some(get(r, at))
+              }
+              (r.getAs[Int]("zfile_id"), bound(s"s${i}_mn"), bound(s"s${i}_mx"))
+            }.toSeq
+          }
+        }.toMap
       }
     }.getOrElse(Map.empty)
 

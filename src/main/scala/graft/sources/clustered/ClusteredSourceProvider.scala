@@ -400,7 +400,7 @@ private[clustered] object FooterStats {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     // one file's footer → (rows, per-column stats); None the moment any
     // statistic the answer needs is missing (the refusal contract)
-    def fileStats(f: org.apache.hadoop.fs.Path): Option[(Long, Map[String, ColStats])] = {
+    def fileStats(f: org.apache.hadoop.fs.Path): Option[(Long, Map[String, ColStats])] = try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         import scala.jdk.CollectionConverters._
@@ -431,6 +431,13 @@ private[clustered] object FooterStats {
         }
         Some((rows, acc.toMap))
       } finally reader.close()
+    } catch {
+      // an unreadable footer REFUSES the pushdown (None -> ordinary data
+      // scan), it never fails the query — and catching per file keeps the
+      // parallel walk's Future.get from re-wrapping the IOException as
+      // ExecutionException, a different failure type than the serial path
+      // (the r16 ADVICE finding)
+      case _: java.io.IOException => None
     }
     // PARALLEL FOOTER WALK: each file's footer read is independent I/O,
     // so past a handful of files the walk fans out on a bounded pool —
@@ -504,6 +511,9 @@ class ClusteredChangesRelation(override val sqlContext: SQLContext, root: String
 }
 
 private[clustered] object ClusteredRelation {
+  private[clustered] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[ClusteredRelation])
+
   /** Exactly the filter shapes [[ClusteredRelation.toColumn]] applies. */
   def translatable(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
@@ -619,6 +629,15 @@ class ClusteredRelation(override val sqlContext: SQLContext, root: String,
     if (dims.isEmpty) Seq.empty
     else snapVersion.flatMap(v => ClusteredTable.envelopesN(spark, root, v, dims))
       .getOrElse {
+        // sound but O(table) per scan — make the engaged fallback (stale
+        // `dims` config vs the catalog's recorded fold dims, or a
+        // pre-catalog version) discoverable instead of a silent tax
+        // (the r16 ADVICE finding)
+        ClusteredRelation.log.warn(
+          s"graft-clustered: no envelope catalog for dims=${dims.mkString(",")} " +
+            s"at $root v=${snapVersion.getOrElse(-1L)} — recomputing per-scan " +
+            "envelopes from the snapshot (check the source's dims option " +
+            "against the fold's clustering columns)")
         import org.apache.spark.sql.functions.{max, min}
         val aggs = dims.zipWithIndex.flatMap { case (c, i) =>
           Seq(min(col(c).cast("long")).as(s"mn${i + 1}"),
