@@ -1195,6 +1195,17 @@ object JsonataCompiler {
   private val card999: Seq[String] = (1 to 999).map(small3Str(_, ord = false))
   private val ord999: Seq[String] = (1 to 999).map(small3Str(_, ord = true))
 
+  /** A string-array constant as a SINGLE catalyst Literal node (vs the
+    * n-child CreateArray `array(lit, ...)` builds, which every tree
+    * transform re-walks element by element).
+    */
+  private def stringArrayLit(values: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          values.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any]),
+        ArrayType(StringType, containsNull = false)))
+
   /** English number words of a long (|n| < 10^15), closed-form: each
     * 3-digit magnitude group is ONE element_at into a precomputed
     * 999-entry literal array (cardinal, or ordinal for the final group),
@@ -1211,11 +1222,13 @@ object JsonataCompiler {
   private def wordsColumn(n0: Column, ordinal: Boolean): Column = {
     // Column./ is DOUBLE division; all quotients here are long place values
     def idiv(a: Column, b: Long): Column = floor(a / b).cast(LongType)
-    // foldable CreateArray of literals: ConstantFolding collapses it to a
-    // single ArrayData literal (one codegen references-table entry); no
-    // runtime reflection, unlike typedLit
-    val card = array(card999.map(lit): _*)
-    val ords = array(ord999.map(lit): _*)
+    // ONE pre-built Literal node per array — NOT array(lit, lit, ...): a
+    // 999-child CreateArray makes every analyzer/optimizer rule and each
+    // AQE re-optimization traverse thousands of literal nodes per query
+    // (measured ~9 s of pure planning per bench round before this), while
+    // a single Literal is one node and one codegen references entry
+    val card = stringArrayLit(card999)
+    val ords = stringArrayLit(ord999)
     val v = abs(n0)
     // magnitude groups highest-first; `prev` accumulates left to right;
     // ordinal "th" lands on a magnitude word only when nothing follows it

@@ -597,15 +597,22 @@ object PipelineQueries {
     val obs = Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("h"), col("value"))
       .groupBy("user_id", "h").agg(round(avg("value"), 6).as("v"))
-    val grid = obs.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
-      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
-    val w = Window.partitionBy("user_id").orderBy("h")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq("user_id", "h"), "left_outer")
+    // each observation OWNS the grid hours up to the next observation
+    // ([h, next_h) — the last one owns just itself), so one lead window
+    // over the (user, hour) cells replaces the per-user grid Generate,
+    // the (user, h) equi-join back onto it AND the last-non-null
+    // forward-fill window over the full grid: value_ff is the interval
+    // owner's v BY CONSTRUCTION and is_gap is hh > h. Same rows, same
+    // values; the grid-sized relation is now touched by a projection
+    // only (r17 — was: exec-dominant join + window over user×hours rows)
+    val wSeq = Window.partitionBy("user_id").orderBy("h")
+    obs.withColumn("next_h", lead("h", 1).over(wSeq))
+      .select(col("user_id"), col("h"), col("v"),
+        explode(sequence(col("h"), coalesce(col("next_h") - 1, col("h")))).as("hh"))
       .select(col("user_id"),
-        date_format(timestamp_seconds(col("h") * 3600), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-        col("v").isNull.as("is_gap"),
-        last(col("v"), ignoreNulls = true).over(w).as("value_ff"))
+        date_format(timestamp_seconds(col("hh") * 3600), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        (col("hh") =!= col("h")).as("is_gap"),
+        col("v").as("value_ff"))
       .orderBy("user_id", "bucket")
   }
 

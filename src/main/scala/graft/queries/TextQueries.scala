@@ -143,8 +143,14 @@ object TextQueries {
       "hs" -> hashArrayBits(wordShingles(col("toks"), ShingleK), 60))
     val docs = staged.select(col("doc_id"), array_distinct(col("hs")).as("ws"))
     val toks = docs.select(col("doc_id"), explode(col("ws")).as("tok"))
-    val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = toks.join(dfT, "tok")
+    // df as a COUNT WINDOW over the tok partition instead of a groupBy +
+    // join back (r17): same values, but one exchange on tok instead of
+    // two evaluations of the tokenize→shingle→hash scan (the join's probe
+    // and build sides each re-derived it — at 100 TB that is a whole
+    // corpus pass saved, locally it halves the pre-aggregate work)
+    val withDf = toks.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("tok")))
+    val ranked = withDf
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"),
         count(lit(1)).as("n"))
@@ -172,9 +178,17 @@ object TextQueries {
             (col("a.n") + col("b.n")).cast("double") * SsjT)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // verify against the token sets REPROJECTED FROM `ranked` (sorted
+    // carries every distinct token; intersect/union are order-blind, so
+    // j is unchanged): both verify sides, the prefix relation and the
+    // candidate self-join all sit above ranked's one aggregate exchange,
+    // which Spark's exchange reuse evaluates once — the old docs-side
+    // joins re-ran the shingle scan once per side (r17)
+    val sets = ranked.select(col("doc_id"),
+      transform(col("sorted"), t => t.getField("tok")).as("ws"))
     cand
-      .join(docs.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .join(sets.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
           size(array_union(col("ws_a"), col("ws_b"))).cast("double")).as("j"))
@@ -2827,8 +2841,19 @@ object TextQueries {
       val nodes = sym.select(col("a").as("node")).distinct()
       var alive = nodes
       var prevAlive = nodes
-      for (_ <- 1 to KcoreRounds) {
+      // alive sets only SHRINK under peeling, so an unchanged count is an
+      // exact fixpoint — stop instead of re-peeling identical rounds (the
+      // cap typically over-runs convergence by several rounds; r17). The
+      // counts ride the checkpointed results, and `stable` keeps its
+      // meaning: at an early exit the last two rounds are equal by the
+      // exit condition, exactly what running out the cap would report.
+      var nPrev = -1L
+      var nAlive = alive.count()
+      var round = 0
+      while (round < KcoreRounds && nAlive != nPrev) {
+        round += 1
         prevAlive = alive
+        nPrev = nAlive
         alive = sym
           .join(alive.select(col("node").as("a")), "a")
           .join(alive.select(col("node").as("b")), "b")
@@ -2836,6 +2861,7 @@ object TextQueries {
           .filter(col("deg") >= KcoreK)
           .select(col("a").as("node"))
           .localCheckpoint()
+        nAlive = alive.count()
       }
       val coreDeg = sym
         .join(alive.select(col("node").as("a")), "a")
