@@ -58,9 +58,13 @@ object Bench {
       // 100 entries thrash under a 200+-plan interleaved sweep — every
       // query re-Janino-compiles every round, and once the JIT code cache
       // saturates those recompiles (and the regenerated methods' re-JIT)
-      // run de-optimized — the r15 pipe_jsonata 12.6 s mechanism.
+      // run de-optimized — the r15 pipe_jsonata 12.6 s mechanism. Re-sized
+      // r17: the 213-query sweep now generates ~3.7k distinct fragments
+      // (diag-measured: a 2000-entry cache recompiled ~3.1k fragments in
+      // round 2 — full eviction thrash, a broad +5-15% tax on every
+      // round); 8000 leaves headroom for round-2 growth.
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -148,40 +148,29 @@ object ScaleFunctions {
       .select(col("id"), least(col("id"), coalesce(col("nlbl"), col("id"))).as("lbl"))
   }
 
-  /** Broadcast budget for the CC loop's |V|-row label relation — the
-    * pageRank budget's sibling; override via
-    * `spark.graft.cc.broadcastMaxNodes`.
-    */
-  private def ccBroadcastMaxNodes(df: DataFrame): Long =
-    df.sparkSession.conf.getOption("spark.graft.cc.broadcastMaxNodes")
-      .map(_.toLong).getOrElse(50000000L)
-
   private def ccLoop(sym: DataFrame, labels0: DataFrame, maxIters: Int): DataFrame = {
     var labels = labels0.localCheckpoint()
-    // |V| is a driver-side scalar off the (eager) checkpointed seed:
-    // below the broadcast budget every per-iteration join broadcasts its
-    // |V|-sized side, so the (often much larger) edge set never shuffles
-    // — a checkpointed relation has no size statistics, and without the
-    // hint the planner sort-merge-joined the edges every round
-    val bcastLabels = labels.count() <= ccBroadcastMaxNodes(sym)
-    def vSide(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
+    // NOTE (r17): an explicit broadcast of the |V|-sized label sides was
+    // A/B-measured SLOWER here (each iteration pays broadcast-build jobs
+    // and the blocking collect; AQE already localizes these exchanges at
+    // runtime from actual sizes) — the joins stay planner-chosen.
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       // smallest label among each node's neighbors (aggregated BEFORE the
       // join back, so the labels side joins against |V| rows, not |E|)
-      val nbrMin = sym.join(vSide(labels.withColumnRenamed("id", "src")), "src")
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
       // carry the previous label through the step so convergence is a
       // filter over the (already checkpointed) result — the former
       // separate changed-count join+shuffle per iteration is gone
-      val stepped = labels.join(vSide(nbrMin), Seq("id"), "left_outer")
+      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jump: lbl <- lbl(lbl); lbl(x) <= x always, so the inner
       // join on stepped's own id set is total
       val jumped = stepped.as("a")
-        .join(vSide(stepped.select(col("id").as("p"), col("lbl").as("plbl")).as("b")),
+        .join(stepped.select(col("id").as("p"), col("lbl").as("plbl")).as("b"),
           col("a.lbl") === col("p"))
         .select(col("a.id").as("id"), col("plbl").as("lbl"), col("a.prev").as("prev"))
         .localCheckpoint()
