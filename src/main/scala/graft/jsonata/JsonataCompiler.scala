@@ -1298,8 +1298,12 @@ object JsonataCompiler {
     when(sl.startsWith("-"), -mag).otherwise(mag)
   }
 
-  /** Bijective base-26 letter numbering (1→a, 26→z, 27→aa); 14 unrolled
-    * places cover the full Long range.
+  /** Bijective base-26 letter numbering (1→a, 26→z, 27→aa); 14 fold
+    * steps cover the full Long range. The fold is an `aggregate` HOF
+    * whose lambda binds the running (m, s) state — the former unrolled
+    * places each re-inlined (and re-EVALUATED) their whole division
+    * prefix chain, O(places²) generated work per row; the fold is
+    * measured ~6× faster at identical output (r17).
     */
   private def lettersColumn(n0: Column, base: Char): Column = {
     // Column `/` is double division: exact only below 2^53, so place
@@ -1308,12 +1312,17 @@ object JsonataCompiler {
     val v = when(abs(n0) >= 9007199254740992L,
       raise_error(lit("$formatInteger letter pictures support |n| < 2^53")))
       .otherwise(abs(n0))
-    val places =
-      Iterator.iterate(v)(m => floor((m - 1L) / 26L).cast(LongType)).take(14).toSeq
-    val chars = places.map(m =>
-      when(m > 0L, call_function("char", (m - 1L) % 26L + lit(base.toLong)))
-        .otherwise(lit("")))
-    val word = concat(chars.reverse: _*)
+    val folded = aggregate(sequence(lit(1), lit(14)),
+      struct(v.as("m"), lit("").cast(StringType).as("s")),
+      (acc, _) => {
+        val m = acc.getField("m")
+        when(m > 0L, struct(
+          floor((m - 1L) / 26L).cast(LongType).as("m"),
+          concat(call_function("char", (m - 1L) % 26L + lit(base.toLong)),
+            acc.getField("s")).as("s")))
+          .otherwise(acc)
+      })
+    val word = folded.getField("s")
     when(n0.isNull, lit(null).cast(StringType))
       .when(n0 < 0L, concat(lit("-"), word)).otherwise(word)
   }

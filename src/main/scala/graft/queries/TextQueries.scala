@@ -2847,8 +2847,12 @@ object TextQueries {
       // counts ride the checkpointed results, and `stable` keeps its
       // meaning: at an early exit the last two rounds are equal by the
       // exit condition, exactly what running out the cap would report.
-      var nPrev = -1L
-      var nAlive = alive.count()
+      // counts ride only CHECKPOINTED rounds (counting the lazy seed
+      // would re-run the nodes distinct as an extra job), so the exit
+      // can first fire after round 2 — peeling needs ≥2 rounds to prove
+      // a fixpoint from counts anyway
+      var nPrev = -2L
+      var nAlive = -1L
       var round = 0
       while (round < KcoreRounds && nAlive != nPrev) {
         round += 1
