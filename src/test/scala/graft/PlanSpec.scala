@@ -380,10 +380,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
-  test("profile_cols: every metric from ONE scan (single aggregate, Expand)") {
+  test("profile_cols: NO Expand — one column-pruned distinct branch per column") {
+    // r17 contract: the former single multi-distinct aggregate Expanded
+    // every row ×(ncols+1) and shuffled 11-column-wide distinct keys; the
+    // new shape is one pruned scan branch per profiled column (partial
+    // per-partition distinct, union of 1-row branch aggregates)
     val p = physical("profile_cols")
-    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(3000))
-    assert(p.contains("Expand"), p.take(3000))
+    assert(!p.contains("Expand"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).length == 11, p.take(3000))
+    // every branch reads at most its own column — no branch scan may
+    // read the full 11-column width
+    assert(!p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey"), p.take(6000))
   }
 
   test("knn_ivf_incremental: returned plan is batch-only — broadcasts, no corpus shuffle") {
