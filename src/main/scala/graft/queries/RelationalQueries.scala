@@ -1498,23 +1498,40 @@ object RelationalQueries {
       .withColumn("z", graft.functions.ZorderLayout.mortonKey(col("d1"), col("d2"), ZBits))
       .withColumn("h", graft.functions.ZorderLayout.hilbertKey(col("d1"), col("d2"), ZBits))
     val span = (1 << (2 * ZBits)) / ZFiles
-    def ramps(tag: String, file: Column): DataFrame = {
-      val env = src.groupBy(file.as("f"))
-        .agg(min("d1").as("mn1"), max("d1").as("mx1"),
-          min("d2").as("mn2"), max("d2").as("mx2"))
+    // ONE orders scan for all three layouts (r18): the former per-layout
+    // `ramps` closed over `src`, and each layout's two crossJoin arms
+    // re-derived the scan + BOTH curve-key CASE trees — 12 parquet scans
+    // in the static plan. All three envelope tables are now one stacked
+    // aggregate over a single scan (each row contributes its (layout,
+    // file) assignment for every layout), checkpointed at ≤ 3·ZFiles
+    // rows; each layout's ramp pair is a tiny aggregate over that table,
+    // numerically identical to the per-layout groupBy it replaces.
+    val env = src.select(col("d1"), col("d2"), explode(array(
+        struct(lit("a_linear").as("layout"),
+          floor((col("d1") * 16 + col("d2")) / span).cast("int").as("f")),
+        struct(lit("b_morton").as("layout"),
+          floor(col("z") / span).cast("int").as("f")),
+        struct(lit("c_hilbert").as("layout"),
+          floor(col("h") / span).cast("int").as("f")))).as("lf"))
+      .groupBy(col("lf.layout").as("layout"), col("lf.f").as("f"))
+      .agg(min("d1").as("mn1"), max("d1").as("mx1"),
+        min("d2").as("mn2"), max("d2").as("mx2"))
+      .localCheckpoint(false)
+    def ramps(tag: String): DataFrame = {
+      val e = env.filter(col("layout") === tag)
       def ramp(lo: String, hi: String, nVals: Int): Column =
         round(lit(1.0) * sum(when(col(lo) <= col("v") && col("v") <= col(hi), 1L)
           .otherwise(0L)) / nVals, 4)
-      env.crossJoin(s.range(16).select(col("id").cast("int").as("v")))
+      e.crossJoin(s.range(16).select(col("id").cast("int").as("v")))
         .agg(ramp("mn1", "mx1", 16).as("ramp_d1"))
         .crossJoin(
-          env.crossJoin(s.range(12).select(col("id").cast("int").as("v")))
+          e.crossJoin(s.range(12).select(col("id").cast("int").as("v")))
             .agg(ramp("mn2", "mx2", 12).as("ramp_d2")))
         .select(lit(tag).as("layout"), col("ramp_d1"), col("ramp_d2"))
     }
-    ramps("a_linear", floor((col("d1") * 16 + col("d2")) / span).cast("int"))
-      .unionAll(ramps("b_morton", floor(col("z") / span).cast("int")))
-      .unionAll(ramps("c_hilbert", floor(col("h") / span).cast("int")))
+    ramps("a_linear")
+      .unionAll(ramps("b_morton"))
+      .unionAll(ramps("c_hilbert"))
       .orderBy("layout")
   }
 

@@ -265,7 +265,19 @@ object TextQueries {
     * and distinct 3-shingle sets); pairs kept at word-Jaccard >= 0.5.
     */
   def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // ONE evaluation of the tokenize→shingle→hash→minhash kernel (r18):
+    // the banded self-join (2 sides), the hot-bucket cap (agg + anti
+    // probe) and the two verify sides all consumed `base` — the static
+    // plan evaluated the corpus kernel up to 12×. A lazy localCheckpoint
+    // of the projection they actually share (buckets + distinct word /
+    // shingle sets) materializes the kernel once on first use; every
+    // consumer then reads the checkpointed rows. At 100 TB this is the
+    // §2.4 rule: N corpus passes → 1 pass + a doc-sized materialization.
     val base = minhashStages(s, dir)
+      .select(col("doc_id"), col("buckets"),
+        array_distinct(col("toks")).as("ws"),
+        array_distinct(col("shingles")).as("ss"))
+      .localCheckpoint(false)
     val bands = cappedBands(explodeBands(base))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -273,10 +285,7 @@ object TextQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = base.select(
-      col("doc_id"),
-      array_distinct(col("toks")).as("ws"),
-      array_distinct(col("shingles")).as("ss"))
+    val sets = base.select(col("doc_id"), col("ws"), col("ss"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("ss").as("ss_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("ss").as("ss_b")), "id_b")
@@ -302,7 +311,10 @@ object TextQueries {
     * index (text_winnow_match is this repo's containment-native path).
     */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    // same one-kernel-evaluation checkpoint as [[dedupMinhashPairs]]
     val base = minhashStages(s, dir)
+      .select(col("doc_id"), col("buckets"), array_distinct(col("toks")).as("ws"))
+      .localCheckpoint(false)
     val bands = cappedBands(explodeBands(base))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -310,7 +322,7 @@ object TextQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = base.select(col("doc_id"), array_distinct(col("toks")).as("ws"))
+    val sets = base.select(col("doc_id"), col("ws"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
@@ -1930,8 +1942,15 @@ object TextQueries {
     */
   def corpusFilterOrder(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    // keptF feeds FOUR consumers (keepA, both dropB sides, keepB) and the
+    // verified pair set two (dropA, dropB) — without materialization the
+    // static plan re-ran the flags kernel and the LSH verify per consumer
+    // (20 parquet scans, r18 measured). Both relations are doc-id-sized;
+    // checkpoint once, read everywhere (§2.4).
     val keptF = filterFlags(s, dir).filter(col("gopher_keep")).select("doc_id")
+      .localCheckpoint(false)
     val pairs = dedupMinhashPairs(s, dir).select("id_a", "id_b")
+      .localCheckpoint(false)
     val dropA = pairs.select(col("id_b").as("doc_id")).distinct()
     val keepA = docs.join(keptF, "doc_id").join(dropA, Seq("doc_id"), "left_anti")
     val dropB = pairs
@@ -2315,7 +2334,11 @@ object TextQueries {
     * collide in no band) and prices the bands × rows-per-band trade.
     */
   def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    // one kernel evaluation over the sample (the dedupMinhashPairs r18
+    // checkpoint): bands self-join + both exact-verify sides share it
     val base = minhashStages(s, dir).filter(col("doc_id") < RecallSample)
+      .select(col("doc_id"), col("buckets"), array_distinct(col("hs")).as("hss"))
+      .localCheckpoint(false)
     val bands = explodeBands(base)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -2327,7 +2350,7 @@ object TextQueries {
     // signatures estimate); int64 intersects run several times faster
     // than string-shingle intersects for the same answer (h32 collisions
     // are negligible at ~10² shingles/doc and the oracle mirrors them)
-    val sets = base.select(col("doc_id"), array_distinct(col("hs")).as("ss"))
+    val sets = base.select(col("doc_id"), col("hss").as("ss"))
     // length prefilter (set-similarity join standard): J >= 0.5 requires
     // min(|A|,|B|)/max(|A|,|B|) >= 0.5 — prunes pairs before the O(n+m)
     // intersect; pure necessary-condition pruning, results unchanged
@@ -2521,14 +2544,19 @@ object TextQueries {
     * doc with its verified-duplicate count, first duplicate id, and flag.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    // one kernel evaluation (the dedupMinhashPairs r18 checkpoint):
+    // both asymmetric candidate sides, both verify sides and the
+    // new-batch spine share the materialized projection
     val base = minhashStages(s, dir)
+      .select(col("doc_id"), col("buckets"), array_distinct(col("toks")).as("ws"))
+      .localCheckpoint(false)
     val bands = cappedBands(explodeBands(base))
     val cand = bands.filter(col("doc_id") % 5 === 0).as("a")
       .join(bands.filter(col("doc_id") % 5 =!= 0).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .distinct()
-    val sets = base.select(col("doc_id"), array_distinct(col("toks")).as("ws"))
+    val sets = base.select(col("doc_id"), col("ws"))
     val verified = cand
       .join(sets.select(col("doc_id").as("new_id"), col("ws").as("ws_a")), "new_id")
       .join(sets.select(col("doc_id").as("old_id"), col("ws").as("ws_b")), "old_id")
