@@ -150,6 +150,10 @@ object TextQueries {
     // corpus pass saved, locally it halves the pre-aggregate work)
     val withDf = toks.withColumn("df",
       count(lit(1)).over(Window.partitionBy("tok")))
+    // NOT checkpointed (r18 A/B: 4.8 → 6.8 s with a localCheckpoint
+    // here): runtime exchange reuse already evaluates the aggregate's
+    // exchange once across all five consumers, and the checkpoint only
+    // added a serial materialization barrier + array-payload caching
     val ranked = withDf
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"),
@@ -469,7 +473,11 @@ object TextQueries {
     * join, then the pair join + per-pair count.
     */
   def textWinnowMatch(s: SparkSession, dir: String): DataFrame = {
+    // the winnow kernel (md5 pass + W-way min/argmin per window) fed the
+    // df aggregate and BOTH pair-join sides — 8 scans in the static
+    // plan; materialize the distinct (doc, fp) relation once (r18)
     val fdoc = winnowSelections(s, dir).select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(false)
     val keep = fdoc.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxDf)
       .select("fp")
@@ -1942,15 +1950,12 @@ object TextQueries {
     */
   def corpusFilterOrder(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    // keptF feeds FOUR consumers (keepA, both dropB sides, keepB) and the
-    // verified pair set two (dropA, dropB) — without materialization the
-    // static plan re-ran the flags kernel and the LSH verify per consumer
-    // (20 parquet scans, r18 measured). Both relations are doc-id-sized;
-    // checkpoint once, read everywhere (§2.4).
+    // NOT checkpointed here (r18 A/B: outer checkpoints of keptF/pairs
+    // measured SLOWER — they serialize phases that otherwise run as
+    // concurrent stages of one job); the kernel dedup lives INSIDE
+    // dedupMinhashPairs' own checkpoint
     val keptF = filterFlags(s, dir).filter(col("gopher_keep")).select("doc_id")
-      .localCheckpoint(false)
     val pairs = dedupMinhashPairs(s, dir).select("id_a", "id_b")
-      .localCheckpoint(false)
     val dropA = pairs.select(col("id_b").as("doc_id")).distinct()
     val keepA = docs.join(keptF, "doc_id").join(dropA, Seq("doc_id"), "left_anti")
     val dropB = pairs
@@ -2013,7 +2018,10 @@ object TextQueries {
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
     // empty-doc guard: sequence(1, 0) is the DESCENDING [1, 0], which
     // would emit two empty-string char rows where the oracle's
-    // range(1, len+1) emits none — filter empties out before the explode
+    // range(1, len+1) emits none — filter empties out before the explode.
+    // (r18 A/B: materializing the (doc, char, cnt) aggregate measured
+    // SLOWER — runtime exchange reuse already shares the explode between
+    // the two CTE references; left as-is.)
     Tables.documents(s, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
@@ -2195,13 +2203,20 @@ object TextQueries {
     * every row — min-across-depth is what makes that the common case).
     */
   def textCms(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    // ONE tokenize pass (r18): counters and the top-50 side both derived
+    // from the token stream, so the corpus explode ran twice. Aggregate
+    // to the vocabulary-sized (tok, tf) table once (checkpointed); the
+    // counters become sum(tf) over the same (r, b) cells — integer sums,
+    // bit-identical to counting the raw rows — and top-50 reads off it.
+    val tf = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("tok"))
-    val hashed = toks
-      .select(col("tok"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
-      .select(col("tok"), col("r"), pmod(h32(col("tok"), col("r")), lit(CmsWidth)).as("b"))
-    val counters = hashed.groupBy("r", "b").agg(count(lit(1)).as("c"))
-    val top = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val hashed = tf
+      .select(col("tok"), col("tf"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("tf"), col("r"), pmod(h32(col("tok"), col("r")), lit(CmsWidth)).as("b"))
+    val counters = hashed.groupBy("r", "b").agg(sum(col("tf")).as("c"))
+    val top = tf.select(col("tok"), col("tf").as("n_true"))
       .orderBy(col("n_true").desc, col("tok")).limit(50)
     top
       .select(col("tok"), col("n_true"),
@@ -2231,8 +2246,16 @@ object TextQueries {
   def textHll(s: SparkSession, dir: String): DataFrame = {
     val m = 1 << HllP               // 256
     val suffixBits = 32 - HllP      // 24
+    // ONE tokenize pass (r18): the register chain and the exact-distinct
+    // side both consumed the raw token stream (2 corpus explodes). Both
+    // only need the DISTINCT (lang, tok) relation — max(rho) ignores
+    // duplicates and n_exact IS its row count per lang — so aggregate to
+    // it once and checkpoint the vocabulary-sized result.
     Tables.documents(s, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("_tf"))
+      .select("lang", "tok")
+      .localCheckpoint(false)
       .createOrReplaceTempView("graft_hll_toks")
     s.sql(
       s"""WITH h AS (
@@ -2282,8 +2305,16 @@ object TextQueries {
   def textHllUnion(s: SparkSession, dir: String): DataFrame = {
     val m = 1 << HllP               // 256
     val sb = 32 - HllP              // 24
+    // ONE tokenize pass (r18, the textHll treatment): the register chain
+    // (h, referenced via regs/mrg and drc) and the exact-distinct side
+    // each re-ran the corpus explode; every consumer is duplicate-blind
+    // (max-aggregates / count DISTINCT), so the checkpointed DISTINCT
+    // (lang, tok) relation serves all of them.
     Tables.documents(s, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("_tf"))
+      .select("lang", "tok")
+      .localCheckpoint(false)
       .createOrReplaceTempView("graft_hllu_toks")
     def estChain(src: String, a: String): String =
       s"""st_$a AS (SELECT count(1) AS n_regs, sum(power(2.0, -mr)) AS s FROM $src),
