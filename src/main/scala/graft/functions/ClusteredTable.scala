@@ -526,30 +526,57 @@ object ClusteredTable {
         // Zone-map columns (s<i>_mn/s<i>_mx/s<i>_col) ride the same
         // one-aggregate artifact — stats collection costs nothing extra
         // beyond the agg width.
-        val staged = s.read.parquet(staging.toString)
         // a STRING stats column keeps its own type (binary-collated
         // min/max — the date-string / URL-prefix zone-map case);
         // everything else stores long. Readers dispatch on the
-        // catalog column's parquet type.
-        val isStr = staged.schema.fields
+        // catalog column's parquet type. (Schema inference here is a
+        // driver-side footer read — no job.)
+        val isStr = s.read.parquet(staging.toString).schema.fields
           .map(f => f.name -> (f.dataType == org.apache.spark.sql.types.StringType))
           .toMap.withDefaultValue(false)
-        val envAggs = dims.zipWithIndex.flatMap { case (c, i) =>
-          Seq(min(col(c).cast("long")).as(s"mn${i + 1}"),
-            max(col(c).cast("long")).as(s"mx${i + 1}"))
-        } ++ statsCols.zipWithIndex.flatMap { case (c, i) =>
-          val base = if (isStr(c)) col(c) else col(c).cast("long")
-          Seq(min(base).as(s"s${i + 1}_mn"), max(base).as(s"s${i + 1}_mx"))
+        val envPath = new Path(staging, "_envelopes").toString
+        val litCols = dims.zipWithIndex.map { case (c, i) => (s"d${i + 1}_col", c) } ++
+          statsCols.zipWithIndex.map { case (c, i) => (s"s${i + 1}_col", c) }
+        footerEnvelopes(staging, dims, statsCols, isStr) match {
+          case Some(rows) =>
+            // ENVELOPES FROM FOOTERS (r18): the staged files were just
+            // written with exact column statistics in their footers, so
+            // the catalog is a driver-side metadata read — the former
+            // staged-parquet re-read + aggregate job (a full metadata+
+            // column pass over the table per fold) is gone; only the
+            // ≤numFiles-row local write remains.
+            import org.apache.spark.sql.types._
+            val fields = Seq(StructField("zfile_id", IntegerType)) ++
+              dims.indices.flatMap(i => Seq(StructField(s"mn${i + 1}", LongType),
+                StructField(s"mx${i + 1}", LongType))) ++
+              statsCols.zipWithIndex.flatMap { case (c, i) =>
+                val t = if (isStr(c)) StringType else LongType
+                Seq(StructField(s"s${i + 1}_mn", t), StructField(s"s${i + 1}_mx", t))
+              } ++
+              litCols.map { case (n, _) => StructField(n, StringType) }
+            import scala.jdk.CollectionConverters._
+            val full = rows.map(r =>
+              org.apache.spark.sql.Row.fromSeq(r ++ litCols.map(_._2)))
+            s.createDataFrame(full.asJava, StructType(fields))
+              .coalesce(1).write.mode("overwrite").parquet(envPath)
+          case None =>
+            // refusal fallback: the original one-aggregate catalog build
+            val staged = s.read.parquet(staging.toString)
+            val envAggs = dims.zipWithIndex.flatMap { case (c, i) =>
+              Seq(min(col(c).cast("long")).as(s"mn${i + 1}"),
+                max(col(c).cast("long")).as(s"mx${i + 1}"))
+            } ++ statsCols.zipWithIndex.flatMap { case (c, i) =>
+              val base = if (isStr(c)) col(c) else col(c).cast("long")
+              Seq(min(base).as(s"s${i + 1}_mn"), max(base).as(s"s${i + 1}_mx"))
+            }
+            litCols
+              .foldLeft(
+                staged.groupBy(col("zfile").cast("int").as("zfile_id"))
+                  .agg(envAggs.head, envAggs.tail: _*)) { case (df, (n, c)) =>
+                df.withColumn(n, lit(c))
+              }
+              .coalesce(1).write.mode("overwrite").parquet(envPath)
         }
-        (dims.zipWithIndex.map { case (c, i) => (s"d${i + 1}_col", c) } ++
-          statsCols.zipWithIndex.map { case (c, i) => (s"s${i + 1}_col", c) })
-          .foldLeft(
-            staged.groupBy(col("zfile").cast("int").as("zfile_id"))
-              .agg(envAggs.head, envAggs.tail: _*)) { case (df, (n, c)) =>
-            df.withColumn(n, lit(c))
-          }
-          .coalesce(1).write.mode("overwrite")
-          .parquet(new Path(staging, "_envelopes").toString)
         // the manifest names every delta AND delete file this version
         // absorbed; it lands INSIDE staging, so the claim rename is the
         // single visibility point for parquet + catalog + manifest
@@ -625,10 +652,15 @@ object ClusteredTable {
     // (mixing the two in one read trips partition-structure inference);
     // deletes only shrink the count, so ignoring pending DVs errs
     // toward at most one size step up
-    val rows =
+    // driver-side footer row count (r18) — zero Spark jobs; the former
+    // count() jobs read only footers anyway but still paid two job
+    // launches per sizing. Refusal falls back to the scan counts.
+    val sizeDirs = vs.lastOption.map(_._2).toSeq ++ pendingD
+    val rows = footerRowCount(sizeDirs).getOrElse {
       vs.lastOption.map(v => s.read.parquet(v._2.toString).count()).getOrElse(0L) +
         (if (pendingD.isEmpty) 0L
          else s.read.parquet(pendingD.map(_.toString): _*).count())
+    }
     optimizeN(s, root, dims, bits,
       autoFileCount(rows, targetRowsPerFile, bits, dims.length))
   }
@@ -1328,30 +1360,181 @@ object ClusteredTable {
     val folded = vs.lastOption.map { case (_, d) => manifest(d) }.getOrElse(Set.empty)
     val pendingDv = dvDirs(root).exists(x => !folded.contains(x.getName))
     val dirs = vs.lastOption.map(_._2).toSeq ++ pendingDeltaLike(root, folded)
-    val files = dirs.flatMap { d =>
-      val fs = fsOf(d)
-      def hidden(p: Path): Boolean = {
-        var cur = p.getParent
-        var h = false
-        while (cur != null && cur.toString != d.toString && !h) {
-          h = cur.getName.startsWith("_") || cur.getName.startsWith(".")
-          cur = cur.getParent
-        }
-        h
-      }
-      val it = fs.listFiles(d, true)
-      val buf = scala.collection.mutable.ArrayBuffer[Path]()
-      while (it.hasNext) {
-        val st = it.next()
-        val n = st.getPath.getName
-        if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
-            !n.startsWith(".") && !hidden(st.getPath))
-          buf += st.getPath
-      }
-      buf.toSeq
-    }
-    (files, pendingDv)
+    (dirs.flatMap(dataFilesUnder), pendingDv)
   }
+
+  /** Recursive data-file listing under one artifact dir — parquet part
+    * files only, skipping hidden (`_`/`.`) files and subtrees (the same
+    * visibility rule Spark's file index applies, so a footer walk over
+    * this list sees exactly the rows a scan of the dir would).
+    */
+  private def dataFilesUnder(d: Path): Seq[Path] = {
+    val fs = fsOf(d)
+    def hidden(p: Path): Boolean = {
+      var cur = p.getParent
+      var h = false
+      while (cur != null && cur.toString != d.toString && !h) {
+        h = cur.getName.startsWith("_") || cur.getName.startsWith(".")
+        cur = cur.getParent
+      }
+      h
+    }
+    val it = fs.listFiles(d, true)
+    val buf = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".") && !hidden(st.getPath))
+        buf += st.getPath
+    }
+    buf.toSeq
+  }
+
+  /** Exact row count of the data files under `dirs` from parquet footer
+    * block counts alone — the metadata-plane replacement for a
+    * count() job over freshly written artifacts (optimizeAutoN's sizing
+    * read). None on any unreadable footer — caller falls back to the
+    * ordinary scan-count (the FooterStats refusal contract).
+    */
+  private def footerRowCount(dirs: Seq[Path]): Option[Long] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    def fileRows(f: Path): Long = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally reader.close()
+    }
+    // parallel walk (the FooterStats discipline): footer reads are
+    // independent latency-bound I/O — a fold tail can hold dozens of
+    // part files, and a serial walk measured SLOWER than the count()
+    // job it replaces at 32 cores
+    Some(inFooterPool(dirs.flatMap(dataFilesUnder))(fileRows).sum)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Run `f` over `xs` on a bounded pool (serial under 8 items); any
+    * exception propagates to the caller unchanged in cause, wrapped
+    * exceptions unwrapped so refusal catches stay uniform.
+    */
+  private def inFooterPool[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.length <= 8) xs.map(f)
+    else {
+      import java.util.concurrent.{Callable, Executors}
+      val pool = Executors.newFixedThreadPool(
+        math.min(32, math.max(2, Runtime.getRuntime.availableProcessors())))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(xs.map(x => new Callable[B] {
+          override def call(): B = f(x)
+        }).asJava).asScala.toSeq.map { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
+  /** The envelope catalog rows of a freshly staged fold, from parquet
+    * FOOTER STATISTICS alone — no data page is read and no Spark job
+    * runs: per `zfile=K/` bucket dir, min/max of each clustered dim
+    * (integral, exact) and each zone-map column (integral exact; string
+    * bounds are parquet's unsigned-byte min/max, the same binary
+    * collation the aggregate's min/max produced). Returns one value row
+    * per bucket in the exact column order [[optimizeN]]'s aggregate
+    * emitted (zfile_id, mn/mx per dim, s_mn/s_mx per stats col). None
+    * the moment any needed statistic is missing or unreadable — the
+    * caller then runs the original staged-read aggregate (the
+    * FooterStats refusal contract; nullability: a stats column with no
+    * non-null value in a bucket yields null bounds, exactly like the
+    * aggregate).
+    */
+  private def footerEnvelopes(staging: Path, dims: Seq[String],
+      statsCols: Seq[String], isStr: String => Boolean): Option[Seq[Seq[Any]]] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val fs = fsOf(staging)
+    val buckets = fs.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("zfile="))
+    if (buckets.isEmpty) return None
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    val cols = dims ++ statsCols
+    // parallel per-bucket walk — same reasoning as [[footerRowCount]]
+    val rows = inFooterPool(buckets.toSeq) { b =>
+      val zf = b.getPath.getName.stripPrefix("zfile=").toInt
+      // per column: (nonNull, min, max) where min/max are Long or Array[Byte]
+      val acc = scala.collection.mutable.Map[String, (Long, Option[Any], Option[Any])]()
+      dataFilesUnder(b.getPath).foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.asScala.foreach { blk =>
+          val chunks = blk.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+          cols.foreach { name =>
+            chunks.get(name) match {
+              case None => // column absent in this file: all-NULL (evolution)
+              case Some(c) =>
+                val st = c.getStatistics
+                if (st == null || !st.isNumNullsSet)
+                  throw new java.io.IOException(s"no stats for $name")
+                val nonNull = blk.getRowCount - st.getNumNulls
+                val mnmx: Option[(Any, Any)] =
+                  if (!st.hasNonNullValue) {
+                    if (nonNull > 0)
+                      throw new java.io.IOException(s"stats dropped for $name")
+                    None
+                  } else if (isStr(name)) Some((
+                    st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                    st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+                  else Some((
+                    st.genericGetMin.asInstanceOf[Number].longValue(),
+                    st.genericGetMax.asInstanceOf[Number].longValue()))
+                val prev = acc.getOrElse(name, (0L, None, None))
+                def merge(a: Option[Any], b: Option[Any], takeMin: Boolean): Option[Any] =
+                  (a, b) match {
+                    case (None, x) => x
+                    case (x, None) => x
+                    case (Some(x: Array[Byte]), Some(y: Array[Byte])) =>
+                      Some(if ((cmpBytes(x, y) <= 0) == takeMin) x else y)
+                    case (Some(x: Long), Some(y: Long)) =>
+                      Some(if ((x <= y) == takeMin) x else y)
+                    case _ => throw new java.io.IOException(s"mixed stat types for $name")
+                  }
+                acc(name) = (prev._1 + nonNull,
+                  merge(prev._2, mnmx.map(_._1), takeMin = true),
+                  merge(prev._3, mnmx.map(_._2), takeMin = false))
+            }
+          }
+        } finally reader.close()
+      }
+      // a clustered dim must have exact bounds in every bucket (dims are
+      // the layout keys — all-NULL would mean a broken fold)
+      dims.foreach { c =>
+        if (acc.get(c).flatMap(_._2).isEmpty)
+          throw new java.io.IOException(s"no dim bounds for $c in zfile=$zf")
+      }
+      def out(v: Option[Any]): Any = v match {
+        case Some(b: Array[Byte]) => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        case Some(l: Long) => l
+        case _ => null
+      }
+      Seq[Any](zf) ++
+        dims.flatMap(c => Seq(out(acc.get(c).flatMap(_._2)), out(acc.get(c).flatMap(_._3)))) ++
+        statsCols.flatMap(c => Seq(out(acc.get(c).flatMap(_._2)), out(acc.get(c).flatMap(_._3))))
+    }
+    Some(rows.sortBy(_.head.asInstanceOf[Int]))
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Streaming ingest hand-off: a foreachBatch function landing each
     * micro-batch as delta `d=b<batchId>`. foreachBatch is

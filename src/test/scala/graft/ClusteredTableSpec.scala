@@ -588,11 +588,17 @@ class ClusteredTableSpec extends SparkTestBase {
     assert(cat.get.sortBy(_._1) == recomputed)
     // dimension mismatch reads as "no catalog", never as wrong bounds
     assert(ClusteredTable.envelopes(spark, root, 0L, "d2", "d1").isEmpty)
-    // the catalog versions with the table: the next fold gets its own
-    ClusteredTable.append(mk(Seq((100L, 15, 11))), root, "01")
+    // the catalog versions with the table: the next fold gets its own.
+    // (0, 0) extends bucket 0's bounds, so the catalogs differ in VALUE —
+    // the earlier (15, 11) row fell inside bucket 14's existing bounds
+    // and only the aggregate's nondeterministic row order made the old
+    // inequality pass; the footer-stats catalog (r18) is order-stable.
+    ClusteredTable.append(mk(Seq((100L, 0, 0))), root, "01")
     ClusteredTable.optimize(spark, root, "d1", "d2", 4, 16) // v=1
     val cat1 = ClusteredTable.envelopes(spark, root, 1L, "d1", "d2")
-    assert(cat1.isDefined && cat1 != cat, "v=1 must carry its own catalog")
+    assert(cat1.isDefined &&
+      cat1.get.sortBy(_._1) != cat.get.sortBy(_._1),
+      "v=1 must carry its own catalog")
     // and vacuum of the superseded version reclaims its catalog with it
     ClusteredTable.vacuum(root)
     assert(ClusteredTable.envelopes(spark, root, 0L, "d1", "d2").isEmpty)
