@@ -182,6 +182,31 @@ object ScaleFunctions {
     labels
   }
 
+  /** Run independent driver-composed chains CONCURRENTLY (guide §2.6 —
+    * overlap independent jobs so the next chain's tasks back-fill the
+    * executor while the current one drains): results return in input
+    * order, so determinism is untouched. Spark's scheduler runs the
+    * concurrent actions FIFO; cached-block locks dedupe shared persisted
+    * inputs across the racing chains.
+    */
+  def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(1) <= 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(xs.length, 4))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(xs.map(x => new java.util.concurrent.Callable[B] {
+          override def call(): B = f(x)
+        }).asJava).asScala.toSeq.map { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
   /** Two-phase aggregation for a skewed group key: partial aggregate on
     * (key, salt), then final aggregate on key. Spark's hash aggregate
     * already does map-side partials; the explicit form matters when the
@@ -223,7 +248,9 @@ object ScaleFunctions {
     */
   private def prBroadcastMaxNodes(df: DataFrame): Long =
     df.sparkSession.conf.getOption("spark.graft.pagerank.broadcastMaxNodes")
-      .map(_.toLong).getOrElse(50000000L)
+      .map(_.toLong).getOrElse(5000000L) // ~80 MB framed (r18, was 5e7:
+      // a per-iteration broadcast rebuilt near the 8 GB hard cap OOMs
+      // default-sized drivers long before the old budget bit — r17 ADVICE)
 
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
@@ -236,7 +263,7 @@ object ScaleFunctions {
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
       val n = deg.count().toDouble
       var ranks = deg.select(col("src").as("node")).withColumn("pr", lit(1.0 / n))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         // divide each node's rank by its out-degree BEFORE the edge join
         // (|V|-sized work; the per-edge division computed the identical
         // value |E| times), and BROADCAST the |V|-row weight relation so
@@ -245,11 +272,15 @@ object ScaleFunctions {
         val w0 = ranks.join(deg, col("node") === deg("src"))
           .select(col("node").as("jsrc"), (col("pr") / col("outdeg")).as("contrib"))
         val w = if (n <= prBroadcastMaxNodes(edges)) broadcast(w0) else w0
-        ranks = e.join(w, col("src") === col("jsrc"))
+        val next = e.join(w, col("src") === col("jsrc"))
           .groupBy("dst").agg(sum("contrib").as("in_pr"))
           .select(col("dst").as("node"),
             (lit((1 - damping) / n) + lit(damping) * col("in_pr")).as("pr"))
-          .localCheckpoint()
+        // checkpoint every 3rd iteration and at the end (r18): each
+        // iteration references the previous ranks exactly once, so a
+        // ≤3-deep lineage stays linear while 3 eager materialization
+        // jobs collapse into 1 — the returned plan is still truncated
+        ranks = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
       }
       ranks
     } finally e.unpersist(false)

@@ -225,7 +225,9 @@ object TextQueries {
     val base = minhashStages(s, dir).persist()
     try {
       val sets = base.select(col("doc_id"), array_distinct(col("shingles")).as("ss"))
-      val rows = BandsSweepConfigs.map { case (b, r) =>
+      // per-config chains are independent — overlap them (guide §2.6);
+      // the persisted signature pass dedupes across them at block grain
+      val rows = graft.functions.ScaleFunctions.inParallel(BandsSweepConfigs) { case (b, r) =>
         val bands = base
           .withColumn("bkts", lshBandBuckets(col("sig"), r))
           .select(col("doc_id"), col("bkts"),

@@ -154,7 +154,9 @@ object VectorQueries {
   def embKmeansElbow(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).persist()
     try {
-      val rows = Seq(2, 4, 8).map { k =>
+      // the three k-chains are independent — overlap them (guide §2.6);
+      // results keep input order, output unchanged
+      val rows = graft.functions.ScaleFunctions.inParallel(Seq(2, 4, 8)) { k =>
         val cent = kmeansCentroids(e, k, iters = 2)
         val stats = assignListsProjection(e, cent)
           .join(broadcast(centRelation(e, cent)), "list_id")
@@ -323,6 +325,29 @@ object VectorQueries {
     cent
   }
 
+  /** Centroid / code tables as SINGLE catalyst Literal nodes — the
+    * jsonata stringArrayLit discipline (r17) applied to the vector
+    * control plane: an `array(array(lit...))` of an 8×64 centroid table
+    * is a 512-child CreateArray that every analyzer/optimizer rule and
+    * each control-plane job's re-plan walks node by node; one Literal is
+    * one node and one codegen references entry. Values are identical.
+    */
+  private def nestedArrayData(v: Any): Any = v match {
+    case s: Seq[_] =>
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        s.map(nestedArrayData).toArray[Any])
+    case x => x
+  }
+  private def nestedArrayLit(values: Seq[_], elemType: org.apache.spark.sql.types.DataType): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        nestedArrayData(values),
+        org.apache.spark.sql.types.ArrayType(elemType, containsNull = false)))
+  private val DoubleArrT = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.DoubleType, containsNull = false)
+  private val DoubleArr2T = org.apache.spark.sql.types.ArrayType(DoubleArrT,
+    containsNull = false)
+
   /** Nearest-centroid assignment (argmax cosine; ties — or all-NULL
     * cosines, e.g. a zero vector — take the lowest list id) as a pure
     * shuffle-free PROJECTION: the centroids are plan literals, the
@@ -334,7 +359,7 @@ object VectorQueries {
     */
   private[graft] def assignListsProjection(
       e: DataFrame, cent: Seq[(Int, Seq[Double])]): DataFrame = {
-    val centArr = array(cent.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+    val centArr = nestedArrayLit(cent.map(_._2), DoubleArrT)
     val listIds = array(cent.map { case (lid, _) => lit(lid) }: _*)
     val staged = graft.functions.PipelineFunctions.stageBarrier(
       e, Seq(col("vec_id"), col("v")),
@@ -1447,10 +1472,12 @@ object VectorQueries {
     */
   private def assignPqProjection(
       e: DataFrame, cent: Map[Int, Seq[(Int, Seq[Double])]]): DataFrame = {
-    val centsLit = array((0 until PqM).map(s0 =>
-      array(cent(s0).map { case (_, cv) => array(cv.map(lit): _*) }: _*)): _*)
-    val codesLit = array((0 until PqM).map(s0 =>
-      array(cent(s0).map { case (c, _) => lit(c) }: _*)): _*)
+    val centsLit = nestedArrayLit(
+      (0 until PqM).map(s0 => cent(s0).map(_._2)), DoubleArr2T)
+    val codesLit = nestedArrayLit(
+      (0 until PqM).map(s0 => cent(s0).map(_._1)),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
     val subbed = graft.functions.PipelineFunctions.stageBarrier(
       e.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("v")),
@@ -1472,37 +1499,27 @@ object VectorQueries {
     * the same sorted-by-code order as [[assignPqProjection]].
     */
   private def pqCodesArray(v: Column, cent: Map[Int, Seq[(Int, Seq[Double])]]): Column = {
-    val centsLit = array((0 until PqM).map(s0 =>
-      array(cent(s0).map { case (_, cv) => array(cv.map(lit): _*) }: _*)): _*)
-    val codesLit = array((0 until PqM).map(s0 =>
-      array(cent(s0).map { case (c, _) => lit(c) }: _*)): _*)
-    transform(sequence(lit(0), lit(PqM - 1)), s0 => {
-      val sv = slice(v, s0 * PqSubDim + 1, lit(PqSubDim))
-      val dists = transform(element_at(centsLit, s0 + 1), c => l2sq(sv, c))
-      element_at(element_at(codesLit, s0 + 1),
+    // UNROLLED, no higher-order functions (r18): transform/aggregate are
+    // CodegenFallback — the former nested-transform form evaluated all
+    // PqM·PqK l2sq kernels INTERPRETED per corpus row (~1.6 s for the
+    // IVF-PQ corpus projection at sf0.1). Concrete per-sub/per-code
+    // expressions stay inside whole-stage codegen; subexpression
+    // elimination shares each sub's slice, and the centroid operands are
+    // plan literals whose self-dot constant-folds.
+    array((0 until PqM).map { s0 =>
+      val sv = slice(v, s0 * PqSubDim + 1, PqSubDim)
+      val dists = array(cent(s0).map { case (_, cv) =>
+        l2sq(sv, nestedArrayLit(cv, org.apache.spark.sql.types.DoubleType))
+      }: _*)
+      val codesLit = array(cent(s0).map { case (c, _) => lit(c) }: _*)
+      element_at(codesLit,
         coalesce(array_position(dists, array_min(dists)), lit(1L)).cast("int"))
-    })
+    }: _*)
   }
 
-  /** ADC (asymmetric distance): Σ_s L2²(q_sub_s, codebook[s][codes[s]]),
-    * folded in ascending-sub order (aggregate = sequential left fold; the
-    * oracle's list_sum over an ORDER BY sub list accumulates identically,
-    * keeping the doubles bit-comparable).
-    */
-  private def adcDist(qv: Column, codes: Column,
-      cent: Map[Int, Seq[(Int, Seq[Double])]]): Column = {
-    // dense code-indexed lookup (16 slots/subspace; a code that lost all
-    // members in the Lloyd step is never assigned, its zero-filled slot
-    // is unreachable)
-    val dense = array((0 until PqM).map { s0 =>
-      val m = cent(s0).toMap
-      array((0 until PqK).map(c =>
-        array(m.getOrElse(c, Seq.fill(PqSubDim)(0.0)).map(lit): _*)): _*)
-    }: _*)
-    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, s0) =>
-      acc + l2sq(slice(qv, s0 * PqSubDim + 1, lit(PqSubDim)),
-        element_at(element_at(dense, s0 + 1), element_at(codes, s0 + 1) + 1)))
-  }
+  // (adcDist's inline Σ_s L2²(q_sub_s, codebook[s][codes[s]]) fold moved
+  // into ivfPqAdcFrom as a staged per-query ADC lookup table — r18; the
+  // ascending-sub left-fold accumulation order is preserved there.)
 
   /** Shared PQ codebook learning (seeds = first PqK vectors' subvectors,
     * one Lloyd step) — the eager control-plane half of [[embPq]]/
@@ -1575,24 +1592,49 @@ object VectorQueries {
     */
   private def ivfPqAdcFrom(e: DataFrame): DataFrame = {
     val NProbe = 2
-    val lists = kmeansCentroids(e, nLists = 8, iters = 2)
-    val codebook = pqCodebook(e)
+    // the coarse quantizer's Lloyd chain and the PQ codebook chain are
+    // INDEPENDENT control-plane job sequences over the same persisted
+    // corpus — overlap them (guide §2.6; r18 phase diag: construct is
+    // the whole cost of the PQ recall queries, exec is milliseconds)
+    val Seq(listsA, codebookA) =
+      graft.functions.ScaleFunctions.inParallel[Int, Any](Seq(0, 1)) {
+        case 0 => kmeansCentroids(e, nLists = 8, iters = 2)
+        case _ => pqCodebook(e)
+      }
+    val lists = listsA.asInstanceOf[Seq[(Int, Seq[Double])]]
+    val codebook = codebookA.asInstanceOf[Map[Int, Seq[(Int, Seq[Double])]]]
     val corpus = assignListsProjection(e, lists)
       .select(col("vec_id").as("neighbor_id"), col("list_id"),
         pqCodesArray(col("v"), codebook).as("codes"))
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("list_id"))
+    // ADC LOOKUP TABLE (r18 — the distance-table form every PQ paper
+    // ships): per PROBED QUERY ROW (|queries|·NProbe rows, broadcast),
+    // stage dist(q_sub_s, codebook[s][c]) for every (s, c) once; each
+    // candidate row then sums PqM array lookups instead of re-running
+    // PqM l2sq kernels. Term values and the ascending-sub left fold are
+    // unchanged, so the doubles are bit-identical to the inline form.
+    val dtab = array((0 until PqM).map { s0 =>
+      val m = codebook(s0).toMap
+      array((0 until PqK).map { c =>
+        l2sq(slice(col("qv"), s0 * PqSubDim + 1, PqSubDim),
+          nestedArrayLit(m.getOrElse(c, Seq.fill(PqSubDim)(0.0)),
+            org.apache.spark.sql.types.DoubleType))
+      }: _*)
+    }: _*)
     val probed = queries.join(broadcast(centRelation(e, lists)), lit(true))
       .select(col("query_id"), col("qv"), col("list_id"),
         cosine(col("qv"), col("cv")).as("ccos"))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= NProbe)
-      .select(col("query_id"), col("qv"), col("list_id"))
+      .select(col("query_id"), col("list_id"), dtab.as("dtab"))
+    val adist = (0 until PqM).map(s0 =>
+      element_at(element_at(col("dtab"), s0 + 1), element_at(col("codes"), s0 + 1) + 1))
+      .foldLeft(lit(0.0))(_ + _)
     broadcast(probed).join(corpus, "list_id")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        adcDist(col("qv"), col("codes"), codebook).as("adist"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
   }
 
   private def knnIvfPqFrom(e: DataFrame): DataFrame = {
