@@ -1268,6 +1268,33 @@ object JsonataCompiler {
     * over a bounded token array — codegen'd, no UDF.
     */
   private def parseWordsColumn(s: Column): Column = {
+    // FAST PATH (r18): a word rendering of 0..999 (cardinal or ordinal,
+    // either case) is exactly an entry of the 999-form tables, and its
+    // table POSITION is its value — one codegen'd array_position instead
+    // of the tokenize→map-lookup→fold chain, whose higher-order
+    // functions are CodegenFallback and ran interpreted per row (the
+    // pipe_jsonata_t4 rt column's cost). Anything else — magnitudes,
+    // mixed forms — falls through to the general fold below; the when
+    // chain evaluates lazily, so the fold's interpreted branch only runs
+    // on fast-path misses.
+    val sl = lower(s)
+    val neg = sl.startsWith("-")
+    val base = regexp_replace(sl, "^-", "")
+    val posC = array_position(stringArrayLit(card999.map(_.toLowerCase)), base)
+    val posO = array_position(stringArrayLit(ord999.map(_.toLowerCase)), base)
+    val fastBase = when(base === "zero" || base === "zeroth", lit(0L))
+      .when(posC > 0L, posC)
+      .when(posO > 0L, posO)
+    // coalesce evaluates the fast chain ONCE; a null (miss, or null
+    // input) falls through to the general fold
+    coalesce(when(neg, -fastBase).otherwise(fastBase), parseWordsFold(s))
+  }
+
+  /** The general word parser (tokenize, per-token table lookup, fold) —
+    * the [[parseWordsColumn]] fallback for inputs beyond the 0..999
+    * fast-path tables.
+    */
+  private def parseWordsFold(s: Column): Column = {
     val entries: Seq[(String, Long)] =
       fewWords.zipWithIndex.map { case (w, i) => w.toLowerCase -> i.toLong } ++
       fewOrdWords.zipWithIndex.map { case (w, i) => w.toLowerCase -> i.toLong } ++
@@ -1305,6 +1332,18 @@ object JsonataCompiler {
     * prefix chain, O(places²) generated work per row; the fold is
     * measured ~6× faster at identical output (r17).
     */
+  // bijective base-26 renderings of 1..702 ('a'..'zz'), computed once at
+  // compile time — the r18 fast path: the runtime fold below is an
+  // aggregate HOF (CodegenFallback, 14 interpreted steps per row), while
+  // ≤2-letter numberings — the overwhelmingly common case — become one
+  // codegen'd element_at into a literal table
+  private val letters702: Seq[String] = (1 to 702).map { n =>
+    var m = n.toLong
+    val sb = new StringBuilder
+    while (m > 0) { sb.insert(0, ('a' + ((m - 1) % 26).toInt).toChar); m = (m - 1) / 26 }
+    sb.toString
+  }
+
   private def lettersColumn(n0: Column, base: Char): Column = {
     // Column `/` is double division: exact only below 2^53, so place
     // extraction past that would silently garble a letter — fail loudly
@@ -1312,6 +1351,8 @@ object JsonataCompiler {
     val v = when(abs(n0) >= 9007199254740992L,
       raise_error(lit("$formatInteger letter pictures support |n| < 2^53")))
       .otherwise(abs(n0))
+    val table = stringArrayLit(
+      if (base == 'a') letters702 else letters702.map(_.toUpperCase))
     val folded = aggregate(sequence(lit(1), lit(14)),
       struct(v.as("m"), lit("").cast(StringType).as("s")),
       (acc, _) => {
@@ -1322,7 +1363,9 @@ object JsonataCompiler {
             acc.getField("s")).as("s")))
           .otherwise(acc)
       })
-    val word = folded.getField("s")
+    // lazy when chain: the interpreted fold branch only runs past 'zz'
+    val word = when(v >= 1L && v <= 702L, element_at(table, v.cast(IntegerType)))
+      .otherwise(folded.getField("s"))
     when(n0.isNull, lit(null).cast(StringType))
       .when(n0 < 0L, concat(lit("-"), word)).otherwise(word)
   }
