@@ -1691,6 +1691,7 @@ object ClusteredTable {
         val df = s.read.parquet(idx.toString)
         // pre-kind indexes (r14) are all long-plane
         val okKind = !df.columns.contains("kind") || {
+          // bounded: the distinct index-kind enum (1-2 values)
           val ks = df.select("kind").distinct().collect().map(_.getString(0))
           ks.forall(_ == kind)
         }

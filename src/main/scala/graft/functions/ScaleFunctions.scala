@@ -148,8 +148,36 @@ object ScaleFunctions {
       .select(col("id"), least(col("id"), coalesce(col("nlbl"), col("id"))).as("lbl"))
   }
 
+  /** ONE CC iteration (neighbor-min + pointer jump), factored out of
+    * [[ccLoop]] so the committed constituent-plan evidence
+    * (graft.ConstituentDump → plans/rNN/) dumps the EXACT per-iteration
+    * join shapes the loop executes — checkpointing otherwise truncates
+    * them out of every published plan (the r16/r17 transparency gap).
+    */
+  private[graft] def ccStep(sym: DataFrame, labels: DataFrame): DataFrame = {
+    // smallest label among each node's neighbors (aggregated BEFORE the
+    // join back, so the labels side joins against |V| rows, not |E|)
+    val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
+      .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+    // carry the previous label through the step so convergence is a
+    // filter over the (already checkpointed) result — the former
+    // separate changed-count join+shuffle per iteration is gone
+    val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
+      .select(col("id"), col("lbl").as("prev"),
+        least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    // pointer jump: lbl <- lbl(lbl); lbl(x) <= x always, so the inner
+    // join on stepped's own id set is total
+    stepped.as("a")
+      .join(stepped.select(col("id").as("p"), col("lbl").as("plbl")).as("b"),
+        col("a.lbl") === col("p"))
+      .select(col("a.id").as("id"), col("plbl").as("lbl"), col("a.prev").as("prev"))
+  }
+
   private def ccLoop(sym: DataFrame, labels0: DataFrame, maxIters: Int): DataFrame = {
-    var labels = labels0.localCheckpoint()
+    // LAZY checkpoints throughout the loop (r18): the per-iteration
+    // convergence count is the materializing action, so each round runs
+    // ONE job instead of an eager checkpoint job plus the count
+    var labels = labels0.localCheckpoint(false)
     // NOTE (r17): an explicit broadcast of the |V|-sized label sides was
     // A/B-measured SLOWER here (each iteration pays broadcast-build jobs
     // and the blocking collect; AQE already localizes these exchanges at
@@ -157,23 +185,7 @@ object ScaleFunctions {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // smallest label among each node's neighbors (aggregated BEFORE the
-      // join back, so the labels side joins against |V| rows, not |E|)
-      val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
-      // carry the previous label through the step so convergence is a
-      // filter over the (already checkpointed) result — the former
-      // separate changed-count join+shuffle per iteration is gone
-      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer jump: lbl <- lbl(lbl); lbl(x) <= x always, so the inner
-      // join on stepped's own id set is total
-      val jumped = stepped.as("a")
-        .join(stepped.select(col("id").as("p"), col("lbl").as("plbl")).as("b"),
-          col("a.lbl") === col("p"))
-        .select(col("a.id").as("id"), col("plbl").as("lbl"), col("a.prev").as("prev"))
-        .localCheckpoint()
+      val jumped = ccStep(sym, labels).localCheckpoint(false)
       changed = jumped.filter(col("lbl") =!= col("prev")).count()
       labels = jumped.select("id", "lbl")
       iter += 1
@@ -260,22 +272,13 @@ object ScaleFunctions {
       // symmetrization) — this replaces both the degree-annotated edge
       // materialization (|E| rows persisted just to carry outdeg) and a
       // separate nodes distinct: 2 full |E| passes saved before the loop
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      // lazy: deg.count() right below is the materializing action (r18)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint(false)
       val n = deg.count().toDouble
       var ranks = deg.select(col("src").as("node")).withColumn("pr", lit(1.0 / n))
       for (i <- 1 to iters) {
-        // divide each node's rank by its out-degree BEFORE the edge join
-        // (|V|-sized work; the per-edge division computed the identical
-        // value |E| times), and BROADCAST the |V|-row weight relation so
-        // the edge set never shuffles — per iteration the only exchange
-        // is the partial-aggregated |V|-row contribution sum
-        val w0 = ranks.join(deg, col("node") === deg("src"))
-          .select(col("node").as("jsrc"), (col("pr") / col("outdeg")).as("contrib"))
-        val w = if (n <= prBroadcastMaxNodes(edges)) broadcast(w0) else w0
-        val next = e.join(w, col("src") === col("jsrc"))
-          .groupBy("dst").agg(sum("contrib").as("in_pr"))
-          .select(col("dst").as("node"),
-            (lit((1 - damping) / n) + lit(damping) * col("in_pr")).as("pr"))
+        val next = prStep(e, deg, ranks, n, damping,
+          broadcastRanks = n <= prBroadcastMaxNodes(edges))
         // checkpoint every 3rd iteration and at the end (r18): each
         // iteration references the previous ranks exactly once, so a
         // ≤3-deep lineage stays linear while 3 eager materialization
@@ -284,5 +287,24 @@ object ScaleFunctions {
       }
       ranks
     } finally e.unpersist(false)
+  }
+
+  /** ONE PageRank iteration, factored out of [[pageRank]] for the same
+    * constituent-plan evidence as [[ccStep]]: divide each node's rank by
+    * its out-degree BEFORE the edge join (|V|-sized work; the per-edge
+    * division computed the identical value |E| times), and BROADCAST the
+    * |V|-row weight relation while it fits the budget so the edge set
+    * never shuffles — per iteration the only exchange is the
+    * partial-aggregated |V|-row contribution sum.
+    */
+  private[graft] def prStep(e: DataFrame, deg: DataFrame, ranks: DataFrame,
+      n: Double, damping: Double, broadcastRanks: Boolean): DataFrame = {
+    val w0 = ranks.join(deg, col("node") === deg("src"))
+      .select(col("node").as("jsrc"), (col("pr") / col("outdeg")).as("contrib"))
+    val w = if (broadcastRanks) broadcast(w0) else w0
+    e.join(w, col("src") === col("jsrc"))
+      .groupBy("dst").agg(sum("contrib").as("in_pr"))
+      .select(col("dst").as("node"),
+        (lit((1 - damping) / n) + lit(damping) * col("in_pr")).as("pr"))
   }
 }

@@ -666,6 +666,7 @@ object RelationalQueries {
     graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
     graft.functions.ClusteredTable.buildIndex(s, root, "o_orderkey")
     graft.functions.ClusteredTable.append(src.filter(col("o_orderkey") % 3 === 2), root, "b2")
+    // bounded: 1-in-5000 key probe sample, never corpus-sized
     val keys = src.filter(col("o_orderkey") % 5000 === 1)
       .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0)).toSeq.sorted
     val occupied = graft.functions.ClusteredTable.read(s, root)
@@ -761,6 +762,7 @@ object RelationalQueries {
     graft.functions.ClusteredTable.optimize(s, root, "d1", "d2", 4, 16)
     graft.functions.ClusteredTable.buildIndex(s, root, "url")
     graft.functions.ClusteredTable.append(src.filter(col("doc_id") % 3 === 2), root, "b2")
+    // bounded: 1-in-149 key probe sample, never corpus-sized
     val keys = src.filter(col("doc_id") % 149 === 1)
       .select("url").collect().map(_.getString(0)).toSeq.sorted
     val occupied = graft.functions.ClusteredTable.read(s, root)

@@ -41,7 +41,7 @@ object TextQueries {
     * — inlining them would replicate the md5 pass per reference (Columns
     * are trees, not DAGs).
     */
-  private def minhashStages(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashStages(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
@@ -2704,7 +2704,7 @@ object TextQueries {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("s",
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (r <- 1 to BpeMergeRounds) {
       val top = vocab.filter(size(col("s")) >= 2)
@@ -2717,7 +2717,11 @@ object TextQueries {
         .limit(1).collect()(0)
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, a, b, c))
-      vocab = vocab.withColumn("s", bpeMergeFold(col("s"), a, b)).localCheckpoint()
+      // LAZY checkpoint (r18): the next round's top-pair collect (or the
+      // encode consumer) materializes it — still truncates the lineage,
+      // but 10 eager materialization jobs collapse into the collects the
+      // loop already pays (the vocabulary is tiny; job launch dominated)
+      vocab = vocab.withColumn("s", bpeMergeFold(col("s"), a, b)).localCheckpoint(false)
     }
     (vocab, merges.toSeq)
   }
@@ -2872,6 +2876,20 @@ object TextQueries {
   private val KcoreK = 3
   private val KcoreRounds = 6
 
+  /** ONE k-core peel round (two semi-join-shaped filters against the
+    * alive set + the surviving-degree cut), factored out of
+    * [[dedupKcore]] so the constituent-plan evidence
+    * (graft.ConstituentDump) dumps the exact per-round join shapes the
+    * checkpointed loop executes.
+    */
+  private[graft] def kcorePeelStep(sym: DataFrame, alive: DataFrame): DataFrame =
+    sym
+      .join(alive.select(col("node").as("a")), "a")
+      .join(alive.select(col("node").as("b")), "b")
+      .groupBy("a").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= KcoreK)
+      .select(col("a").as("node"))
+
   /** K-CORE membership of the near-dup graph — [[dedupTriangles]]'s
     * clustering read made actionable per node: the k-core (maximal
     * subgraph where every node keeps ≥ k neighbors IN the subgraph)
@@ -2898,7 +2916,7 @@ object TextQueries {
       .select(col("id_a").as("a"), col("id_b").as("b")).persist()
     try {
       val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: round 1's count materializes it (r18)
       val nodes = sym.select(col("a").as("node")).distinct()
       var alive = nodes
       var prevAlive = nodes
@@ -2919,13 +2937,8 @@ object TextQueries {
         round += 1
         prevAlive = alive
         nPrev = nAlive
-        alive = sym
-          .join(alive.select(col("node").as("a")), "a")
-          .join(alive.select(col("node").as("b")), "b")
-          .groupBy("a").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= KcoreK)
-          .select(col("a").as("node"))
-          .localCheckpoint()
+        alive = kcorePeelStep(sym, alive)
+          .localCheckpoint(false) // lazy: the convergence count below materializes
         nAlive = alive.count()
       }
       val coreDeg = sym

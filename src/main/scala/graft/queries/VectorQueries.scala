@@ -604,6 +604,7 @@ object VectorQueries {
     val dim = 64
     val e = emb(s, dir)
     val covArr = Array.ofDim[Double](dim, dim)
+    // bounded: dim x dim covariance cells (4096 rows), never corpus-sized
     covCells(s, dir).collect().foreach(r =>
       covArr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
     val pc = powerIteration(covArr, PcaIters)
@@ -1313,8 +1314,8 @@ object VectorQueries {
         round((col("n_vec") - col("n_dropped")).cast("double") /
           col("n_vec").cast("double"), 6).as("kept_frac"))
       .orderBy("cos_min")
-    // 3-row dial: evaluate while e is cached so the assignment and pair
-    // passes reuse the cached scan, then release (the
+    // bounded 3-row dial: evaluate while e is cached so the assignment
+    // and pair passes reuse the cached scan, then release (the
     // knnIvfIncrementalRecall pattern)
     val rows = out.collect()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
@@ -1713,6 +1714,7 @@ object VectorQueries {
     val sims = local.select(col("id").as("ia"), col("v").as("va"))
       .join(local.select(col("id").as("ib"), col("v").as("vb")), col("ia") =!= col("ib"))
       .select(col("ia"), col("ib"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      // bounded: N(N-1) sims over the <= 32-row MMR pool
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // greedy over the N-bounded pool: k passes, O(kN) score updates
     val selected = collection.mutable.ArrayBuffer[(Long, Double, Double, Double)]()
