@@ -2018,16 +2018,19 @@ object TextQueries {
     * ≤ |alphabet| rows — never a second corpus pass.
     */
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
-    // empty-doc guard: sequence(1, 0) is the DESCENDING [1, 0], which
-    // would emit two empty-string char rows where the oracle's
-    // range(1, len+1) emits none — filter empties out before the explode.
-    // (r18 A/B: materializing the (doc, char, cnt) aggregate measured
-    // SLOWER — runtime exchange reuse already shares the explode between
-    // the two CTE references; left as-is.)
+    // char rows via split(text, '') — a native codegen'd kernel (r18);
+    // the former transform(sequence, substring) lambda is a higher-order
+    // function (CodegenFallback) that evaluated one interpreted
+    // substring per CHARACTER of the corpus. split on the empty pattern
+    // yields the same single-char tokens plus a trailing "" element,
+    // filtered out below (the empty-doc guard rides the same filter).
+    // (r18 A/B note: materializing the (doc, char, cnt) aggregate
+    // measured SLOWER — runtime exchange reuse already shares the
+    // explode between the two CTE references; left shared.)
     Tables.documents(s, dir)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
       .createOrReplaceTempView("graft_entropy_ch")
     s.sql(
       """WITH c AS (SELECT doc_id, ch, count(1) AS cnt
