@@ -75,6 +75,13 @@ object TextFunctions {
 
   /** k-word shingles joined by a single space; empty if fewer than k tokens. */
   def wordShingles(toks: Column, k: Int): Column =
+    graft.expressions.TextKernelExpressions.wordShinglesNative(toks, k)
+
+  /** HOF reference formulation of wordShingles (tests compare to native).
+    * The transform lambda is CodegenFallback: one interpreted
+    * array_join(slice) per window per row (r18 — native kernel above).
+    */
+  def wordShinglesHof(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>")).otherwise(
       transform(
         sequence(lit(1), size(toks) - (k - 1)),
@@ -196,6 +203,10 @@ object TextFunctions {
   val StopwordsEs: Seq[String] = Seq("el", "la", "los", "y", "es", "una", "no", "por", "que", "en")
 
   def stopwordHits(toks: Column, words: Seq[String]): Column =
+    graft.expressions.TextKernelExpressions.stopwordHitsNative(toks, words)
+
+  /** HOF reference formulation of stopwordHits (tests compare to native). */
+  def stopwordHitsHof(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
   /** Per-language stopword hit counts, for staging each count once per
@@ -297,6 +308,12 @@ object TextFunctions {
     * summation without changing all three together.
     */
   def classifierScoreFromHashes(hs: Column, nFeats: Column): Column =
+    graft.expressions.TextKernelExpressions.classifierScoreNative(
+      hs, classifierWeights.toArray) / nFeats
+
+  /** HOF reference formulation (tests compare to native; same ascending
+    * left-fold accumulation order, so the doubles are bit-identical). */
+  def classifierScoreFromHashesHof(hs: Column, nFeats: Column): Column =
     aggregate(
       transform(hs, h => element_at(typedLit(classifierWeights),
         pmod(h, lit(ClassifierBuckets.toLong)).cast("int") + 1)),

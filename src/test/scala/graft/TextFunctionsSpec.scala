@@ -128,6 +128,43 @@ class TextFunctionsSpec extends SparkTestBase {
     df.as[(Long, Long)].collect().foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native word-shingle kernel == HOF formulation (short, empty, unicode, k edges)") {
+    val rng = new scala.util.Random(13)
+    val rows = Seq(Seq.empty[String], Seq("one"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("wör", "日本", "", "x y", "#f0")) ++
+      Seq.fill(20)(Seq.fill(rng.nextInt(12))(rng.alphanumeric.take(5).mkString))
+    for (k <- Seq(2, 3, 5)) {
+      val df = rows.map(Tuple1(_)).toDF("toks")
+        .select(wordShingles(col("toks"), k).as("n"), wordShinglesHof(col("toks"), k).as("h"))
+      df.as[(Seq[String], Seq[String])].collect().foreach { case (n, h) =>
+        assert(n == h, s"k=$k")
+      }
+    }
+  }
+
+  test("native stopword-hits kernel == HOF formulation") {
+    val rng = new scala.util.Random(14)
+    val vocab = StopwordsEn ++ Seq("zzz", "qqq", "", "Wör")
+    val rows = Seq.fill(30)(Seq.fill(rng.nextInt(20))(vocab(rng.nextInt(vocab.size))))
+    val df = rows.map(Tuple1(_)).toDF("toks")
+      .select(stopwordHits(col("toks"), StopwordsEn).as("n"),
+        stopwordHitsHof(col("toks"), StopwordsEn).as("h"))
+    df.as[(Int, Int)].collect().foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("native classifier-score kernel == HOF formulation (bit-identical doubles)") {
+    val rng = new scala.util.Random(15)
+    val rows = Seq.fill(30)(Seq.fill(rng.nextInt(40) + 1)(rng.alphanumeric.take(6).mkString))
+    val df = rows.map(Tuple1(_)).toDF("toks")
+      .select(hashArray(col("toks")).as("hs"), size(col("toks")).cast("long").as("nf"))
+      .select(classifierScoreFromHashes(col("hs"), col("nf")).as("n"),
+        classifierScoreFromHashesHof(col("hs"), col("nf")).as("h"))
+    df.as[(Double, Double)].collect().foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(h))
+    }
+  }
+
   test("hamming32: near-identical token sets have small distance") {
     val df = Seq((
       "the quick brown fox jumps over the lazy dog again and again today",
